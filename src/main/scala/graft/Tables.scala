@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver's parquet star schema (TESTDATA.md).
+  *
+  * Parquet is the engine's source of truth — the reference's HTTP/Postgres
+  * layers (reference `api/app/database.py:41-64`) are transport, not
+  * semantics (SURVEY.md S1/S2). Filters and projections applied downstream
+  * of these readers reach the scan via Catalyst pushdown, so the readers
+  * stay bare.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) (TESTDATA/FIXTURES): Spark has
+    // no nanosecond timestamp type and rejects the column outright; read it
+    // as raw nanos and truncate to micros below — same truncation DuckDB
+    // applies when it coerces TIMESTAMP_NS to its microsecond TIMESTAMP.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      // integer `div`, not `/`: epoch-nanos (~1.7e18) overflows a double's
+      // 53-bit mantissa, so float division would corrupt timestamps
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,323 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2) over the TPC-H-ish tables,
+  * plus TPC-H-shaped composites that exercise the multi-join/agg path the
+  * engine must sustain at 100 TB.
+  *
+  * Scale stance per query is noted inline; the common rules:
+  * - dims (region/nation/customer/supplier/part) are broadcast — no shuffle
+  *   on the fact side for dim joins;
+  * - filters/projections are plain `where`/`select` so Catalyst pushes them
+  *   into the parquet scan (PushedFilters + ReadSchema pruning);
+  * - every output ends in a deterministic total-order `orderBy` (driver
+  *   hash-compares row order, FIXTURES.md §B).
+  */
+object Relational {
+
+  /** S2+P1+P2+O1: projection + time-range scan, ordered.
+    * Both the predicate and the 5-column projection reach the parquet
+    * reader (reference builds this SQL by string at `api/app/database.py:41-62`). */
+  def scanProjectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity", "l_extendedprice")
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A1 standalone: tumbling window × event_type, full stat set.
+    * One hash-agg, map-side partial → shuffle is O(groups). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round(stddev_samp(col("value")), 4).as("std_value"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"),
+        col("std_value"), col("sum_value"))
+      .orderBy("bucket_ts", "event_type")
+
+  /** J1+A4: fact ⋈ broadcast dim, grouped stats (reference
+    * `dagster/assets.py:201-211`). */
+  def factDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+
+  /** J3+A5: dim LEFT OUTER fact with stddev — keeps zero-match groups
+    * (reference `dagster/assets.py:327-341`). */
+  def leftOuterStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.supplier(spark, dir), col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        round(avg(col("s_acctbal")), 4).as("avg_acctbal"),
+        round(stddev_samp(col("s_acctbal")), 4).as("std_acctbal"))
+      .orderBy("n_name")
+
+  /** A2: global count (reference `api/app/database.py:66-69`). */
+  def globalCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+
+  /** A3: global min/max timestamp range (reference `api/app/database.py:71-74`). */
+  def dateRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"),
+      count(lit(1)).as("n_rows"))
+
+  /** A6+F1: group by derived day key (reference `dagster/assets.py:216-222`). */
+  def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("day")
+
+  /** O4: top-k latest — Catalyst plans TakeOrderedAndProject, no full sort
+    * (reference `dagster/assets.py:320-321`). */
+  def topkLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(10)
+
+  /** F-json: JSON prop extraction + agg over `events.props` (FIXTURES.md). */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** F1–F4: temporal scalar functions (to_date, ISO format, day trunc/add). */
+  def timeScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_id") < 50)
+      .select(
+        col("event_id"),
+        to_date(col("ts")).as("day"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+        date_trunc("day", col("ts")).as("day_start"),
+        (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("next_day"),
+        hour(col("ts")).as("hr"))
+      .orderBy("event_id")
+
+  /** W: ranking window fn — top-3 orders per customer (not in the reference,
+    * SURVEY.md §2.6 W1; extension breadth). */
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") < 100)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** U: set ops — distinct union of customer/supplier nation keys. */
+  def unionNationKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  /** U: set ops — ordering customers whose account balance is negative
+    * (distinct order custkeys EXCEPT non-negative-balance customers). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("custkey")).distinct()
+      .except(Tables.customer(spark, dir)
+        .where(col("c_acctbal") >= 0).select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide hash-agg.
+    * Map-side partial agg → 6-group shuffle; sums rounded for oracle
+    * float stability. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped shipping priority: broadcast dim (customer) into the
+    * orders⋈lineitem shuffle join, then top-10 by revenue. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).where(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+    val li   = Tables.lineitem(spark, dir).where(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .join(li, col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: 6-table join with every dim
+    * broadcast; only orders⋈lineitem shuffles. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = Tables.lineitem(spark, dir)
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .join(li, col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"), "inner")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "inner")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "inner")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_scan_project_filter" -> (scanProjectFilter _),
+    "a1_window_agg"          -> (windowAgg _),
+    "j1_fact_dim_stats"      -> (factDimStats _),
+    "j3_left_outer_stats"    -> (leftOuterStats _),
+    "a2_global_count"        -> (globalCount _),
+    "a3_date_range"          -> (dateRange _),
+    "a6_daily_counts"        -> (dailyCounts _),
+    "o4_topk_latest"         -> (topkLatest _),
+    "f_json_extract_agg"     -> (jsonExtractAgg _),
+    "f_time_scalars"         -> (timeScalars _),
+    "w_rank_topn"            -> (rankTopN _),
+    "u_union_nationkeys"     -> (unionNationKeys _),
+    "u_except_no_orders"     -> (customersWithoutOrders _),
+    "q1_pricing_summary"     -> (pricingSummary _),
+    "q3_shipping_priority"   -> (shippingPriority _),
+    "q5_local_supplier"      -> (localSupplierVolume _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s2_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a1_window_agg" ->
+      """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket_ts, event_type,
+        |  count(*) AS n, round(avg(value),4) AS avg_value, min(value) AS min_value,
+        |  max(value) AS max_value, round(stddev(value),4) AS std_value,
+        |  round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j1_fact_dim_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  round(sum(o_totalprice),2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j3_left_outer_stats" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers,
+        |  round(avg(s_acctbal),4) AS avg_acctbal, round(stddev(s_acctbal),4) AS std_acctbal
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "a2_global_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "a3_date_range" ->
+      """SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  count(*) AS n_rows FROM orders""".stripMargin,
+    "a6_daily_counts" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o4_topk_latest" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |ORDER BY ts DESC, event_id ASC LIMIT 10""".stripMargin,
+    "f_json_extract_agg" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),4) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_time_scalars" ->
+      """SELECT event_id, CAST(ts AS DATE) AS day,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |  date_trunc('day', ts) + INTERVAL 1 DAY AS next_day,
+        |  CAST(extract(hour FROM ts) AS INTEGER) AS hr
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    "w_rank_topn" ->
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 100)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "u_union_nationkeys" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "u_except_no_orders" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+        |ORDER BY custkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1999-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin
+  )
+}
