@@ -1,0 +1,215 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings`
+  * (BASELINE.json extension mandate): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story):
+  * - exact dedup = one hash-agg on md5(text); shuffle volume is O(distinct
+  *   texts), with map-side partial aggregation;
+  * - MinHash = ONE hash-agg computing all k signature minima per doc in a
+  *   single pass (no k-way explode), then an LSH band self-join — candidate
+  *   generation never goes O(n²);
+  * - SimHash = one hash-agg with 32 conditional bit-sums per doc;
+  * - n-gram Jaccard joins only on "informative" shingles (document
+  *   frequency in [2, 100]) — the stop-shingle cap bounds join skew, the
+  *   df≥2 floor drops shingles that cannot produce a pair;
+  * - embedding near-dup blocks on `label` (≙ a coarse cluster id) so the
+  *   pairwise cosine join is per-block, not global.
+  *
+  * Hash portability: every hash is md5 (identical bytes→hex in Spark and
+  * DuckDB); "permutations" are md5 over a salt prefix; fixed-width hex
+  * strings compare lexicographically = numerically, so `min(md5(...))` is a
+  * valid minhash in both engines.
+  */
+object Dedup {
+
+  private val K = 8          // minhash signature length
+  private val BANDS = 2      // LSH bands (rows per band = K / BANDS = 4)
+
+  /** Word 3-gram shingle set per document (distinct). */
+  private[ext] def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("s"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM words))""".stripMargin
+
+  /** Exact dedup: group by content hash, keep lowest doc_id per group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** MinHash signatures (k=8 salted-md5 minima in one agg pass) → LSH band
+    * buckets (2 bands × 4 rows) → candidate pairs via band self-join. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val minAggs = (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    val mh = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bands = (0 until BANDS).map { b =>
+      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"h$i"))
+      mh.select(col("doc_id"), lit(b).as("band"), md5(concat(rows: _*)).as("bucket"))
+    }.reduce(_ union _)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 32-bit signature from salted-md5 token hashes, one hash-agg
+    * with 32 conditional bit-sums (sign of per-bit vote). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+    val bitAggs = (0 until 32).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1).otherwise(-1)).as(s"b$j"))
+    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: sampled probe set (doc_id % 10 = 0) × all docs,
+    * Hamming distance ≤ 8 of 32 bits. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhashSignatures(spark, dir)
+    val probes = sims.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    probes.join(sims, col("doc_a") < col("doc_id"))
+      .withColumn("hamming", expr("bit_count(sim_a ^ simhash)"))
+      .where(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_id").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard over informative shingles (df in [2,100] — the cap
+    * bounds bucket skew, the floor drops pair-less shingles). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val informative = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= 100)
+      .select("s")
+    val shR = sh.join(informative, "s")
+    val sizes = shR.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = shR.as("x")
+      .join(shR.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup: label-blocked pairwise cosine ≥ 0.4.
+    * Cosine via SQL higher-order functions over array<double> — sequential
+    * index-order summation, reproducible across engines. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("label"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("label").as("label_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(Similarity.cosine("emb_a", "emb_b"), 4))
+      .where(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact"         -> (exact _),
+    "x_dedup_minhash_lsh"   -> (minhashLsh _),
+    "x_dedup_simhash"       -> (simhashSignatures _),
+    "x_dedup_simhash_pairs" -> (simhashPairs _),
+    "x_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "x_dedup_embedding"     -> (embeddingNearDup _)
+  )
+
+  val oracles: Map[String, String] = {
+    val minCols = (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($rows) AS bucket FROM mh"
+    }.mkString(" UNION ALL ")
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val simhashExpr = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    Map(
+      "x_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      "x_dedup_minhash_lsh" ->
+        s"""WITH $shinglesSql,
+           |mh AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+           |bands AS ($bandSelects)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "x_dedup_simhash" ->
+        s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+           |hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+           |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+           |FROM bits ORDER BY doc_id""".stripMargin,
+      "x_dedup_simhash_pairs" ->
+        s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+           |hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+           |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+           |sims AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM bits)
+           |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+           |FROM sims x JOIN sims y ON x.doc_id % 10 = 0 AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "x_dedup_ngram_jaccard" ->
+        s"""WITH $shinglesSql,
+           |informative AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2 AND count(*) <= 100),
+           |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN informative USING (s)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+           |  FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "x_dedup_embedding" ->
+        """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+          |  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+          |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+          |ORDER BY vec_a, vec_b""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (BASELINE.json extension mandate): media is
+  * an opaque `binary` column + typed metadata. The container has no
+  * image/audio codecs, so the DECODE step is a clearly-marked deterministic
+  * stub — everything around it (schema, binary handling, partition-wise
+  * batch processing, feature schema) is real Spark plumbing.
+  *
+  * The testdata has no binary table; [[asMedia]] manufactures the binary
+  * column from `documents.text` (utf-8 bytes standing in for image bytes).
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + metadata (≙ an image/audio/video cell). */
+  case class MediaRecord(id: Long, media: Array[Byte], mime: String)
+
+  /** Extracted features per media row. */
+  case class MediaFeatures(
+      id: Long,
+      byteLen: Int,
+      width: Int,
+      height: Int,
+      sha256: String,
+      frameSample: Array[Int])
+
+  /** STUB decoder — stands in for an image/audio codec (none shipped in
+    * this container). Deterministic fake: "dimensions" derived from byte
+    * length, "frames" sampled at quartile strides. The real implementation
+    * would decode here and nothing outside this function would change. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val n = bytes.length
+    val width  = 1 + (n.toLong * 7919 % 640).toInt
+    val height = 1 + (n.toLong * 104729 % 480).toInt
+    val stride = math.max(n / 4, 1)
+    val frames = Array(0, stride, 2 * stride, 3 * stride)
+      .filter(_ < n).map(i => bytes(i).toInt & 0xff)
+    (width, height, frames)
+  }
+
+  /** documents → Dataset[MediaRecord] (text bytes as the opaque payload). */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("media"),
+        lit("application/octet-stream").as("mime"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise batch feature extraction: `mapPartitions` amortizes
+    * per-batch decoder setup (the Spark-side shape a real codec needs —
+    * model/codec init once per partition, then row streaming). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init (≙ codec/model load) happens once, here
+      val digest = MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val (w, h, frames) = decodeStub(r.media)
+        digest.reset()
+        val sha = digest.digest(r.media).map("%02x".format(_)).mkString
+        MediaFeatures(r.id, r.media.length, w, h, sha, frames)
+      }
+    }
+  }
+
+  /** Oracle-checkable projection of the same stub semantics, expressed in
+    * pure SQL functions (no UDF) so DuckDB can replicate it exactly. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        length(col("media")).as("byte_len"),
+        sha2(col("media"), 256).as("sha256"),
+        (lit(1) + (col("n_chars") * 7919) % 640).as("fake_width"),
+        (lit(1) + (col("n_chars") * 104729) % 480).as("fake_height"),
+        expr("transform(sequence(0, 3), i -> ascii(substring(text, i * cast(floor(length(text) / 4) as int) + 1, 1)))")
+          .as("frame_sample"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mm_binary_meta" -> (binaryMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  1 + (n_chars * 7919) % 640 AS fake_width,
+        |  1 + (n_chars * 104729) % 480 AS fake_height,
+        |  list_transform(generate_series(0, 3),
+        |    i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1))) AS frame_sample
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (BASELINE.json extension mandate).
+  *
+  * Two paths:
+  * - [[bruteTopK]]: exact cosine top-k — the correctness baseline. The
+  *   small query set broadcasts, so the scan side never shuffles for the
+  *   join; per-query top-k via ranking window.
+  * - [[ivfTopK]]: IVF-style scale path — vectors are assigned to their
+  *   nearest "centroid" (a deterministic seed subset standing in for a
+  *   trained codebook), and each query probes ONLY its own cluster:
+  *   candidate count drops from n to n/k per query. At 100 TB the cluster
+  *   assignment is a one-off index build (broadcast centroids, narrow map)
+  *   and search is a co-partitioned join on cluster id.
+  */
+object Similarity {
+
+  /** Cosine similarity via SQL higher-order functions over array<double>.
+    * Sequential index-order fold — deterministic, engine-portable math. */
+  def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
+       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""".stripMargin)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 20. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"), col("cos_sim"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** IVF top-3 with deterministic centroids (vec_id < 8), 1-probe search
+    * within the query's own cluster, queries vec_id in [100, 110). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    // index build: nearest centroid per vector (argmax cosine, id tie-break)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val clustered = e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+    val q = clustered.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"), col("emb").as("qemb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    clustered
+      .join(broadcast(q), col("cluster") === col("q_cluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"),
+        col("cos_sim"), col("q_cluster").as("cluster"))
+      .orderBy("query_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_topk_brute" -> (bruteTopK _),
+    "x_sim_ivf_topk"   -> (ivfTopK _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_sim_topk_brute" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 20),
+        |scored AS (SELECT q.query_id, emb.vec_id AS cand_id,
+        |    round(list_cosine_similarity(q.qe, emb.e), 6) AS cos_sim
+        |  FROM emb CROSS JOIN q WHERE emb.vec_id <> q.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "x_sim_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < 8),
+        |assigned AS (SELECT emb.vec_id, cent.c_id,
+        |    round(list_cosine_similarity(emb.e, cent.ce), 6) AS c_cos
+        |  FROM emb CROSS JOIN cent),
+        |clustered AS (SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS r FROM assigned)
+        |  WHERE r = 1),
+        |ce AS (SELECT c.vec_id, c.cluster, emb.e FROM clustered c JOIN emb USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cluster AS q_cluster, e AS qe
+        |  FROM ce WHERE vec_id >= 100 AND vec_id < 110),
+        |scored AS (SELECT q.query_id, ce.vec_id AS cand_id,
+        |    round(list_cosine_similarity(q.qe, ce.e), 6) AS cos_sim, q.q_cluster
+        |  FROM ce JOIN q ON ce.cluster = q.q_cluster AND ce.vec_id <> q.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim,
+        |  q_cluster AS cluster
+        |FROM ranked WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  )
+}

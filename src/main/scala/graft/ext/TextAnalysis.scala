@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (BASELINE.json extension mandate): token counting, quality scoring,
+  * n-gram-heuristic language ID, and document fingerprinting.
+  *
+  * All per-document — embarrassingly parallel, no shuffle except the final
+  * presentation orderBy; at 100 TB these run as a single narrow scan stage
+  * with whole-stage codegen (plain `functions._` + SQL higher-order
+  * functions, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Token counting three ways: whitespace split, word regex, and a
+    * BPE-ish greedy ≤4-char chunker. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]{1,4}', 0)")).as("bpe_chunks"))
+      .orderBy("doc_id")
+
+  private val stopEn = Seq("the", "a", "and", "of", "is")
+
+  /** Quality scoring: length prior × (1 − stopword ratio) × lexical
+    * diversity. Ratios from exact integer counts → IEEE-deterministic. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+    val nWords = size(col("w")).cast("double")
+    val nUniq  = size(array_distinct(col("w"))).cast("double")
+    val nStop  = expr(s"size(filter(w, x -> x in (${stopEn.map("'" + _ + "'").mkString(",")})))").cast("double")
+    d.select(
+      col("doc_id"),
+      size(col("w")).as("n_words"),
+      round(nUniq / nWords, 4).as("distinct_ratio"),
+      round(nStop / nWords, 4).as("stopword_ratio"),
+      round(least(lit(1.0), nWords / 100.0) * (lit(1) - nStop / nWords) * (nUniq / nWords), 4)
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "una", "es"))
+
+  /** Language ID by stopword-hit scoring with fixed tie-break priority
+    * (en > de > fr > es) — the classic n-gram/stopword heuristic. */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+    def hits(ws: Seq[String]): Column =
+      expr(s"size(filter(w, x -> x in (${ws.map("'" + _ + "'").mkString(",")})))")
+    val scored = langStops.foldLeft(d) { case (df, (l, ws)) => df.withColumn(s"s_$l", hits(ws)) }
+    val predicted =
+      when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+        .when(col("s_fr") >= col("s_es"), "fr")
+        .otherwise("es")
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      predicted.as("predicted"), col("lang"),
+      (predicted === col("lang")).as("matched"))
+      .orderBy("doc_id")
+  }
+
+  /** Fingerprinting: md5 of whitespace-normalized text, a 64-bit prefix
+    * fingerprint, and a rolling char-5-gram min-hash (winnowing-style). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("norm_md5"),
+        expr("cast(conv(substring(md5(norm), 1, 8), 16, 10) as bigint)").as("fp32"),
+        expr("array_min(transform(sequence(1, greatest(length(norm) - 4, 1)), i -> md5(substring(norm, i, 5))))")
+          .as("rolling_min_hash"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_tokens"      -> (tokenCounts _),
+    "x_text_quality"     -> (qualityScore _),
+    "x_text_langid"      -> (languageId _),
+    "x_text_fingerprint" -> (fingerprint _)
+  )
+
+  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "x_text_tokens" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INTEGER) AS bpe_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
+         |  len(list_filter(w, x -> x IN (${inList(stopEn)}))) AS n_stop FROM t)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |  round(n_uniq / CAST(n_words AS DOUBLE), 4) AS distinct_ratio,
+         |  round(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
+         |  round(least(1e0, CAST(n_words AS DOUBLE) / 1e2)
+         |    * (1 - n_stop / CAST(n_words AS DOUBLE))
+         |    * (n_uniq / CAST(n_words AS DOUBLE)), 4) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "x_text_langid" -> {
+      val scoreCols = langStops.map { case (l, ws) =>
+        s"CAST(len(list_filter(w, x -> x IN (${inList(ws)}))) AS INTEGER) AS s_$l"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang, $scoreCols FROM t),
+         |p AS (SELECT *, CASE
+         |  WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |  WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted FROM s)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es, predicted, lang,
+         |  predicted = lang AS matched
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "x_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  ('0x' || substr(md5(norm), 1, 8))::BIGINT AS fp32,
+        |  list_aggregate(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+        |    i -> md5(substr(norm, i, 5))), 'min') AS rolling_min_hash
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}
