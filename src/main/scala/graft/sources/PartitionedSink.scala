@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Idempotent partitioned writes — the fix for the reference's
+  * duplicate-on-rerun flaw.
+  *
+  * The reference blindly appends each daily run into the target fact table
+  * (`etl/etl_process.py:156-163`); re-materializing a partition duplicates
+  * every row (SURVEY.md §2.8). The Spark-native answer is date-partitioned
+  * layout + DYNAMIC partition overwrite: a re-run replaces exactly the
+  * partitions present in the incoming frame and leaves all others intact.
+  *
+  * The `day` partition column also buys partition pruning for the daily
+  * read path (SURVEY.md §4): `WHERE day = X` prunes at the directory
+  * level before any file IO.
+  */
+object PartitionedSink {
+
+  /** Write `df` (must carry a `timestamp` column) partitioned by day,
+    * overwriting only the days present in `df`. Safe to re-run. */
+  def writeDaily(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.withColumn("day", to_date(col("timestamp")))
+        .write
+        .mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

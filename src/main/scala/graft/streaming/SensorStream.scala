@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.SensorPipeline
+
+/** Structured Streaming variant of the core pipeline (SURVEY.md §2.8).
+  *
+  * The reference is batch-only — cron re-runs a daily partition
+  * (`dagster/jobs.py:40-52`). The streaming equivalent keeps the SAME
+  * tumbling-window aggregation expression as the batch path
+  * (`SensorPipeline.wideAgg`'s 2 vars × 4 stats) and adds a watermark for
+  * state eviction: with a 20-minute watermark, each 10-minute window's
+  * state is dropped once the event-time high-water-mark passes
+  * window.end + 20m — bounded state at any scale.
+  *
+  * Late data handling: rows later than the watermark are dropped (the
+  * batch reference instead silently DUPLICATES on re-run — blind append,
+  * `etl/etl_process.py:156-163`; see [[graft.sources.PartitionedSink]] for
+  * the idempotent batch fix).
+  */
+object SensorStream {
+
+  /** events stream → windowed wide aggregate (append-mode compatible). */
+  def windowedWide(events: DataFrame, watermark: String = "20 minutes"): DataFrame = {
+    def v(t: String) = when(col("event_type") === t, col("value"))
+    val aggs = for {
+      t <- Seq("click", "view")
+      s <- Seq("mean", "min", "max", "std")
+    } yield s match {
+      case "mean" => round(avg(v(t)), 4).as(s"${t}_mean")
+      case "min"  => min(v(t)).as(s"${t}_min")
+      case "max"  => max(v(t)).as(s"${t}_max")
+      case "std"  => round(stddev_samp(v(t)), 4).as(s"${t}_std")
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("timestamp") +: SensorPipeline.signalNames.map(col): _*)
+  }
+
+  /** Full streaming pipeline: windowed agg → unpivot → drop null values →
+    * broadcast dim join — identical long-format output contract as the
+    * batch `SensorPipeline.pipelineLong`. */
+  def windowedLong(events: DataFrame, watermark: String = "20 minutes"): DataFrame = {
+    val wide = windowedWide(events, watermark)
+    val long = wide
+      .unpivot(Array(col("timestamp")), SensorPipeline.signalNames.map(col).toArray,
+        "signal_name", "value")
+      .na.drop(Seq("value"))
+    val dim = SensorPipeline.signalDim(events.sparkSession)
+    long
+      .join(broadcast(dim), long("signal_name") === dim("name"), "inner")
+      .select(long("timestamp"), dim("signal_id"), long("value"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.SparkSpec
+
+/** Dedup operators on literal documents written to a temp parquet dir so
+  * the (SparkSession, dir) query contract is exercised end-to-end. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a literal documents/embeddings fixture as parquet, return dir. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 46L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src1", 46L), // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "en", "src0", 45L),  // near dup of 0
+      (3L, "one two three four five six seven eight nine", "en", "src2", 44L),
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "src0", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),   // close to 0
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+      (4L, Array(0.0f, 0.0f, 1.0f), 1))   // other label-block
+      .toDF("vec_id", "embedding", "label")
+    embs.write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts, keeps lowest doc_id") {
+    val r = Dedup.exact(spark, dir).collect()
+    assert(r.length === 4) // 5 docs, one exact-dup pair
+    val dupGroup = r.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash LSH finds the exact-dup pair (identical signatures)") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))      // identical docs always collide
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(4L) })
+  }
+
+  test("simhash: identical docs get identical signatures (hamming 0)") {
+    val sigs = Dedup.simhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L)) // disjoint vocab → different signature
+  }
+
+  test("ngram jaccard: exact dups score 1.0, disjoint docs produce no pair") {
+    val r = Dedup.ngramJaccard(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r((0L, 1L)) === 1.0)
+    assert(!r.keySet.exists { case (a, b) => Set(a, b) === Set(3L, 4L) })
+  }
+
+  test("embedding near-dup: identical vectors pair at cos 1.0; cross-label blocked") {
+    val r = Dedup.embeddingNearDup(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("cos_sim")).toMap
+    assert(r((0L, 1L)) === 1.0)
+    assert(r.contains((0L, 2L)))  // close pair above 0.4
+    assert(!r.keySet.exists { case (a, b) => b === 4L }) // label 1 blocked from label 0
+    assert(!r.contains((0L, 3L))) // orthogonal → cos 0 < 0.4
+  }
+}

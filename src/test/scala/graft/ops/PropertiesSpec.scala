@@ -1,0 +1,75 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests (SURVEY.md §5.3): partition-invariance and reshape
+  * round-trips that must hold for ANY input — the invariants that make
+  * the distributed plans trustworthy at scale. Cases are drawn from
+  * ScalaCheck generators with fixed seeds (5 per property — Spark jobs
+  * are slow; few but real randomized cases). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventGen: Gen[(Long, String, Double)] = for {
+    offsetSec <- Gen.choose(0L, 3 * 3600L)
+    tpe <- Gen.oneOf("click", "view")
+    value <- Gen.choose(-100.0, 100.0)
+  } yield (offsetSec, tpe, value)
+
+  private val eventsGen: Gen[List[(Long, String, Double)]] =
+    Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, eventGen))
+
+  private def cases: Seq[List[(Long, String, Double)]] =
+    (1 to 5).map(i => eventsGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def toDf(rows: List[(Long, String, Double)]) =
+    rows.map { case (off, t, v) =>
+      (new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + off * 1000), t, v)
+    }.toDF("ts", "event_type", "value")
+
+  test("window agg is partition-invariant: day total == fold over 10-min bins") {
+    for (rows <- cases) {
+      val df = toDf(rows)
+      val binned = df.groupBy(window($"ts", "10 minutes"))
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"),
+          min($"value").as("mn"), max($"value").as("mx"))
+        .agg(sum($"n"), sum($"s"), min($"mn"), max($"mx")).head()
+      val whole = df.agg(count(lit(1)), sum($"value"), min($"value"), max($"value")).head()
+      assert(binned.getLong(0) === whole.getLong(0))
+      assert(math.abs(binned.getDouble(1) - whole.getDouble(1)) < 1e-9)
+      assert(binned.getDouble(2) === whole.getDouble(2))
+      assert(binned.getDouble(3) === whole.getDouble(3))
+    }
+  }
+
+  test("unpivot conserves rows: wide bins × 8 == long rows + null-dropped rows") {
+    for (rows <- cases) {
+      val wide = SensorPipeline.wideAgg(toDf(rows))
+      val bins = wide.count()
+      val raw = wide.unpivot(Array(col("timestamp")),
+        SensorPipeline.signalNames.map(col).toArray, "signal_name", "value")
+      val long = SensorPipeline.toLong(wide)
+      val nulls = raw.where(col("value").isNull).count()
+      assert(raw.count() === bins * 8)
+      assert(long.count() === bins * 8 - nulls)
+    }
+  }
+
+  test("join-drop conservation: long rows == mapped + unmapped (P5/P6 ledger)") {
+    for (rows <- cases) {
+      val long = SensorPipeline.toLong(SensorPipeline.wideAgg(toDf(rows))).cache()
+      val partial = SensorPipeline.signalDim(spark).where(col("name").startsWith("click_"))
+      val mapped = SensorPipeline.mapSignals(long, partial).count()
+      val unmapped = long.join(broadcast(partial),
+        long("signal_name") === partial("name"), "left_anti").count()
+      assert(long.count() === mapped + unmapped)
+      long.unpersist()
+    }
+  }
+}
