@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness: run named queries N times (default 2) against a
+  * data dir and print per-run wall times + the formatted physical plan of
+  * the first run. Usage:
+  *   runMain graft.Profile <sfDir> [runs] [query ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(2)
+    val names = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
+      if (names.nonEmpty) {
+        val df = fn(spark, sfDir)
+        df.count() // materialize so AQE settles on the final plan
+        println(df.queryExecution.executedPlan.toString)
+      }
+    }
+    spark.stop()
+  }
+}

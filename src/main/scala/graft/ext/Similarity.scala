@@ -22,16 +22,25 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity via SQL higher-order functions over array<double>.
-    * Sequential index-order fold — deterministic, engine-portable math. */
-  def cosine(a: String, b: String): Column = expr(
+  /** Cosine similarity over array<double> via the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (single fused pass;
+    * bit-identical to the HOF formulation it replaced). Callers must have
+    * run `CosineSimilarity.register(session)` first — every query entry
+    * point in this module and [[Dedup]] does. */
+  def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+
+  /** The interpreted SQL-HOF formulation — kept as the portable reference
+    * implementation the native expression is tested against. */
+  def cosineHof(a: String, b: String): Column = expr(
     s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
        |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""".stripMargin)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 20. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -10,17 +10,31 @@ import graft.SparkSpec
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  test("cosine HOF: identity, orthogonality, known angle") {
-    val df = Seq(
+  test("cosine: identity, orthogonality, known angle (native expr == HOF)") {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0)),
       (Array(1.0, 0.0), Array(0.0, 1.0)),
-      (Array(1.0, 2.0), Array(2.0, 1.0)))
-      .toDF("a", "b")
-      .select(Similarity.cosine("a", "b").as("c"))
-    val c = df.as[Double].collect()
+      (Array(1.0, 2.0), Array(2.0, 1.0))).toDF("a", "b")
+    val c = base.select(Similarity.cosine("a", "b").as("c")).as[Double].collect()
     assert(c(0) === 1.0)
     assert(c(1) === 0.0)
     assert(math.abs(c(2) - 0.8) < 1e-12)
+    // native expression must be bit-identical to the HOF reference impl
+    val both = base.select(Similarity.cosine("a", "b").as("n"),
+      Similarity.cosineHof("a", "b").as("h")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("cosine native expr matches HOF bit-for-bit on real embeddings") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val q = e.where($"vec_id" === 0).select($"emb".as("qemb"))
+    val diffs = e.crossJoin(q)
+      .select(Similarity.cosine("qemb", "emb").as("n"), Similarity.cosineHof("qemb", "emb").as("h"))
+      .where($"n" =!= $"h").count()
+    assert(diffs === 0)
   }
 
   private lazy val dir: String = {
