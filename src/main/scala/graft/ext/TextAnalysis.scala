@@ -85,11 +85,37 @@ object TextAnalysis {
           .as("rolling_min_hash"))
       .orderBy("doc_id")
 
+  /** TF-IDF: top term per document (tf normalized by doc length, smoothed
+    * idf, ranked on the ROUNDED score so cross-engine ties are
+    * well-defined). Two hash-aggs + one user-partitioned window + a
+    * broadcast of the tiny df/N frames. */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val withLen = tf.withColumn("doc_len",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val dfTok = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = withLen
+      .join(broadcast(dfTok), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("tf") / col("doc_len")) * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("tok"), col("tf"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_tokens"      -> (tokenCounts _),
     "x_text_quality"     -> (qualityScore _),
     "x_text_langid"      -> (languageId _),
-    "x_text_fingerprint" -> (fingerprint _)
+    "x_text_fingerprint" -> (fingerprint _),
+    "x_text_tfidf"       -> (tfidfTopTerm _)
   )
 
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
@@ -126,6 +152,19 @@ object TextAnalysis {
          |  predicted = lang AS matched
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "x_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |wl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT wl.doc_id, wl.tok, wl.tf,
+        |    round((wl.tf / wl.doc_len) * ln((n.n_docs + 1) / (dft.df + 1)), 6) AS tfidf
+        |  FROM wl JOIN dft USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM scored)
+        |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, tfidf
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "x_text_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents)
         |SELECT doc_id, md5(norm) AS norm_md5,

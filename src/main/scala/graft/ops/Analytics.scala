@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytics surface: the reference's summary/structure assets
+  * (`dagster/assets.py:189-394`) plus stream-analytics operators a
+  * training-data pipeline needs (sessionization, quantiles, histograms). */
+object Analytics {
+
+  /** A7: whole-column scalar stats (reference `dagster/assets.py:155-166`). */
+  def columnStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("value")), 4).as("avg_value"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      round(stddev_samp(col("value")), 4).as("std_value"))
+
+  /** O3: export ordering — multi-key desc/asc sort over the joined long
+    * frame (reference `exports/export_alvo_db.py:41-52`). */
+  def exportOrder(spark: SparkSession, dir: String): DataFrame = {
+    val long = SensorPipeline.toLong(SensorPipeline.wideAgg(
+      SensorPipeline.dayFilter(Tables.events(spark, dir), "2024-01-07")))
+    SensorPipeline.mapSignals(long, SensorPipeline.signalDim(spark))
+      .orderBy(col("timestamp").desc, col("signal_id").asc)
+  }
+
+  /** J4: the reference's axis-concat — two per-variable agg frames
+    * full-outer joined on the window start (`etl/etl_process.py:96`;
+    * SURVEY.md notes the single-pass agg is the right plan — this operator
+    * exists to prove the two formulations agree). */
+  def concatAxis(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    def varAgg(t: String) =
+      events.where(col("event_type") === t)
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(
+          round(avg(col("value")), 4).as(s"${t}_mean"),
+          min(col("value")).as(s"${t}_min"),
+          max(col("value")).as(s"${t}_max"),
+          round(stddev_samp(col("value")), 4).as(s"${t}_std"))
+        .select(col("window.start").as(s"${t}_ts") +:
+          Seq("mean", "min", "max", "std").map(s => col(s"${t}_$s")): _*)
+    val c = varAgg("click")
+    val v = varAgg("view")
+    c.join(v, c(s"click_ts") === v(s"view_ts"), "full_outer")
+      .select(coalesce(col("click_ts"), col("view_ts")).as("timestamp"),
+        col("click_mean"), col("click_min"), col("click_max"), col("click_std"),
+        col("view_mean"), col("view_min"), col("view_max"), col("view_std"))
+      .orderBy("timestamp")
+  }
+
+  /** Sessionization: 30-minute-inactivity-gap sessions per user, with
+    * per-session stats — lag + running-sum windows then one hash-agg.
+    * Scale: both windows share ONE partitioning (user_id), so the whole
+    * operator is a single shuffle + narrow window pass. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact interpolated quantiles per group (median + p90). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Fixed-width value histogram (bucket = floor(value / 50)). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("bucket")
+
+  /** S9: catalog/structure introspection — schema of every test table as
+    * data (reference `dagster/assets.py:250-394`). Driver-side metadata,
+    * not SQL-expressible over the tables themselves → no oracle entry
+    * (rows-only check). */
+  def catalogStructure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.flatMap { t =>
+      Tables.table(spark, dir, t).schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, i, f.name, f.dataType.catalogString, f.nullable)
+      }
+    }.toDF("table_name", "ordinal", "column_name", "data_type", "nullable")
+      .orderBy("table_name", "ordinal")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_column_stats"  -> (columnStats _),
+    "o3_export_order"  -> (exportOrder _),
+    "j4_concat_axis"   -> (concatAxis _),
+    "x_sessionize"     -> (sessionize _),
+    "a_quantiles"      -> (quantiles _),
+    "a_histogram"      -> (histogram _),
+    "s9_catalog"       -> (catalogStructure _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a7_column_stats" ->
+      """SELECT count(*) AS n, round(avg(value),4) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(stddev(value),4) AS std_value FROM events""".stripMargin,
+    "o3_export_order" -> {
+      val cols = (for {
+        t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std")
+      } yield s match {
+        case "mean" => s"round(avg(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_mean"
+        case "min"  => s"min(CASE WHEN event_type='$t' THEN value END) AS ${t}_min"
+        case "max"  => s"max(CASE WHEN event_type='$t' THEN value END) AS ${t}_max"
+        case "std"  => s"round(stddev(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_std"
+      }).mkString(", ")
+      val names = for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s"${t}_$s"
+      val dims = names.zipWithIndex.map { case (n, i) => s"(${i + 1},'$n')" }.mkString(", ")
+      s"""WITH agg AS (
+         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ts10, $cols
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+         |  GROUP BY 1),
+         |lng AS (SELECT ts10 AS timestamp, sig AS signal_name, v AS value
+         |  FROM (UNPIVOT agg ON ${names.mkString(", ")} INTO NAME sig VALUE v)),
+         |dim(signal_id, name) AS (VALUES $dims)
+         |SELECT lng.timestamp, dim.signal_id, lng.value
+         |FROM lng JOIN dim ON lng.signal_name = dim.name
+         |ORDER BY lng.timestamp DESC, dim.signal_id ASC""".stripMargin
+    },
+    "j4_concat_axis" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS click_ts,
+        |    round(avg(value),4) AS click_mean, min(value) AS click_min,
+        |    max(value) AS click_max, round(stddev(value),4) AS click_std
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |v AS (
+        |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS view_ts,
+        |    round(avg(value),4) AS view_mean, min(value) AS view_min,
+        |    max(value) AS view_max, round(stddev(value),4) AS view_std
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT coalesce(click_ts, view_ts) AS timestamp,
+        |  click_mean, click_min, click_max, click_std,
+        |  view_mean, view_min, view_max, view_std
+        |FROM c FULL OUTER JOIN v ON click_ts = view_ts
+        |ORDER BY timestamp""".stripMargin,
+    "x_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  round(sum(value),2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "a_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5),4) AS p50,
+        |  round(quantile_cont(value, 0.9),4) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n,
+        |  round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
