@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape assertions — the "would this survive a 100× scale-up" tests.
+  * These pin the physical properties the scale design depends on: pushdown
+  * reaching the scan, dims broadcasting, top-k not globally sorting. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // let AQE settle on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan: filter + projection are pushed into the parquet reader") {
+    val plan = Relational.scanProjectFilter(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_shipdate:tim"),
+      s"scan must read only the 5 projected columns:\n$plan")
+  }
+
+  test("fact ⋈ dim goes broadcast-hash, never sort-merge") {
+    val plan = planOf(Relational.factDimStats(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join must not shuffle the fact side:\n$plan")
+  }
+
+  test("pipeline: dim join broadcasts; only the window agg + final sort shuffle") {
+    val plan = planOf(SensorPipeline.pipelineLong(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exchanges: one for the groupBy(window), one for the output sort
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).size
+    assert(shuffles <= 2, s"expected ≤2 data shuffles, got $shuffles:\n$plan")
+  }
+
+  test("top-k latest plans TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.topkLatest(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+    val df = e.selectExpr("cosine_sim(emb, emb) as c").where("c > 0.5")
+    // a `*(n)` stage prefix in executedPlan means the node is inside
+    // whole-stage codegen; the cosine projection must carry it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"),
+      s"cosine projection must be inside a codegen stage:\n$plan")
+  }
+}
