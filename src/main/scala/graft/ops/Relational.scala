@@ -208,7 +208,64 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** A-rollup: hierarchical subtotals (GROUP BY ROLLUP) — beyond the
+    * reference (SURVEY.md §2.4 notes it absent) for engine breadth. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** R-pivot: long→wide pivot with an explicit value list (the inverse of
+    * the R1 unpivot; explicit list keeps the output schema deterministic
+    * and avoids the extra values-discovery job). */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val long = SensorPipeline.toLong(SensorPipeline.wideAgg(
+      SensorPipeline.dayFilter(Tables.events(spark, dir), "2024-01-03")))
+    long.groupBy(col("timestamp"))
+      .pivot("signal_name", SensorPipeline.signalNames)
+      .agg(max(col("value")))
+      .orderBy("timestamp")
+  }
+
+  /** A-distinct: exact distinct counts per group (no approximation — the
+    * HLL variant would not oracle-match). */
+  def countDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** F-string: scalar string function battery over documents. */
+  def stringScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        expr("upper(substring(text, 1, 20))").as("up20"),
+        expr("substring(replace(text, ' ', '_'), 1, 30)").as("und30"),
+        expr("lpad(source, 8, '0')").as("padsrc"),
+        expr("split_part(text, ' ', 2)").as("word2"),
+        expr("reverse(lang)").as("rlang"),
+        expr("trim(concat(' ', lang, ' '))").as("tlang"),
+        length(col("text")).as("len"))
+      .orderBy("doc_id")
+
+  /** J-semi: orders having at least one high-quantity line (LEFT SEMI —
+    * probe side never duplicates, build side only carries the key). */
+  def semiJoinOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).where(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_rollup"               -> (rollupSummary _),
+    "r_pivot_wide"           -> (pivotWide _),
+    "a_count_distinct"       -> (countDistinctUsers _),
+    "f_string_scalars"       -> (stringScalars _),
+    "j_semi_orders"          -> (semiJoinOrders _),
     "s2_scan_project_filter" -> (scanProjectFilter _),
     "a1_window_agg"          -> (windowAgg _),
     "j1_fact_dim_stats"      -> (factDimStats _),
@@ -227,7 +284,49 @@ object Relational {
     "q5_local_supplier"      -> (localSupplierVolume _)
   )
 
+  private val pivotCaseCols: String =
+    (for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield
+      s"max(CASE WHEN signal_name = '${t}_$s' THEN value END) AS ${t}_$s").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "r_pivot_wide" -> {
+      val aggCols = (for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s match {
+        case "mean" => s"round(avg(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_mean"
+        case "min"  => s"min(CASE WHEN event_type='$t' THEN value END) AS ${t}_min"
+        case "max"  => s"max(CASE WHEN event_type='$t' THEN value END) AS ${t}_max"
+        case "std"  => s"round(stddev(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_std"
+      }).mkString(", ")
+      val names = for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s"${t}_$s"
+      s"""WITH agg AS (
+         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ts10, $aggCols
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+         |  GROUP BY 1),
+         |lng AS (SELECT ts10 AS timestamp, sig AS signal_name, v AS value
+         |  FROM (UNPIVOT agg ON ${names.mkString(", ")} INTO NAME sig VALUE v))
+         |SELECT timestamp, $pivotCaseCols
+         |FROM lng GROUP BY timestamp ORDER BY timestamp""".stripMargin
+    },
+    "a_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_string_scalars" ->
+      """SELECT doc_id, upper(substring(text, 1, 20)) AS up20,
+        |  substring(replace(text, ' ', '_'), 1, 30) AS und30,
+        |  lpad(source, 8, '0') AS padsrc,
+        |  split_part(text, ' ', 2) AS word2,
+        |  reverse(lang) AS rlang,
+        |  trim(concat(' ', lang, ' ')) AS tlang,
+        |  CAST(length(text) AS INTEGER) AS len
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "j_semi_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
     "s2_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
         |FROM lineitem

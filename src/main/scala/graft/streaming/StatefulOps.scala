@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators: watermark-bounded dedup and
+  * gap-session-ization via flatMapGroupsWithState (SURVEY.md §2.8's
+  * Structured-Streaming extension surface).
+  *
+  * Both are the streaming twins of batch operators in this library
+  * ([[graft.ext.Dedup.exact]] and [[graft.ops.Analytics.sessionize]]):
+  * same semantics, state bounded by the event-time watermark instead of a
+  * full-table shuffle.
+  */
+object StatefulOps {
+
+  /** Streaming exact-dedup: drop rows whose key was already seen within
+    * the watermark window. State is evicted as the watermark advances —
+    * bounded memory at any scale (vs the reference's blind re-append,
+    * `etl/etl_process.py:156-163`). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** One event on the stream. */
+  case class Evt(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session accumulator kept in GroupState (epoch micros). */
+  case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+  /** A closed session. */
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+
+  /** Gap-based sessionization with explicit state: a session closes when
+    * `gap` passes with no events (decided by event-time timeout, i.e. the
+    * watermark — late data within the watermark still extends its
+    * session). Emits closed sessions only (append mode). */
+  def sessionize(events: Dataset[Evt], watermark: String = "30 minutes",
+      gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000),
+        s.n, s.sum)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed session end + gap → close it
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => us(e.ts))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.endUs <= gapMs * 1000 =>
+                  open = Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
+                case Some(s) => // gap exceeded inside the batch → close, start new
+                  closed += close(uid, s)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

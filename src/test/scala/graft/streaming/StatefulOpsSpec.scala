@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark: dup ids collapse, state evicts by watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "value")
+    val out = StatefulOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:00:30"), 1.0), // duplicate id within watermark
+        (2L, ts("2024-01-01 00:01:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes sessions, watermark flushes") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[StatefulOps.Evt]
+    val out = StatefulOps.sessionize(stream.toDS(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst 1 (user 7): 3 events within the gap
+      stream.addData(
+        StatefulOps.Evt(7L, ts("2024-01-01 00:00:00"), 1.0),
+        StatefulOps.Evt(7L, ts("2024-01-01 00:05:00"), 2.0),
+        StatefulOps.Evt(7L, ts("2024-01-01 00:10:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // still open
+
+      // burst 2: > 30-min gap → closes session 1 inside the batch
+      stream.addData(StatefulOps.Evt(7L, ts("2024-01-01 02:00:00"), 9.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions_out")
+        .as[StatefulOps.SessionOut].collect()
+      assert(s1.length === 1)
+      assert(s1.head.n_events === 3 && s1.head.sum_value === 6.0)
+      assert(s1.head.session_start === ts("2024-01-01 00:00:00"))
+      assert(s1.head.session_end === ts("2024-01-01 00:10:00"))
+
+      // advance watermark far past burst 2 + gap → event-time timeout fires
+      stream.addData(StatefulOps.Evt(99L, ts("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions_out").as[StatefulOps.SessionOut].collect()
+      assert(s2.exists(s => s.user_id == 7L && s.n_events == 1 && s.sum_value == 9.0),
+        s"burst-2 session should close by timeout: ${s2.mkString(", ")}")
+    } finally q.stop()
+  }
+}
