@@ -85,12 +85,71 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  private val PLANES = 8
+  private val DIMS = 64
+
+  /** Sign-LSH top-3: 8 deterministic pseudo-random hyperplanes (components
+    * derived from md5 so the oracle can regenerate them bit-for-bit),
+    * vectors bucketed by their 8-bit sign signature, search only within
+    * the query's bucket. The bucketing pass is a broadcast cross join with
+    * the tiny plane table + one hash-agg — at scale, candidate count per
+    * query drops from n to n/2^bits with NO training step (vs IVF). */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // hyperplane components in [-1, 1], md5-derived → engine-portable
+    val planes = spark.range(PLANES).select(col("id").cast("int").as("p"),
+      expr(s"transform(sequence(0, ${DIMS - 1}), d -> " +
+        "(cast(conv(substring(md5(concat(id, '_', d)), 1, 8), 16, 10) as bigint) % 2001) / 1000.0D - 1.0D)")
+        .as("arr"))
+    val bits = e.crossJoin(broadcast(planes))
+      .withColumn("bit", when(cosine("emb", "arr") >= 0, "1").otherwise("0"))
+    val sigAggs = (0 until PLANES).map(i => max(when(col("p") === i, col("bit"))).as(s"b$i"))
+    val sig = bits.groupBy(col("vec_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("vec_id"), concat((0 until PLANES).map(i => col(s"b$i")): _*).as("bucket"))
+    val sigEmb = sig.join(e, "vec_id").persist()
+    val q = sigEmb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    sigEmb
+      .join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"),
+        col("cos_sim"), col("q_bucket").as("bucket"))
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> (bruteTopK _),
-    "x_sim_ivf_topk"   -> (ivfTopK _)
+    "x_sim_ivf_topk"   -> (ivfTopK _),
+    "x_sim_lsh_topk"   -> (lshTopK _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x_sim_lsh_topk" -> {
+      val bucketConcat = (0 until PLANES)
+        .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |planes AS (SELECT p, list_transform(generate_series(0, ${DIMS - 1}),
+         |    d -> (('0x' || substr(md5(p || '_' || d), 1, 8))::BIGINT % 2001) / 1e3 - 1e0) AS arr
+         |  FROM generate_series(0, ${PLANES - 1}) t(p)),
+         |bits AS (SELECT emb.vec_id, planes.p,
+         |    CASE WHEN list_cosine_similarity(emb.e, planes.arr) >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM emb CROSS JOIN planes),
+         |sig AS (SELECT vec_id, $bucketConcat AS bucket FROM bits GROUP BY vec_id),
+         |se AS (SELECT sig.vec_id, sig.bucket, emb.e FROM sig JOIN emb USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, bucket AS q_bucket, e AS qe FROM se WHERE vec_id < 20),
+         |scored AS (SELECT q.query_id, se.vec_id AS cand_id,
+         |    round(list_cosine_similarity(q.qe, se.e), 6) AS cos_sim, q.q_bucket
+         |  FROM se JOIN q ON se.bucket = q.q_bucket AND se.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn FROM scored)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim,
+         |  q_bucket AS bucket
+         |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+    },
     "x_sim_topk_brute" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 20),
