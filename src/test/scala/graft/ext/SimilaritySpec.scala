@@ -69,6 +69,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count() === 0) // no vec_id >= 100 in fixture
   }
 
+  test("LSH top-k on driver testdata: candidates share the query's bucket, ranks ordered") {
+    val rows = Similarity.lshTopK(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rn")).sorted.sameElements(1 to g.length)) // dense ranks
+      assert(g.map(_.getAs[String]("bucket")).toSet.size === 1) // one bucket per query
+      val sims = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sortBy(-_)))
+    }
+    // every bucket string is 8 sign bits
+    assert(rows.forall(_.getAs[String]("bucket").matches("[01]{8}")))
+  }
+
   test("IVF top-k on driver testdata: 10 queries × 3 ranked in-cluster hits") {
     val rows = Similarity.ivfTopK(spark, "/root/testdata/sf0.001").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))

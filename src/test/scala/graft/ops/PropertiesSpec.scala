@@ -61,6 +61,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pivot(unpivot(wide)) round-trips to the original wide frame") {
+    for (rows <- cases) {
+      val wide = SensorPipeline.wideAgg(toDf(rows))
+      val roundTrip = SensorPipeline.toLong(wide)
+        .groupBy(col("timestamp"))
+        .pivot("signal_name", SensorPipeline.signalNames)
+        .agg(max(col("value")))
+      // na-dropped long rows come back as nulls — compare on the non-null cells
+      val cols = "timestamp" +: SensorPipeline.signalNames
+      val a = wide.select(cols.map(col): _*).orderBy("timestamp").collect().map(_.toSeq)
+      val b = roundTrip.select(cols.map(col): _*).orderBy("timestamp").collect().map(_.toSeq)
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (ra, rb) => assert(ra === rb) }
+    }
+  }
+
   test("join-drop conservation: long rows == mapped + unmapped (P5/P6 ledger)") {
     for (rows <- cases) {
       val long = SensorPipeline.toLong(SensorPipeline.wideAgg(toDf(rows))).cache()
