@@ -85,11 +85,51 @@ object Multimodal {
           .as("frame_sample"))
       .orderBy("doc_id")
 
+  /** Downstream aggregation over extracted media features: per-source
+    * stats of frame samples + payload sizes — the shape of a curation
+    * dashboard over a decoded-media table (explode stays map-side; one
+    * hash-agg shuffle of O(sources) groups). */
+  def frameAgg(spark: SparkSession, dir: String): DataFrame =
+    binaryMetaUnordered(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("byte_len"), explode(col("frame_sample")).as("frame"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        round(avg(col("frame")), 4).as("avg_frame"),
+        min(col("frame")).as("min_frame"),
+        max(col("frame")).as("max_frame"),
+        round(avg(col("byte_len")), 4).as("avg_bytes"))
+      .orderBy("source")
+
+  /** binaryMeta without the presentation orderBy (for composition). */
+  private def binaryMetaUnordered(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("media", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        length(col("media")).as("byte_len"),
+        expr("transform(sequence(0, 3), i -> ascii(substring(text, i * cast(floor(length(text) / 4) as int) + 1, 1)))")
+          .as("frame_sample"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_mm_binary_meta" -> (binaryMeta _)
+    "x_mm_binary_meta" -> (binaryMeta _),
+    "x_mm_frame_agg"   -> (frameAgg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x_mm_frame_agg" ->
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    unnest(list_transform(generate_series(0, 3),
+        |      i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1)))) AS frame
+        |  FROM documents)
+        |SELECT d.source, count(*) AS n_frames,
+        |  round(avg(m.frame), 4) AS avg_frame,
+        |  min(m.frame) AS min_frame, max(m.frame) AS max_frame,
+        |  round(avg(m.byte_len), 4) AS avg_bytes
+        |FROM meta m JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "x_mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -81,6 +81,18 @@ object SensorPipeline {
       .join(broadcast(dim), long("signal_name") === dim("name"), "inner")
       .select(long("timestamp"), dim("signal_id"), long("value"))
 
+  /** Typed record for the long star-schema fact row (SURVEY.md §1.3 —
+    * `Dataset[T]` where a fixed record helps callers; the dynamic-schema
+    * stages stay untyped `DataFrame`s by design). */
+  case class SignalRecord(timestamp: java.sql.Timestamp, signal_id: Int, value: Double)
+
+  /** Typed view of the pipeline output — compile-time column safety at the
+    * library boundary, zero plan change (Encoders are resolved at analysis). */
+  def pipelineTyped(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[SignalRecord] = {
+    import spark.implicits._
+    pipelineLong(spark, dir).as[SignalRecord]
+  }
+
   // ---- registered queries -------------------------------------------------
 
   /** Flagship: full pipeline over the whole events table. */

@@ -85,6 +85,14 @@ class SensorPipelineSpec extends SparkSpec {
     assert(long.count() === 2 * 8) // 2 bins × 8 signals
   }
 
+  test("typed pipeline: Dataset[SignalRecord] round-trips the untyped output") {
+    val typed = SensorPipeline.pipelineTyped(spark, "/root/testdata/sf0.001")
+    val rows = typed.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.signal_id >= 1 && r.signal_id <= 8))
+    assert(typed.count() === SensorPipeline.pipelineLong(spark, "/root/testdata/sf0.001").count())
+  }
+
   test("agg values match hand computation (mean/min/max/std ddof=1)") {
     val e = events(
       ("2024-01-01 00:01:00", "click", 1.0),
