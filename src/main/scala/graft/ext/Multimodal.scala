@@ -96,10 +96,10 @@ object Multimodal {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_frames"),
-        round(avg(col("frame")), 4).as("avg_frame"),
+        graft.ops.StableStats.intMean(col("frame")).as("avg_frame"),
         min(col("frame")).as("min_frame"),
         max(col("frame")).as("max_frame"),
-        round(avg(col("byte_len")), 4).as("avg_bytes"))
+        graft.ops.StableStats.intMean(col("byte_len")).as("avg_bytes"))
       .orderBy("source")
 
   /** binaryMeta without the presentation orderBy (for composition). */
@@ -119,15 +119,15 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "x_mm_frame_agg" ->
-      """WITH meta AS (
+      s"""WITH meta AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |    unnest(list_transform(generate_series(0, 3),
         |      i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1)))) AS frame
         |  FROM documents)
         |SELECT d.source, count(*) AS n_frames,
-        |  round(avg(m.frame), 4) AS avg_frame,
+        |  ${graft.ops.StableStats.intMeanSql("m.frame")} AS avg_frame,
         |  min(m.frame) AS min_frame, max(m.frame) AS max_frame,
-        |  round(avg(m.byte_len), 4) AS avg_bytes
+        |  ${graft.ops.StableStats.intMeanSql("m.byte_len")} AS avg_bytes
         |FROM meta m JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "x_mm_binary_meta" ->

@@ -37,12 +37,13 @@ object TextAnalysis {
     val nWords = size(col("w")).cast("double")
     val nUniq  = size(array_distinct(col("w"))).cast("double")
     val nStop  = expr(s"size(filter(w, x -> x in (${stopEn.map("'" + _ + "'").mkString(",")})))").cast("double")
+    import graft.ops.StableStats.stableRound
     d.select(
       col("doc_id"),
       size(col("w")).as("n_words"),
-      round(nUniq / nWords, 4).as("distinct_ratio"),
-      round(nStop / nWords, 4).as("stopword_ratio"),
-      round(least(lit(1.0), nWords / 100.0) * (lit(1) - nStop / nWords) * (nUniq / nWords), 4)
+      stableRound(nUniq / nWords, 4).as("distinct_ratio"),
+      stableRound(nStop / nWords, 4).as("stopword_ratio"),
+      stableRound(least(lit(1.0), nWords / 100.0) * (lit(1) - nStop / nWords) * (nUniq / nWords), 4)
         .as("quality_score"))
       .orderBy("doc_id")
   }
@@ -132,11 +133,9 @@ object TextAnalysis {
          |s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
          |  len(list_filter(w, x -> x IN (${inList(stopEn)}))) AS n_stop FROM t)
          |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
-         |  round(n_uniq / CAST(n_words AS DOUBLE), 4) AS distinct_ratio,
-         |  round(n_stop / CAST(n_words AS DOUBLE), 4) AS stopword_ratio,
-         |  round(least(1e0, CAST(n_words AS DOUBLE) / 1e2)
-         |    * (1 - n_stop / CAST(n_words AS DOUBLE))
-         |    * (n_uniq / CAST(n_words AS DOUBLE)), 4) AS quality_score
+         |  ${graft.ops.StableStats.stableRoundSql("CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)} AS distinct_ratio,
+         |  ${graft.ops.StableStats.stableRoundSql("CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)} AS stopword_ratio,
+         |  ${graft.ops.StableStats.stableRoundSql("least(1e0, CAST(n_words AS DOUBLE) / 1e2) * (1 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * (CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)} AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
     "x_text_langid" -> {
       val scoreCols = langStops.map { case (l, ws) =>

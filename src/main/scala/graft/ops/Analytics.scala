@@ -15,7 +15,7 @@ object Analytics {
   def columnStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).agg(
       count(lit(1)).as("n"),
-      round(avg(col("value")), 4).as("avg_value"),
+      StableStats.centsMean(col("value")).as("avg_value"),
       min(col("value")).as("min_value"),
       max(col("value")).as("max_value"),
       round(stddev_samp(col("value")), 4).as("std_value"))
@@ -39,7 +39,7 @@ object Analytics {
       events.where(col("event_type") === t)
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(
-          round(avg(col("value")), 4).as(s"${t}_mean"),
+          StableStats.centsMean(col("value")).as(s"${t}_mean"),
           min(col("value")).as(s"${t}_min"),
           max(col("value")).as(s"${t}_max"),
           round(stddev_samp(col("value")), 4).as(s"${t}_std"))
@@ -123,43 +123,31 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "a7_column_stats" ->
-      """SELECT count(*) AS n, round(avg(value),4) AS avg_value,
-        |  min(value) AS min_value, max(value) AS max_value,
-        |  round(stddev(value),4) AS std_value FROM events""".stripMargin,
+      s"""SELECT count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  round(stddev(value),4) AS std_value FROM events""".stripMargin,
     "o3_export_order" -> {
-      val cols = (for {
-        t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std")
-      } yield s match {
-        case "mean" => s"round(avg(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_mean"
-        case "min"  => s"min(CASE WHEN event_type='$t' THEN value END) AS ${t}_min"
-        case "max"  => s"max(CASE WHEN event_type='$t' THEN value END) AS ${t}_max"
-        case "std"  => s"round(stddev(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_std"
-      }).mkString(", ")
-      val names = for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s"${t}_$s"
-      val dims = names.zipWithIndex.map { case (n, i) => s"(${i + 1},'$n')" }.mkString(", ")
-      s"""WITH agg AS (
-         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ts10, $cols
-         |  FROM events
-         |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
-         |  GROUP BY 1),
+      val day = "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00')"
+      s"""WITH agg AS (${SensorPipeline.aggSql.format(day)}),
          |lng AS (SELECT ts10 AS timestamp, sig AS signal_name, v AS value
-         |  FROM (UNPIVOT agg ON ${names.mkString(", ")} INTO NAME sig VALUE v)),
-         |dim(signal_id, name) AS (VALUES $dims)
+         |  FROM (UNPIVOT agg ON ${SensorPipeline.signalNames.mkString(", ")} INTO NAME sig VALUE v)),
+         |dim(signal_id, name) AS (VALUES ${SensorPipeline.dimValues})
          |SELECT lng.timestamp, dim.signal_id, lng.value
          |FROM lng JOIN dim ON lng.signal_name = dim.name
          |ORDER BY lng.timestamp DESC, dim.signal_id ASC""".stripMargin
     },
     "j4_concat_axis" ->
-      """WITH c AS (
-        |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS click_ts,
-        |    round(avg(value),4) AS click_mean, min(value) AS click_min,
-        |    max(value) AS click_max, round(stddev(value),4) AS click_std
-        |  FROM events WHERE event_type = 'click' GROUP BY 1),
-        |v AS (
-        |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS view_ts,
-        |    round(avg(value),4) AS view_mean, min(value) AS view_min,
-        |    max(value) AS view_max, round(stddev(value),4) AS view_std
-        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+      s"""WITH c AS (
+         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS click_ts,
+         |    ${StableStats.centsMeanSql("value")} AS click_mean, min(value) AS click_min,
+         |    max(value) AS click_max, round(stddev(value),4) AS click_std
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |v AS (
+         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS view_ts,
+         |    ${StableStats.centsMeanSql("value")} AS view_mean, min(value) AS view_min,
+         |    max(value) AS view_max, round(stddev(value),4) AS view_std
+         |  FROM events WHERE event_type = 'view' GROUP BY 1)
         |SELECT coalesce(click_ts, view_ts) AS timestamp,
         |  click_mean, click_min, click_max, click_std,
         |  view_mean, view_min, view_max, view_std

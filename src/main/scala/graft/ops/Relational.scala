@@ -37,7 +37,7 @@ object Relational {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        StableStats.centsMean(col("value")).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         round(stddev_samp(col("value")), 4).as("std_value"),
@@ -55,7 +55,7 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        StableStats.centsMean(col("o_totalprice")).as("avg_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
@@ -69,7 +69,7 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         count(col("s_suppkey")).as("n_suppliers"),
-        round(avg(col("s_acctbal")), 4).as("avg_acctbal"),
+        StableStats.centsMean(col("s_acctbal")).as("avg_acctbal"),
         round(stddev_samp(col("s_acctbal")), 4).as("std_acctbal"))
       .orderBy("n_name")
 
@@ -105,7 +105,7 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(
-        round(avg(col("k")), 4).as("avg_k"),
+        StableStats.intMean(col("k")).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
@@ -164,9 +164,9 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        StableStats.centsMean(col("l_quantity")).as("avg_qty"),
+        StableStats.centsMean(col("l_extendedprice")).as("avg_price"),
+        StableStats.centsMean(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -294,18 +294,10 @@ object Relational {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "r_pivot_wide" -> {
-      val aggCols = (for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s match {
-        case "mean" => s"round(avg(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_mean"
-        case "min"  => s"min(CASE WHEN event_type='$t' THEN value END) AS ${t}_min"
-        case "max"  => s"max(CASE WHEN event_type='$t' THEN value END) AS ${t}_max"
-        case "std"  => s"round(stddev(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_std"
-      }).mkString(", ")
       val names = for { t <- Seq("click", "view"); s <- Seq("mean", "min", "max", "std") } yield s"${t}_$s"
-      s"""WITH agg AS (
-         |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ts10, $aggCols
-         |  FROM events
-         |  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
-         |  GROUP BY 1),
+      val day = "(SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-04 00:00:00')"
+      s"""WITH agg AS (${SensorPipeline.aggSql.format(day)}),
          |lng AS (SELECT ts10 AS timestamp, sig AS signal_name, v AS value
          |  FROM (UNPIVOT agg ON ${names.mkString(", ")} INTO NAME sig VALUE v))
          |SELECT timestamp, $pivotCaseCols
@@ -333,20 +325,20 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "a1_window_agg" ->
-      """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket_ts, event_type,
-        |  count(*) AS n, round(avg(value),4) AS avg_value, min(value) AS min_value,
+      s"""SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS bucket_ts, event_type,
+        |  count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value, min(value) AS min_value,
         |  max(value) AS max_value, round(stddev(value),4) AS std_value,
         |  round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "j1_fact_dim_stats" ->
-      """SELECT c_mktsegment, count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price,
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${StableStats.centsMeanSql("o_totalprice")} AS avg_price,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |  round(sum(o_totalprice),2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j3_left_outer_stats" ->
-      """SELECT n_name, count(s_suppkey) AS n_suppliers,
-        |  round(avg(s_acctbal),4) AS avg_acctbal, round(stddev(s_acctbal),4) AS std_acctbal
+      s"""SELECT n_name, count(s_suppkey) AS n_suppliers,
+        |  ${StableStats.centsMeanSql("s_acctbal")} AS avg_acctbal, round(stddev(s_acctbal),4) AS std_acctbal
         |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "a2_global_count" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -360,10 +352,10 @@ object Relational {
       """SELECT event_id, ts, event_type, value FROM events
         |ORDER BY ts DESC, event_id ASC LIMIT 10""".stripMargin,
     "f_json_extract_agg" ->
-      """SELECT event_type,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),4) AS avg_k,
-        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      s"""SELECT event_type,
+        |  ${StableStats.intMeanSql("CAST(json_extract_string(props, '$.k') AS INTEGER)")} AS avg_k,
+        |  min(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS max_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f_time_scalars" ->
@@ -387,14 +379,14 @@ object Relational {
         |EXCEPT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
         |ORDER BY custkey""".stripMargin,
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice),2) AS sum_base_price,
         |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
         |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        |  round(avg(l_quantity),4) AS avg_qty,
-        |  round(avg(l_extendedprice),4) AS avg_price,
-        |  round(avg(l_discount),4) AS avg_disc,
+        |  ${StableStats.centsMeanSql("l_quantity")} AS avg_qty,
+        |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price,
+        |  ${StableStats.centsMeanSql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -51,11 +51,14 @@ object SensorPipeline {
 
   /** A1: tumbling 10-min window, 2 vars × 4 stats in one agg pass.
     * `stddev_samp` matches pandas ddof=1 (`etl/etl_process.py:90` — SURVEY A1).
-    * mean/std rounded for oracle float stability; min/max are exact. */
+    * Means use [[StableStats.centsMean]] (exact-cents sums + arithmetic
+    * rounding — rational means hit exact `.xxxx5` halves where engine
+    * round() rules diverge); std is irrational (half-hits measure-zero),
+    * plain round suffices; min/max are exact. */
   def wideAgg(events: DataFrame): DataFrame = {
     def v(t: String): Column = when(col("event_type") === t, col("value"))
     val aggs = for { t <- vars; s <- stats } yield s match {
-      case "mean" => round(avg(v(t)), 4).as(s"${t}_mean")
+      case "mean" => StableStats.centsMean(v(t)).as(s"${t}_mean")
       case "min"  => min(v(t)).as(s"${t}_min")
       case "max"  => max(v(t)).as(s"${t}_max")
       case "std"  => round(stddev_samp(v(t)), 4).as(s"${t}_std")
@@ -125,17 +128,22 @@ object SensorPipeline {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
-  private def aggSql: String = {
-    val cols = (for { t <- vars; s <- stats } yield s match {
-      case "mean" => s"round(avg(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_mean"
-      case "min"  => s"min(CASE WHEN event_type='$t' THEN value END) AS ${t}_min"
-      case "max"  => s"max(CASE WHEN event_type='$t' THEN value END) AS ${t}_max"
-      case "std"  => s"round(stddev(CASE WHEN event_type='$t' THEN value END),4) AS ${t}_std"
+  /** DuckDB twin of [[wideAgg]] (shared by the Analytics/Relational
+    * oracles that re-derive the wide frame); `%s` is the source relation. */
+  private[graft] def aggSql: String = {
+    val cols = (for { t <- vars; s <- stats } yield {
+      val v = s"CASE WHEN event_type='$t' THEN value END"
+      s match {
+        case "mean" => s"${StableStats.centsMeanSql(v)} AS ${t}_mean"
+        case "min"  => s"min($v) AS ${t}_min"
+        case "max"  => s"max($v) AS ${t}_max"
+        case "std"  => s"round(stddev($v),4) AS ${t}_std"
+      }
     }).mkString(", ")
     s"SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ts10, $cols FROM %s GROUP BY 1"
   }
 
-  private val dimValues: String =
+  private[graft] val dimValues: String =
     signalNames.zipWithIndex.map { case (n, i) => s"(${i + 1},'$n')" }.mkString(", ")
 
   private def pipelineSql(src: String): String =

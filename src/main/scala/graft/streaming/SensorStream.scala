@@ -22,24 +22,11 @@ import graft.ops.SensorPipeline
   */
 object SensorStream {
 
-  /** events stream → windowed wide aggregate (append-mode compatible). */
-  def windowedWide(events: DataFrame, watermark: String = "20 minutes"): DataFrame = {
-    def v(t: String) = when(col("event_type") === t, col("value"))
-    val aggs = for {
-      t <- Seq("click", "view")
-      s <- Seq("mean", "min", "max", "std")
-    } yield s match {
-      case "mean" => round(avg(v(t)), 4).as(s"${t}_mean")
-      case "min"  => min(v(t)).as(s"${t}_min")
-      case "max"  => max(v(t)).as(s"${t}_max")
-      case "std"  => round(stddev_samp(v(t)), 4).as(s"${t}_std")
-    }
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "10 minutes"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("window.start").as("timestamp") +: SensorPipeline.signalNames.map(col): _*)
-  }
+  /** events stream → windowed wide aggregate (append-mode compatible):
+    * the EXACT same agg expressions as batch — `SensorPipeline.wideAgg`
+    * applied to a watermarked stream. */
+  def windowedWide(events: DataFrame, watermark: String = "20 minutes"): DataFrame =
+    SensorPipeline.wideAgg(events.withWatermark("ts", watermark))
 
   /** Full streaming pipeline: windowed agg → unpivot → drop null values →
     * broadcast dim join — identical long-format output contract as the
