@@ -111,7 +111,33 @@ object Analytics {
       .orderBy("table_name", "ordinal")
   }
 
+  /** A-array: deterministic array aggregation — per event_type, the SORTED
+    * set of high-value user ids (collect_set is unordered in any engine;
+    * sort_array pins a comparable value). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("value") > 400)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_set(col("user_id"))).as("users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** F-null: null-handling scalar battery (coalesce / nullif / nvl2-shape)
+    * over the left-outer supplier join (real nulls from zero-match rows). */
+  def nullScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.supplier(spark, dir), col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .select(
+        col("n_nationkey"), col("n_name"),
+        coalesce(col("s_name"), lit("<none>")).as("supp_or_none"),
+        nullif(col("s_nationkey"), lit(0)).as("nz_nationkey"),
+        when(col("s_suppkey").isNull, "absent").otherwise("present").as("presence"),
+        coalesce(col("s_acctbal"), lit(0.0)).as("bal_or_zero"))
+      .orderBy(col("n_nationkey"), col("supp_or_none"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_array_agg"      -> (arrayAgg _),
+    "f_null_scalars"   -> (nullScalars _),
     "a7_column_stats"  -> (columnStats _),
     "o3_export_order"  -> (exportOrder _),
     "j4_concat_axis"   -> (concatAxis _),
@@ -122,6 +148,18 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_array_agg" ->
+      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
+        |FROM events WHERE value > 400
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_null_scalars" ->
+      """SELECT n_nationkey, n_name,
+        |  coalesce(s_name, '<none>') AS supp_or_none,
+        |  nullif(s_nationkey, 0) AS nz_nationkey,
+        |  CASE WHEN s_suppkey IS NULL THEN 'absent' ELSE 'present' END AS presence,
+        |  coalesce(s_acctbal, 0e0) AS bal_or_zero
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+        |ORDER BY n_nationkey, supp_or_none""".stripMargin,
     "a7_column_stats" ->
       s"""SELECT count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value,
