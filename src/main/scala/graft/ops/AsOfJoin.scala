@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join — an operator Spark lacks natively (SPARK-22947 open), built
+  * the scalable way: union both sides, ONE window pass per key carries the
+  * latest right-side attributes forward, filter back to left rows.
+  *
+  * Why not a join? The naive formulation (equi-join on key + `r.ts <= l.ts`
+  * + row_number to keep the latest) materializes every (left, right) pair
+  * per key before ranking — O(n·m) per key, quadratic on hot keys. The
+  * union+window shape shuffles each input row exactly once on the key and
+  * the window pass is linear: at 100 TB it is one total-sort-free shuffle +
+  * a streaming pass, with no pair blow-up.
+  *
+  * Tie discipline: right rows sort BEFORE left rows at equal timestamps
+  * (`side` ascending), so a right row at exactly l.ts matches (the `<=`
+  * convention, same as DuckDB/kdb asof). Right rows are first deduped to
+  * one per (key, ts) by greatest id — keeps the operator deterministic.
+  */
+object AsOfJoin {
+
+  /** Generic as-of: for each left row, the latest right row with
+    * `right.ts <= left.ts` on the same key. Output = left columns +
+    * `asof_<idCol>` + `asof_ts` (NULL when no prior right row). */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightId: String): DataFrame = {
+    val dedupW = Window.partitionBy(col(key), col(ts)).orderBy(col(rightId).desc)
+    val r = right
+      .withColumn("__rn", row_number().over(dedupW)).where(col("__rn") === 1).drop("__rn")
+      .select(col(key), col(ts), col(rightId).as("__asof_id"), col(ts).as("__asof_ts"),
+        lit(0).as("__side"))
+    val l = left.withColumn("__asof_id", lit(null).cast(r.schema("__asof_id").dataType))
+      .withColumn("__asof_ts", lit(null).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    val u = l.select(r.columns.map(col) ++ left.columns.filterNot(c => c == key || c == ts).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u
+      .withColumn(s"asof_$rightId", last(col("__asof_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("__asof_ts"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__asof_id", "__asof_ts", "__side")
+  }
+
+  /** Attribution query: for each purchase, the most recent prior click by
+    * the same user, with the click→purchase lag. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asOf(purchases, clicks, "user_id", "ts", "event_id")
+      .select(
+        col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"),
+        col("purchase_value"),
+        col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_asof_attribution" -> (attribution _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id, row_number() OVER
+        |      (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts, p.purchase_value,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin
+  )
+}
