@@ -44,6 +44,15 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** STUB resize — fit (width, height) into a target box preserving aspect
+    * ratio (the arithmetic is real; only pixel resampling is stubbed out
+    * with the codec). Pure function → usable inside any column expression
+    * or typed map. */
+  def resizeStub(width: Int, height: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(maxW.toDouble / width, maxH.toDouble / height) min 1.0
+    (math.max(1, (width * scale).toInt), math.max(1, (height * scale).toInt))
+  }
+
   /** documents → Dataset[MediaRecord] (text bytes as the opaque payload). */
   def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

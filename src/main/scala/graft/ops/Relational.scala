@@ -251,6 +251,22 @@ object Relational {
         length(col("text")).as("len"))
       .orderBy("doc_id")
 
+  /** J-range: equi-key + band-predicate join (ship date within 90 days of
+    * the order date). The equi key carries the shuffle/broadcast; the range
+    * predicate evaluates post-match — the scalable shape for banded joins
+    * when an equi key exists (pure range joins without one need bucketed
+    * interval keys instead). */
+  def rangeShipJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+
   /** J-semi: orders having at least one high-quantity line (LEFT SEMI —
     * probe side never duplicates, build side only carries the key). */
   def semiJoinOrders(spark: SparkSession, dir: String): DataFrame =
@@ -266,6 +282,7 @@ object Relational {
     "a_count_distinct"       -> (countDistinctUsers _),
     "f_string_scalars"       -> (stringScalars _),
     "j_semi_orders"          -> (semiJoinOrders _),
+    "j_range_ship"           -> (rangeShipJoin _),
     "s2_scan_project_filter" -> (scanProjectFilter _),
     "a1_window_agg"          -> (windowAgg _),
     "j1_fact_dim_stats"      -> (factDimStats _),
@@ -319,6 +336,13 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "j_range_ship" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s2_scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_extendedprice
         |FROM lineitem

@@ -27,6 +27,13 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.frameSample.toSeq === Seq(0, 2, 4, 6)) // quartile-stride sampling
   }
 
+  test("resize stub: aspect-preserving fit, never upscales, never zero") {
+    assert(Multimodal.resizeStub(1920, 1080, 640, 480) === ((640, 360)))
+    assert(Multimodal.resizeStub(100, 100, 640, 480) === ((100, 100))) // no upscale
+    assert(Multimodal.resizeStub(10000, 1, 64, 64) === ((64, 1)))
+    assert(Multimodal.resizeStub(1, 10000, 64, 64)._2 === 64)
+  }
+
   test("extraction is a narrow map — no shuffle in the plan") {
     val media = Seq(Multimodal.MediaRecord(1L, Array[Byte](1), "x")).toDS()
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
