@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dataset-curation operators for a training-data pipeline: deterministic
+  * splits, stratified sampling, and near-dup cluster resolution.
+  *
+  * Everything is HASH-deterministic (md5 of stable ids), never RNG: the
+  * same row lands in the same split on any cluster, any partitioning, any
+  * re-run — the property that makes 100 TB splits reproducible and
+  * incremental (new data joins a split without reshuffling old data).
+  */
+object Curation {
+
+  /** 80/10/10 train/val/test assignment by content-stable hash bucket. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample: 3 docs per language, chosen by hash
+    * order (≙ uniform-without-replacement, but reproducible). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(concat(lit("strat|"), col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Near-dup cluster resolution: connected components over the MinHash-LSH
+    * candidate pairs via iterative min-label propagation (8 rounds — LSH
+    * components are near-cliques, diameter ≪ 8). Each round is one tiny
+    * join + agg over O(edges); labels are persisted per round so lineage
+    * stays linear. Output: (doc_id, cluster) for every doc in some pair,
+    * cluster = smallest doc_id in its component (the canonical keeper). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(spark, dir) // (doc_a < doc_b), already distinct
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // localCheckpoint (eager) TRUNCATES the logical plan each round — each
+    // iteration references the previous labels twice, so without the cut
+    // the analyzed plan doubles per round (2^8 subtrees ⇒ analyzer OOM,
+    // observed). On a real cluster use reliable checkpointing instead
+    // (localCheckpoint is lost with an executor).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("doc_id2")).agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_assign"      -> (splitAssign _),
+    "x_stratified_sample" -> (stratifiedSample _),
+    "x_dup_clusters"      -> (dupClusters _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_split_assign" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_stratified_sample" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+    "x_dup_clusters" -> {
+      // transitive closure over the same LSH pairs, min reachable = cluster
+      val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
+        .replaceAll("ORDER BY doc_a, doc_b$", "")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs
+         |      UNION SELECT DISTINCT doc_a, doc_a FROM pairs
+         |      UNION SELECT DISTINCT doc_b, doc_b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    }
+  )
+}
