@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -73,13 +73,16 @@ object Dedup {
     val sh = shingles(spark, dir)
       .withColumn("h1", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
       .withColumn("h2", expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
-    val minAggs = (0 until K).map(i => min(expr(s"(h1 + $i * h2) % $P")).as(s"h$i"))
+    // the whole k-slot signature is ONE custom aggregate buffer
+    // (graft.functions.MinHashSignature — bit-equal to k min() aggregates)
+    val mhSig = udaf(new graft.functions.MinHashSignature(K, P),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     // persist: the signature frame (one row per doc) feeds both band
     // projections AND both sides of the bucket self-join — without the
     // cache point the full shingle+hash subplan runs four times
-    val mh = sh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*).persist()
+    val mh = sh.groupBy(col("doc_id")).agg(mhSig(col("h1"), col("h2")).as("sig")).persist()
     val bands = (0 until BANDS).map { b =>
-      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"h$i"))
+      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col("sig")(i))
       mh.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
     }.reduce(_ union _)
     bands.as("x")
