@@ -94,18 +94,16 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 32-bit signature from salted-md5 token hashes, one hash-agg
-    * with 32 conditional bit-sums (sign of per-bit vote). */
+  /** SimHash: 32-bit signature from md5-derived token hashes — the whole
+    * per-bit vote vector is ONE custom aggregate buffer
+    * ([[graft.functions.SimHashVote]], bit-equal to 32 conditional sums:
+    * bit j set iff the ±1 vote sum is strictly positive). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-    val bitAggs = (0 until 32).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1)") === 1, 1).otherwise(-1)).as(s"b$j"))
-    toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-          .as("simhash"))
+    val vote = udaf(new graft.functions.SimHashVote(32), Encoders.scalaLong)
+    toks.groupBy(col("doc_id")).agg(vote(col("h")).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality checks as a first-class operator — the engine-native form
+  * of the reference's operational verification practices (SURVEY.md §5:
+  * post-load verification queries `etl/prepare_alvo_db.py:87-107`,
+  * seed-then-verify counts `database/seed_fonte.py:82-88`, `/health`
+  * count probe `api/app/main.py:46-58`).
+  *
+  * One DataFrame per check, unioned into a (check_name, observed, passed)
+  * report — each check is itself a distributed aggregate/anti-join, so the
+  * report scales with the data like any other query.
+  */
+object QualityChecks {
+
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val docs = Tables.documents(spark, dir)
+
+    def check(name: String, observed: org.apache.spark.sql.Column, passed: org.apache.spark.sql.Column,
+        src: DataFrame): DataFrame =
+      src.agg(observed.cast("long").as("observed"), passed.as("passed"))
+        .select(lit(name).as("check_name"), col("observed"), col("passed"))
+
+    val rowCount = check("events_nonempty", count(lit(1)), count(lit(1)) > 0, events)
+    val nullTs   = check("events_ts_not_null", sum(when(col("ts").isNull, 1).otherwise(0)),
+      sum(when(col("ts").isNull, 1).otherwise(0)) === 0, events)
+    val valRange = check("events_value_positive", sum(when(col("value") <= 0, 1).otherwise(0)),
+      sum(when(col("value") <= 0, 1).otherwise(0)) === 0, events)
+    // referential integrity: every order's custkey must exist in customer
+    val orphans = orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
+    val refInt = check("orders_custkey_resolves", count(lit(1)), count(lit(1)) === 0, orphans)
+    // pk uniqueness: (l_orderkey, l_linenumber) must be unique
+    val dupPk = lineitem.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+    val pkUnique = check("lineitem_pk_unique", count(lit(1)), count(lit(1)) === 0, dupPk)
+    // doc metadata consistency: n_chars column matches actual text length
+    val lenMismatch = docs.where(length(col("text")) =!= col("n_chars"))
+    val docLen = check("documents_n_chars_consistent", count(lit(1)), count(lit(1)) === 0, lenMismatch)
+
+    Seq(rowCount, nullTs, valRange, refInt, pkUnique, docLen)
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quality_checks" -> (report _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'events_nonempty' AS check_name, count(*) AS observed, count(*) > 0 AS passed FROM events
+        |  UNION ALL
+        |  SELECT 'events_ts_not_null', sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0 FROM events
+        |  UNION ALL
+        |  SELECT 'events_value_positive', sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) = 0 FROM events
+        |  UNION ALL
+        |  SELECT 'orders_custkey_resolves', count(*), count(*) = 0 FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique', count(*), count(*) = 0 FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'documents_n_chars_consistent', count(*), count(*) = 0 FROM documents
+        |    WHERE length(text) <> n_chars)
+        |ORDER BY check_name""".stripMargin
+  )
+}
