@@ -78,6 +78,27 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sliding (overlapping) windows — 10-minute windows every 5 minutes;
+    * each event lands in exactly 2 windows. Spark assigns both window
+    * memberships map-side (Expand), still one hash-agg shuffle. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), StableStats.centsMean(col("value")).as("avg_value"))
+      .select(col("window.start").as("win_start"), col("n"), col("avg_value"))
+      .orderBy("win_start")
+
+  /** Native session windows: `session_window(ts, gap)` — Spark's built-in
+    * merging-window operator; must agree with the manual lag+running-sum
+    * sessionize above (the oracle IS the manual formulation). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+
   /** Exact interpolated quantiles per group (median + p90). */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -138,6 +159,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_array_agg"      -> (arrayAgg _),
     "f_null_scalars"   -> (nullScalars _),
+    "a_sliding_window" -> (slidingWindow _),
+    "a_session_window" -> (sessionWindow _),
     "a7_column_stats"  -> (columnStats _),
     "o3_export_order"  -> (exportOrder _),
     "j4_concat_axis"   -> (concatAxis _),
@@ -148,6 +171,30 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_sliding_window" ->
+      s"""SELECT win_start, count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value
+         |FROM (
+         |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - i * INTERVAL 5 MINUTE AS win_start,
+         |         ts, value
+         |  FROM events CROSS JOIN (VALUES (0), (1)) k(i))
+         |WHERE ts >= win_start AND ts < win_start + INTERVAL 10 MINUTE
+         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "a_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "a_array_agg" ->
       """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
         |FROM events WHERE value > 400
