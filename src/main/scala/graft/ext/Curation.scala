@@ -68,13 +68,86 @@ object Curation {
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
+  /** Outlier filtering: per-event-type z-score against the group mean/std
+    * (both computed ONCE per group and broadcast back); |z| ≥ 2.5 rows
+    * survive. Stats are rounded before the z computation so the score is
+    * cross-engine deterministic. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val events = Tables.events(spark, dir)
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(StableStats.centsMean(col("value")).as("mu"),
+        round(stddev_samp(col("value")), 4).as("sigma"))
+    events.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("z", StableStats.stableRound((col("value") - col("mu")) / col("sigma"), 4))
+      .where(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("mu"), col("sigma"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** Vocabulary heavy hitters: global top-20 tokens by frequency
+    * (count desc, token asc tie-break) — one hash-agg + TakeOrdered. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(20)
+
+  /** Sequence packing: assign documents to fixed token-budget bins by a
+    * running total over a deterministic (hash) order — the streaming-fill
+    * approximation of training-batch packing. Bin id = exclusive running
+    * sum ÷ budget, so a doc that crosses the boundary opens the next bin. */
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2000): DataFrame = {
+    val w = Window.orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(concat(lit("pack|"), col("doc_id"))))
+      .withColumn("pre_total", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("pre_total") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_split_assign"      -> (splitAssign _),
     "x_stratified_sample" -> (stratifiedSample _),
-    "x_dup_clusters"      -> (dupClusters _)
+    "x_dup_clusters"      -> (dupClusters _),
+    "x_outliers"          -> (outliers _),
+    "x_top_terms"         -> (topTerms _),
+    "x_pack_bins"         -> ((s: SparkSession, d: String) => packBins(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "x_outliers" -> {
+      import graft.ops.StableStats
+      s"""WITH stats AS (
+         |  SELECT event_type AS et, ${StableStats.centsMeanSql("value")} AS mu,
+         |    round(stddev(value), 4) AS sigma
+         |  FROM events GROUP BY event_type)
+         |SELECT event_id, event_type, value, mu, sigma,
+         |  ${StableStats.stableRoundSql("(value - mu) / sigma", 4)} AS z
+         |FROM events JOIN stats ON event_type = et
+         |WHERE abs(${StableStats.stableRoundSql("(value - mu) / sigma", 4)}) >= 2.5
+         |ORDER BY event_id""".stripMargin
+    },
+    "x_top_terms" ->
+      """SELECT tok, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 20""".stripMargin,
+    "x_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_total
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(floor(pre_total / 2000) AS BIGINT) AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x_split_assign" ->
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
