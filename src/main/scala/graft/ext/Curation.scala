@@ -97,7 +97,12 @@ object Curation {
   /** Sequence packing: assign documents to fixed token-budget bins by a
     * running total over a deterministic (hash) order — the streaming-fill
     * approximation of training-batch packing. Bin id = exclusive running
-    * sum ÷ budget, so a doc that crosses the boundary opens the next bin. */
+    * sum ÷ budget, so a doc that crosses the boundary opens the next bin.
+    *
+    * Scale note: the window here is GLOBAL (one ordered pass) because the
+    * oracle needs one canonical packing; at 100 TB you partition first
+    * (e.g. by split-bucket) and pack per partition — same expression with
+    * `Window.partitionBy(shard)`, bins then being (shard, bin). */
   def packBins(spark: SparkSession, dir: String, budget: Long = 2000): DataFrame = {
     val w = Window.orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
