@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("salted aggregation is two-stage: exactly two data exchanges") {
+    val plan = planOf(Skew.saltedEventStats(spark, dir))
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(plan).size
+    // (key,salt) partial -> key final -> output sort
+    assert(shuffles <= 3, s"expected ≤3 shuffles (2 agg stages + sort):\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("sessionize shares one user_id partitioning across both windows and the agg") {
+    val plan = planOf(Analytics.sessionize(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"lag + running-sum + groupBy must reuse ONE user_id exchange:\n$plan")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     graft.functions.CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
