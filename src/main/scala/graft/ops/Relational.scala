@@ -162,8 +162,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        StableStats.chargedSum(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
         StableStats.centsMean(col("l_quantity")).as("avg_qty"),
         StableStats.centsMean(col("l_extendedprice")).as("avg_price"),
         StableStats.centsMean(col("l_discount")).as("avg_disc"),
@@ -180,7 +180,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
       .join(li, col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -204,7 +204,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "inner")
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "inner")
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -276,7 +276,32 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
 
+  /** TPC-H Q7-shaped volume shipping: the SAME dim (nation) joined twice
+    * under different roles (supplier's vs customer's nation) — alias
+    * discipline + two broadcasts; fact side shuffles once for the
+    * orders⋈lineitem join, then one hash-agg on (year, nation pair). */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation") =!= col("cust_nation")
+        && col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping"     -> (volumeShipping _),
     "a_rollup"               -> (rollupSummary _),
     "r_pivot_wide"           -> (pivotWide _),
     "a_count_distinct"       -> (countDistinctUsers _),
@@ -306,6 +331,20 @@ object Relational {
       s"max(CASE WHEN signal_name = '${t}_$s' THEN value END) AS ${t}_$s").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -406,8 +445,8 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+        |  ${StableStats.chargedSumSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
         |  ${StableStats.centsMeanSql("l_quantity")} AS avg_qty,
         |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price,
         |  ${StableStats.centsMeanSql("l_discount")} AS avg_disc,
@@ -415,8 +454,8 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -424,7 +463,7 @@ object Relational {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      s"""SELECT n_name, ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

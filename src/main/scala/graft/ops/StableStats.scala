@@ -59,4 +59,30 @@ object StableStats {
 
   def ratioSql(a: String, b: String): String =
     stableRoundSql(s"CAST($a AS DOUBLE) / ($b)", 4)
+
+  /** Σ price·(1−disc) rounded to 2dp, exact-integer formulation: cents ×
+    * (100−disc%) accumulates in 10⁻⁴-dollar integer units. Plain
+    * `round(sum(price*(1-disc)), 2)` is hazardous — the products are
+    * 4-decimal values whose sums DO land on exact `.xx5` halves (observed:
+    * a 1-cent cross-engine flip), unlike sums of raw 2-decimal columns. */
+  def discountedSum(price: Column, disc: Column): Column =
+    stableRound(
+      sum(round(price * 100).cast("long") * (lit(100L) - round(disc * 100).cast("long")))
+        .cast("double") / lit(1e4), 2)
+
+  def discountedSumSql(price: String, disc: String): String =
+    stableRoundSql(
+      s"CAST(sum(CAST(round(($price) * 1e2) AS BIGINT) * (100 - CAST(round(($disc) * 1e2) AS BIGINT))) AS DOUBLE) / 1e4", 2)
+
+  /** Σ price·(1−disc)·(1+tax) rounded to 2dp — 10⁻⁶-dollar integer units. */
+  def chargedSum(price: Column, disc: Column, tax: Column): Column =
+    stableRound(
+      sum(round(price * 100).cast("long") * (lit(100L) - round(disc * 100).cast("long"))
+        * (lit(100L) + round(tax * 100).cast("long")))
+        .cast("double") / lit(1e6), 2)
+
+  def chargedSumSql(price: String, disc: String, tax: String): String =
+    stableRoundSql(
+      s"CAST(sum(CAST(round(($price) * 1e2) AS BIGINT) * (100 - CAST(round(($disc) * 1e2) AS BIGINT))" +
+        s" * (100 + CAST(round(($tax) * 1e2) AS BIGINT))) AS DOUBLE) / 1e6", 2)
 }

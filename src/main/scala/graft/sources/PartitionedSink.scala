@@ -37,4 +37,30 @@ object PartitionedSink {
       }
     }
   }
+
+  /** Small-file compaction for a day-partitioned lake: rewrite each
+    * partition's many micro-batch files into `filesPerDay` files. Uses the
+    * same dynamic-overwrite path as [[writeDaily]], so a crash mid-compact
+    * at worst leaves some days uncompacted, never corrupt/mixed.
+    * (The streaming sink produces one file per micro-batch; readers pay
+    * per-file open cost, so periodic compaction is part of the lake
+    * contract at scale.) */
+  def compactDaily(spark: org.apache.spark.sql.SparkSession, path: String,
+      filesPerDay: Int = 1): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val df = spark.read.parquet(path)
+        .repartition(filesPerDay, col("day"))
+      // must materialize BEFORE overwriting the same path: localCheckpoint
+      // breaks the read-your-own-overwrite cycle
+      df.localCheckpoint(true)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

@@ -22,6 +22,23 @@ import graft.ops.SensorPipeline
   */
 object SensorStream {
 
+  /** File-based streaming source over the driver's events parquet — the
+    * real `readStream` path (new files in `dir` would be picked up
+    * incrementally; `Trigger.AvailableNow` drains what exists). Handles
+    * the TIMESTAMP(NANOS) column exactly like the batch reader
+    * ([[graft.Tables.events]]): nanos read as long, integer-div to µs. */
+  def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Tables.table(spark, dir, "events").schema
+    // the table is a single parquet FILE; stream sources take a directory,
+    // so stream the parent dir with a glob pinned to this table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** events stream → windowed wide aggregate (append-mode compatible):
     * the EXACT same agg expressions as batch — `SensorPipeline.wideAgg`
     * applied to a watermarked stream. */

@@ -41,6 +41,24 @@ class SourcesSpec extends SparkSpec {
     assert(n % 8 === 0, "etl_process.py:195 `len(long) // 8` invariant")
   }
 
+  test("compaction: many small files per day collapse to one, data intact") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/fact"
+    // 5 separate appends → ≥5 files in the day-1 partition
+    (1 to 5).foreach { i =>
+      Seq((java.sql.Timestamp.valueOf(s"2024-01-01 0$i:00:00"), i, i.toDouble))
+        .toDF("timestamp", "signal_id", "value")
+        .withColumn("day", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("day").parquet(out)
+    }
+    def dataFiles = new java.io.File(s"$out/day=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles >= 5)
+    val before = spark.read.parquet(out).orderBy("signal_id").collect().toSeq
+    PartitionedSink.compactDaily(spark, out)
+    assert(dataFiles === 1, "day partition must collapse to one file")
+    assert(spark.read.parquet(out).orderBy("signal_id").collect().toSeq === before)
+  }
+
   test("partitioned sink: re-running a day replaces, not duplicates (fixes §2.8)") {
     val out = Files.createTempDirectory("graft-sink").toString + "/fact"
     val day1 = Seq(
