@@ -300,7 +300,35 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q10-shaped returned-item reporting: customers ranked by revenue
+    * lost to returns — join/filter/agg then TakeOrdered top-20. */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** TPC-H Q2-shaped minimum-cost selection: rows matching their group's
+    * minimum — the correlated-subquery pattern rewritten as a window min
+    * (one partitioned pass; a correlated subquery would rescan per row). */
+  def minCostParts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(spark, dir)
+      .withColumn("min_price", min(col("p_retailprice")).over(w))
+      .where(col("p_retailprice") === col("min_price"))
+      .select(col("p_type"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy("p_type", "p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items"     -> (returnedItemReport _),
+    "q2_min_cost_parts"      -> (minCostParts _),
     "q7_volume_shipping"     -> (volumeShipping _),
     "a_rollup"               -> (rollupSummary _),
     "r_pivot_wide"           -> (pivotWide _),
@@ -331,6 +359,24 @@ object Relational {
       s"max(CASE WHEN signal_name = '${t}_$s' THEN value END) AS ${t}_$s").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q2_min_cost_parts" ->
+      """SELECT p_type, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT p_type, p_partkey, p_name, p_retailprice,
+        |    min(p_retailprice) OVER (PARTITION BY p_type) AS min_price
+        |  FROM part)
+        |WHERE p_retailprice = min_price
+        |ORDER BY p_type, p_partkey""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
