@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, count => fcount, lit}
+
+import graft.Tables
+
+/** The `spark.sql(...)` surface: registered temp views + one dialect-shared
+  * SQL text. The statement below is written in the ANSI intersection of
+  * Spark SQL and DuckDB — the ORACLE IS THE SAME STRING, so this query
+  * demonstrates that a reference user's SQL can run verbatim on both the
+  * engine and the oracle. */
+object SqlSurface {
+
+  /** Shared-dialect pricing summary (stable-sum formulation inlined so the
+    * text is engine-portable: CAST/round/floor/sum/count only). */
+  val pricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  round(sum(l_extendedprice), 2) AS sum_base_price,
+       |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ${StableStats.centsMeanSql("l_quantity")} AS avg_qty,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def sqlPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(pricingSql)
+  }
+
+  /** Approximate-sketch toolbox: HLL++ distinct counts and quantile
+    * sketches next to their exact counterparts (self-evidencing — the
+    * approx value must bracket the exact one). Sketches are
+    * engine-specific by nature → no DuckDB oracle (rows-only check). */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(
+        expr("approx_count_distinct(user_id)").as("approx_users"),
+        expr("count(distinct user_id)").as("exact_users"),
+        expr("round(approx_percentile(value, 0.5), 4)").as("approx_p50"),
+        expr("round(percentile(value, 0.5), 4)").as("exact_p50"),
+        fcount(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pricing_summary" -> (sqlPricingSummary _),
+    "a_approx_sketches"   -> (approxSketches _)
+  )
+
+  /** The oracle for the SQL-surface query is the very same string. */
+  val oracles: Map[String, String] = Map(
+    "sql_pricing_summary" -> pricingSql
+  )
+}
