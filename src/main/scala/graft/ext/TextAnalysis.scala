@@ -111,7 +111,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language character-bigram frequency profile (top-5 by count,
+    * bigram tie-break) — the n-gram statistics real language-ID models
+    * train on. Bigrams explode map-side; one (lang, bigram) hash-agg. */
+  def charBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("freq").desc, col("bigram").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("bigram"), col("freq"))
+      .orderBy("lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_char_bigrams" -> (charBigrams _),
     "x_text_tokens"      -> (tokenCounts _),
     "x_text_quality"     -> (qualityScore _),
     "x_text_langid"      -> (languageId _),
@@ -122,6 +139,17 @@ object TextAnalysis {
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "x_text_char_bigrams" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rn, bigram, freq FROM (
+        |  SELECT lang, bigram, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, bigram ASC) AS rn
+        |  FROM (
+        |    SELECT lang, bg AS bigram, count(*) AS freq FROM (
+        |      SELECT lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |        i -> substr(text, i, 2))) AS bg
+        |      FROM documents)
+        |    GROUP BY lang, bg))
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "x_text_tokens" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_calc,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

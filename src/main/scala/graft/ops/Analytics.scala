@@ -116,6 +116,21 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("bucket")
 
+  /** Inter-event gap analytics per user: lag-based µs gaps (exact ints)
+    * then exact-integer mean/max/count — engagement-cadence stats. */
+  def userGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        StableStats.intMean(col("gap_us")).as("avg_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   /** S9: catalog/structure introspection — schema of every test table as
     * data (reference `dagster/assets.py:250-394`). Driver-side metadata,
     * not SQL-expressible over the tables themselves → no oracle entry
@@ -159,6 +174,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_array_agg"      -> (arrayAgg _),
     "f_null_scalars"   -> (nullScalars _),
+    "x_user_gaps"      -> (userGaps _),
     "a_sliding_window" -> (slidingWindow _),
     "a_session_window" -> (sessionWindow _),
     "a7_column_stats"  -> (columnStats _),
@@ -171,6 +187,16 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_user_gaps" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_gaps,
+         |  ${StableStats.intMeanSql("gap_us")} AS avg_gap_us,
+         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a_sliding_window" ->
       s"""SELECT win_start, count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value
          |FROM (
