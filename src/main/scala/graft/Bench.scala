@@ -1,6 +1,30 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint (driver contract): times headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * The line is deliberately SHORT (headline subset, 3-decimal values): the
+  * driver parses the JSON from a bounded tail of captured stdout, so a
+  * line carrying all ~70 per-query timings gets its head truncated and
+  * fails to parse (observed in round 1). `SPARK_GRAFT_BENCH_ALL=1` times
+  * the full registry instead (local profiling only).
+  *
+  * Failures are explicit: a query that throws contributes -1 and lands in
+  * an `"errors"` list — a broken query can never masquerade as a fast one.
+  */
 object Bench {
+  /** Representative heavy/headline queries across the engine's surfaces:
+    * TPC-H shapes, window/session analytics, the reference pipeline, and
+    * the LLM-data extensions (dedup/similarity/text). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q7_volume_shipping",
+    "q10_returned_items", "j1_fact_dim_stats", "p2_pipeline_day",
+    "a1_window_agg", "a_session_window", "x_sessionize",
+    "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_sim_topk_brute",
+    "x_text_tfidf", "x_dup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,7 +34,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fns = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = SparkEntry.queries
+    val fns =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.toSeq.sortBy(_._1)
+      else headline.flatMap(n => all.get(n).map(n -> _))
     // One untimed warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the
     // timed numbers then measure the engine's steady state instead of
     // one-off JVM/classloader/Janino-codegen costs, which otherwise
@@ -21,13 +48,16 @@ object Bench {
       }
     val results = fns.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,11 +40,14 @@ object Curation {
   }
 
   /** Near-dup cluster resolution: connected components over the MinHash-LSH
-    * candidate pairs via iterative min-label propagation (8 rounds — LSH
-    * components are near-cliques, diameter ≪ 8). Each round is one tiny
-    * join + agg over O(edges); labels are persisted per round so lineage
-    * stays linear. Output: (doc_id, cluster) for every doc in some pair,
-    * cluster = smallest doc_id in its component (the canonical keeper). */
+    * candidate pairs via iterative min-label propagation TO A FIXPOINT —
+    * each round is one tiny join + agg over O(edges); the loop stops when a
+    * round changes zero labels (LSH components are near-cliques, so the
+    * expected round count is small, but chained near-dups with diameter
+    * > any fixed constant still resolve correctly). Labels are
+    * checkpointed per round so lineage stays linear. Output: (doc_id,
+    * cluster) for every doc in some pair, cluster = smallest doc_id in its
+    * component (the canonical keeper). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(spark, dir) // (doc_a < doc_b), already distinct
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -52,19 +55,28 @@ object Curation {
       .persist()
     // localCheckpoint (eager) TRUNCATES the logical plan each round — each
     // iteration references the previous labels twice, so without the cut
-    // the analyzed plan doubles per round (2^8 subtrees ⇒ analyzer OOM,
+    // the analyzed plan doubles per round (2^N subtrees ⇒ analyzer OOM,
     // observed). On a real cluster use reliable checkpointing instead
     // (localCheckpoint is lost with an executor).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint(true)
-    for (_ <- 1 to 8) {
+    var converged = false
+    var rounds = 0
+    // hard cap = label-propagation worst case is the graph diameter; 256 is
+    // an OOM/runaway guard far above any plausible LSH-component diameter,
+    // not a correctness bound — the loop exits on the fixpoint.
+    while (!converged && rounds < 256) {
+      rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("doc_id2")).agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
-        .select(labels("doc_id"),
+      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
+        .select(labels("doc_id"), labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
         .localCheckpoint(true)
+      converged = step.where(col("label") =!= col("old_label")).isEmpty
+      labels = step.select(col("doc_id"), col("label"))
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 

@@ -90,7 +90,9 @@ object Multimodal {
         sha2(col("media"), 256).as("sha256"),
         (lit(1) + (col("n_chars") * 7919) % 640).as("fake_width"),
         (lit(1) + (col("n_chars") * 104729) % 480).as("fake_height"),
-        expr("transform(sequence(0, 3), i -> ascii(substring(text, i * cast(floor(length(text) / 4) as int) + 1, 1)))")
+        // joined string, not a raw array: the driver's pandas compare
+        // cannot hash/sort array cells
+        expr("array_join(transform(sequence(0, 3), i -> cast(ascii(substring(text, i * cast(floor(length(text) / 4) as int) + 1, 1)) as string)), ',')")
           .as("frame_sample"))
       .orderBy("doc_id")
 
@@ -145,8 +147,8 @@ object Multimodal {
         |  sha256(text) AS sha256,
         |  1 + (n_chars * 7919) % 640 AS fake_width,
         |  1 + (n_chars * 104729) % 480 AS fake_height,
-        |  list_transform(generate_series(0, 3),
-        |    i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1))) AS frame_sample
+        |  array_to_string(list_transform(generate_series(0, 3),
+        |    i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1))), ',') AS frame_sample
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -149,12 +149,14 @@ object Analytics {
 
   /** A-array: deterministic array aggregation — per event_type, the SORTED
     * set of high-value user ids (collect_set is unordered in any engine;
-    * sort_array pins a comparable value). */
+    * sort_array pins a comparable value). Emitted as a joined string —
+    * the driver's pandas compare cannot sort raw array cells. */
   def arrayAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .where(col("value") > 400)
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_set(col("user_id"))).as("users"),
+      .agg(expr("array_join(transform(sort_array(collect_set(user_id)), x -> cast(x as string)), ',')")
+        .as("users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
@@ -222,7 +224,8 @@ object Analytics {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
     "a_array_agg" ->
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users, count(*) AS n
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users, count(*) AS n
         |FROM events WHERE value > 400
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f_null_scalars" ->

@@ -26,7 +26,10 @@ object QualityChecks {
 
     def check(name: String, observed: org.apache.spark.sql.Column, passed: org.apache.spark.sql.Column,
         src: DataFrame): DataFrame =
-      src.agg(observed.cast("long").as("observed"), passed.as("passed"))
+      // `passed` as int (not boolean): the driver's pandas compare renders
+      // DuckDB HUGEINT/bool columns inconsistently with Spark's — ints are
+      // the stable cross-engine representation.
+      src.agg(observed.cast("long").as("observed"), passed.cast("int").as("passed"))
         .select(lit(name).as("check_name"), col("observed"), col("passed"))
 
     val rowCount = check("events_nonempty", count(lit(1)), count(lit(1)) > 0, events)
@@ -56,7 +59,8 @@ object QualityChecks {
 
   val oracles: Map[String, String] = Map(
     "x_quality_checks" ->
-      """SELECT * FROM (
+      """SELECT check_name, CAST(observed AS BIGINT) AS observed,
+        |  CAST(passed AS INTEGER) AS passed FROM (
         |  SELECT 'events_nonempty' AS check_name, count(*) AS observed, count(*) > 0 AS passed FROM events
         |  UNION ALL
         |  SELECT 'events_ts_not_null', sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),

@@ -29,6 +29,10 @@ object Skew {
       .groupBy(key.as("k"), col("__salt"))
       .agg(
         count(lit(1)).as("pc"),
+        // non-null partial count: the mean's denominator must exclude NULL
+        // values (count(valueCol)) to match centsMean / count(value)
+        // semantics, while `n` stays a row count (count(*)).
+        count(valueCol).as("pcv"),
         sum(round(valueCol * 100).cast("long")).as("pcents"),
         min(valueCol).as("pmin"),
         max(valueCol).as("pmax"))
@@ -37,7 +41,7 @@ object Skew {
       .agg(
         sum(col("pc")).as("n"),
         StableStats.stableRound(
-          sum(col("pcents")).cast("double") / sum(col("pc")) / lit(100.0), 4).as("avg_value"),
+          sum(col("pcents")).cast("double") / sum(col("pcv")) / lit(100.0), 4).as("avg_value"),
         min(col("pmin")).as("min_value"),
         max(col("pmax")).as("max_value"))
   }

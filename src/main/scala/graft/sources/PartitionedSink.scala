@@ -39,19 +39,32 @@ object PartitionedSink {
   }
 
   /** Small-file compaction for a day-partitioned lake: rewrite each
-    * partition's many micro-batch files into `filesPerDay` files. Uses the
-    * same dynamic-overwrite path as [[writeDaily]], so a crash mid-compact
-    * at worst leaves some days uncompacted, never corrupt/mixed.
+    * partition's many micro-batch files into at most `filesPerDay` files.
+    * Each day's rows are spread over `filesPerDay` sub-splits by a
+    * deterministic row hash, so repartitioning on (day, split) actually
+    * divides a day across tasks — repartitioning on `day` alone would put
+    * each whole day in one task and always emit one file per day.
     * (The streaming sink produces one file per micro-batch; readers pay
     * per-file open cost, so periodic compaction is part of the lake
-    * contract at scale.) */
+    * contract at scale.)
+    *
+    * Durability scope: the read-then-overwrite-same-path cycle is held
+    * together by an EAGER localCheckpoint, whose blocks live in executor
+    * storage — fine for a single-node/dev lake (this container). On a
+    * multi-node cluster an executor loss mid-write is unrecoverable from
+    * the checkpoint; use write-to-temp-then-swap or reliable (HDFS/object
+    * store) checkpointing for the compaction path there. */
   def compactDaily(spark: org.apache.spark.sql.SparkSession, path: String,
       filesPerDay: Int = 1): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val df = spark.read.parquet(path)
-        .repartition(filesPerDay, col("day"))
+      val raw = spark.read.parquet(path)
+      val dataCols = raw.columns.filter(_ != "day").map(col).toSeq
+      val df = raw
+        .withColumn("__split", pmod(hash(dataCols: _*), lit(filesPerDay)))
+        .repartition(col("day"), col("__split"))
+        .drop("__split")
       // must materialize BEFORE overwriting the same path: localCheckpoint
       // breaks the read-your-own-overwrite cycle
       df.localCheckpoint(true)

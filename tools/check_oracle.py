@@ -6,23 +6,27 @@ the Scala engine never depends on this). Usage:
 
 Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
-<sfDir>/*.parquet, and compares: column names (sorted), row count, and
-values in row order.
+<sfDir>/*.parquet, and compares THE WAY THE DRIVER DOES: both sides go
+through pandas, columns sorted by name, rows sorted by all columns
+(pandas lexsort — raises on unhashable cells like numpy arrays, exactly
+as the driver's gate does), then cell-by-cell str() equality. This
+reproduces driver-side failure modes the previous fetchall() compare
+masked: DuckDB HUGEINT→float64 ("1.0" vs "1") and array-cell outputs.
 """
-import json, sys, math
+import json, sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    return str(v)
+def canon(df):
+    """Driver-style canonical form: sorted columns, lexsorted rows, str cells."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.astype(str)
 
 
 def main():
@@ -37,29 +41,26 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            duck_rel = con.sql(sql)
-            scols, dcols = sorted(spark_rel.columns), sorted(duck_rel.columns)
+            sdf = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            ddf = con.sql(sql).df()
+            scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
             if scols != dcols:
                 print(f"FAIL {name}: columns {scols} vs {dcols}")
                 n_fail += 1
                 continue
-            srows = spark_rel.select(", ".join(f'"{c}"' for c in scols)).fetchall()
-            drows = duck_rel.select(", ".join(f'"{c}"' for c in dcols)).fetchall()
-            if len(srows) != len(drows):
-                print(f"FAIL {name}: rows {len(srows)} vs {len(drows)}")
+            if len(sdf) != len(ddf):
+                print(f"FAIL {name}: rows {len(sdf)} vs {len(ddf)}")
                 n_fail += 1
                 continue
-            bad = None
-            for i, (a, b) in enumerate(zip(srows, drows)):
-                if [norm(x) for x in a] != [norm(x) for x in b]:
-                    bad = (i, a, b)
-                    break
-            if bad:
-                print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            a, b = canon(sdf), canon(ddf)
+            if not a.equals(b):
+                neq = (a != b).any(axis=1)
+                i = int(neq.idxmax())
+                print(f"FAIL {name}: first diff at sorted row {i}\n"
+                      f"  spark={a.iloc[i].to_dict()}\n  duck ={b.iloc[i].to_dict()}")
                 n_fail += 1
             else:
-                print(f"PASS {name} ({len(srows)} rows)")
+                print(f"PASS {name} ({len(sdf)} rows)")
                 n_pass += 1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
