@@ -127,7 +127,29 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-shard sequence packing — the 100 TB path [[packBins]]'s Scaladoc
+    * promises: shard by content-stable hash, then pack WITHIN each shard
+    * with a partitioned window. No global ordering anywhere — each shard's
+    * running sum is an independent partition of one shuffle, so the
+    * operator scales linearly with shard count. Bin identity is
+    * (shard, bin). */
+  def packShards(spark: SparkSession, dir: String, budget: Long = 2000,
+      shards: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", md5(concat(lit("pack|"), col("doc_id"))))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(md5(concat('shard|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % $shards"))
+      .withColumn("pre_total", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("pre_total") / budget).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
@@ -137,6 +159,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('pack|' || CAST(doc_id AS VARCHAR)) AS h,
+        |    ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_total
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, CAST(floor(pre_total / 2000) AS BIGINT) AS bin
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x_outliers" -> {
       import graft.ops.StableStats
       s"""WITH stats AS (

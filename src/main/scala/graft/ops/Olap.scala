@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** OLAP surface beyond the reference's own queries: multi-dimensional
+  * grouping (CUBE + GROUPING), market-share two-level aggregation (TPC-H
+  * Q8 shape), range-frame running windows, INTERSECT, and the
+  * higher-order array-function battery over the embeddings table.
+  *
+  * Scale stance mirrors `Relational`: dims broadcast, fact side shuffles
+  * at most once per join key, every rational ratio goes through exact
+  * integer sums (`StableStats` discipline) so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object Olap {
+
+  /** CUBE over (returnflag, linestatus) with GROUPING indicators — all
+    * four grouping sets in ONE pass (Spark plans an Expand, still a single
+    * hash-agg shuffle of O(groups × 4)). The reference has no grouping
+    * sets (SURVEY.md §2.4 notes the absence); this is the engine-native
+    * form of "summary at every marginal". */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** TPC-H Q8-shaped market share: per order-year, the fraction of
+    * ASIA-customer revenue supplied by NATION_7. Two-level aggregation in
+    * one pass — numerator as a conditional sum beside the denominator, so
+    * no self-join, no second scan. Revenue units are exact integers
+    * (cents × (100−disc)) end-to-end; the share divides the two integer
+    * sums as a fixed IEEE op sequence (StableStats discipline). */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("units",
+        round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        StableStats.stableRound(
+          sum(when(col("supp_nation") === "NATION_7", col("units")).otherwise(0L)).cast("double")
+            / sum(col("units")).cast("double"), 6).as("mkt_share"),
+        StableStats.stableRound(sum(col("units")).cast("double") / lit(1e4), 2).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** Range-frame running window: per order priority, each day's revenue
+    * plus the trailing-7-day revenue — `rangeBetween(-6, 0)` over an
+    * integer day number. Daily totals are aggregated FIRST (one hash-agg
+    * shrinks the window input to O(days × priorities)), and revenue stays
+    * in exact integer cents through the frame sum, so sliding-frame
+    * accumulation order can't drift between engines. */
+  def runningRange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day_num"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d_cents", sum(col("day_cents")).over(w))
+      .select(col("o_orderpriority"), col("day_num"),
+        (col("day_cents").cast("double") / 100.0).as("daily_rev"),
+        (col("rev_7d_cents").cast("double") / 100.0).as("rev_7d"))
+      .orderBy("o_orderpriority", "day_num")
+  }
+
+  /** U-intersect: nation keys present among BOTH high-balance customers
+    * and high-balance suppliers — completes the set-op family (union and
+    * except exist in Relational). Spark plans INTERSECT as a left-semi
+    * aggregate; both inputs are pre-shrunk by their filters. */
+  def intersectNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).where(col("c_acctbal") > 7500)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        Tables.supplier(spark, dir).where(col("s_acctbal") > 7500)
+          .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** F-array: higher-order function battery over `embeddings.embedding`
+    * (ArrayType(FloatType)) — size / filter / slice+transform+aggregate /
+    * element access, the array toolkit a vector pipeline leans on. The L1
+    * partial sum quantizes |x| to 1e-4 units as exact integers BEFORE
+    * summing, so element-order FP drift is impossible cross-engine. */
+  def arrayScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 200)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        expr("cast(aggregate(transform(slice(embedding, 1, 8), " +
+          "x -> cast(round(abs(cast(x as double)) * 1e4) as bigint)), 0L, (a, x) -> a + x) " +
+          "as double) / 1e4").as("l1_head8"),
+        expr("round(cast(element_at(embedding, 3) as double), 6)").as("e3"))
+      .orderBy("vec_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_cube_summary"     -> (cubeSummary _),
+    "q8_market_share"    -> (marketShare _),
+    "w_running_range"    -> (runningRange _),
+    "u_intersect_nations" -> (intersectNations _),
+    "f_array_scalars"    -> (arrayScalars _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH t AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    CAST(round(l_extendedprice * 1e2) AS BIGINT)
+         |      * (100 - CAST(round(l_discount * 1e2) AS BIGINT)) AS units,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01')
+         |SELECT o_year,
+         |  ${StableStats.stableRoundSql(
+              "CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN units ELSE 0 END) AS DOUBLE)" +
+                " / CAST(sum(units) AS DOUBLE)", 6)} AS mkt_share,
+         |  ${StableStats.stableRoundSql("CAST(sum(units) AS DOUBLE) / 1e4", 2)} AS total_revenue,
+         |  count(*) AS n_lines
+         |FROM t GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "w_running_range" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_num,
+        |    sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS day_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day_num,
+        |  CAST(day_cents AS DOUBLE) / 1e2 AS daily_rev,
+        |  CAST(sum(day_cents) OVER (PARTITION BY o_orderpriority ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2 AS rev_7d
+        |FROM daily ORDER BY o_orderpriority, day_num""".stripMargin,
+    "u_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7500
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 7500
+        |ORDER BY nationkey""".stripMargin,
+    "f_array_scalars" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  CAST(list_sum(list_transform(embedding[1:8],
+        |    x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1e4) AS BIGINT))) AS DOUBLE) / 1e4 AS l1_head8,
+        |  round(CAST(embedding[3] AS DOUBLE), 6) AS e3
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
+  )
+}
