@@ -121,7 +121,62 @@ object Olap {
         expr("round(cast(element_at(embedding, 3) as double), 6)").as("e3"))
       .orderBy("vec_id")
 
+  /** TPC-H Q6-shaped forecast revenue: pure filter + global agg — every
+    * predicate (date band, discount band, quantity cap) pushes into the
+    * parquet scan, so the shuffle carries ONE partial row per task. The
+    * price×discount product is a 4-decimal value whose sums land on exact
+    * halves; units are exact integers (cents × disc_cents = 1e-4 dollars). */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(
+        StableStats.stableRound(
+          sum(round(col("l_extendedprice") * 100).cast("long")
+            * round(col("l_discount") * 100).cast("long")).cast("double") / lit(1e4), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q12-shaped priority counts: conditional aggregation over the
+    * lineitem⋈orders join — high/low order-priority line counts per return
+    * flag (the test schema has no shipmode column; the SHAPE — join then
+    * CASE-split counts — is what the operator exercises). */
+  def priorityLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q14-shaped promo revenue share: percentage of one month's
+    * discounted revenue from PROMO parts — broadcast part join, numerator
+    * as a conditional sum beside the denominator (single pass), exact
+    * integer units through the ratio. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01"))
+        && col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .withColumn("units",
+        round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .agg(
+        StableStats.stableRound(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", col("units")).otherwise(0L)).cast("double")
+            / sum(col("units")).cast("double"), 4).as("promo_pct"),
+        StableStats.stableRound(sum(col("units")).cast("double") / lit(1e4), 2).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (forecastRevenue _),
+    "q12_priority_lines"  -> (priorityLines _),
+    "q14_promo_revenue"   -> (promoRevenue _),
     "a_cube_summary"     -> (cubeSummary _),
     "q8_market_share"    -> (marketShare _),
     "w_running_range"    -> (runningRange _),
@@ -130,6 +185,35 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      s"""SELECT
+         |  ${StableStats.stableRoundSql(
+              "CAST(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)" +
+                " * CAST(round(l_discount * 1e2) AS BIGINT)) AS DOUBLE) / 1e4", 2)} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 5e-2 AND 7e-2 AND l_quantity < 24""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH t AS (
+         |  SELECT CAST(round(l_extendedprice * 1e2) AS BIGINT)
+         |      * (100 - CAST(round(l_discount * 1e2) AS BIGINT)) AS units,
+         |    p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+         |SELECT
+         |  ${StableStats.stableRoundSql(
+              "1e2 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END) AS DOUBLE)" +
+                " / CAST(sum(units) AS DOUBLE)", 4)} AS promo_pct,
+         |  ${StableStats.stableRoundSql("CAST(sum(units) AS DOUBLE) / 1e4", 2)} AS total_revenue,
+         |  count(*) AS n_lines
+         |FROM t""".stripMargin,
     "a_cube_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,

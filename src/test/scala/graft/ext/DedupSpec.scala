@@ -47,6 +47,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(4L) })
   }
 
+  test("minhash: udaf Aggregator path is bit-equal to the codegen k-min path") {
+    import org.apache.spark.sql.{functions => F}
+    val K = 8
+    val P = 4294967311L
+    val sh = graft.Tables.documents(spark, dir)
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("w"))
+      .where(F.size(F.col("w")) >= 3)
+      .select(F.col("doc_id"),
+        F.explode(F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
+      .withColumn("h1", F.expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", F.expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
+    val mhSig = F.udaf(new graft.functions.MinHashSignature(K, P),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val viaUdaf = sh.groupBy(F.col("doc_id")).agg(mhSig(F.col("h1"), F.col("h2")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val mins = (0 until K).map(i =>
+      F.min(F.pmod(F.col("h1") + F.lit(i.toLong) * F.col("h2"), F.lit(P))).as(s"m$i"))
+    val viaExpr = sh.groupBy(F.col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong).toVector).toMap
+    assert(viaUdaf === viaExpr)
+  }
+
   test("simhash: identical docs get identical signatures (hamming 0)") {
     val sigs = Dedup.simhashSignatures(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
