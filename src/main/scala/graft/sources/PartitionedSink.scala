@@ -60,10 +60,14 @@ object PartitionedSink {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val raw = spark.read.parquet(path)
+      val days = raw.select("day").distinct().count().toInt max 1
       val dataCols = raw.columns.filter(_ != "day").map(col).toSeq
+      // explicit partition count: a column-only repartition is subject to
+      // AQE partition coalescing, which folds small days back into one
+      // task (= one file) regardless of the requested split
       val df = raw
         .withColumn("__split", pmod(hash(dataCols: _*), lit(filesPerDay)))
-        .repartition(col("day"), col("__split"))
+        .repartition(days * filesPerDay, col("day"), col("__split"))
         .drop("__split")
       // must materialize BEFORE overwriting the same path: localCheckpoint
       // breaks the read-your-own-overwrite cycle

@@ -84,4 +84,29 @@ object StatefulOps {
           }
       }
   }
+
+  /** Stream-stream interval join: attribute each conversion to the same
+    * user's click that happened within `window` BEFORE it. Both sides are
+    * watermarked and the join condition bounds conversion time inside
+    * [click_ts, click_ts + window], so each side's state store holds only
+    * rows younger than watermark + window — bounded memory at any scale
+    * (an unbounded-condition stream join would retain both streams
+    * forever). Inner join → emits as soon as both rows arrive; the
+    * watermark only drives state eviction.
+    *
+    * Inputs must carry (`user_id`, `click_ts`) and (`user_id`,
+    * `conv_ts`) respectively. */
+  def clickConversionJoin(clicks: DataFrame, conversions: DataFrame,
+      watermark: String = "10 minutes", window: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = clicks.withWatermark("click_ts", watermark)
+    val v = conversions.withWatermark("conv_ts", watermark)
+      .withColumnRenamed("user_id", "conv_user")
+    c.join(v,
+      col("user_id") === col("conv_user")
+        && col("conv_ts") >= col("click_ts")
+        && col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      "inner")
+      .drop("conv_user")
+  }
 }

@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
     assert(viaUdaf === viaExpr)
   }
 
+  test("simhash: udaf Aggregator path is bit-equal to the codegen vote-sum path") {
+    import org.apache.spark.sql.{functions => F}
+    val toks = graft.Tables.documents(spark, dir)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(F.split(F.col("text"), " "))).as("tok"))
+      .withColumn("h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+    val vote = F.udaf(new graft.functions.SimHashVote(32),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val viaUdaf = toks.groupBy(F.col("doc_id")).agg(vote(F.col("h")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUdaf === viaExpr)
+  }
+
   test("simhash: identical docs get identical signatures (hamming 0)") {
     val sigs = Dedup.simhashSignatures(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -59,6 +59,28 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).orderBy("signal_id").collect().toSeq === before)
   }
 
+  test("compaction: filesPerDay > 1 actually splits a day into multiple files") {
+    val out = Files.createTempDirectory("graft-compact-n").toString + "/fact"
+    // one day, 64 rows across 8 appends → 8+ micro-files
+    (0 until 8).foreach { i =>
+      (0 until 8).map(j =>
+        (java.sql.Timestamp.valueOf(f"2024-01-01 ${i * 3}%02d:0$j:00"), i * 8 + j, j.toDouble))
+        .toDF("timestamp", "signal_id", "value")
+        .withColumn("day", to_date(col("timestamp")))
+        .write.mode("append").partitionBy("day").parquet(out)
+    }
+    def dataFiles = new java.io.File(s"$out/day=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dataFiles >= 8)
+    val before = spark.read.parquet(out).orderBy("signal_id").collect().toSeq
+    PartitionedSink.compactDaily(spark, out, filesPerDay = 4)
+    // hash sub-split is deterministic; the day must actually divide
+    // (repartition on day alone would always produce exactly 1)
+    assert(dataFiles > 1 && dataFiles <= 4,
+      s"expected 2..4 files after filesPerDay=4 compaction, got $dataFiles")
+    assert(spark.read.parquet(out).orderBy("signal_id").collect().toSeq === before)
+  }
+
   test("partitioned sink: re-running a day replaces, not duplicates (fixes §2.8)") {
     val out = Files.createTempDirectory("graft-sink").toString + "/fact"
     val day1 = Seq(

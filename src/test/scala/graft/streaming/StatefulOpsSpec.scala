@@ -62,4 +62,28 @@ class StatefulOpsSpec extends SparkSpec {
         s"burst-2 session should close by timeout: ${s2.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: conversion attributes only to in-window click") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val convs  = MemoryStream[(Long, Timestamp)]
+    val out = StatefulOps.clickConversionJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      convs.toDF().toDF("user_id", "conv_ts"))
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 00:00:00")),  // in-window for user 1's conversion
+        (2L, ts("2024-01-01 00:00:00")))  // user 2 converts too late
+      convs.addData(
+        (1L, ts("2024-01-01 00:05:00")),  // 5 min after click → attributed
+        (2L, ts("2024-01-01 00:30:00")),  // 30 min after click → outside window
+        (3L, ts("2024-01-01 00:05:00")))  // no click at all
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .collect().map(r => r.getLong(0)).toSeq
+      assert(rows === Seq(1L), s"only user 1 attributes: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
 }
