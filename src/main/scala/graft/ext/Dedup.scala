@@ -145,14 +145,16 @@ object Dedup {
     * not counted toward the intersection, the standard candidate-pruning
     * tradeoff).
     *
-    * Plan shape — exactly TWO shuffles, ZERO joins:
-    * 1. per-doc shingle sets + their sizes are computed MAP-SIDE
-    *    (array_distinct over the in-row shingle array), then exploded to
-    *    (doc_id, n_sh, shingle);
-    * 2. shuffle 1: groupBy(shingle) collects (doc_id, n_sh) buckets;
-    * 3. unordered in-bucket pairs are exploded map-side CARRYING both set
-    *    sizes, so no size-lookup join is ever needed;
-    * 4. shuffle 2: groupBy(pair) counts shared shingles → Jaccard. */
+    * Plan shape: per-doc shingle sets + sizes are computed MAP-SIDE
+    * (array_distinct over the in-row shingle array) and exploded to
+    * (doc_id, n_sh, shingle); candidates come from a sort-merge SELF-JOIN
+    * on the shingle (one Exchange, reused for both sides), carrying both
+    * set sizes so no size-lookup join is needed; then one groupBy(pair)
+    * counts shared shingles → Jaccard. The tempting "zero-join"
+    * alternative — groupBy(shingle).collect_list then map-side pair
+    * explosion — measured 1.8× SLOWER at sf0.1 (2.12 vs 1.18 s): the
+    * nested pair-building HOF is interpreted and the bucket arrays
+    * re-shuffle everything the merge join streams. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // The persist() is a deliberate materialization barrier: `ss` is
     // referenced twice below (size + explode), the query tree branches
