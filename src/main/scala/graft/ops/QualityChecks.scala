@@ -32,11 +32,19 @@ object QualityChecks {
       src.agg(observed.cast("long").as("observed"), passed.cast("int").as("passed"))
         .select(lit(name).as("check_name"), col("observed"), col("passed"))
 
-    val rowCount = check("events_nonempty", count(lit(1)), count(lit(1)) > 0, events)
-    val nullTs   = check("events_ts_not_null", sum(when(col("ts").isNull, 1).otherwise(0)),
-      sum(when(col("ts").isNull, 1).otherwise(0)) === 0, events)
-    val valRange = check("events_value_positive", sum(when(col("value") <= 0, 1).otherwise(0)),
-      sum(when(col("value") <= 0, 1).otherwise(0)) === 0, events)
+    // all three per-row event checks come out of ONE scan + one agg (at
+    // 100 TB the fact scan dominates — N checks must not mean N scans),
+    // then stack to the one-row-per-check report shape
+    val eventChecks = events.agg(
+      count(lit(1)).cast("long").as("nonempty_obs"),
+      sum(when(col("ts").isNull, 1).otherwise(0)).cast("long").as("null_ts_obs"),
+      sum(when(col("value") <= 0, 1).otherwise(0)).cast("long").as("nonpos_obs"))
+      .selectExpr(
+        """stack(3,
+          |  'events_nonempty', nonempty_obs, cast(nonempty_obs > 0 as int),
+          |  'events_ts_not_null', null_ts_obs, cast(null_ts_obs = 0 as int),
+          |  'events_value_positive', nonpos_obs, cast(nonpos_obs = 0 as int)
+          |) as (check_name, observed, passed)""".stripMargin)
     // referential integrity: every order's custkey must exist in customer
     val orphans = orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
     val refInt = check("orders_custkey_resolves", count(lit(1)), count(lit(1)) === 0, orphans)
@@ -48,7 +56,7 @@ object QualityChecks {
     val lenMismatch = docs.where(length(col("text")) =!= col("n_chars"))
     val docLen = check("documents_n_chars_consistent", count(lit(1)), count(lit(1)) === 0, lenMismatch)
 
-    Seq(rowCount, nullTs, valRange, refInt, pkUnique, docLen)
+    Seq(eventChecks, refInt, pkUnique, docLen)
       .reduce(_ unionByName _)
       .orderBy("check_name")
   }

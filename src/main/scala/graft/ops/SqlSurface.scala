@@ -31,6 +31,23 @@ object SqlSurface {
     spark.sql(pricingSql)
   }
 
+  /** Shared-dialect GROUPING SETS — the explicit-sets form alongside the
+    * DataFrame-API rollup/cube queries; one Expand pass, one agg shuffle,
+    * and the ORACLE IS THE SAME STRING. */
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  def sqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
   /** Approximate-sketch toolbox: HLL++ distinct counts and quantile
     * sketches next to their exact counterparts (self-evidencing — the
     * approx value must bracket the exact one). Sketches are
@@ -48,11 +65,13 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> (sqlPricingSummary _),
+    "sql_grouping_sets"   -> (sqlGroupingSets _),
     "a_approx_sketches"   -> (approxSketches _)
   )
 
-  /** The oracle for the SQL-surface query is the very same string. */
+  /** The oracles for the SQL-surface queries are the very same strings. */
   val oracles: Map[String, String] = Map(
-    "sql_pricing_summary" -> pricingSql
+    "sql_pricing_summary" -> pricingSql,
+    "sql_grouping_sets"   -> groupingSetsSql
   )
 }
