@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Incremental aggregate maintenance — the 100 TB answer to the
+  * reference's nightly rebuild-everything analytics assets
+  * (`dagster/assets.py:189-222` recompute full-table stats on every run).
+  *
+  * Pattern: keep an O(days × groups) PARTIAL-aggregate table (exact
+  * integer sums, counts, min/max) maintained per daily partition — each
+  * day's run touches ONE day of the fact table; any as-of rollup is then a
+  * merge over the tiny partial table, never a rescan of history. All
+  * partials are algebraic (sum/count/min/max decompose; mean = merged
+  * cents ÷ merged count), so merging partials is bit-identical to a full
+  * recompute — [[IncrementalSpec]] and the DuckDB oracle pin exactly that.
+  *
+  * A re-run of one day overwrites that day's partial rows idempotently via
+  * [[graft.sources.PartitionedSink.writeDaily]] (same dynamic-overwrite
+  * contract as the fact lake itself).
+  */
+object Incremental {
+
+  /** Per-(day, event_type) partial aggregate rows from the fact table —
+    * one hash-agg pass; shuffle volume O(days × types). `cents` keeps the
+    * value sum exact (StableStats discipline) so downstream means match a
+    * direct computation bit-for-bit. */
+  def dailyPartials(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_val"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Roll the partial table up to per-type stats — the query a dashboard
+    * runs daily. Input is O(days × types) rows, so this costs nothing at
+    * any scale; correctness is pinned against the direct full-scan oracle. */
+  def mergedStats(spark: SparkSession, dir: String): DataFrame =
+    dailyPartials(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        StableStats.stableRound(
+          sum(col("cents")).cast("double") / sum(col("n_val")) / lit(100.0), 4).as("avg_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .orderBy("event_type")
+
+  /** Incremental update parity: partials for all days EXCEPT the last,
+    * plus a recomputed last-day partial (≙ the nightly run touching one
+    * day), merged — must equal [[mergedStats]]. Exercised in the spec. */
+  def mergeWithRefreshedDay(spark: SparkSession, dir: String, day: String): DataFrame = {
+    val all = dailyPartials(spark, dir)
+    val kept = all.where(col("day") =!= to_date(lit(day)))
+    val refreshed = Tables.events(spark, dir)
+      .where(to_date(col("ts")) === to_date(lit(day)))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_val"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    kept.unionByName(refreshed)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        StableStats.stableRound(
+          sum(col("cents")).cast("double") / sum(col("n_val")) / lit(100.0), 4).as("avg_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_incr_merged_stats" -> (mergedStats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the oracle is the DIRECT full-scan formulation: merging partials
+    // must be indistinguishable from never having partialed at all
+    "x_incr_merged_stats" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${StableStats.centsMeanSql("value")} AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

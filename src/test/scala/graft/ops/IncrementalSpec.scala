@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Incremental aggregate maintenance: merging per-day partials must be
+  * bit-identical to the direct full-scan aggregate, including after a
+  * single-day refresh (the nightly-run shape). */
+class IncrementalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("merged partials == direct aggregate (bit-equal)") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        StableStats.centsMean(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+    assert(rows(Incremental.mergedStats(spark, dir)) === rows(direct))
+  }
+
+  test("refreshing one day's partial then merging changes nothing (idempotent re-run)") {
+    assert(rows(Incremental.mergeWithRefreshedDay(spark, dir, "2024-01-03"))
+      === rows(Incremental.mergedStats(spark, dir)))
+  }
+
+  test("partial table is O(days x types): one row per (day, event_type)") {
+    val p = Incremental.dailyPartials(spark, dir)
+    assert(p.count() === p.select("day", "event_type").distinct().count())
+  }
+}
