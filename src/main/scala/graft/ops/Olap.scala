@@ -173,7 +173,50 @@ object Olap {
         StableStats.stableRound(sum(col("units")).cast("double") / lit(1e4), 2).as("total_revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q17-shaped small-quantity revenue: lines whose quantity is
+    * below 20% of their part's average — the CORRELATED SUBQUERY of the
+    * original, decorrelated into one per-part window average (a single
+    * l_partkey shuffle; a correlated scalar subquery would rescan
+    * lineitem per part, and an agg+self-join would shuffle twice). The
+    * threshold is stable-rounded before the comparison so the row set is
+    * cross-engine deterministic. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .withColumn("avg_qty",
+        StableStats.stableRound(
+          sum(round(col("l_quantity") * 100).cast("long")).over(byPart).cast("double")
+            / count(col("l_quantity")).over(byPart) / lit(100.0), 4))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        StableStats.stableRound(
+          sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / lit(7e2), 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18-shaped large-order customers: orders whose total quantity
+    * exceeds 300, joined back to customers — aggregate-then-semi-join.
+    * The HAVING filter shrinks the agg output to a handful of keys BEFORE
+    * any join, so the join side is tiny (broadcast) no matter how large
+    * lineitem is. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty_revenue" -> (smallQuantityRevenue _),
+    "q18_large_orders"    -> (largeOrders _),
     "q6_forecast_revenue" -> (forecastRevenue _),
     "q12_priority_lines"  -> (priorityLines _),
     "q14_promo_revenue"   -> (promoRevenue _),
@@ -185,6 +228,26 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_small_qty_revenue" ->
+      s"""WITH t AS (
+         |  SELECT l_extendedprice, l_quantity,
+         |    ${StableStats.stableRoundSql(
+              "CAST(sum(CAST(round(l_quantity * 1e2) AS BIGINT)) OVER (PARTITION BY l_partkey) AS DOUBLE)" +
+                " / count(l_quantity) OVER (PARTITION BY l_partkey) / 1e2", 4)} AS avg_qty
+         |  FROM lineitem)
+         |SELECT
+         |  ${StableStats.stableRoundSql(
+              "CAST(sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) AS DOUBLE) / 7e2", 2)} AS avg_yearly,
+         |  count(*) AS n_lines
+         |FROM t WHERE l_quantity < 2e-1 * avg_qty""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300) big
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
     "q6_forecast_revenue" ->
       s"""SELECT
          |  ${StableStats.stableRoundSql(
