@@ -148,7 +148,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the training-data hygiene op: flag every
+    * corpus document sharing any word 4-gram with a held-out benchmark
+    * set (docs with doc_id ≡ 0 mod 50 stand in for the benchmark). The
+    * benchmark n-gram set is TINY relative to the corpus, so it
+    * BROADCASTS — the 100 TB corpus side never shuffles; each executor
+    * streams its documents against the in-memory benchmark hash set.
+    * 4-grams are carried as 60-bit md5 integers (same trick as
+    * [[Dedup.ngramJaccard]]; the oracle hashes identically). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 4)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, size(w) - 3), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2])), 1, 15), 16, 10) as bigint)))"))
+          .as("g"))
+    val docs = Tables.documents(spark, dir)
+    val benchGrams = grams(docs.where(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    grams(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_decontaminate"     -> (decontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
     "x_stratified_sample" -> (stratifiedSample _),
@@ -159,6 +186,18 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 3),
+        |      i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 15))::BIGINT))) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 4)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -132,7 +132,28 @@ object TextAnalysis {
       .orderBy("lang", "rn")
   }
 
+  /** Repetition filter (the Gopher-style quality signal): per-document
+    * fraction of duplicated word 3-grams — entirely MAP-SIDE (two array
+    * sizes per row, no shuffle except the output sort), so it costs one
+    * scan at any corpus size. dup_frac = 1 − distinct/total as a fixed
+    * IEEE op sequence (cross-engine exact). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))").as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_grams"),
+        size(array_distinct(col("sh"))).as("n_distinct"))
+      .withColumn("dup_frac",
+        graft.ops.StableStats.stableRound(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+      .withColumn("repetitive", (col("dup_frac") > 0.2).cast("int"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_repetition"  -> (repetition _),
     "x_text_char_bigrams" -> (charBigrams _),
     "x_text_tokens"      -> (tokenCounts _),
     "x_text_quality"     -> (qualityScore _),
@@ -144,6 +165,22 @@ object TextAnalysis {
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "x_text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(sh) AS INTEGER) AS n_grams,
+         |    CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct
+         |  FROM (
+         |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |    WHERE len(w) >= 3))
+         |SELECT doc_id, n_grams, n_distinct,
+         |  ${graft.ops.StableStats.stableRoundSql(
+              "1e0 - CAST(n_distinct AS DOUBLE) / n_grams", 4)} AS dup_frac,
+         |  CAST(${graft.ops.StableStats.stableRoundSql(
+              "1e0 - CAST(n_distinct AS DOUBLE) / n_grams", 4)} > 2e-1 AS INTEGER) AS repetitive
+         |FROM t ORDER BY doc_id""".stripMargin,
     "x_text_char_bigrams" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rn, bigram, freq FROM (
         |  SELECT lang, bigram, freq,
