@@ -58,6 +58,31 @@ class OlapSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q6: every predicate is pushed into the parquet scan") {
+    // default maxMetadataStringLength truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = Olap.forecastRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(plan.contains(f), s"predicate $f must reach the scan:\n$plan")
+  }
+
+  test("q18: the having-filtered aggregate broadcasts back (no SMJ against orders)") {
+    val plan = planOf(Olap.largeOrders(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"big-order keys and customer must both broadcast:\n$plan")
+  }
+
+  test("decontaminate: the benchmark n-gram set broadcasts; corpus side never shuffles for the join") {
+    val plan = planOf(graft.ext.Curation.decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the benchmark gram set must broadcast into the corpus scan:\n$plan")
+  }
+
   test("per-shard packing respects the token budget within every (shard, bin)") {
     val rows = graft.ext.Curation.packShards(spark, dir, budget = 2000, shards = 4).collect()
     val byBin = rows.groupBy(r => (r.getLong(1), r.getLong(3)))
