@@ -20,10 +20,11 @@ object Bench {
     * the LLM-data extensions (dedup/similarity/text). */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q7_volume_shipping",
-    "q10_returned_items", "j1_fact_dim_stats", "p2_pipeline_day",
+    "q8_market_share", "q10_returned_items", "q17_small_qty_revenue",
+    "j1_fact_dim_stats", "p2_pipeline_day",
     "a1_window_agg", "a_session_window", "x_sessionize",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_sim_topk_brute",
-    "x_text_tfidf", "x_dup_clusters")
+    "x_text_tfidf", "x_dup_clusters", "x_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
