@@ -77,6 +77,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted agg == plain agg for any data and any salt width") {
+    for ((rows, salt) <- cases.zip(Seq(1, 2, 7, 16, 64))) {
+      val df = toDf(rows)
+      val salted = Skew.saltedStats(df, col("event_type"), col("value"), salt)
+        .orderBy("k").collect().map(_.toSeq)
+      val plain = df.groupBy(col("event_type").as("k"))
+        .agg(count(lit(1)).as("n"),
+          StableStats.stableRound(
+            sum(round(col("value") * 100).cast("long")).cast("double")
+              / count(col("value")) / lit(100.0), 4).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("k").collect().map(_.toSeq)
+      assert(salted === plain, s"salt=$salt diverged")
+    }
+  }
+
+  test("incremental partial merge is split-invariant: any day partitioning merges to the same stats") {
+    import java.nio.file.Files
+    for (rows <- cases) {
+      val d = Files.createTempDirectory("graft-incr").toString
+      // events parquet written with ts as TIMESTAMP (Tables.events handles both)
+      toDf(rows).write.mode("overwrite").parquet(s"$d/events.parquet")
+      val merged = Incremental.mergedStats(spark, d).collect().map(_.toSeq)
+      val direct = graft.Tables.events(spark, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          StableStats.centsMean(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      assert(merged === direct)
+    }
+  }
+
   test("join-drop conservation: long rows == mapped + unmapped (P5/P6 ledger)") {
     for (rows <- cases) {
       val long = SensorPipeline.toLong(SensorPipeline.wideAgg(toDf(rows))).cache()
