@@ -113,6 +113,32 @@ object Multimodal {
         graft.ops.StableStats.intMean(col("byte_len")).as("avg_bytes"))
       .orderBy("source")
 
+  /** A batch-inference output row: media id + its "model" embedding. */
+  case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** Batched inference plumbing — the Scala shape of `mapInPandas`: each
+    * partition's rows are chunked into `batchSize` groups and the (stub)
+    * model is invoked ONCE PER BATCH with the whole chunk, exactly how a
+    * real vision/audio model amortizes GPU dispatch. The stub embeds each
+    * payload deterministically (first-8-byte projection); swapping in a
+    * real model changes only `runModel`'s body. `batchCalls` (an optional
+    * accumulator) lets tests prove the batch amortization actually
+    * happens — rows/batchSize calls, not one per row. */
+  def batchedInference(media: Dataset[MediaRecord], batchSize: Int = 32,
+      batchCalls: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    def runModel(batch: Seq[MediaRecord]): Seq[MediaEmbedding] = {
+      batchCalls.foreach(_.add(1)) // ≙ one model forward pass per BATCH
+      batch.map { r =>
+        val e = new Array[Float](8)
+        var i = 0
+        while (i < 8) { e(i) = (if (i < r.media.length) (r.media(i) & 0xff) else 0) / 255.0f; i += 1 }
+        MediaEmbedding(r.id, e)
+      }
+    }
+    media.mapPartitions(_.grouped(batchSize).flatMap(runModel))
+  }
+
   /** binaryMeta without the presentation orderBy (for composition). */
   private def binaryMetaUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -34,6 +34,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeStub(1, 10000, 64, 64)._2 === 64)
   }
 
+  test("batched inference: one model call per batch, not per row; embeddings deterministic") {
+    val media = Multimodal.asMedia(spark, "/root/testdata/sf0.001").repartition(2)
+    val calls = spark.sparkContext.longAccumulator("batch_calls")
+    val out = Multimodal.batchedInference(media, batchSize = 32, batchCalls = Some(calls))
+    val n = out.count()
+    assert(n === media.count())
+    // ceil(rowsPerPartition/32) summed over 2 partitions: far fewer calls than rows
+    assert(calls.value < n / 8,
+      s"expected ~n/32 model calls, got ${calls.value} for $n rows")
+    val e = out.filter(_.id == 0L).head().embedding
+    assert(e.length === 8 && e.forall(v => v >= 0f && v <= 1f))
+  }
+
   test("extraction is a narrow map — no shuffle in the plan") {
     val media = Seq(Multimodal.MediaRecord(1L, Array[Byte](1), "x")).toDS()
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
