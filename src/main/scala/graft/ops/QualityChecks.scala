@@ -35,10 +35,12 @@ object QualityChecks {
     // all three per-row event checks come out of ONE scan + one agg (at
     // 100 TB the fact scan dominates — N checks must not mean N scans),
     // then stack to the one-row-per-check report shape
+    // coalesce(sum, 0): sum over ZERO rows is NULL — an empty table must
+    // still observe 0 (and the nonempty check fail), not emit NULL cells
     val eventChecks = events.agg(
       count(lit(1)).cast("long").as("nonempty_obs"),
-      sum(when(col("ts").isNull, 1).otherwise(0)).cast("long").as("null_ts_obs"),
-      sum(when(col("value") <= 0, 1).otherwise(0)).cast("long").as("nonpos_obs"))
+      coalesce(sum(when(col("ts").isNull, 1).otherwise(0)), lit(0)).cast("long").as("null_ts_obs"),
+      coalesce(sum(when(col("value") <= 0, 1).otherwise(0)), lit(0)).cast("long").as("nonpos_obs"))
       .selectExpr(
         """stack(3,
           |  'events_nonempty', nonempty_obs, cast(nonempty_obs > 0 as int),
@@ -71,11 +73,11 @@ object QualityChecks {
         |  CAST(passed AS INTEGER) AS passed FROM (
         |  SELECT 'events_nonempty' AS check_name, count(*) AS observed, count(*) > 0 AS passed FROM events
         |  UNION ALL
-        |  SELECT 'events_ts_not_null', sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
-        |    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0 FROM events
+        |  SELECT 'events_ts_not_null', coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0),
+        |    coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) = 0 FROM events
         |  UNION ALL
-        |  SELECT 'events_value_positive', sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END),
-        |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) = 0 FROM events
+        |  SELECT 'events_value_positive', coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0),
+        |    coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0) = 0 FROM events
         |  UNION ALL
         |  SELECT 'orders_custkey_resolves', count(*), count(*) = 0 FROM orders
         |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)

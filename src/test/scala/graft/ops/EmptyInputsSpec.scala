@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+
+/** Degenerate-input robustness: every operator family must flow an EMPTY
+  * table through to an empty (or neutral) result without throwing — at
+  * 100 TB, empty partitions/days/shards are routine, not exceptional. */
+class EmptyInputsSpec extends SparkSpec {
+
+  /** All 10 test tables, schema-correct but 0 rows. */
+  private lazy val dir: String = {
+    val src = "/root/testdata/sf0.001"
+    val d = Files.createTempDirectory("graft-empty").toString
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.Tables.table(spark, src, t).limit(0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  test("reference pipeline, sessionize, quantiles, histogram on empty events") {
+    assert(SensorPipeline.pipelineLong(spark, dir).count() === 0)
+    assert(Analytics.sessionize(spark, dir).count() === 0)
+    assert(Analytics.quantiles(spark, dir).count() === 0)
+    assert(Analytics.histogram(spark, dir).count() === 0)
+  }
+
+  test("dedup family on empty documents: no pairs, no clusters, no exceptions") {
+    assert(graft.ext.Dedup.exact(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.minhashLsh(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.ngramJaccard(spark, dir).count() === 0)
+    assert(graft.ext.Curation.dupClusters(spark, dir).count() === 0)
+    assert(graft.ext.Curation.decontaminate(spark, dir).count() === 0)
+  }
+
+  test("TPC-H shapes and incremental merge on empty facts") {
+    assert(Relational.pricingSummary(spark, dir).count() === 0)
+    assert(Olap.marketShare(spark, dir).count() === 0)
+    assert(Incremental.mergedStats(spark, dir).count() === 0)
+    // global aggregates still emit their single row, with neutral values
+    val q6 = Olap.forecastRevenue(spark, dir).head()
+    assert(q6.getLong(1) === 0L)
+  }
+
+  test("quality-checks report on empty tables: all checks present, counts observed as 0") {
+    val r = QualityChecks.report(spark, dir).collect()
+    assert(r.length === 6)
+    assert(r.forall(_.getLong(1) === 0L), r.mkString(", "))
+  }
+}
