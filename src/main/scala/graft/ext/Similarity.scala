@@ -121,6 +121,46 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Materialized IVF index build — the deployment shape at 100 TB: the
+    * expensive assignment pass (broadcast centroids, argmax cosine per
+    * vector) runs ONCE and lands as a cluster-partitioned parquet lake;
+    * every later search reads only its probed clusters' directories
+    * (partition pruning on `cluster`). */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = emb(spark, dir)
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+  }
+
+  /** Search a materialized IVF index: queries probe their own cluster
+    * only; the `cluster = q_cluster` equi-join prunes index partitions
+    * at the directory level. Must return exactly [[ivfTopK]]'s results
+    * (spec-pinned). */
+  def searchIvfIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val clustered = spark.read.parquet(indexPath)
+    val q = clustered.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"), col("emb").as("qemb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    clustered
+      .join(broadcast(q), col("cluster") === col("q_cluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"),
+        col("cos_sim"), col("q_cluster").as("cluster"))
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> (bruteTopK _),
     "x_sim_ivf_topk"   -> (ivfTopK _),

@@ -214,7 +214,49 @@ object Olap {
       .limit(50)
   }
 
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs over the
+    * lineitem⋈part broadcast join. The part-only conjuncts stay inside
+    * the OR (they reference both sides), but Catalyst still derives and
+    * pushes the COMMON bounds (quantity ≤ 30 is implied by all branches
+    * → scan-level filter), and the join itself is a plain broadcast hash
+    * — the disjunction evaluates post-join, codegen'd. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val branch1 = col("p_type") === "PROMO" && col("l_quantity").between(1, 11)
+    val branch2 = col("p_type") === "STANDARD" && col("l_quantity").between(10, 20)
+    val branch3 = col("p_size") <= 5 && col("l_quantity").between(20, 30)
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(
+        StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-shaped churned high-balance customers: customers above the
+    * positive-balance average with no order since 2000-01-01 — a global
+    * scalar aggregate (1-row broadcast cross join, never a per-row
+    * correlated rescan) plus a LEFT ANTI join against the recent-orders
+    * slice (whose date filter pushes to the scan), grouped by market
+    * segment. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(StableStats.centsMean(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunctive_rev" -> (disjunctiveRevenue _),
+    "q22_idle_customers"  -> (idleCustomers _),
     "q17_small_qty_revenue" -> (smallQuantityRevenue _),
     "q18_large_orders"    -> (largeOrders _),
     "q6_forecast_revenue" -> (forecastRevenue _),
@@ -228,6 +270,24 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_disjunctive_rev" ->
+      s"""SELECT
+         |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_type = 'STANDARD' AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_size <= 5 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      s"""WITH a AS (SELECT ${StableStats.centsMeanSql("c_acctbal")} AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, count(*) AS n_custs,
+         |  round(sum(c_acctbal), 2) AS total_bal
+         |FROM customer, a
+         |WHERE c_acctbal > a.avg_bal
+         |  AND c_custkey NOT IN (
+         |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q17_small_qty_revenue" ->
       s"""WITH t AS (
          |  SELECT l_extendedprice, l_quantity,

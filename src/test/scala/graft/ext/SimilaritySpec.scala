@@ -96,4 +96,16 @@ class SimilaritySpec extends SparkSpec {
     // query's cluster (1-probe search can only miss cross-cluster hits).
     assert(rows.length === 30)
   }
+
+  test("materialized IVF index: build-once/search-many returns exactly the inline IVF results") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/index"
+    Similarity.buildIvfIndex(spark, dir, idx)
+    val fromIndex = Similarity.searchIvfIndex(spark, idx).collect().map(_.toSeq)
+    val inline = Similarity.ivfTopK(spark, dir).collect().map(_.toSeq)
+    assert(fromIndex === inline)
+    // the index lake is cluster-partitioned → per-cluster directory pruning
+    val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster=")), dirs.mkString(","))
+  }
 }
