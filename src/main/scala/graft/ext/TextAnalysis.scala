@@ -152,7 +152,27 @@ object TextAnalysis {
       .withColumn("repetitive", (col("dup_frac") > 0.2).cast("int"))
       .orderBy("doc_id")
 
+  /** RAG-style chunking: fixed 50-token windows with stride 40 (10-token
+    * overlap) per document — entirely map-side (sequence of start
+    * offsets → slice → join), one generated row per chunk. Chunks are
+    * emitted as (doc_id, chunk_idx, n_tokens, chunk_hash); the md5 keeps
+    * the oracle compare compact while pinning exact content. */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(40))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / 40).cast("int").as("chunk_idx"),
+        expr("slice(w, start + 1, 50)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_chunks"      -> (chunks _),
     "x_text_repetition"  -> (repetition _),
     "x_text_char_bigrams" -> (charBigrams _),
     "x_text_tokens"      -> (tokenCounts _),
@@ -165,6 +185,14 @@ object TextAnalysis {
   private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "x_text_chunks" ->
+      """SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_idx,
+        |  CAST(len(w[start + 1 : start + 50]) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(w[start + 1 : start + 50], ' ')) AS chunk_hash
+        |FROM (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 40)) AS start
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "x_text_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id,
