@@ -28,7 +28,7 @@ object AsOfJoin {
     * `right.ts <= left.ts` on the same key. Output = left columns +
     * `asof_<idCol>` + `asof_ts` (NULL when no prior right row). */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightId: String): DataFrame = {
+      rightId: String, toleranceUs: Option[Long] = None): DataFrame = {
     val dedupW = Window.partitionBy(col(key), col(ts)).orderBy(col(rightId).desc)
     val r = right
       .withColumn("__rn", row_number().over(dedupW)).where(col("__rn") === 1).drop("__rn")
@@ -41,11 +41,20 @@ object AsOfJoin {
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u
+    val matched = u
       .withColumn(s"asof_$rightId", last(col("__asof_id"), ignoreNulls = true).over(w))
       .withColumn("asof_ts", last(col("__asof_ts"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .drop("__asof_id", "__asof_ts", "__side")
+    // tolerance (lookback window): a prior right row older than the
+    // tolerance does not match — NULL the pair out, same plan otherwise
+    toleranceUs.fold(matched) { tol =>
+      val expired = unix_micros(col(ts)) - unix_micros(col("asof_ts")) > tol
+      matched
+        .withColumn(s"asof_$rightId",
+          when(expired, lit(null)).otherwise(col(s"asof_$rightId")))
+        .withColumn("asof_ts", when(expired, lit(null)).otherwise(col("asof_ts")))
+    }
   }
 
   /** Attribution query: for each purchase, the most recent prior click by
@@ -66,8 +75,28 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** Windowed attribution: same as-of semantics but clicks only count
+    * within a 30-minute lookback — purchases whose nearest prior click is
+    * older attribute to nothing (NULL click, NULL lag). */
+  def attributionWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asOf(purchases, clicks, "user_id", "ts", "event_id",
+      toleranceUs = Some(30L * 60 * 1000000))
+      .select(
+        col("user_id"), col("purchase_id"), col("ts").as("purchase_ts"),
+        col("asof_event_id").as("click_id"), col("asof_ts").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_asof_attribution" -> (attribution _)
+    "x_asof_attribution" -> (attribution _),
+    "x_asof_windowed"    -> (attributionWindowed _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +115,29 @@ object AsOfJoin {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
         |FROM purchases p
         |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+    "x_asof_windowed" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id, row_number() OVER
+        |      (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.user_id, p.purchase_id, p.ts AS purchase_ts,
+        |    c.event_id AS click_id, c.ts AS click_ts
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT user_id, purchase_id, purchase_ts,
+        |  CASE WHEN epoch_us(purchase_ts) - epoch_us(click_ts) > 1800000000
+        |    THEN NULL ELSE click_id END AS click_id,
+        |  CASE WHEN epoch_us(purchase_ts) - epoch_us(click_ts) > 1800000000
+        |    THEN NULL ELSE click_ts END AS click_ts,
+        |  CASE WHEN epoch_us(purchase_ts) - epoch_us(click_ts) > 1800000000
+        |    THEN NULL ELSE epoch_us(purchase_ts) - epoch_us(click_ts) END AS lag_us
+        |FROM m ORDER BY purchase_id""".stripMargin
   )
 }
