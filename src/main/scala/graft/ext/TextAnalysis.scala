@@ -171,7 +171,21 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Quality-weighted sampling: keep a document with probability equal to
+    * its quality score, DETERMINISTICALLY — the md5-derived uniform
+    * (stable per doc_id, reproducible on any cluster/partitioning) is
+    * compared against the score. The standard curation move for
+    * upweighting clean text without RNG-seeded irreproducibility. */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .withColumn("u",
+        expr("cast(conv(substring(md5(concat('qsamp|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10000 / 1e4"))
+      .where(col("u") < col("quality_score"))
+      .select(col("doc_id"), col("u"), col("quality_score"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quality_sample"   -> (qualitySample _),
     "x_text_chunks"      -> (chunks _),
     "x_text_repetition"  -> (repetition _),
     "x_text_char_bigrams" -> (charBigrams _),
@@ -226,6 +240,16 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INTEGER) AS bpe_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality_sample" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
+         |  len(list_filter(w, x -> x IN (${inList(stopEn)}))) AS n_stop FROM t),
+         |q AS (SELECT doc_id,
+         |  ${graft.ops.StableStats.stableRoundSql("least(1e0, CAST(n_words AS DOUBLE) / 1e2) * (1 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * (CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)} AS quality_score,
+         |  ('0x' || substr(md5('qsamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 / 1e4 AS u
+         |FROM s)
+         |SELECT doc_id, u, quality_score FROM q
+         |WHERE u < quality_score ORDER BY doc_id""".stripMargin,
     "x_text_quality" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
