@@ -66,11 +66,15 @@ object Similarity {
     // index build: nearest centroid per vector (argmax cosine, id tie-break)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
+    // persist: the assignment pass (n×k cosine crossJoin + ranking
+    // window) feeds both the query projection and the search side —
+    // without the barrier it runs twice
     val clustered = e.crossJoin(broadcast(cent))
       .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
       .withColumn("r", row_number().over(wAssign))
       .where(col("r") === 1)
       .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+      .persist()
     val q = clustered.where(col("vec_id") >= 100 && col("vec_id") < 110)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"), col("emb").as("qemb"))
     val wTop = Window.partitionBy(col("query_id"))
