@@ -173,7 +173,23 @@ object Analytics {
         coalesce(col("s_acctbal"), lit(0.0)).as("bal_or_zero"))
       .orderBy(col("n_nationkey"), col("supp_or_none"))
 
+  /** Cohort retention: users grouped by their FIRST active day, counted
+    * on each later day they return — the canonical product-analytics
+    * matrix. One min-window pass per user (single user_id shuffle, shared
+    * with the distinct) then one hash-agg of O(cohorts × offsets). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_cohort_retention" -> (cohortRetention _),
     "a_array_agg"      -> (arrayAgg _),
     "f_null_scalars"   -> (nullScalars _),
     "x_user_gaps"      -> (userGaps _),
@@ -189,6 +205,13 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_user_gaps" ->
       s"""WITH g AS (
          |  SELECT user_id,
