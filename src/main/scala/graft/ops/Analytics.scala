@@ -188,7 +188,43 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Ordered funnel: view → click → purchase, each step strictly AFTER
+    * the user's previous step. Three conditional min-aggregates, each
+    * conditioned on the prior step's timestamp (carried by a user-keyed
+    * join — every shuffle is on user_id, so at scale the three stages
+    * co-partition and only the first pays a full exchange). Conversion
+    * ratios are exact-integer-count divisions, stable-rounded. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .where(col("t_view").isNotNull)
+    val s2 = events.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts")))
+        .as("t_click"))
+    val s3 = events.join(s2.where(col("t_click").isNotNull), "user_id")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts")))
+        .as("t_purchase"))
+    val viewers = s1.agg(count(lit(1)).as("n_view")) // 1-row funnel base
+    s3.agg(
+      count(lit(1)).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"))
+      .crossJoin(broadcast(viewers))
+      .select(
+        col("n_view"),
+        col("n_click"),
+        col("n_purchase"),
+        StableStats.stableRound(col("n_click").cast("double") / col("n_view"), 4)
+          .as("click_rate"),
+        StableStats.stableRound(col("n_purchase").cast("double") / col("n_click"), 4)
+          .as("purchase_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a_funnel"           -> (funnel _),
     "a_cohort_retention" -> (cohortRetention _),
     "a_array_agg"      -> (arrayAgg _),
     "f_null_scalars"   -> (nullScalars _),
@@ -205,6 +241,30 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_funnel" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+         |  FROM events GROUP BY user_id
+         |  HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
+         |s2 AS (
+         |  SELECT e.user_id, s1.t_view,
+         |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view THEN e.ts END) AS t_click
+         |  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t_view),
+         |s3 AS (
+         |  SELECT e.user_id, s2.t_view, s2.t_click,
+         |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click THEN e.ts END) AS t_purchase
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE s2.t_click IS NOT NULL
+         |  GROUP BY e.user_id, s2.t_view, s2.t_click)
+         |SELECT
+         |  (SELECT count(*) FROM s1) AS n_view,
+         |  count(*) AS n_click,
+         |  CAST(count(t_purchase) AS BIGINT) AS n_purchase,
+         |  ${stableRoundSql("CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM s1)", 4)} AS click_rate,
+         |  ${stableRoundSql("CAST(count(t_purchase) AS DOUBLE) / count(*)", 4)} AS purchase_rate
+         |FROM s3""".stripMargin
+    },
     "a_cohort_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
         |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
