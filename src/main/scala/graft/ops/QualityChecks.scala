@@ -63,6 +63,28 @@ object QualityChecks {
       .orderBy("check_name")
   }
 
+  /** Zero-cost observed metrics: piggyback row/null/range counters onto
+    * the MAIN pipeline job via `Dataset.observe` — the metrics are
+    * accumulated DURING the pipeline's own scan, so monitoring a 100 TB
+    * run adds no second pass (the [[report]] operator, by contrast, is
+    * the standalone audit that does pay for its own scans). Returns the
+    * instrumented frame + the observation handle; metrics materialize
+    * when the caller runs any action on the frame. */
+  def observedPipeline(spark: SparkSession, dir: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("pipeline_quality")
+    val instrumented = Tables.events(spark, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(when(col("ts").isNull, 1).otherwise(0)), lit(0)).as("n_null_ts"),
+      coalesce(sum(when(col("value") <= 0, 1).otherwise(0)), lit(0)).as("n_nonpos_value"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"))
+    val out = SensorPipeline.mapSignals(
+      SensorPipeline.toLong(SensorPipeline.wideAgg(instrumented)),
+      SensorPipeline.signalDim(spark))
+    (out, obs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_quality_checks" -> (report _)
   )
