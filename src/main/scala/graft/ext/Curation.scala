@@ -174,7 +174,27 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** End-to-end near-dup resolution: for every LSH cluster, KEEP the
+    * highest-quality member (quality tie → lowest doc_id) and list the
+    * dropped ones — [[dupClusters]] composed with
+    * [[TextAnalysis.qualityScore]], the full curation decision a training
+    * pipeline actually ships. Both inputs are per-doc frames keyed by
+    * doc_id, so the compose is one broadcast-scale join + one
+    * cluster-partitioned window. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    dupClusters(spark, dir)
+      .join(TextAnalysis.qualityScore(spark, dir).select(col("doc_id"), col("quality_score")),
+        "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("cluster"), col("doc_id"), col("quality_score"),
+        (col("rn") === 1).cast("int").as("keep"))
+      .orderBy("cluster", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_keep_best"   -> (keepBest _),
     "x_decontaminate"     -> (decontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
@@ -253,21 +273,32 @@ object Curation {
         |      ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
-    "x_dup_clusters" -> {
-      // transitive closure over the same LSH pairs, min reachable = cluster
-      val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
-        .replaceAll("ORDER BY doc_a, doc_b$", "")
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |      UNION SELECT doc_b, doc_a FROM pairs
-         |      UNION SELECT DISTINCT doc_a, doc_a FROM pairs
-         |      UNION SELECT DISTINCT doc_b, doc_b FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-         |SELECT src AS doc_id, min(dst) AS cluster
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-    }
+    "x_dup_clusters" -> clustersSql,
+    "x_dedup_keep_best" ->
+      s"""WITH clusters AS ($clustersSql),
+         |q AS (${TextAnalysis.qualityScoreSql})
+         |SELECT cluster, doc_id, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality_score DESC, doc_id ASC) = 1 AS INTEGER) AS keep
+         |FROM clusters JOIN q USING (doc_id)
+         |ORDER BY cluster, doc_id""".stripMargin
   )
+
+  /** Transitive closure over the LSH pairs, min reachable = cluster —
+    * shared by the cluster and keep-best oracles. */
+  private lazy val clustersSql: String = {
+    val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
+      .replaceAll("ORDER BY doc_a, doc_b$", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs
+       |      UNION SELECT DISTINCT doc_a, doc_a FROM pairs
+       |      UNION SELECT DISTINCT doc_b, doc_b FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
 }

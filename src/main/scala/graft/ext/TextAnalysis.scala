@@ -28,7 +28,7 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[a-z0-9]{1,4}', 0)")).as("bpe_chunks"))
       .orderBy("doc_id")
 
-  private val stopEn = Seq("the", "a", "and", "of", "is")
+  private[ext] val stopEn = Seq("the", "a", "and", "of", "is")
 
   /** Quality scoring: length prior × (1 − stopword ratio) × lexical
     * diversity. Ratios from exact integer counts → IEEE-deterministic. */
@@ -200,7 +200,17 @@ object TextAnalysis {
     "x_text_tfidf"       -> (tfidfTopTerm _)
   )
 
-  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
+  private[ext] def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(",")
+
+  /** Quality-score SQL fragment (DuckDB dialect) shared with composing
+    * oracles: SELECTs (doc_id, quality_score) from documents. */
+  private[ext] val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  ${graft.ops.StableStats.stableRoundSql(
+            "least(1e0, CAST(len(w) AS DOUBLE) / 1e2)" +
+              s" * (1 - CAST(len(list_filter(w, x -> x IN (${inList(stopEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE))" +
+              " * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))", 4)} AS quality_score
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_text_chunks" ->
