@@ -188,7 +188,64 @@ object TextAnalysis {
       .select(col("doc_id"), col("u"), col("quality_score"))
       .orderBy("doc_id")
 
+  /** Boilerplate n-gram ratio (the RefinedWeb/CCNet inter-document
+    * duplication signal): per document, the fraction of its DISTINCT word
+    * 3-grams that occur in ≥3 documents. Unlike `repetition` (intra-doc,
+    * map-side) this is a corpus-global statistic: distinct (doc, shingle)
+    * pairs shuffle once on the shingle to count document frequency, then
+    * once back on doc_id for the per-doc ratio — the same two-exchange
+    * budget at any corpus size. The shingle frame feeds both sides, so it
+    * persists (the scan+explode would otherwise run twice). */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', w[i-1], w[i], w[i+1])").as("shingle"))
+      .distinct()
+      .persist()
+    val docFreq = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    shingles
+      .join(docFreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        graft.ops.StableStats.ratio(col("n_boiler"), col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram LM quality score (the CCNet perplexity-proxy shape): mean
+    * log10 probability of each document's tokens under the corpus's own
+    * unigram distribution — low scores flag gibberish/outlier documents.
+    * The unigram table is corpus-sized, so the token⋈count join is left
+    * unhinted (AQE broadcasts it while it fits, shuffles when it
+    * doesn't); the 1-row total IS a broadcast. log10 keeps plain 4dp
+    * rounding — halfway flips on transcendentals are measure-zero
+    * (StableStats discipline is for rational sums only). */
+  def lmLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .persist()
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    toks
+      .join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("cnt").cast("double"))
+          - log10(col("total").cast("double"))), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_boilerplate_ngrams" -> (boilerplateNgrams _),
+    "x_lm_logprob"       -> (lmLogprob _),
     "x_quality_sample"   -> (qualitySample _),
     "x_text_chunks"      -> (chunks _),
     "x_text_repetition"  -> (repetition _),
@@ -213,6 +270,26 @@ object TextAnalysis {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_boilerplate_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+         |        FROM t WHERE len(w) >= 3)),
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  ${graft.ops.StableStats.ratioSql(
+              "sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)", "count(*)")} AS boiler_ratio
+         |FROM sh JOIN df USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_lm_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM counts)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(log10(CAST(cnt AS DOUBLE)) - log10(CAST(total AS DOUBLE))), 4) AS avg_logp
+        |FROM toks JOIN counts USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_text_chunks" ->
       """SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_idx,
         |  CAST(len(w[start + 1 : start + 50]) AS INTEGER) AS n_tokens,

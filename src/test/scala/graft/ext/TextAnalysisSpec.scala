@@ -47,4 +47,44 @@ class TextAnalysisSpec extends SparkSpec {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("tok")).toMap
     assert(r(2L) === "zebra") // tf 3/4, df 1 → dominant
   }
+
+  private lazy val boilerDir: String = {
+    val d = Files.createTempDirectory("graft-boiler").toString
+    Seq(
+      (0L, "click here now for cats", "en", "s0", 23L),
+      (1L, "click here now for dogs", "en", "s0", 23L),
+      (2L, "please click here now thanks", "en", "s1", 28L),
+      (3L, "entirely original prose about zebras", "en", "s1", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("boilerplate ngrams: only the 3-doc shared shingle counts as boilerplate") {
+    val r = TextAnalysis.boilerplateNgrams(spark, boilerDir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_boiler"))).toMap
+    // "click here now" appears in docs 0,1,2 (df=3 → boilerplate);
+    // "here now for" only in 0,1 (df=2 → not boilerplate)
+    assert(r(0L) === ((3L, 1L)))
+    assert(r(1L) === ((3L, 1L)))
+    assert(r(2L) === ((3L, 1L)))
+    assert(r(3L) === ((3L, 0L)))
+  }
+
+  test("lm logprob: matches the hand-computed unigram mean") {
+    val d = Files.createTempDirectory("graft-lm").toString
+    Seq(
+      (0L, "a a b", "en", "s0", 5L),
+      (1L, "a b c", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    // counts: a=3 b=2 c=1, total=6
+    val r = TextAnalysis.lmLogprob(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_logp")).toMap
+    assert(r(0L) === -0.3597) // (2·log10(3/6) + log10(2/6)) / 3
+    assert(r(1L) === -0.5188) // (log10(3/6) + log10(2/6) + log10(1/6)) / 3
+    // rarer tokens ⇒ lower mean log-prob
+    assert(r(1L) < r(0L))
+  }
 }
