@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,22 +72,42 @@ private class EnvelopeTable(tableSchema: StructType, path: String)
     new EnvelopeScanBuilder(tableSchema, path, options)
 }
 
-/** Column pruning: Spark hands us the narrowed schema; the reader then
-  * parses only those fields out of each JSON record. */
+/** Column pruning + filter pushdown: Spark hands us the narrowed schema
+  * and the WHERE conjuncts; the reader then parses only the needed fields
+  * and drops non-matching records at parse time, before any InternalRow
+  * materializes — the V2 analog of the reference API pushing its
+  * start/end-date range into Postgres (`api/app/database.py:54-60`). */
 private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new EnvelopeScan(required, path, options)
+
+  /** Accept simple conjuncts we can evaluate exactly (comparisons and
+    * null checks on envelope fields); everything else (Or, In, string
+    * matches, …) stays residual and Spark re-applies it post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(EnvelopeFilters.supported(fullSchema, _))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new EnvelopeScan(required, fullSchema, pushed, path, options)
 }
 
-private class EnvelopeScan(schema: StructType, path: String,
+private class EnvelopeScan(schema: StructType, fullSchema: StructType,
+    pushed: Array[Filter], path: String,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"EnvelopeScan ReadSchema: ${schema.catalogString}"
+  override def description(): String =
+    s"EnvelopeScan ReadSchema: ${schema.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -104,22 +125,111 @@ private class EnvelopeScan(schema: StructType, path: String,
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val bc = spark.sparkContext.broadcast(conf)
-    EnvelopeReaderFactory(schema, bc)
+    EnvelopeReaderFactory(schema, fullSchema, pushed, bc)
   }
 }
 
 private case class EnvelopeInputPartition(file: String) extends InputPartition
 
-private case class EnvelopeReaderFactory(schema: StructType,
+private case class EnvelopeReaderFactory(schema: StructType, fullSchema: StructType,
+    pushed: Array[Filter],
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EnvelopeReader(partition.asInstanceOf[EnvelopeInputPartition].file, schema,
-      conf.value.value)
+      fullSchema, pushed, conf.value.value)
 }
 
-/** Parses one envelope file; emits one InternalRow per `data[]` element,
-  * materializing only the pruned schema's fields. */
+/** Pushed-filter support + evaluation over parsed JSON records. A filter
+  * is accepted only when this object can evaluate it EXACTLY — claiming a
+  * filter removes Spark's own post-scan Filter, so a semantics gap here
+  * would silently change results. */
+private object EnvelopeFilters {
+
+  private val comparableTypes: Set[DataType] =
+    Set(TimestampType, DoubleType, LongType, IntegerType, StringType)
+
+  def supported(schema: StructType, f: Filter): Boolean = {
+    def field(a: String): Option[StructField] = schema.fields.find(_.name == a)
+    f match {
+      case IsNotNull(a) => field(a).isDefined
+      case IsNull(a)    => field(a).isDefined
+      case EqualTo(a, _) => field(a).exists(x => comparableTypes(x.dataType))
+      case GreaterThan(a, _) => field(a).exists(x => comparableTypes(x.dataType))
+      case GreaterThanOrEqual(a, _) => field(a).exists(x => comparableTypes(x.dataType))
+      case LessThan(a, _) => field(a).exists(x => comparableTypes(x.dataType))
+      case LessThanOrEqual(a, _) => field(a).exists(x => comparableTypes(x.dataType))
+      case _ => false
+    }
+  }
+
+  /** Catalyst hands literals as external types (java.sql.Timestamp or
+    * java.time.Instant for timestamps, boxed numbers); normalize once to
+    * the reader's internal comparables (micros Long / Double / Long /
+    * String). */
+  def normalizeLiteral(v: Any, dt: DataType): Any = (dt, v) match {
+    case (TimestampType, t: java.sql.Timestamp) => DateTimeUtils.fromJavaTimestamp(t)
+    case (TimestampType, i: java.time.Instant)  => DateTimeUtils.instantToMicros(i)
+    case (DoubleType, n: Number)  => n.doubleValue()
+    case (LongType, n: Number)    => n.longValue()
+    case (IntegerType, n: Number) => n.longValue()
+    case (StringType, s)          => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"EnvelopeSource: cannot evaluate pushed literal $v against $dt")
+  }
+
+  /** JSON field → the same internal comparable; null for JSON null/absent. */
+  def nodeValue(node: JsonNode, f: StructField): Any = {
+    val n = node.get(f.name)
+    if (n == null || n.isNull) null
+    else f.dataType match {
+      case TimestampType =>
+        DateTimeUtils.stringToTimestampAnsi(
+          UTF8String.fromString(n.asText), java.time.ZoneOffset.UTC)
+      case DoubleType  => n.asDouble
+      case LongType    => n.asLong
+      case IntegerType => n.asLong
+      case StringType  => n.asText
+      case dt => throw new IllegalArgumentException(
+        s"EnvelopeSource: unsupported field type $dt for '${f.name}'")
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"EnvelopeSource: incomparable $a vs $b")
+  }
+
+  /** SQL three-valued logic collapsed to keep/drop: a comparison against
+    * a NULL field is UNKNOWN → drop (matches post-scan Filter behavior). */
+  def satisfies(node: JsonNode, schema: StructType, f: Filter): Boolean = {
+    def field(a: String): StructField = schema.fields.find(_.name == a).get
+    def test(a: String, v: Any, op: Int => Boolean): Boolean = {
+      val fd = field(a)
+      val row = nodeValue(node, fd)
+      row != null && op(cmp(row, normalizeLiteral(v, fd.dataType)))
+    }
+    f match {
+      case IsNotNull(a) => nodeValue(node, field(a)) != null
+      case IsNull(a)    => nodeValue(node, field(a)) == null
+      case EqualTo(a, v)            => test(a, v, _ == 0)
+      case GreaterThan(a, v)        => test(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => test(a, v, _ >= 0)
+      case LessThan(a, v)           => test(a, v, _ < 0)
+      case LessThanOrEqual(a, v)    => test(a, v, _ <= 0)
+      case other => throw new IllegalStateException(
+        s"EnvelopeSource: unpushable filter reached the reader: $other")
+    }
+  }
+}
+
+/** Parses one envelope file; emits one InternalRow per `data[]` element
+  * that satisfies the pushed filters, materializing only the pruned
+  * schema's fields. Filter columns are evaluated on the raw JSON node, so
+  * a pruned-out column can still be filtered on. */
 private class EnvelopeReader(file: String, schema: StructType,
+    fullSchema: StructType, pushed: Array[Filter],
     hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -131,6 +241,7 @@ private class EnvelopeReader(file: String, schema: StructType,
       val data = root.get("data")
       require(data != null && data.isArray, s"$file: envelope has no data[] array")
       data.elements().asScala.toVector.iterator
+        .filter(n => pushed.forall(EnvelopeFilters.satisfies(n, fullSchema, _)))
     } finally in.close()
   }
   private var cur: JsonNode = _

@@ -58,4 +58,42 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(r.getLong(0) === 3L)
     assert(r.getDouble(1) === 8.67)
   }
+
+  private def filterNodes(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+
+  test("timestamp range filter pushes into the scan: no post-scan Filter node") {
+    import org.apache.spark.sql.functions._
+    val df = read.where(col("timestamp") >= lit("2025-08-11"))
+    assert(filterNodes(df).isEmpty,
+      s"range conjunct must be fully claimed by the source:\n${df.queryExecution.executedPlan}")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "scan description must advertise the pushed filters")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getTimestamp(0) === java.sql.Timestamp.valueOf("2025-08-11 00:00:00"))
+  }
+
+  test("pushed comparison on a NULL field drops the row (three-valued logic)") {
+    import org.apache.spark.sql.functions._
+    // day1 row2 has ambient_temprature = null → comparison UNKNOWN → dropped
+    val df = read.where(col("ambient_temprature") > 10.0)
+    assert(filterNodes(df).isEmpty)
+    assert(df.collect().map(_.getDouble(1)).sorted === Array(2.4, 11.5))
+  }
+
+  test("filter on a pruned-out column still applies (evaluated on raw JSON)") {
+    import org.apache.spark.sql.functions._
+    val df = read.where(col("wind_speed") > 10.0).select("power")
+    assert(df.collect().map(_.getDouble(0)).sorted === Array(1058.0, 1171.3))
+  }
+
+  test("disjunction stays residual: Filter node remains, results exact") {
+    import org.apache.spark.sql.functions._
+    val df = read.where(col("power") === 0.0 || col("wind_speed") > 12.0)
+    assert(filterNodes(df).nonEmpty, "Or must NOT be claimed by the source")
+    assert(df.collect().map(_.getDouble(1)).sorted === Array(2.4, 12.1))
+  }
 }
