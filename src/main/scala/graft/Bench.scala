@@ -21,10 +21,12 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q7_volume_shipping",
     "q8_market_share", "q10_returned_items", "q17_small_qty_revenue",
+    "q9_product_profit", "q21_waiting_suppliers",
     "j1_fact_dim_stats", "p2_pipeline_day",
     "a1_window_agg", "a_session_window", "x_sessionize",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_sim_topk_brute",
-    "x_text_tfidf", "x_dup_clusters", "x_decontaminate")
+    "x_text_tfidf", "x_dup_clusters", "x_decontaminate",
+    "x_boilerplate_ngrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

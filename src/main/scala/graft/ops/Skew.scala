@@ -53,8 +53,52 @@ object Skew {
       .withColumnRenamed("k", "event_type")
       .orderBy("event_type")
 
+  /** Salted shuffle JOIN for a hot build-side key, when BOTH sides are too
+    * large to broadcast (the case AQE's skew-join split also targets, but
+    * salting works even when the hot key sits in one unsplittable HDFS
+    * block or the planner lacks stats): the probe (big/skewed) side gets a
+    * random-ish but DETERMINISTIC salt in [0, n); the build side is
+    * replicated n× with every salt value; the join key becomes
+    * (key, salt), so the hot key's rows fan out over n reducers instead
+    * of stalling one.
+    *
+    * Replication multiplies the build side's shuffle volume by n — use a
+    * salt just wide enough to flatten the hottest key (hot-rows / n ≈
+    * median partition size), never a blanket large value.
+    *
+    * Semantically identical to the plain inner equi-join: every probe row
+    * meets every build row of its key exactly once (at the probe row's
+    * own salt). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
+      buildKey: Column, salt: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col).toIndexedSeq: _*), lit(salt)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated,
+      probeKey === buildKey && salted("__salt") === replicated("__salt"), "inner")
+      .drop("__salt")
+  }
+
+  /** Demo query: lineitem⋈orders through the salted join (salt 8), then a
+    * priority rollup — hash-identical to the plain join (its oracle). The
+    * aggregate keeps the verified output small; the join itself is the
+    * operator under test. */
+  def saltedJoinStats(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      col("l_orderkey"), col("o_orderkey"), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        StableStats.centsMean(col("l_extendedprice")).as("avg_price"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a_salted_agg" -> (saltedEventStats _)
+    "a_salted_agg"  -> (saltedEventStats _),
+    "j_salted_join" -> (saltedJoinStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -62,6 +106,12 @@ object Skew {
       s"""SELECT event_type, count(*) AS n,
          |  ${StableStats.centsMeanSql("value")} AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

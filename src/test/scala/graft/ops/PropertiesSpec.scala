@@ -93,6 +93,45 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("salted join == plain join for any data and any salt width") {
+    for ((rows, salt) <- cases.zip(Seq(1, 2, 7, 16))) {
+      val probe = toDf(rows)
+      val build = probe.select(col("event_type")).distinct()
+        .withColumn("label", concat(lit("dim_"), col("event_type")))
+        .withColumnRenamed("event_type", "bk")
+      val viaSalt = Skew.saltedJoin(probe, build, col("event_type"), col("bk"), salt)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      val plain = probe.join(build, col("event_type") === col("bk"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      assert(viaSalt === plain, s"salt=$salt diverged")
+    }
+  }
+
+  test("salted join with broadcast disabled fans the hot key over salt reducers") {
+    // no broadcast ⇒ the join really shuffles; the salted plan must still
+    // be exact and its join key must include the salt column
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val probe = toDf(cases.head)
+      val build = probe.select(col("event_type")).distinct()
+        .withColumnRenamed("event_type", "bk")
+      val df = Skew.saltedJoin(probe, build, col("event_type"), col("bk"), 4)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("__salt"), s"join key must carry the salt:\n$plan")
+      assert(df.count() === probe.count())
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("incremental partial merge is split-invariant: any day partitioning merges to the same stats") {
     import java.nio.file.Files
     for (rows <- cases) {
