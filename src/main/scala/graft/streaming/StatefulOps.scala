@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators: watermark-bounded dedup and
   * gap-session-ization via flatMapGroupsWithState (SURVEY.md §2.8's
@@ -37,6 +37,32 @@ object StatefulOps {
 
   private def us(t: Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
 
+  private def closeSession(uid: Long, s: SessionState): SessionOut =
+    SessionOut(uid, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000),
+      s.n, s.sum)
+
+  /** Shared gap-session fold: feed time-sorted events into the open
+    * session, closing it whenever the gap is exceeded inside the batch.
+    * Returns (sessions closed by this batch, the still-open session). */
+  private def foldSessions(uid: Long, sorted: Seq[Evt],
+      initial: Option[SessionState], gapMs: Long): (Seq[SessionOut], Option[SessionState]) = {
+    var open = initial
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      open match {
+        case Some(s) if t - s.endUs <= gapMs * 1000 =>
+          open = Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
+        case Some(s) => // gap exceeded inside the batch → close, start new
+          closed += closeSession(uid, s)
+          open = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          open = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (closed.result(), open)
+  }
+
   /** Gap-based sessionization with explicit state: a session closes when
     * `gap` passes with no events (decided by event-time timeout, i.e. the
     * watermark — late data within the watermark still extends its
@@ -44,11 +70,6 @@ object StatefulOps {
   def sessionize(events: Dataset[Evt], watermark: String = "30 minutes",
       gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-
-    def close(uid: Long, s: SessionState): SessionOut =
-      SessionOut(uid, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000),
-        s.n, s.sum)
-
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -57,32 +78,66 @@ object StatefulOps {
         (uid: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
           if (rows.isEmpty && state.hasTimedOut) {
             // watermark passed session end + gap → close it
-            val out = state.getOption.map(close(uid, _)).toSeq
+            val out = state.getOption.map(closeSession(uid, _)).toSeq
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => us(e.ts))
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = us(e.ts)
-              open match {
-                case Some(s) if t - s.endUs <= gapMs * 1000 =>
-                  open = Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
-                case Some(s) => // gap exceeded inside the batch → close, start new
-                  closed += close(uid, s)
-                  open = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  open = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, open) =
+              foldSessions(uid, rows.toSeq.sortBy(e => us(e.ts)), state.getOption, gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.endUs / 1000 + gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** The same gap-sessionization on Spark 4's `transformWithState` API —
+    * typed ValueState plus EXPLICIT event-time timers instead of the
+    * single implicit GroupState timeout (a processor can hold many named
+    * states and timers; this one needs one of each). Requires the RocksDB
+    * state store provider. Semantically identical to [[sessionize]] —
+    * the parity spec drives both through the same input. */
+  class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, Evt, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState("session", Encoders.product[SessionState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val initial = if (session.exists()) Some(session.get()) else None
+      val (closed, open) =
+        foldSessions(uid, rows.toSeq.sortBy(e => us(e.ts)), initial, gapMs)
+      open.foreach { s =>
+        session.update(s)
+        // one live timer per key: re-arm at the new session end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.endUs / 1000 + gapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists()) {
+        val out = closeSession(uid, session.get())
+        session.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] via [[SessionProcessor]] (transformWithState). */
+  def sessionizeTws(events: Dataset[Evt], watermark: String = "30 minutes",
+      gapMs: Long = 30 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream interval join: attribute each conversion to the same
