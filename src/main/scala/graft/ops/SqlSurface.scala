@@ -48,6 +48,45 @@ object SqlSurface {
     spark.sql(groupingSetsSql)
   }
 
+  /** Shared-dialect CTE + ranking window: top-5 revenue days per order
+    * priority. Daily cents pre-aggregate first (the window's input is
+    * O(days × priorities), not O(orders)); rank ties break on the day so
+    * the row set is deterministic; AND THE ORACLE IS THE SAME STRING. */
+  val cteWindowSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT day, o_orderpriority, rev, rnk FROM (
+      |  SELECT day, o_orderpriority,
+      |    CAST(cents AS DOUBLE) / 1e2 AS rev,
+      |    CAST(rank() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents DESC, day ASC) AS INTEGER) AS rnk
+      |  FROM daily)
+      |WHERE rnk <= 5
+      |ORDER BY o_orderpriority, rnk, day""".stripMargin
+
+  def sqlCteWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(cteWindowSql)
+  }
+
+  /** Shared-dialect correlated EXISTS: segments of customers holding at
+    * least one big order. Catalyst decorrelates the subquery into a left
+    * semi join (no per-row rescan); same string runs on the oracle. */
+  val existsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_custs
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(existsSql)
+  }
+
   /** Approximate-sketch toolbox: HLL++ distinct counts and quantile
     * sketches next to their exact counterparts (self-evidencing — the
     * approx value must bracket the exact one). Sketches are
@@ -66,12 +105,16 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> (sqlPricingSummary _),
     "sql_grouping_sets"   -> (sqlGroupingSets _),
+    "sql_cte_window"      -> (sqlCteWindow _),
+    "sql_exists"          -> (sqlExists _),
     "a_approx_sketches"   -> (approxSketches _)
   )
 
   /** The oracles for the SQL-surface queries are the very same strings. */
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSql,
-    "sql_grouping_sets"   -> groupingSetsSql
+    "sql_grouping_sets"   -> groupingSetsSql,
+    "sql_cte_window"      -> cteWindowSql,
+    "sql_exists"          -> existsSql
   )
 }

@@ -38,6 +38,50 @@ object PartitionedSink {
     }
   }
 
+  /** Z-order (Morton-curve) layout writer: interleave the bits of the
+    * quantized sort columns so rows close in EVERY dimension land in the
+    * same files — then a conjunctive range query prunes on per-file
+    * min/max stats in ALL dimensions at once. A lexicographic sort only
+    * localizes the leading column (trailing columns span their full range
+    * inside each leading stripe); at 100 TB that's the difference between
+    * reading a few files and scanning the table for box queries.
+    *
+    * Mechanics: per-column global min/max (one 1-row broadcast), quantize
+    * each column to `bits` buckets, interleave bucket bits into a Morton
+    * key (pure shift/and/or Column expressions — codegen'd, no UDF),
+    * range-repartition + sort on the key, write without it. Numeric
+    * columns only (the quantization is an affine map).
+    *
+    * Skipping is measurable, not aspirational: the spec computes per-file
+    * min/max and asserts a box query touches fewer z-ordered files than
+    * naturally-ordered ones. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int, bits: Int = 12): Unit = {
+    require(zCols.nonEmpty && files > 0)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val scale = (1L << bits) - 1
+    val quantized = zCols.map { c =>
+      val (lo, hi) = (col(s"__min_$c"), col(s"__max_$c"))
+      val range = hi - lo
+      val norm = when(col(c).isNull || range === 0.0, lit(0.0))
+        .otherwise((col(c).cast("double") - lo) / range)
+      round(norm * scale).cast("long")
+    }
+    val n = zCols.size
+    val morton = (for { b <- 0 until bits; i <- 0 until n } yield
+      shiftleft(shiftright(quantized(i), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_.bitwiseOR(_))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", morton)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction for a day-partitioned lake: rewrite each
     * partition's many micro-batch files into at most `filesPerDay` files.
     * Each day's rows are spread over `filesPerDay` sub-splits by a
