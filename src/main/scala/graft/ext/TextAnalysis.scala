@@ -243,7 +243,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval (k1=1.2, b=0.75): score documents against a fixed
+    * query — the INVERTED-INDEX probe shape that scales text retrieval:
+    * tokens filter to the query's terms BEFORE any aggregation (the probe
+    * touches only postings of the query terms, not the corpus), document
+    * frequency and corpus stats arrive as 1-row/`|Q|`-row broadcasts, and
+    * only matching documents are scored. Per-term scores share one
+    * arithmetic op sequence with the oracle; the rank key is the ROUNDED
+    * total so cross-engine term-sum order can't flip the top-k. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("spark", "table", "scan")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val qtoks = docs
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .where(col("tok").isin(queryTerms: _*))
+    val tf = qtoks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = qtoks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t",
+        expr("ln((n_docs - df + 5e-1) / (df + 5e-1) + 1)" +
+          " * tf * 22e-1" +
+          " / (tf + 12e-1 * (1 - 75e-2 + 75e-2 * dl / (cast(total_dl as double) / n_docs)))"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score_t")), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bm25_topk"        -> (bm25TopK _),
     "x_boilerplate_ngrams" -> (boilerplateNgrams _),
     "x_lm_logprob"       -> (lmLogprob _),
     "x_quality_sample"   -> (qualitySample _),
@@ -270,6 +307,22 @@ object TextAnalysis {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lens AS (SELECT doc_id, len(w) AS dl FROM d),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+        |qt AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+        |       WHERE tok IN ('spark', 'table', 'scan')),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1)
+        |SELECT doc_id, round(sum(score_t), 4) AS bm25, count(*) AS n_terms
+        |FROM (
+        |  SELECT doc_id,
+        |    ln((n_docs - df + 5e-1) / (df + 5e-1) + 1)
+        |      * tf * 22e-1
+        |      / (tf + 12e-1 * (1 - 75e-2 + 75e-2 * dl / (CAST(total_dl AS DOUBLE) / n_docs))) AS score_t
+        |  FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id), stats)
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "x_boilerplate_ngrams" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

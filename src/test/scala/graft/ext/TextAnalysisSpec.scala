@@ -72,6 +72,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((3L, 0L)))
   }
 
+  test("bm25: only matching docs score; term coverage counted per doc") {
+    val d = Files.createTempDirectory("graft-bm25").toString
+    Seq(
+      (0L, "spark table scan fast", "en", "s0", 21L),
+      (1L, "spark spark spark spark spark table", "en", "s0", 35L),
+      (2L, "nothing relevant here", "en", "s1", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.bm25TopK(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("bm25"), x.getAs[Long]("n_terms"))).toMap
+    assert(r.keySet === Set(0L, 1L), "non-matching doc must not be scored")
+    assert(r(0L)._2 === 3L) // spark, table, scan all present
+    assert(r(1L)._2 === 2L) // spark, table
+    assert(r(0L)._1 > 0.0 && r(1L)._1 > 0.0)
+    // tf saturation: doc 1's five 'spark's cannot make up for missing 'scan'
+    assert(r(0L)._1 > r(1L)._1)
+  }
+
   test("lm logprob: matches the hand-computed unigram mean") {
     val d = Files.createTempDirectory("graft-lm").toString
     Seq(
