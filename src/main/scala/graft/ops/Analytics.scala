@@ -223,7 +223,44 @@ object Analytics {
           .as("purchase_rate"))
   }
 
+  /** Gap-fill + forward-fill: the time-series resample the reference only
+    * gestures at (pandas `resample` materializes empty bins, then the ETL
+    * drops them — SURVEY.md §2.5.1). Here the full 10-minute grid for one
+    * day is GENERATED (`sequence` — 144 slots × |event types|, map-side),
+    * observed buckets left-join onto it, and gaps forward-fill with the
+    * last observed value via `last(_, ignoreNulls)` over a row frame.
+    * Slots before the first observation stay NULL (nothing to carry).
+    * The grid is O(slots × types) — independent of event volume, so the
+    * join is broadcast-scale on the grid side at any data size. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val day = Tables.events(spark, dir)
+      .where(col("ts") >= to_timestamp(lit("2024-01-03"))
+        && col("ts") < to_timestamp(lit("2024-01-04")))
+    val observed = day
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_obs"),
+        StableStats.centsMean(col("value")).as("avg_value"))
+      .select(col("event_type").as("ot"), col("window.start").as("oslot"),
+        col("n_obs"), col("avg_value"))
+    val grid = day.select(col("event_type")).distinct()
+      .crossJoin(
+        spark.range(1).select(explode(expr(
+          "sequence(timestamp'2024-01-03 00:00:00', timestamp'2024-01-03 23:50:00', interval 10 minutes)"))
+          .as("slot")))
+    val ff = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(observed, col("event_type") === col("ot") && col("slot") === col("oslot"),
+        "left_outer")
+      .select(col("event_type"), col("slot"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(ff).as("filled"))
+      .orderBy("event_type", "slot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_gap_fill"         -> (gapFill _),
     "a_funnel"           -> (funnel _),
     "a_cohort_retention" -> (cohortRetention _),
     "a_array_agg"      -> (arrayAgg _),
@@ -241,6 +278,24 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_gap_fill" ->
+      s"""WITH day AS (
+         |  SELECT * FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'),
+         |obs AS (
+         |  SELECT event_type AS ot, time_bucket(INTERVAL 10 MINUTE, ts) AS oslot,
+         |    count(*) AS n_obs, ${StableStats.centsMeanSql("value")} AS avg_value
+         |  FROM day GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, slot
+         |  FROM (SELECT DISTINCT event_type FROM day)
+         |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-03',
+         |    TIMESTAMP '2024-01-03 23:50:00', INTERVAL 10 MINUTE)) AS slot))
+         |SELECT event_type, slot, coalesce(n_obs, 0) AS n, avg_value,
+         |  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+         |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM grid LEFT JOIN obs ON event_type = ot AND slot = oslot
+         |ORDER BY event_type, slot""".stripMargin,
     "a_funnel" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH s1 AS (

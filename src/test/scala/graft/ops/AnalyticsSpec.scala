@@ -53,4 +53,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(batch.forall(s => !s.session_end.before(s.session_start)))
     assert(evts.count() === 4)
   }
+
+  test("gap fill: full grid, forward-fill carries last value, leading gap stays null") {
+    val d = Files.createTempDirectory("graft-gapfill").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (0L, ts("2024-01-03 00:10:00"), 1L, "x", 10.0, "{}"),
+      (1L, ts("2024-01-03 00:30:00"), 1L, "x", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val rows = Analytics.gapFill(spark, d).collect()
+    assert(rows.length === 144, "one type x 144 ten-minute slots")
+    val bySlot = rows.map(r => r.getAs[java.sql.Timestamp]("slot").toString ->
+      (r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("filled")))).toMap
+    assert(bySlot("2024-01-03 00:00:00.0") === ((0L, None)), "leading gap: nothing to carry")
+    assert(bySlot("2024-01-03 00:10:00.0") === ((1L, Some(10.0))))
+    assert(bySlot("2024-01-03 00:20:00.0") === ((0L, Some(10.0))), "gap carries 00:10 value")
+    assert(bySlot("2024-01-03 00:30:00.0") === ((1L, Some(30.0))))
+    assert(bySlot("2024-01-03 23:50:00.0") === ((0L, Some(30.0))), "fill persists to day end")
+  }
 }
