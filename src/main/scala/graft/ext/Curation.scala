@@ -97,6 +97,32 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** Robust outlier filtering: median absolute deviation instead of
+    * mean/std — the z-score above is itself corrupted by the outliers it
+    * hunts (one huge value inflates σ and hides its peers); median and
+    * MAD have a 50% breakdown point. Two grouped EXACT percentiles (each
+    * a per-group sort — the scale path swaps in `approx_percentile`, same
+    * shape) broadcast back as tiny per-group stats; both stats are
+    * rounded before the score so the flagged row set is cross-engine
+    * deterministic. 1.4826·MAD ≈ σ for Gaussian data, so |score| ≥ 3
+    * mirrors a 3σ cut. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val events = Tables.events(spark, dir)
+    val med = events.groupBy(col("event_type").as("et1"))
+      .agg(round(expr("percentile(value, 5e-1)"), 4).as("med"))
+    val withMed = events.join(broadcast(med), col("event_type") === col("et1"))
+    val mad = withMed.groupBy(col("event_type").as("et2"))
+      .agg(round(expr("percentile(abs(value - med), 5e-1)"), 4).as("mad"))
+    withMed.join(broadcast(mad), col("event_type") === col("et2"))
+      .withColumn("score",
+        StableStats.stableRound((col("value") - col("med")) / (lit(14826e-4) * col("mad")), 4))
+      .where(abs(col("score")) >= 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("score"))
+      .orderBy("event_id")
+  }
+
   /** Vocabulary heavy hitters: global top-20 tokens by frequency
     * (count desc, token asc tie-break) — one hash-agg + TakeOrdered. */
   def topTerms(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +227,7 @@ object Curation {
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
     "x_outliers"          -> (outliers _),
+    "x_outliers_mad"      -> (madOutliers _),
     "x_top_terms"         -> (topTerms _),
     "x_pack_bins"         -> ((s: SparkSession, d: String) => packBins(s, d))
   )
@@ -241,6 +268,20 @@ object Curation {
          |  ${StableStats.stableRoundSql("(value - mu) / sigma", 4)} AS z
          |FROM events JOIN stats ON event_type = et
          |WHERE abs(${StableStats.stableRoundSql("(value - mu) / sigma", 4)}) >= 2.5
+         |ORDER BY event_id""".stripMargin
+    },
+    "x_outliers_mad" -> {
+      import graft.ops.StableStats
+      s"""WITH med AS (
+         |  SELECT event_type AS et1, round(quantile_cont(value, 5e-1), 4) AS med
+         |  FROM events GROUP BY event_type),
+         |mad AS (
+         |  SELECT event_type AS et2, round(quantile_cont(abs(value - med), 5e-1), 4) AS mad
+         |  FROM events JOIN med ON event_type = et1 GROUP BY event_type)
+         |SELECT event_id, event_type, value, med, mad,
+         |  ${StableStats.stableRoundSql("(value - med) / (14826e-4 * mad)", 4)} AS score
+         |FROM events JOIN med ON event_type = et1 JOIN mad ON event_type = et2
+         |WHERE abs(${StableStats.stableRoundSql("(value - med) / (14826e-4 * mad)", 4)}) >= 3
          |ORDER BY event_id""".stripMargin
     },
     "x_top_terms" ->

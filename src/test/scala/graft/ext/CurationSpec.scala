@@ -1,0 +1,38 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One tight group plus a huge outlier (100) and a moderate one (35):
+    * the huge value inflates σ enough to hide the moderate one from the
+    * z-score; MAD's 50% breakdown point keeps both visible. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-mad").toString
+    val base = (1 to 19).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", i.toDouble, "{}"))
+    (base :+
+      (22L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "a", 35.0, "{}") :+
+      (23L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "a", 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("MAD outliers flag what the sigma-inflated z-score misses") {
+    val mad = Curation.madOutliers(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    val z = Curation.outliers(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    // med=11, mad=5: score(35)=(35-11)/(1.4826*5)=3.24, score(100)=(100-11)/7.413=12 → both flagged
+    assert(mad === Set(22L, 23L), s"MAD must flag both outliers: $mad")
+    // the 100 inflates sigma (~20), so z(35) < 2.5 → z-score misses it
+    assert(z.contains(23L) && !z.contains(22L),
+      s"z-score should be masked on the moderate outlier: $z")
+  }
+}
