@@ -9,9 +9,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,13 +64,16 @@ object EnvelopeSource {
 }
 
 private class EnvelopeTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"envelope($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(tableSchema, path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new EnvelopeWriteBuilder(info.schema(), path)
 }
 
 /** Column pruning + filter pushdown: Spark hands us the narrowed schema
@@ -115,8 +119,11 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val files =
       if (fs.getFileStatus(hPath).isDirectory)
-        fs.listStatus(hPath).filter(_.isFile).map(_.getPath.toString)
-          .filter(_.endsWith(".json")).sorted
+        fs.listStatus(hPath).filter(_.isFile).map(_.getPath)
+          // skip in-flight/aborted writer temps (Hadoop hidden-file convention)
+          .filter(p => p.getName.endsWith(".json")
+            && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          .map(_.toString).sorted
       else Array(path)
     files.map(f => EnvelopeInputPartition(f): InputPartition)
   }
@@ -266,6 +273,122 @@ private class EnvelopeReader(file: String, schema: StructType,
       }
     }
     InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** V2 write path: each task streams its rows into a hidden temp file in
+  * the target directory; the driver's commit renames every temp to a
+  * visible `part-*.json` envelope (rename-as-publish two-phase commit),
+  * and abort deletes the temps — a failed job never leaves a partial
+  * envelope visible to the reader, which skips dot-files. `overwrite`
+  * maps to SupportsTruncate: old part files are removed inside the same
+  * commit, after all new temps are staged. */
+private class EnvelopeWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new EnvelopeBatchWrite(schema, path, doTruncate)
+  }
+}
+
+private case class EnvelopeCommit(tempFile: String, rows: Long) extends WriterCommitMessage
+
+private class EnvelopeBatchWrite(schema: StructType, path: String, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    EnvelopeWriterFactory(schema, path, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+        .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+        .foreach(p => fs.delete(p, false))
+    messages.zipWithIndex.foreach { case (m: EnvelopeCommit, i) =>
+      val src = new Path(m.tempFile)
+      if (!fs.rename(src, new Path(dir, f"part-$i%05d.json")))
+        throw new java.io.IOException(s"EnvelopeSource: commit rename failed for $src")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+    messages.foreach {
+      case EnvelopeCommit(temp, _) => fs.delete(new Path(temp), false)
+      case _ => ()
+    }
+  }
+}
+
+private case class EnvelopeWriterFactory(schema: StructType, path: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new EnvelopeDataWriter(schema, path, partitionId, taskId, conf.value)
+}
+
+/** Streams `{"data": [row, row, …], "count": N, …}` without buffering the
+  * partition in memory — rows serialize as they arrive. */
+private class EnvelopeDataWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val tempPath = new Path(path, f".tmp-envelope-$partitionId%05d-$taskId.json")
+  private val fs = tempPath.getFileSystem(hadoopConf)
+  private val out = new java.io.PrintWriter(
+    new java.io.OutputStreamWriter(fs.create(tempPath, true),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private var n = 0L
+  out.print("""{"data": [""")
+
+  private def jsonValue(row: InternalRow, i: Int, f: StructField): String =
+    if (row.isNullAt(i)) "null"
+    else f.dataType match {
+      case TimestampType =>
+        // reference serializes datetime.isoformat() — zoneless ISO-8601
+        val micros = row.getLong(i)
+        "\"" + DateTimeUtils.microsToLocalDateTime(micros)
+          .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME) + "\""
+      case DoubleType  => row.getDouble(i).toString
+      case LongType    => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case StringType  =>
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(
+          row.getUTF8String(i).toString).toString
+      case dt => throw new IllegalArgumentException(
+        s"EnvelopeSource: unsupported write type $dt for '${f.name}'")
+    }
+
+  override def write(row: InternalRow): Unit = {
+    if (n > 0) out.print(", ")
+    out.print(schema.fields.zipWithIndex
+      .map { case (f, i) =>
+        com.fasterxml.jackson.databind.node.TextNode.valueOf(f.name).toString +
+          ": " + jsonValue(row, i, f)
+      }
+      .mkString("{", ", ", "}"))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.print(s"""], "count": $n, "filters": {}, "metadata": {"writer": "graft"}}""")
+    out.close()
+    EnvelopeCommit(tempPath.toString, n)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tempPath, false)
   }
 
   override def close(): Unit = ()

@@ -96,4 +96,32 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(filterNodes(df).nonEmpty, "Or must NOT be claimed by the source")
     assert(df.collect().map(_.getDouble(1)).sorted === Array(2.4, 12.1))
   }
+
+  test("V2 write: envelope round-trip, one part file per partition, no temps left") {
+    val out = Files.createTempDirectory("graft-envelope-out").toString
+    val src = read
+    src.repartition(2).write.format("graft.sources.EnvelopeSource")
+      .mode("append").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) === 2, files.mkString(","))
+    assert(!files.exists(_.startsWith(".tmp")), "commit must clean temps")
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .schema(EnvelopeSource.referenceSchema).load(out)
+    assert(back.count() === 3)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "write→read must round-trip exactly (timestamps, nulls included)")
+  }
+
+  test("V2 overwrite truncates previous part files in the same commit") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-envelope-ovr").toString
+    read.write.format("graft.sources.EnvelopeSource").mode("append").save(out)
+    val one = read.where(col("power") === 0.0)
+    one.coalesce(1).write.format("graft.sources.EnvelopeSource")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .schema(EnvelopeSource.referenceSchema).load(out)
+    assert(back.count() === 1, "overwrite must replace, not append")
+    assert(back.head().getDouble(2) === 0.0)
+  }
 }
