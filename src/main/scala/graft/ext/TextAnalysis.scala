@@ -279,7 +279,34 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** Character-entropy quality signal: Shannon entropy of each document's
+    * character distribution — low entropy flags repeated-char junk,
+    * high entropy flags random-byte noise; natural language sits in a
+    * band. One position-explode (codegen substring, same trick as
+    * charBigrams) → one (doc, char) hash-agg → per-doc fold; the char
+    * alphabet bounds group count, so the shuffle is O(docs × alphabet).
+    * log2 keeps plain 4dp rounding (transcendental — halfway hits are
+    * measure-zero). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    counts
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("len")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        expr("round(-sum((cast(cnt as double) / len) * log2(cast(cnt as double) / len)), 4)")
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_entropy"     -> (charEntropy _),
     "x_bm25_topk"        -> (bm25TopK _),
     "x_boilerplate_ngrams" -> (boilerplateNgrams _),
     "x_lm_logprob"       -> (lmLogprob _),
@@ -307,6 +334,17 @@ object TextAnalysis {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+        |        FROM documents)),
+        |counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(len(text) AS INTEGER) AS len FROM documents)
+        |SELECT doc_id, max(len) AS n_chars, count(*) AS n_distinct,
+        |  round(-sum((CAST(cnt AS DOUBLE) / len) * log2(CAST(cnt AS DOUBLE) / len)), 4) AS entropy
+        |FROM counts JOIN lens USING (doc_id)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_bm25_topk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |lens AS (SELECT doc_id, len(w) AS dl FROM d),

@@ -91,6 +91,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0L)._1 > r(1L)._1)
   }
 
+  test("char entropy: hand-computed bits for degenerate and uniform alphabets") {
+    val d = Files.createTempDirectory("graft-entropy").toString
+    Seq(
+      (0L, "aaaa", "en", "s0", 4L),  // one symbol → 0 bits
+      (1L, "abab", "en", "s0", 4L),  // two equiprobable → 1 bit
+      (2L, "abcd", "en", "s0", 4L))  // four equiprobable → 2 bits
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.charEntropy(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("entropy"), x.getAs[Long]("n_distinct"))).toMap
+    assert(r(0L) === ((0.0, 1L)))
+    assert(r(1L) === ((1.0, 2L)))
+    assert(r(2L) === ((2.0, 4L)))
+  }
+
   test("lm logprob: matches the hand-computed unigram mean") {
     val d = Files.createTempDirectory("graft-lm").toString
     Seq(
