@@ -254,7 +254,29 @@ object Olap {
       .orderBy("c_mktsegment")
   }
 
+  /** Analytic window battery: lag/lead offsets, ntile bucketing,
+    * percent_rank/cume_dist relative ranks — the remaining OVER-clause
+    * family in one partitioned pass. The ordering key (date, orderkey) is
+    * unique within each partition, so offset results and the default
+    * RANGE frame are cross-engine deterministic (ranks round at 6dp). */
+  def windowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .where(col("o_custkey") < 50)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_window_battery"    -> (windowBattery _),
     "q19_disjunctive_rev" -> (disjunctiveRevenue _),
     "q22_idle_customers"  -> (idleCustomers _),
     "q17_small_qty_revenue" -> (smallQuantityRevenue _),
@@ -270,6 +292,16 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "w_window_battery" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
     "q19_disjunctive_rev" ->
       s"""SELECT
          |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue,
