@@ -219,7 +219,110 @@ object Curation {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Corpus-wide repeated-span removal (the C4-style curation pass):
+    * documents chunk into NON-overlapping 10-word spans; a span that
+    * appears verbatim anywhere else in the corpus survives only at its
+    * first occurrence — lowest (doc_id, chunk index), encoded as one
+    * orderable bigint key so "first" needs a single `min` rather than an
+    * arg-min — and every document is rebuilt from its surviving spans.
+    *
+    * Scale shape: one explode (map-side), ONE shuffle on the span text for
+    * the global first-occurrence table, one shuffle back on doc_id for the
+    * rebuild — the two-exchange budget is independent of corpus size, and
+    * the span frame feeds both sides so it persists (scan+explode would
+    * otherwise run twice). At 100 TB the span-keyed exchange dominates;
+    * spans could carry 64-bit hashes instead of text to shrink it (the
+    * oracle compare keeps text here for exactness). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, (size(w) - 1) div 10)")).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", expr("slice(w, ci * 10 + 1, 10)")).as("span"))
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("ci"))
+      .persist()
+    val firstOcc = spans.groupBy(col("span")).agg(min(col("k")).as("min_k"))
+    val rebuilt = spans.join(firstOcc, "span")
+      .where(col("k") === col("min_k"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(ci, span))), x -> x.span), ' '))")
+          .as("rebuilt_md5"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture rebalancing: deterministic downsampling toward a
+    * UNIFORM source mixture — each source's keep-rate is
+    * min(1, fair_share / its_count), the standard move for capping
+    * over-represented crawl domains before training. The per-document
+    * keep decision is the md5-uniform-vs-rate compare (reproducible on
+    * any cluster); the rate table is sources-sized, so it broadcasts and
+    * the corpus side never shuffles — the groupBy here is only the
+    * per-source report. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val stats = counts.agg(sum(col("n_docs")).as("total"), count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(stats))
+      .withColumn("rate",
+        expr("least(1e0, cast(total as double) / (n_sources * n_docs))"))
+      .select(col("source"), col("rate"))
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        expr("cast(conv(substring(md5(concat('dmix|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10000 / 1e4"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        graft.ops.StableStats.stableRound(max(col("rate")), 4).as("rate"))
+      .orderBy("source")
+  }
+
+  /** Winsorized per-type means over `events.value`: the p05/p95 cutoffs
+    * are EXACT ORDER STATISTICS (the element at rank ⌈p·n⌉ under a
+    * total (value, event_id) order), so both engines pick the identical
+    * double out of the data — no interpolation to drift. Values clamp to
+    * [lo, hi] and both raw and clamped means run through the 10⁻⁴-unit
+    * exact-integer discipline ([[graft.ops.StableStats]]). The rank pass
+    * is one per-type window; the cut table is types-sized → broadcast
+    * back over the fact scan. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val cuts = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("greatest(1, cast(ceil(5e-2 * n) as int))"), col("value"))).as("lo"),
+        max(when(col("rn") === expr("cast(ceil(95e-2 * n) as int)"), col("value"))).as("hi"))
+    def tenKMean(c: org.apache.spark.sql.Column) =
+      graft.ops.StableStats.stableRound(
+        sum(round(c * 10000).cast("long")).cast("double") / count(lit(1)) / lit(1e4), 4)
+    Tables.events(spark, dir)
+      .join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.StableStats.stableRound(max(col("lo")), 4).as("lo"),
+        graft.ops.StableStats.stableRound(max(col("hi")), 4).as("hi"),
+        tenKMean(col("value")).as("mean_raw"),
+        tenKMean(greatest(col("lo"), least(col("hi"), col("value")))).as("mean_winsor"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_spans"       -> (spanDedup _),
+    "x_domain_mix"        -> (domainMix _),
+    "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
     "x_decontaminate"     -> (decontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
@@ -233,6 +336,62 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, ci,
+        |    array_to_string(w[ci * 10 + 1 : ci * 10 + 10], ' ') AS span,
+        |    doc_id * 1000000 + ci AS k
+        |  FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 10)) AS ci FROM t)),
+        |fo AS (SELECT span, min(k) AS min_k FROM sp GROUP BY span),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(sp.span, ' ' ORDER BY ci)) AS rebuilt_md5
+        |  FROM sp JOIN fo USING (span) WHERE k = min_k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+        |SELECT doc_id, n_spans,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(rebuilt_md5, md5('')) AS rebuilt_md5
+        |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x_domain_mix" -> {
+      import graft.ops.StableStats
+      s"""WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM counts),
+         |rates AS (SELECT source, least(1e0, CAST(total AS DOUBLE) / (n_sources * n_docs)) AS rate
+         |  FROM counts, stats),
+         |u AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5('dmix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 / 1e4 AS u
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${StableStats.stableRoundSql("max(rate)", 4)} AS rate
+         |FROM u JOIN rates USING (source)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "x_winsorize" -> {
+      import graft.ops.StableStats
+      def tenKMeanSql(e: String) = StableStats.stableRoundSql(
+        s"CAST(sum(CAST(round(($e) * 1e4) AS BIGINT)) AS DOUBLE) / count(*) / 1e4", 4)
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |cuts AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = greatest(1, CAST(ceil(5e-2 * n) AS INTEGER)) THEN value END) AS lo,
+         |    max(CASE WHEN rn = CAST(ceil(95e-2 * n) AS INTEGER) THEN value END) AS hi
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, count(*) AS n,
+         |  ${StableStats.stableRoundSql("max(lo)", 4)} AS lo,
+         |  ${StableStats.stableRoundSql("max(hi)", 4)} AS hi,
+         |  ${tenKMeanSql("value")} AS mean_raw,
+         |  ${tenKMeanSql("greatest(lo, least(hi, value))")} AS mean_winsor,
+         |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         |FROM events JOIN cuts USING (event_type)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "x_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id, g FROM (

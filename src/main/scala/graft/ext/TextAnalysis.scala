@@ -305,7 +305,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing: rank the corpus by [[lmLogprob]]
+    * and cut it into head/middle/tail TERTILES (`ntile(3)` over the
+    * rounded score with doc_id tie-break — both engines define ntile's
+    * uneven-split identically), then report the per-(bucket, lang) census.
+    * The global-order window is the honest cost: at 100 TB the cutline
+    * would come from `approx_percentile` over the score instead of a
+    * total sort — the exact rank here is what makes the oracle compare
+    * well-defined. Aggregates are count/min/max only (no re-averaged
+    * rounded values → no halfway hazard). */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lmLogprob(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tert", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tert") === 1, "head").when(col("tert") === 2, "middle").otherwise("tail"))
+      .groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_logp")).as("min_logp"),
+        max(col("avg_logp")).as("max_logp"))
+      .orderBy("bucket", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ppl_buckets"      -> (pplBuckets _),
     "x_text_entropy"     -> (charEntropy _),
     "x_bm25_topk"        -> (bm25TopK _),
     "x_boilerplate_ngrams" -> (boilerplateNgrams _),
@@ -334,6 +359,20 @@ object TextAnalysis {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM counts),
+        |lp AS (
+        |  SELECT doc_id, round(avg(log10(CAST(cnt AS DOUBLE)) - log10(CAST(total AS DOUBLE))), 4) AS avg_logp
+        |  FROM toks JOIN counts USING (tok), tot GROUP BY doc_id),
+        |b AS (
+        |  SELECT lp.doc_id, lang, avg_logp,
+        |    ntile(3) OVER (ORDER BY avg_logp DESC, lp.doc_id ASC) AS tert
+        |  FROM lp JOIN documents USING (doc_id))
+        |SELECT CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  lang, count(*) AS n_docs, min(avg_logp) AS min_logp, max(avg_logp) AS max_logp
+        |FROM b GROUP BY tert, lang ORDER BY bucket, lang""".stripMargin,
     "x_text_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch

@@ -1,0 +1,112 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+
+/** Semantics of the round-2 curation additions: corpus-wide span dedup,
+  * domain-mixture rebalancing, winsorized means, perplexity buckets. */
+class CurationMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  private val spanA = words("a", 10)
+  private val spanB = words("b", 10)
+  private val spanC = words("c", 10)
+
+  /** doc1 = A+B (first occurrences), doc2 = A+C (A is a dup), doc3 = B
+    * (entirely duplicated), doc4 = A + a short 3-word tail. */
+  private lazy val spanDir: String = {
+    val d = Files.createTempDirectory("graft-span").toString
+    Seq(
+      (1L, s"$spanA $spanB", "en", "s0", 0L),
+      (2L, s"$spanA $spanC", "en", "s0", 0L),
+      (3L, spanB, "en", "s1", 0L),
+      (4L, s"$spanA x1 x2 x3", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("span dedup keeps first occurrences only and rebuilds documents") {
+    val rows = Curation.spanDedup(spark, spanDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"), r.getAs[String]("rebuilt_md5"))))
+      .toMap
+    assert(rows(1L)._1 === 2 && rows(1L)._2 === 2, s"doc1 keeps both first-occurrence spans: ${rows(1L)}")
+    assert(rows(2L) === ((2L, 1L, md5Hex(spanC))), s"doc2 keeps only its unique span: ${rows(2L)}")
+    assert(rows(3L) === ((1L, 0L, md5Hex(""))), s"doc3 is fully deduplicated away: ${rows(3L)}")
+    assert(rows(4L) === ((2L, 1L, md5Hex("x1 x2 x3"))), s"doc4 keeps its short tail span: ${rows(4L)}")
+    assert(rows(1L)._3 === md5Hex(s"$spanA $spanB"), "doc1 rebuilds to its full text")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** 90 docs from src_big, 10 from src_small: fair share is 50, so the
+    * small source keeps everything and the big one downsamples to ~5/9. */
+  private lazy val mixDir: String = {
+    val d = Files.createTempDirectory("graft-mix").toString
+    ((1 to 90).map(i => (i.toLong, s"t$i", "en", "src_big", 0L)) ++
+      (91 to 100).map(i => (i.toLong, s"t$i", "en", "src_small", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("domain mix caps the over-represented source, keeps the rare one whole") {
+    val rows = Curation.domainMix(spark, mixDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Double]("rate"))))
+      .toMap
+    assert(rows("src_small") === ((10L, 10L, 1.0)), s"rare source keeps all: ${rows("src_small")}")
+    val (n, kept, rate) = rows("src_big")
+    assert(n === 90L && rate === 0.5556, s"big source rate = 100/(2*90): ${rows("src_big")}")
+    assert(kept > 30 && kept < 70, s"big source downsamples to ~rate*n: $kept")
+  }
+
+  private lazy val winsorDir: String = {
+    val d = Files.createTempDirectory("graft-winsor").toString
+    (1 to 100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("winsorize clamps at exact p05/p95 order statistics") {
+    val r = Curation.winsorize(spark, winsorDir).collect().head
+    assert(r.getAs[Long]("n") === 100)
+    assert(r.getAs[Double]("lo") === 5.0 && r.getAs[Double]("hi") === 95.0)
+    assert(r.getAs[Double]("mean_raw") === 50.5)
+    // 1..4 clamp up to 5 (+10 net), 96..100 clamp down to 95 (−15 net): 50.45
+    assert(r.getAs[Double]("mean_winsor") === 50.45)
+    assert(r.getAs[Long]("n_below") === 4 && r.getAs[Long]("n_above") === 5)
+  }
+
+  /** Nine common-token docs and one all-unique-token doc: the unique one
+    * has the lowest unigram logprob, so it must land in the tail bucket. */
+  private lazy val pplDir: String = {
+    val d = Files.createTempDirectory("graft-ppl").toString
+    ((1 to 9).map(i => (i.toLong, "the cat sat on the mat", "en", "s0", 0L)) :+
+      (10L, words("zq", 6), "xx", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("perplexity buckets send the gibberish document to the tail") {
+    val rows = TextAnalysis.pplBuckets(spark, pplDir).collect()
+    val byBucketLang = rows.map(r =>
+      (r.getAs[String]("bucket"), r.getAs[String]("lang")) -> r.getAs[Long]("n_docs")).toMap
+    assert(byBucketLang.get(("tail", "xx")) === Some(1L),
+      s"unique-token doc must be in the tail: ${byBucketLang.keySet}")
+    assert(!byBucketLang.contains(("head", "xx")) && !byBucketLang.contains(("middle", "xx")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 10L, "census covers all docs")
+  }
+}
