@@ -165,13 +165,67 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Int8 scalar-quantized search (the memory-compression scale path:
+    * 4 bytes/dim → 1): each vector quantizes to round(x/maxabs·127) —
+    * integer-valued, so dot products and norms over the quantized
+    * vectors are EXACT in both engines (no float summation drift below
+    * 2⁵³) and the oracle compare is airtight. Candidates rank by
+    * quantized cosine; each hit carries an `in_exact_top5` flag from a
+    * join against the full-precision top-5, so the query output IS the
+    * recall measurement. At 100 TB the quantized vectors are the resident
+    * index (4× smaller scan) and full-precision re-ranking reads only the
+    * survivors. */
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("q", expr("transform(emb, x -> cast(round(x / scale * 127) as double))"))
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_cos").desc, col("vec_id").asc)
+    val quantTop = e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("q_cos", round(cosine("qq", "q"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+    val exact5 = bruteTopK(spark, dir)
+      .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1))
+    quantTop
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"), col("q_cos"))
+      .join(exact5, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rn"), col("cand_id"), col("q_cos"),
+        coalesce(col("hit"), lit(0)).as("in_exact_top5"))
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> (bruteTopK _),
     "x_sim_ivf_topk"   -> (ivfTopK _),
-    "x_sim_lsh_topk"   -> (lshTopK _)
+    "x_sim_lsh_topk"   -> (lshTopK _),
+    "x_sim_quantized"  -> (quantizedTopK _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x_sim_quantized" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |qn AS (SELECT vec_id, e, list_transform(e, x -> round(x / s * 127)) AS q
+        |  FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s FROM emb)),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, e AS qe FROM qn WHERE vec_id < 20),
+        |scored AS (SELECT qs.query_id, qn.vec_id AS cand_id,
+        |    round(list_cosine_similarity(qs.qq, qn.q), 6) AS q_cos
+        |  FROM qn CROSS JOIN qs WHERE qn.vec_id <> qs.query_id),
+        |qr AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY q_cos DESC, cand_id) AS rn FROM scored),
+        |exact AS (SELECT qs.query_id, qn.vec_id AS cand_id,
+        |    round(list_cosine_similarity(qs.qe, qn.e), 6) AS cos_sim
+        |  FROM qn CROSS JOIN qs WHERE qn.vec_id <> qs.query_id),
+        |e5 AS (SELECT query_id, cand_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS ern FROM exact)
+        |  WHERE ern <= 5)
+        |SELECT qr.query_id, CAST(qr.rn AS INTEGER) AS rn, qr.cand_id, qr.q_cos,
+        |  CAST(CASE WHEN e5.cand_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_exact_top5
+        |FROM qr LEFT JOIN e5 ON qr.query_id = e5.query_id AND qr.cand_id = e5.cand_id
+        |WHERE qr.rn <= 5 ORDER BY qr.query_id, qr.rn""".stripMargin,
     "x_sim_lsh_topk" -> {
       val bucketConcat = (0 until PLANES)
         .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")

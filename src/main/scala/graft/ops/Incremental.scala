@@ -77,8 +77,40 @@ object Incremental {
       .orderBy("event_type")
   }
 
+  /** SCD2 (type-2 slowly-changing dimension) build from the event log:
+    * per user, consecutive runs of the same `event_type` collapse into one
+    * VERSIONED interval `[valid_from, valid_to)` with the classic
+    * 9999-12-31 open-end sentinel on the current row — the dimension-
+    * history table every warehouse ETL maintains. Island detection is the
+    * standard gaps-and-islands move: a change flag against `lag`, a
+    * running sum for the version number, one grouped agg per island, and
+    * a `lead` for the closing bound — three window passes over the SAME
+    * (user_id, time) partitioning, so Catalyst plans ONE shuffle and
+    * sorts once; at 100 TB this scales as a single user-keyed exchange. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
+    val endOfTime = to_timestamp(lit("9999-12-31 00:00:00"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("state"))
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(byTs).isNull
+          || lag(col("state"), 1).over(byTs) =!= col("state"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(byTs))
+      .groupBy(col("user_id"), col("version"), col("state"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byVer), endOfTime))
+      .withColumn("is_current", (col("valid_to") === endOfTime).cast("int"))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_incr_merged_stats" -> (mergedStats _)
+    "x_incr_merged_stats" -> (mergedStats _),
+    "x_incr_scd2"         -> (scd2Intervals _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +120,28 @@ object Incremental {
       s"""SELECT event_type, count(*) AS n,
          |  ${StableStats.centsMeanSql("value")} AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_incr_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |versioned AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, version, state, min(ts) AS valid_from, count(*) AS n_events
+        |  FROM versioned GROUP BY user_id, version, state),
+        |closed AS (
+        |  SELECT *, coalesce(
+        |      lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC),
+        |      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM islands)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from, valid_to,
+        |  CAST(valid_to = TIMESTAMP '9999-12-31 00:00:00' AS INTEGER) AS is_current,
+        |  n_events
+        |FROM closed ORDER BY user_id, version""".stripMargin
   )
 }
