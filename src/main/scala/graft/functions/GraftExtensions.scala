@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session construction); both routes register the same expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -24,4 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
       }))
+    // canonical HOF cosine chains collapse to the fused native expression
+    ext.injectOptimizerRule(_ => CosineHofRewrite)
+  }
 }

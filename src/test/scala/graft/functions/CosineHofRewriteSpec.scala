@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.expr
+
+import graft.SparkSpec
+import graft.ext.Similarity
+
+/** The optimizer rule must collapse exactly the canonical HOF cosine
+  * chain — and nothing else — and preserve results bit-for-bit. Runs on
+  * an isolated `newSession` so the shared spec session keeps its stock
+  * optimizer (SimilaritySpec's HOF-vs-native comparison stays honest). */
+class CosineHofRewriteSpec extends SparkSpec {
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    CosineHofRewrite.register(s)
+    s
+  }
+
+  test("rule collapses the HOF cosine chain to the native expression") {
+    import s2.implicits._
+    // parquet-backed so ConvertToLocalRelation can't constant-fold the
+    // whole projection away before the plan is observable
+    val p = java.nio.file.Files.createTempDirectory("graft-hofrw").toString
+    Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)),
+      (Seq(0.5, 0.5, 0.0), Seq(0.5, 0.5, 0.0)),
+      (Seq(-1.0, 4.0, 0.25), Seq(2.0, -3.0, 8.0)))
+      .toDF("a", "b").write.mode("overwrite").parquet(p)
+    val df = s2.read.parquet(p)
+    val q = df.select(Similarity.cosineHof("a", "b").as("c"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("cosine_sim"), s"expected the fused native expression in: $opt")
+    assert(!opt.contains("aggregate("), s"the HOF folds must be gone: $opt")
+
+    CosineSimilarity.register(s2)
+    val native = df.select(Similarity.cosine("a", "b").as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(q.collect().map(_.getDouble(0)).toSeq === native,
+      "rewrite must be bit-preserving")
+  }
+
+  test("idempotent registration installs the rule once") {
+    CosineHofRewrite.register(s2)
+    CosineHofRewrite.register(s2)
+    assert(s2.experimental.extraOptimizations.count(_ eq CosineHofRewrite) === 1)
+  }
+
+  test("non-canonical folds are left alone") {
+    import s2.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
+    // a bare dot product — no norm denominator, must NOT rewrite
+    val dot = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("d"))
+    assert(!dot.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+    assert(dot.collect().head.getDouble(0) === 4.0)
+    // mismatched norm child (norms over a, a) — must NOT rewrite
+    val wrong = df.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+        |    * sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)))""".stripMargin).as("c"))
+    assert(!wrong.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+  }
+}
