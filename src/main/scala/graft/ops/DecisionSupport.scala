@@ -28,16 +28,22 @@ import graft.Tables
 object DecisionSupport {
 
   /** TPC-H Q4 shape: order-priority checking. Orders in one quarter having
-    * at least one "late" line (shipped >30 days after the order date) —
-    * EXISTS as a LEFT SEMI join whose condition spans both sides; the date
-    * filter on orders pushes to the scan before the join. */
+    * at least one "late" line (shipped >30 days after the order date).
+    * EXISTS is expressed as inner-join + distinct rather than LEFT SEMI:
+    * a semi join can only broadcast-build its RIGHT side, which here is
+    * the whole lineitem fact — with the inner form, size-based planning
+    * broadcasts the quarter-filtered orders (~4% of the table) and the
+    * fact streams; the distinct is a shuffle of matched orders only.
+    * Measured ~0.8 → ~0.6 s steady-state at sf0.1, and the only
+    * direction with a 100 TB fact. */
   def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .where(col("o_orderdate") >= to_timestamp(lit("1996-07-01"))
-        && col("o_orderdate") < to_timestamp(lit("1996-10-01")))
-      .join(Tables.lineitem(spark, dir),
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-07-01"))
+          && col("o_orderdate") < to_timestamp(lit("1996-10-01")))),
         col("o_orderkey") === col("l_orderkey")
-          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "inner")
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
