@@ -319,7 +319,49 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** PageRank over the near-dup candidate graph (LSH pairs as undirected
+    * edges) — the "centrality of a duplicate family" signal, and the
+    * canonical iterative graph algorithm beyond [[dupClusters]]'
+    * connected components. Three fixed power iterations, each ONE
+    * edges⋈ranks join + one dst-keyed agg (shuffle O(edges) per round).
+    *
+    * All arithmetic is EXACT 64-bit integer in 10⁻⁹ rank units
+    * (`floor` division for the damping split): float PageRank would sum
+    * neighbor contributions in hash-agg order, which IEEE addition makes
+    * engine- and partitioning-dependent — integer sums are order-free, so
+    * the oracle compare is exact and any cluster reproduces the same
+    * ranks bit-for-bit. */
+  def pagerankSim(spark: SparkSession, dir: String): DataFrame =
+    pagerankEdges(Dedup.minhashLsh(spark, dir))
+
+  /** Power iteration over (doc_a, doc_b) undirected pairs — see
+    * [[pagerankSim]]; exposed for direct graph-shape testing. */
+  private[ext] def pagerankEdges(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("doc_id"), col("deg"), col("n"),
+        expr("1000000000 div n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id"), col("deg").as("sdeg"), col("r")),
+          edges("src") === col("doc_id"))
+        .select(col("dst"), expr("(85 * r) div (100 * sdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = ranks.select(col("doc_id"), col("deg"), col("n"))
+        .join(contrib, col("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id"), col("deg"), col("n"),
+          (expr("15000000000 div (100 * n)") + coalesce(col("in_sum"), lit(0L))).as("r"))
+    }
+    ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
     "x_winsorize"         -> (winsorize _),
@@ -336,6 +378,28 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pagerank_sim" -> {
+      val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
+        .replaceAll("ORDER BY doc_a, doc_b$", "")
+      def round(prev: String, next: String) =
+        s"""c$next AS (
+           |  SELECT e.dst, sum((85 * r) // (100 * deg)) AS in_sum
+           |  FROM e JOIN $prev ON e.src = $prev.doc_id GROUP BY e.dst),
+           |$next AS (
+           |  SELECT doc_id, deg, n, 15000000000 // (100 * n) + coalesce(in_sum, 0) AS r
+           |  FROM $prev LEFT JOIN c$next ON doc_id = dst)""".stripMargin
+      s"""WITH pairs AS ($pairsSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS doc_id, deg, n, 1000000000 // n AS r FROM deg, nn),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_units
+         |FROM r3 ORDER BY rank_units DESC, doc_id ASC""".stripMargin
+    },
     "x_dedup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sp AS (
