@@ -351,10 +351,16 @@ object Curation {
           edges("src") === col("doc_id"))
         .select(col("dst"), expr("(85 * r) div (100 * sdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      // each round references the previous ranks TWICE (contrib + carry),
+      // so an unmaterialized chain re-evaluates ~2^k times — the eager
+      // cut keeps every round a single tiny job (measured 3.6 → 1.5 s
+      // warm at sf0.1, the rest being LSH pair generation; same
+      // discipline as dupClusters)
       ranks = ranks.select(col("doc_id"), col("deg"), col("n"))
         .join(contrib, col("doc_id") === contrib("dst"), "left")
         .select(col("doc_id"), col("deg"), col("n"),
           (expr("15000000000 div (100 * n)") + coalesce(col("in_sum"), lit(0L))).as("r"))
+        .localCheckpoint(true)
     }
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id").asc)
