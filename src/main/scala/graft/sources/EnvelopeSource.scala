@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -84,9 +85,10 @@ private class EnvelopeTable(tableSchema: StructType, path: String)
 private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -101,7 +103,70 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EnvelopeScan(required, fullSchema, pushed, path, options)
+  /** PARTIAL aggregate pushdown for the ungrouped `COUNT(*)`: the reader
+    * answers with one count row per envelope file (the `data[]` array
+    * length, filter-aware), and Spark's final agg sums the per-file rows —
+    * no per-record InternalRow ever materializes. `supportCompletePushDown`
+    * stays false: partial rows keep the contract correct under any
+    * parallelism. Grouped or non-count aggregates are declined and run
+    * as ordinary scans. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countPushed) new EnvelopeCountScan(pushed, path, fullSchema)
+    else new EnvelopeScan(required, fullSchema, pushed, path, options)
+}
+
+/** COUNT(*)-pushdown scan: one row per file carrying that file's
+  * (filtered) record count. */
+private class EnvelopeCountScan(pushed: Array[Filter], path: String,
+    fullSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EnvelopeCountScan PushedAggregates: [COUNT(*)], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    EnvelopeCountReaderFactory(pushed, fullSchema, bc)
+  }
+}
+
+private case class EnvelopeCountReaderFactory(pushed: Array[Filter],
+    fullSchema: StructType,
+    conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[EnvelopeInputPartition].file
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        val p = new Path(file)
+        val in = FileSystem.get(p.toUri, conf.value.value).open(p)
+        val n = try {
+          val data = new ObjectMapper().readTree(in).get("data")
+          require(data != null && data.isArray, s"$file: envelope has no data[] array")
+          if (pushed.isEmpty) data.size().toLong
+          else data.elements().asScala
+            .count(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _))).toLong
+        } finally in.close()
+        InternalRow(n)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private class EnvelopeScan(schema: StructType, fullSchema: StructType,
@@ -113,26 +178,31 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
     s"EnvelopeScan ReadSchema: ${schema.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val files =
-      if (fs.getFileStatus(hPath).isDirectory)
-        fs.listStatus(hPath).filter(_.isFile).map(_.getPath)
-          // skip in-flight/aborted writer temps (Hadoop hidden-file convention)
-          .filter(p => p.getName.endsWith(".json")
-            && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-          .map(_.toString).sorted
-      else Array(path)
-    files.map(f => EnvelopeInputPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val bc = spark.sparkContext.broadcast(conf)
     EnvelopeReaderFactory(schema, fullSchema, pushed, bc)
+  }
+}
+
+private object EnvelopeScan {
+  /** One partition per visible envelope file (the API pages by day, so
+    * files ≙ daily partitions); writer temps and hidden files skipped. */
+  def listFiles(path: String): Array[String] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.getFileStatus(hPath).isDirectory)
+      fs.listStatus(hPath).filter(_.isFile).map(_.getPath)
+        // skip in-flight/aborted writer temps (Hadoop hidden-file convention)
+        .filter(p => p.getName.endsWith(".json")
+          && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+        .map(_.toString).sorted
+    else Array(path)
   }
 }
 

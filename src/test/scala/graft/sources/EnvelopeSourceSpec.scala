@@ -64,6 +64,30 @@ class EnvelopeSourceSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FilterExec => f
     }
 
+  test("COUNT(*) pushes down: per-file count rows, no record materialization") {
+    val df = read.selectExpr("count(*) as n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeCountScan PushedAggregates: [COUNT(*)]"),
+      s"count must reach the V2 scan:\n$plan")
+    assert(df.head().getLong(0) === 3L)
+  }
+
+  test("COUNT(*) pushdown composes with pushed filters") {
+    import org.apache.spark.sql.functions._
+    val df = read.where(col("wind_speed") > 10.0).selectExpr("count(*) as n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeCountScan PushedAggregates: [COUNT(*)]"), plan)
+    assert(plan.contains("GreaterThan(wind_speed"), s"filter must also push:\n$plan")
+    assert(df.head().getLong(0) === 2L)
+  }
+
+  test("grouped or multi-function aggregates are declined, not broken") {
+    import org.apache.spark.sql.functions._
+    val grouped = read.groupBy(to_date(col("timestamp"))).count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("EnvelopeCountScan"))
+    assert(grouped.collect().map(_.getLong(1)).sorted === Array(1L, 2L))
+  }
+
   test("timestamp range filter pushes into the scan: no post-scan Filter node") {
     import org.apache.spark.sql.functions._
     val df = read.where(col("timestamp") >= lit("2025-08-11"))
