@@ -1,0 +1,135 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests for the round-2 curation operators: each Spark result is
+  * compared against a COMPLETE sequential reference model (exact local
+  * re-implementation over the generated corpus) — if any shuffle,
+  * partitioning, or aggregation-order effect leaked into the semantics,
+  * the distributed result would diverge from the straight-line model. */
+class CurationPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+
+  private def corpusGen: Gen[List[String]] = for {
+    n <- Gen.choose(3, 25)
+    docs <- Gen.listOfN(n, Gen.choose(1, 35).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield docs
+
+  private def cases: Seq[List[String]] =
+    (1 to 4).map(i => corpusGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def writeDocs(docs: List[String]): String = {
+    val d = Files.createTempDirectory("graft-prop").toString
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("span dedup == sequential reference model on any corpus") {
+    for (docs <- cases) {
+      // reference model: chunk, find global first occurrences, rebuild
+      val chunks = docs.zipWithIndex.flatMap { case (t, id) =>
+        t.split(" ").grouped(10).zipWithIndex.map { case (w, ci) =>
+          (id.toLong, ci.toLong, w.mkString(" "))
+        }
+      }
+      val firstKey = chunks.groupBy(_._3).map { case (span, occ) =>
+        span -> occ.map { case (id, ci, _) => id * 1000000L + ci }.min
+      }
+      val expected = chunks.groupBy(_._1).map { case (id, sp) =>
+        val kept = sp.filter { case (d, ci, s) => d * 1000000L + ci == firstKey(s) }
+          .sortBy(_._2).map(_._3)
+        id -> ((sp.size.toLong, kept.size.toLong, md5Hex(kept.mkString(" "))))
+      }
+      val got = Curation.spanDedup(spark, writeDocs(docs)).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"), r.getAs[String]("rebuilt_md5"))))
+        .toMap
+      assert(got === expected, s"span dedup diverged from the reference model")
+    }
+  }
+
+  private def eventsGen: Gen[List[(String, Double)]] = for {
+    n <- Gen.choose(2, 80)
+    rows <- Gen.listOfN(n, for {
+      t <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (t, v))
+  } yield rows
+
+  test("winsorize == sequential reference model on any events") {
+    def stableRound(x: Double, n: Int): Double = {
+      val p = math.pow(10, n); math.floor(x * p + 0.5) / p
+    }
+    for (i <- 1 to 4) {
+      val rows = eventsGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+      val d = Files.createTempDirectory("graft-prop-ev").toString
+      rows.zipWithIndex.map { case ((t, v), id) =>
+        (id.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, t, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+
+      val expected = rows.zipWithIndex.groupBy(_._1._1).map { case (t, grp) =>
+        val sorted = grp.map { case ((_, v), id) => (v, id) }.sorted.map(_._1)
+        val n = sorted.size
+        val lo = sorted(math.max(1, math.ceil(0.05 * n).toInt) - 1)
+        val hi = sorted(math.ceil(0.95 * n).toInt - 1)
+        def tenKMean(vs: Seq[Double]) =
+          stableRound(vs.map(v => math.round(v * 10000.0)).sum.toDouble / n / 1e4, 4)
+        t -> ((n.toLong, stableRound(lo, 4), stableRound(hi, 4),
+          tenKMean(sorted),
+          tenKMean(sorted.map(v => math.max(lo, math.min(hi, v)))),
+          sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong))
+      }
+      val got = Curation.winsorize(spark, d).collect().map(r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n"),
+          r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Double]("mean_raw"), r.getAs[Double]("mean_winsor"),
+          r.getAs[Long]("n_below"), r.getAs[Long]("n_above")))).toMap
+      assert(got === expected, "winsorize diverged from the reference model")
+    }
+  }
+
+  private def graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  test("pagerank == sequential integer reference model on any pair graph") {
+    for (i <- 1 to 4) {
+      val pairs = graphGen.pureApply(Gen.Parameters.default, Seed(200L + i))
+      if (pairs.nonEmpty) {
+        val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val nodes = deg.keySet
+        val n = nodes.size.toLong
+        var r: Map[Long, Long] = nodes.map(_ -> 1000000000L / n).toMap
+        for (_ <- 1 to 3) {
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (src, _) => (85L * r(src)) / (100L * deg(src)) }.sum).toMap
+          r = nodes.map(v => v -> (15000000000L / (100L * n) + in.getOrElse(v, 0L))).toMap
+        }
+        val got = Curation.pagerankEdges(pairs.toDF("doc_a", "doc_b")).collect()
+          .map(row => row.getAs[Long]("doc_id") -> row.getAs[Long]("rank_units")).toMap
+        assert(got === r, "pagerank diverged from the integer reference model")
+      }
+    }
+  }
+}
