@@ -218,7 +218,48 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Containment verification over the LSH candidate pairs: the
+    * ASYMMETRIC overlap |A∩B|/|A| (and /|B|) on distinct 60-bit shingle
+    * hashes — the signal symmetric Jaccard misses when a short document
+    * is wholly embedded in a long one (snippet farms, quote mirrors):
+    * Jaccard divides by the union and stays small, containment of the
+    * short side hits 1. Candidates come from [[minhashLsh]], so the
+    * expensive verify touches only O(candidate pairs × shingles), never
+    * all pairs; shingles carry 60-bit md5 integers (narrow exchange, same
+    * trick as [[ngramJaccard]]). */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val pairs = minhashLsh(spark, dir)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1])), 1, 15), 16, 10) as bigint)))"))
+          .as("s"))
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s").as("sb")),
+        col("doc_b") === col("db") && col("sa") === col("sb"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("contain_a", StableStats.ratio(col("n_inter"), col("n_a")))
+      .withColumn("contain_b", StableStats.ratio(col("n_inter"), col("n_b")))
+      .withColumn("near_contained",
+        (col("contain_a") >= 0.9 || col("contain_b") >= 0.9).cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        col("contain_a"), col("contain_b"), col("near_contained"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_containment"   -> (containment _),
     "x_dedup_exact"         -> (exact _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
     "x_dedup_simhash"       -> (simhashSignatures _),
@@ -237,7 +278,46 @@ object Dedup {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val simhashExpr = (0 until 32).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val pairsSubquery =
+      s"""WITH $shinglesSql,
+         |hashed AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+         |mh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
     Map(
+      "x_dedup_containment" -> {
+        import graft.ops.StableStats
+        s"""WITH pairs AS ($pairsSubquery),
+           |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |hsh AS (SELECT DISTINCT doc_id, s FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+           |    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)) AS s
+           |  FROM words WHERE len(w) >= 3)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS n_inter
+           |  FROM pairs
+           |  JOIN hsh a ON a.doc_id = doc_a
+           |  JOIN hsh b ON b.doc_id = doc_b AND b.s = a.s
+           |  GROUP BY doc_a, doc_b)
+           |SELECT pairs.doc_a, pairs.doc_b,
+           |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+           |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+           |  ${StableStats.ratioSql("coalesce(n_inter, 0)", "sa.n_sh")} AS contain_a,
+           |  ${StableStats.ratioSql("coalesce(n_inter, 0)", "sb.n_sh")} AS contain_b,
+           |  CAST(${StableStats.ratioSql("coalesce(n_inter, 0)", "sa.n_sh")} >= 9e-1
+           |    OR ${StableStats.ratioSql("coalesce(n_inter, 0)", "sb.n_sh")} >= 9e-1 AS INTEGER)
+           |    AS near_contained
+           |FROM pairs
+           |LEFT JOIN inter ON inter.doc_a = pairs.doc_a AND inter.doc_b = pairs.doc_b
+           |JOIN sizes sa ON sa.doc_id = pairs.doc_a
+           |JOIN sizes sb ON sb.doc_id = pairs.doc_b
+           |ORDER BY pairs.doc_a, pairs.doc_b""".stripMargin
+      },
       "x_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
