@@ -258,7 +258,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication matrix: near-dup candidate pairs rolled up
+    * by (source, source) — the "which crawls copy from which" diagnostic
+    * that decides source-level dedup priorities. Pure composition: the
+    * LSH pair frame (already bounded) joins the doc→source map twice and
+    * collapses to a ≤|sources|² census, so the marginal cost over
+    * [[minhashLsh]] is two map-side joins and a tiny agg. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_source_overlap"      -> (sourceOverlap _),
     "x_dedup_containment"   -> (containment _),
     "x_dedup_exact"         -> (exact _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
@@ -289,6 +307,15 @@ object Dedup {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
     Map(
+      "x_source_overlap" ->
+        s"""WITH pairs AS ($pairsSubquery)
+           |SELECT least(da.source, db.source) AS source_x,
+           |  greatest(da.source, db.source) AS source_y,
+           |  count(*) AS n_pairs
+           |FROM pairs
+           |JOIN documents da ON da.doc_id = doc_a
+           |JOIN documents db ON db.doc_id = doc_b
+           |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
       "x_dedup_containment" -> {
         import graft.ops.StableStats
         s"""WITH pairs AS ($pairsSubquery),
