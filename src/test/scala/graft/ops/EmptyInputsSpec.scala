@@ -38,6 +38,18 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Curation.decontaminate(spark, dir).count() === 0)
   }
 
+  test("round-2 curation additions on empty inputs") {
+    assert(graft.ext.Curation.spanDedup(spark, dir).count() === 0)
+    assert(graft.ext.Curation.domainMix(spark, dir).count() === 0)
+    assert(graft.ext.Curation.winsorize(spark, dir).count() === 0)
+    assert(graft.ext.Curation.pagerankSim(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.containment(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.sourceOverlap(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.pplBuckets(spark, dir).count() === 0)
+    assert(graft.ext.Similarity.quantizedTopK(spark, dir).count() === 0)
+    assert(Incremental.scd2Intervals(spark, dir).count() === 0)
+  }
+
   test("TPC-H shapes and incremental merge on empty facts") {
     assert(Relational.pricingSummary(spark, dir).count() === 0)
     assert(Olap.marketShare(spark, dir).count() === 0)
