@@ -197,7 +197,39 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** One Lloyd (k-means) iteration — the codebook-training step behind a
+    * real IVF/PQ index: assign every vector to its nearest seed centroid
+    * (argmax cosine, id tie-break), then recompute centroids as per-
+    * (cluster, dimension) means. The assignment is the usual broadcast
+    * cross join; the recompute is ONE posexplode + hash-agg whose group
+    * count is k×dims (tiny at any corpus size — the classic map-side-
+    * combine shape). Element sums run in 10⁻⁶ integer units so the
+    * centroid means are immune to float summation order — at 1000
+    * executors the partial-agg merge order is nondeterministic, and this
+    * keeps re-runs AND the oracle bit-identical. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val e = emb(spark, dir)
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        StableStats.stableRound(
+          sum(round(col("x") * 1000000).cast("long")).cast("double")
+            / count(lit(1)) / lit(1e6), 6).as("centroid"))
+      .orderBy("cluster", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kmeans_step"    -> (kmeansStep _),
     "x_sim_topk_brute" -> (bruteTopK _),
     "x_sim_ivf_topk"   -> (ivfTopK _),
     "x_sim_lsh_topk"   -> (lshTopK _),
@@ -205,6 +237,26 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_kmeans_step" -> {
+      import graft.ops.StableStats
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < 8),
+         |scored AS (SELECT emb.vec_id, cent.c_id,
+         |    round(list_cosine_similarity(emb.e, cent.ce), 6) AS c_cos
+         |  FROM emb CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, c_id AS cluster FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY c_cos DESC, c_id ASC) AS r FROM scored)
+         |  WHERE r = 1),
+         |px AS (SELECT cluster, CAST(i AS INTEGER) - 1 AS pos, e[CAST(i AS INTEGER)] AS x
+         |  FROM (SELECT cluster, e, unnest(generate_series(1, len(e))) AS i
+         |        FROM assigned JOIN emb USING (vec_id)))
+         |SELECT cluster, pos, count(*) AS n,
+         |  ${StableStats.stableRoundSql(
+              "CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6", 6)} AS centroid
+         |FROM px GROUP BY cluster, pos
+         |ORDER BY cluster, pos""".stripMargin
+    },
     "x_sim_quantized" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |qn AS (SELECT vec_id, e, list_transform(e, x -> round(x / s * 127)) AS q
