@@ -240,7 +240,10 @@ object Curation {
         explode(expr("sequence(0, (size(w) - 1) div 10)")).as("ci"))
       .select(col("doc_id"), col("ci"),
         concat_ws(" ", expr("slice(w, ci * 10 + 1, 10)")).as("span"))
-      .withColumn("k", col("doc_id") * lit(1000000L) + col("ci"))
+      // packed (doc_id, chunk) order key: valid while chunk index < 1e9
+      // (a 10-billion-word document) and doc_id < 9.2e9 — far beyond any
+      // real corpus row; collisions would silently reorder "first"
+      .withColumn("k", col("doc_id") * lit(1000000000L) + col("ci"))
       .persist()
     val firstOcc = spans.groupBy(col("span")).agg(min(col("k")).as("min_k"))
     val rebuilt = spans.join(firstOcc, "span")
@@ -295,7 +298,11 @@ object Curation {
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     val byVal = Window.partitionBy(col("event_type"))
       .orderBy(col("value").asc, col("event_id").asc)
+    // NULL values are excluded up front: Spark ranks NULLS FIRST under
+    // ASC while DuckDB ranks them LAST, so any NULL would shift the
+    // p05/p95 rank positions differently in the two engines
     val cuts = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("rn", row_number().over(byVal))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
@@ -307,6 +314,7 @@ object Curation {
       graft.ops.StableStats.stableRound(
         sum(round(c * 10000).cast("long")).cast("double") / count(lit(1)) / lit(1e4), 4)
     Tables.events(spark, dir)
+      .where(col("value").isNotNull)
       .join(broadcast(cuts), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -411,7 +419,7 @@ object Curation {
         |sp AS (
         |  SELECT doc_id, ci,
         |    array_to_string(w[ci * 10 + 1 : ci * 10 + 10], ' ') AS span,
-        |    doc_id * 1000000 + ci AS k
+        |    doc_id * 1000000000 + ci AS k
         |  FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 10)) AS ci FROM t)),
         |fo AS (SELECT span, min(k) AS min_k FROM sp GROUP BY span),
         |reb AS (
@@ -446,7 +454,7 @@ object Curation {
          |  SELECT event_type, value,
          |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |cuts AS (
          |  SELECT event_type,
          |    max(CASE WHEN rn = greatest(1, CAST(ceil(5e-2 * n) AS INTEGER)) THEN value END) AS lo,
@@ -460,6 +468,7 @@ object Curation {
          |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
          |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
          |FROM events JOIN cuts USING (event_type)
+         |WHERE value IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
     "x_decontaminate" ->

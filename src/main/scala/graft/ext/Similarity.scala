@@ -176,9 +176,13 @@ object Similarity {
     * index (4× smaller scan) and full-precision re-ranking reads only the
     * survivors. */
   def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the interpreted HOF quantization feeds both the broadcast
+    // query build and the probe side — without the barrier projection
+    // collapse re-evaluates it per consumer (same trap as ivfTopK)
     val e = emb(spark, dir)
       .withColumn("scale", expr("array_max(transform(emb, x -> abs(x)))"))
       .withColumn("q", expr("transform(emb, x -> cast(round(x / scale * 127) as double))"))
+      .persist()
     val qs = e.where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val w = Window.partitionBy(col("query_id"))

@@ -294,6 +294,10 @@ object TextAnalysis {
     // measured 2.06 → 1.3 s at sf0.1. The oracle computes the identical
     // op sequence.
     Tables.documents(spark, dir)
+      // empty text must vanish (as it does in the oracle): Spark's
+      // sequence(1, 0) auto-steps BACKWARD to [1, 0] and would emit two
+      // phantom ''-character rows
+      .where(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))

@@ -37,10 +37,22 @@ object CosineHofRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** `(acc, v) -> acc + v` */
+  /** The finish lambda must be the IDENTITY (`acc -> acc`) — `aggregate`
+    * without an explicit finish parses to exactly this; any real finish
+    * transforms the fold result and must block the rewrite. */
+  private object IdentityFinish {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+        body.exprId == arg.exprId
+      case _ => false
+    }
+  }
+
+  /** `(acc, v) -> acc + v` with acc and v playing DISTINCT roles. */
   private object SumMerge {
     def unapply(e: Expression): Boolean = e match {
-      case LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _) => true
+      case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _) =>
+        x.exprId != y.exprId
       case _ => false
     }
   }
@@ -50,22 +62,29 @@ object CosineHofRewrite extends Rule[LogicalPlan] {
     def unapply(e: Expression): Option[Expression] = e match {
       case ArrayAggregate(arg, DoubleZero(),
           LambdaFunction(
-            Add(_: NamedLambdaVariable,
-              Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _), _, _),
-          _) if v1.exprId == v2.exprId =>
+            Add(acc: NamedLambdaVariable,
+              Multiply(v1: NamedLambdaVariable, v2: NamedLambdaVariable, _), _),
+            Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _),
+          IdentityFinish())
+          if v1.exprId == v2.exprId && v1.exprId == vArg.exprId
+            && acc.exprId == accArg.exprId =>
         Some(arg)
       case _ => None
     }
   }
 
   /** `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)`
-    * → (a, b) */
+    * → (a, b). The product must use BOTH zip variables (x·x over the zip
+    * is not a dot product). */
   private object DotFold {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
-          DoubleZero(), SumMerge(), _) =>
+            LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+              Seq(xArg: NamedLambdaVariable, yArg: NamedLambdaVariable), _)),
+          DoubleZero(), SumMerge(), IdentityFinish())
+          if Set(x.exprId, y.exprId) == Set(xArg.exprId, yArg.exprId)
+            && x.exprId != y.exprId =>
         Some((a, b))
       case _ => None
     }

@@ -30,17 +30,19 @@ object DecisionSupport {
   /** TPC-H Q4 shape: order-priority checking. Orders in one quarter having
     * at least one "late" line (shipped >30 days after the order date).
     * EXISTS is expressed as inner-join + distinct rather than LEFT SEMI:
-    * a semi join can only broadcast-build its RIGHT side, which here is
-    * the whole lineitem fact — with the inner form, size-based planning
-    * broadcasts the quarter-filtered orders (~4% of the table) and the
-    * fact streams; the distinct is a shuffle of matched orders only.
-    * Measured ~0.8 → ~0.6 s steady-state at sf0.1, and the only
-    * direction with a 100 TB fact. */
+    * a semi join can only build its RIGHT side, which here is the whole
+    * lineitem fact — with the inner form the quarter-filtered orders
+    * become the build side and the fact streams; the distinct is a
+    * shuffle of matched orders only. The orders side is SHUFFLE_HASH,
+    * not broadcast: the quarter filter is selective (~4%) but linear in
+    * the orders table, so a forced broadcast would not survive 100 TB —
+    * per-partition hash build does. */
   def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.orders(spark, dir)
+      .join(Tables.orders(spark, dir)
         .where(col("o_orderdate") >= to_timestamp(lit("1996-07-01"))
-          && col("o_orderdate") < to_timestamp(lit("1996-10-01")))),
+          && col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+        .hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey")
           && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "inner")
       .select(col("o_orderkey"), col("o_orderpriority")).distinct()

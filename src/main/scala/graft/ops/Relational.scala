@@ -174,15 +174,20 @@ object Relational {
     * orders scan, then top-10 by revenue. The FACT (lineitem) is the
     * streamed/left side: with it on the right, size-based planning
     * broadcast-builds a hash relation over the whole fact (its compressed
-    * footprint sits under the 10 MB threshold at test scale) — measured
-    * ~1.1 → ~0.8 s steady-state at sf0.1, and the only shape that
-    * survives when the fact is 100 TB. */
+    * footprint sits under the 10 MB threshold at test scale). The
+    * orders⋈customer side carries a SHUFFLE_HASH hint, not a broadcast:
+    * it is date/segment-filtered but still grows linearly with the
+    * orders table, so at 100 TB a forced broadcast would OOM — the
+    * shuffled hash join builds per-partition hash tables of the smaller
+    * side instead, which scales. Customer alone is a true dim and stays
+    * broadcast. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).where(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
     val li   = Tables.lineitem(spark, dir).where(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
     li
-      .join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")),
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -193,8 +198,9 @@ object Relational {
   /** TPC-H Q5-shaped local-supplier volume: 6-table join with every dim
     * broadcast into the streamed lineitem scan. As in [[shippingPriority]],
     * the fact stays on the LEFT and the (date-filtered) orders⋈customer
-    * side is what broadcast-builds — measured ~1.2 → ~0.9 s steady-state
-    * at sf0.1; at 100 TB the li⋈orders edge becomes the one shuffle. */
+    * side is the SHUFFLE_HASH build (filtered, but linear in the orders
+    * table — broadcast would not survive 100 TB); the true dims
+    * (customer/supplier/nation/region) broadcast. */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -205,7 +211,8 @@ object Relational {
         && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
     val li = Tables.lineitem(spark, dir)
     li
-      .join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")),
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"), "inner")

@@ -134,8 +134,14 @@ private class EnvelopeCountScan(pushed: Array[Filter], path: String,
   override def description(): String =
     s"EnvelopeCountScan PushedAggregates: [COUNT(*)], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = EnvelopeScan.listFiles(path)
+    // an empty directory must still yield one zero-count partial row:
+    // Spark's pushdown rewrite turns the final COUNT into a SUM of the
+    // partials, and sum over NO rows is NULL where count(*) must be 0
+    if (files.isEmpty) Array(EnvelopeInputPartition(""))
+    else files.map(f => EnvelopeInputPartition(f): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(
@@ -154,6 +160,7 @@ private case class EnvelopeCountReaderFactory(pushed: Array[Filter],
       override def next(): Boolean = !emitted
       override def get(): InternalRow = {
         emitted = true
+        if (file.isEmpty) return InternalRow(0L) // empty-directory sentinel
         val p = new Path(file)
         val in = FileSystem.get(p.toUri, conf.value.value).open(p)
         val n = try {

@@ -48,10 +48,10 @@ class CurationPropertiesSpec extends SparkSpec {
         }
       }
       val firstKey = chunks.groupBy(_._3).map { case (span, occ) =>
-        span -> occ.map { case (id, ci, _) => id * 1000000L + ci }.min
+        span -> occ.map { case (id, ci, _) => id * 1000000000L + ci }.min
       }
       val expected = chunks.groupBy(_._1).map { case (id, sp) =>
-        val kept = sp.filter { case (d, ci, s) => d * 1000000L + ci == firstKey(s) }
+        val kept = sp.filter { case (d, ci, s) => d * 1000000000L + ci == firstKey(s) }
           .sortBy(_._2).map(_._3)
         id -> ((sp.size.toLong, kept.size.toLong, md5Hex(kept.mkString(" "))))
       }

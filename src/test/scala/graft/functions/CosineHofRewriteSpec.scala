@@ -60,5 +60,21 @@ class CosineHofRewriteSpec extends SparkSpec {
         | / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
         |    * sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v)))""".stripMargin).as("c"))
     assert(!wrong.queryExecution.optimizedPlan.toString.contains("cosine_sim"))
+    // a real finish lambda transforms the fold — must NOT rewrite
+    val finished = df.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v, acc -> acc / 2)
+        | / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+        |    * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))""".stripMargin).as("c"))
+    assert(!finished.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+      "finish lambda must block the rewrite")
+    assert(math.abs(finished.collect().head.getDouble(0) - 0.4) < 1e-12,
+      "4/2 / (sqrt5*sqrt5) — the finish must still apply")
+    // x*x over the zip is not a dot product — must NOT rewrite
+    val squared = df.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> x * x), 0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+        |    * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v)))""".stripMargin).as("c"))
+    assert(!squared.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+      "single-variable product must block the rewrite")
   }
 }

@@ -81,6 +81,14 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(df.head().getLong(0) === 2L)
   }
 
+  test("COUNT(*) over an empty directory is 0, not NULL") {
+    val empty = Files.createTempDirectory("graft-envelope-empty").toString
+    val r = spark.read.format("graft.sources.EnvelopeSource").load(empty)
+      .selectExpr("count(*) as n").head()
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L,
+      "partial-count pushdown must emit a zero row for zero files")
+  }
+
   test("grouped or multi-function aggregates are declined, not broken") {
     import org.apache.spark.sql.functions._
     val grouped = read.groupBy(to_date(col("timestamp"))).count()
