@@ -45,6 +45,14 @@ object Dedup {
         // array allocation — ~1.7x faster in the interpreted HOF path)
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
 
+  /** Distinct word-3-gram shingles as 60-bit md5-derived integers over a
+    * pre-split `w` column — shared by [[ngramJaccard]] and [[containment]]
+    * (8-byte join keys instead of ~25-byte strings; the oracles hash
+    * identically so collisions cancel in the differential check). */
+  private[ext] val hashedShingleExpr: String =
+    "array_distinct(transform(sequence(1, size(w) - 2), " +
+      "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1])), 1, 15), 16, 10) as bigint)))"
+
   private val shinglesSql: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -175,8 +183,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, size(w) - 2), " +
-          "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1])), 1, 15), 16, 10) as bigint)))")
+        expr(hashedShingleExpr)
           .as("ss"))
       .persist()
       .select(col("doc_id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("s"))
@@ -234,8 +241,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, size(w) - 2), " +
-          "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1])), 1, 15), 16, 10) as bigint)))"))
+        explode(expr(hashedShingleExpr))
           .as("s"))
       .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -57,24 +57,30 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  /** IVF top-3 with deterministic centroids (vec_id < 8), 1-probe search
-    * within the query's own cluster, queries vec_id in [100, 110). */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+  /** Nearest-seed assignment (argmax cosine, id tie-break; seeds =
+    * vec_id < 8 standing in for a trained codebook) — shared by the
+    * inline IVF search, the materialized index build, and the Lloyd
+    * step, so the assignment semantics can never drift between them. */
+  private def assignToSeeds(e: DataFrame): DataFrame = {
     val cent = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    // index build: nearest centroid per vector (argmax cosine, id tie-break)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id").asc)
-    // persist: the assignment pass (n×k cosine crossJoin + ranking
-    // window) feeds both the query projection and the search side —
-    // without the barrier it runs twice
-    val clustered = e.crossJoin(broadcast(cent))
+    e.crossJoin(broadcast(cent))
       .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
       .withColumn("r", row_number().over(wAssign))
       .where(col("r") === 1)
       .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
-      .persist()
+  }
+
+  /** IVF top-3 with deterministic centroids (vec_id < 8), 1-probe search
+    * within the query's own cluster, queries vec_id in [100, 110). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // persist: the assignment pass (n×k cosine crossJoin + ranking
+    // window) feeds both the query projection and the search side —
+    // without the barrier it runs twice
+    val clustered = assignToSeeds(e).persist()
     val q = clustered.where(col("vec_id") >= 100 && col("vec_id") < 110)
       .select(col("vec_id").as("query_id"), col("cluster").as("q_cluster"), col("emb").as("qemb"))
     val wTop = Window.partitionBy(col("query_id"))
@@ -130,19 +136,9 @@ object Similarity {
     * vector) runs ONCE and lands as a cluster-partitioned parquet lake;
     * every later search reads only its probed clusters' directories
     * (partition pruning on `cluster`). */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    val e = emb(spark, dir)
-    val cent = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
-      .withColumn("r", row_number().over(wAssign))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    assignToSeeds(emb(spark, dir))
       .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
-  }
 
   /** Search a materialized IVF index: queries probe their own cluster
     * only; the `cluster = q_cluster` equi-join prunes index partitions
@@ -213,16 +209,7 @@ object Similarity {
     * keeps re-runs AND the oracle bit-identical. */
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
-    val e = emb(spark, dir)
-    val cent = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    e.crossJoin(broadcast(cent))
-      .withColumn("c_cos", round(cosine("emb", "c_emb"), 6))
-      .withColumn("r", row_number().over(wAssign))
-      .where(col("r") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("emb"))
+    assignToSeeds(emb(spark, dir))
       .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
       .agg(count(lit(1)).as("n"),
