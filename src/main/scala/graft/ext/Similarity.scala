@@ -219,7 +219,29 @@ object Similarity {
       .orderBy("cluster", "pos")
   }
 
+  /** Product-quantization codes: the embedding splits into two
+    * half-dimension subspaces, each assigned independently to its own
+    * seed codebook ([[assignToSeeds]] on the sub-vectors) — a vector
+    * compresses to a (code_lo, code_hi) byte pair whose cross product
+    * spans k² cells from two k-entry codebooks. This is the memory
+    * layout real billion-vector ANN serves from; both assignment passes
+    * are broadcast cross joins (no shuffle on the corpus side), and the
+    * final code join is vec_id-keyed. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val lo = e.select(col("vec_id"),
+      expr("slice(emb, 1, size(emb) div 2)").as("emb"))
+    val hi = e.select(col("vec_id"),
+      expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)").as("emb"))
+    def codesOf(sub: DataFrame, name: String) =
+      assignToSeeds(sub).select(col("vec_id"), col("cluster").as(name))
+    codesOf(lo, "code_lo")
+      .join(codesOf(hi, "code_hi"), "vec_id")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pq_codes"       -> (pqCodes _),
     "x_kmeans_step"    -> (kmeansStep _),
     "x_sim_topk_brute" -> (bruteTopK _),
     "x_sim_ivf_topk"   -> (ivfTopK _),
@@ -228,6 +250,23 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pq_codes" -> {
+      def assign(sub: String, out: String) =
+        s"""$out AS (SELECT vec_id, c_id FROM (
+           |  SELECT t.vec_id, c.vec_id AS c_id,
+           |    row_number() OVER (PARTITION BY t.vec_id
+           |      ORDER BY round(list_cosine_similarity(t.s, c.s), 6) DESC, c.vec_id ASC) AS r
+           |  FROM $sub t CROSS JOIN (SELECT vec_id, s FROM $sub WHERE vec_id < 8) c)
+           |  WHERE r = 1)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |lo AS (SELECT vec_id, e[1 : len(e) // 2] AS s FROM emb),
+         |hi AS (SELECT vec_id, e[len(e) // 2 + 1 : len(e)] AS s FROM emb),
+         |${assign("lo", "clo")},
+         |${assign("hi", "chi")}
+         |SELECT vec_id, clo.c_id AS code_lo, chi.c_id AS code_hi
+         |FROM clo JOIN chi USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     "x_kmeans_step" -> {
       import graft.ops.StableStats
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
