@@ -88,7 +88,6 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -103,42 +102,72 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** PARTIAL aggregate pushdown for the ungrouped `COUNT(*)`: the reader
-    * answers with one count row per envelope file (the `data[]` array
-    * length, filter-aware), and Spark's final agg sums the per-file rows —
-    * no per-record InternalRow ever materializes. `supportCompletePushDown`
-    * stays false: partial rows keep the contract correct under any
-    * parallelism. Grouped or non-count aggregates are declined and run
-    * as ordinary scans. */
+  /** PARTIAL aggregate pushdown for ungrouped COUNT(*)/MIN/MAX: the
+    * reader answers with ONE partial row per envelope file (filter-aware
+    * count and per-file min/max extrema), and Spark's final aggregate
+    * merges the per-file rows — no per-record InternalRow ever
+    * materializes. `supportCompletePushDown` stays false: partial rows
+    * keep the contract correct under any parallelism. Grouped queries,
+    * other functions, and min/max over unsupported field types are
+    * declined and run as ordinary scans. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          fullSchema.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    val specs = aggregation.aggregateExpressions().map {
+      case _: CountStar => Some(EnvelopeAgg.CountStar)
+      case m: Min       => fieldOf(m.column).map(EnvelopeAgg.MinOf)
+      case m: Max       => fieldOf(m.column).map(EnvelopeAgg.MaxOf)
+      case _            => None
+    }
     val ok = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions().head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countPushed = true
+      specs.nonEmpty && specs.forall(_.isDefined)
+    if (ok) pushedAggs = specs.map(_.get)
     ok
   }
 
+  private var pushedAggs: Array[EnvelopeAgg] = Array.empty
+
   override def build(): Scan =
-    if (countPushed) new EnvelopeCountScan(pushed, path, fullSchema)
+    if (pushedAggs.nonEmpty) new EnvelopeAggScan(pushedAggs, pushed, path, fullSchema)
     else new EnvelopeScan(required, fullSchema, pushed, path, options)
 }
 
-/** COUNT(*)-pushdown scan: one row per file carrying that file's
-  * (filtered) record count. */
-private class EnvelopeCountScan(pushed: Array[Filter], path: String,
-    fullSchema: StructType) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+/** A pushed ungrouped aggregate the reader can answer per file. */
+private sealed trait EnvelopeAgg extends Serializable {
+  def outputField: StructField
+}
+private object EnvelopeAgg {
+  case object CountStar extends EnvelopeAgg {
+    val outputField: StructField = StructField("COUNT(*)", LongType, nullable = false)
+  }
+  final case class MinOf(f: StructField) extends EnvelopeAgg {
+    def outputField: StructField = StructField(s"MIN(${f.name})", f.dataType)
+  }
+  final case class MaxOf(f: StructField) extends EnvelopeAgg {
+    def outputField: StructField = StructField(s"MAX(${f.name})", f.dataType)
+  }
+}
+
+/** Aggregate-pushdown scan: one partial row per file. */
+private class EnvelopeAggScan(aggs: Array[EnvelopeAgg], pushed: Array[Filter],
+    path: String, fullSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.map(_.outputField).toIndexedSeq)
   override def toBatch: Batch = this
   override def description(): String =
-    s"EnvelopeCountScan PushedAggregates: [COUNT(*)], " +
+    s"EnvelopeAggScan PushedAggregates: [${aggs.map(_.outputField.name).mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] = {
     val files = EnvelopeScan.listFiles(path)
-    // an empty directory must still yield one zero-count partial row:
-    // Spark's pushdown rewrite turns the final COUNT into a SUM of the
-    // partials, and sum over NO rows is NULL where count(*) must be 0
+    // an empty directory must still yield one partial row: Spark's
+    // pushdown rewrite turns the final COUNT into a SUM of the partials,
+    // and sum over NO rows is NULL where count(*) must be 0 (min/max
+    // partials are NULL in that row — the correct empty-input extrema)
     if (files.isEmpty) Array(EnvelopeInputPartition(""))
     else files.map(f => EnvelopeInputPartition(f): InputPartition)
   }
@@ -146,31 +175,68 @@ private class EnvelopeCountScan(pushed: Array[Filter], path: String,
     val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    EnvelopeCountReaderFactory(pushed, fullSchema, bc)
+    EnvelopeAggReaderFactory(aggs, pushed, fullSchema, bc)
   }
 }
 
-private case class EnvelopeCountReaderFactory(pushed: Array[Filter],
-    fullSchema: StructType,
+private case class EnvelopeAggReaderFactory(aggs: Array[EnvelopeAgg],
+    pushed: Array[Filter], fullSchema: StructType,
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val file = partition.asInstanceOf[EnvelopeInputPartition].file
       private var emitted = false
       override def next(): Boolean = !emitted
+
+      private def toInternal(v: Any, dt: DataType): Any =
+        if (v == null) null
+        else dt match {
+          case IntegerType => v.asInstanceOf[Long].toInt
+          case StringType  => UTF8String.fromString(v.asInstanceOf[String])
+          case _           => v // Long micros / Long / Double pass through
+        }
+
       override def get(): InternalRow = {
         emitted = true
-        if (file.isEmpty) return InternalRow(0L) // empty-directory sentinel
+        if (file.isEmpty) // empty-directory sentinel partial
+          return InternalRow.fromSeq(aggs.map {
+            case EnvelopeAgg.CountStar => 0L
+            case _                     => null
+          }.toIndexedSeq)
         val p = new Path(file)
         val in = FileSystem.get(p.toUri, conf.value.value).open(p)
-        val n = try {
+        try {
           val data = new ObjectMapper().readTree(in).get("data")
           require(data != null && data.isArray, s"$file: envelope has no data[] array")
-          if (pushed.isEmpty) data.size().toLong
-          else data.elements().asScala
-            .count(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _))).toLong
+          var n = 0L
+          val mins = new Array[Any](aggs.length)
+          val maxs = new Array[Any](aggs.length)
+          data.elements().asScala
+            .filter(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _)))
+            .foreach { r =>
+              n += 1
+              var i = 0
+              while (i < aggs.length) {
+                aggs(i) match {
+                  case EnvelopeAgg.MinOf(f) =>
+                    val v = EnvelopeFilters.nodeValue(r, f)
+                    if (v != null && (mins(i) == null || EnvelopeFilters.compareValues(v, mins(i)) < 0))
+                      mins(i) = v
+                  case EnvelopeAgg.MaxOf(f) =>
+                    val v = EnvelopeFilters.nodeValue(r, f)
+                    if (v != null && (maxs(i) == null || EnvelopeFilters.compareValues(v, maxs(i)) > 0))
+                      maxs(i) = v
+                  case EnvelopeAgg.CountStar => ()
+                }
+                i += 1
+              }
+            }
+          InternalRow.fromSeq(aggs.zipWithIndex.map {
+            case (EnvelopeAgg.CountStar, _) => n
+            case (EnvelopeAgg.MinOf(f), i)  => toInternal(mins(i), f.dataType)
+            case (EnvelopeAgg.MaxOf(f), i)  => toInternal(maxs(i), f.dataType)
+          }.toIndexedSeq)
         } finally in.close()
-        InternalRow(n)
       }
       override def close(): Unit = ()
     }
@@ -278,7 +344,9 @@ private object EnvelopeFilters {
     }
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  /** Total order over the reader's internal comparables — shared with the
+    * min/max aggregate pushdown. */
+  private[sources] def compareValues(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: String, y: String) => x.compareTo(y)
@@ -292,7 +360,7 @@ private object EnvelopeFilters {
     def test(a: String, v: Any, op: Int => Boolean): Boolean = {
       val fd = field(a)
       val row = nodeValue(node, fd)
-      row != null && op(cmp(row, normalizeLiteral(v, fd.dataType)))
+      row != null && op(compareValues(row, normalizeLiteral(v, fd.dataType)))
     }
     f match {
       case IsNotNull(a) => nodeValue(node, field(a)) != null

@@ -54,7 +54,10 @@ class EnvelopeSourceSpec extends SparkSpec {
 
   test("aggregates compose over the source like any table") {
     import org.apache.spark.sql.functions._
-    val r = read.agg(count(lit(1)), round(avg("wind_speed"), 2)).head()
+    val q = read.agg(count(lit(1)), round(avg("wind_speed"), 2))
+    // AVG is not a supported pushdown — the whole aggregation declines
+    assert(!q.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"))
+    val r = q.head()
     assert(r.getLong(0) === 3L)
     assert(r.getDouble(1) === 8.67)
   }
@@ -67,7 +70,7 @@ class EnvelopeSourceSpec extends SparkSpec {
   test("COUNT(*) pushes down: per-file count rows, no record materialization") {
     val df = read.selectExpr("count(*) as n")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("EnvelopeCountScan PushedAggregates: [COUNT(*)]"),
+    assert(plan.contains("EnvelopeAggScan PushedAggregates: [COUNT(*)]"),
       s"count must reach the V2 scan:\n$plan")
     assert(df.head().getLong(0) === 3L)
   }
@@ -76,7 +79,7 @@ class EnvelopeSourceSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val df = read.where(col("wind_speed") > 10.0).selectExpr("count(*) as n")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("EnvelopeCountScan PushedAggregates: [COUNT(*)]"), plan)
+    assert(plan.contains("EnvelopeAggScan PushedAggregates: [COUNT(*)]"), plan)
     assert(plan.contains("GreaterThan(wind_speed"), s"filter must also push:\n$plan")
     assert(df.head().getLong(0) === 2L)
   }
@@ -89,10 +92,28 @@ class EnvelopeSourceSpec extends SparkSpec {
       "partial-count pushdown must emit a zero row for zero files")
   }
 
+  test("MIN/MAX push down beside COUNT: per-file extrema, merged by Spark") {
+    val df = read.selectExpr("min(timestamp) as mn", "max(wind_speed) as mx", "count(*) as n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan PushedAggregates: [MIN(timestamp), MAX(wind_speed), COUNT(*)]"),
+      s"min/max must reach the V2 scan:\n$plan")
+    val r = df.head()
+    assert(r.getTimestamp(0) === java.sql.Timestamp.valueOf("2025-08-10 00:00:00"))
+    assert(r.getDouble(1) === 12.1)
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("MIN over an empty directory is NULL, COUNT is 0") {
+    val empty = Files.createTempDirectory("graft-envelope-empty2").toString
+    val r = spark.read.format("graft.sources.EnvelopeSource").load(empty)
+      .selectExpr("min(power) as mn", "count(*) as n").head()
+    assert(r.isNullAt(0) && r.getLong(1) === 0L)
+  }
+
   test("grouped or multi-function aggregates are declined, not broken") {
     import org.apache.spark.sql.functions._
     val grouped = read.groupBy(to_date(col("timestamp"))).count()
-    assert(!grouped.queryExecution.executedPlan.toString.contains("EnvelopeCountScan"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"))
     assert(grouped.collect().map(_.getLong(1)).sorted === Array(1L, 2L))
   }
 
