@@ -240,7 +240,45 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric search (ADC): queries stay full-precision while every
+    * candidate is RECONSTRUCTED from its two codebook entries
+    * (concat of the coded sub-centroids) — the serving-time shape where
+    * only codes and the k-entry codebooks are resident and the corpus
+    * vectors are never touched. Ranking runs on cosine(query, x̂);
+    * `in_exact_top5` reports recall against the full-precision top-5,
+    * so the quality loss of the compression is measured by the query
+    * output itself. */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val loSeed = e.where(col("vec_id") < 8).select(col("vec_id").as("code_lo"),
+      expr("slice(emb, 1, size(emb) div 2)").as("s_lo"))
+    val hiSeed = e.where(col("vec_id") < 8).select(col("vec_id").as("code_hi"),
+      expr("slice(emb, size(emb) div 2 + 1, size(emb) - size(emb) div 2)").as("s_hi"))
+    val recon = codes
+      .join(broadcast(loSeed), "code_lo")
+      .join(broadcast(hiSeed), "code_hi")
+      .select(col("vec_id"), concat(col("s_lo"), col("s_hi")).as("recon"))
+    val qs = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cos").desc, col("vec_id").asc)
+    val top = recon.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("pq_cos", round(cosine("qemb", "recon"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+    val exact5 = bruteTopK(spark, dir)
+      .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1))
+    top
+      .select(col("query_id"), col("rn"), col("vec_id").as("cand_id"), col("pq_cos"))
+      .join(exact5, Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("rn"), col("cand_id"), col("pq_cos"),
+        coalesce(col("hit"), lit(0)).as("in_exact_top5"))
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pq_search"      -> (pqSearch _),
     "x_pq_codes"       -> (pqCodes _),
     "x_kmeans_step"    -> (kmeansStep _),
     "x_sim_topk_brute" -> (bruteTopK _),
@@ -250,6 +288,42 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_pq_search" -> {
+      def assign(sub: String, out: String) =
+        s"""$out AS (SELECT vec_id, c_id FROM (
+           |  SELECT t.vec_id, c.vec_id AS c_id,
+           |    row_number() OVER (PARTITION BY t.vec_id
+           |      ORDER BY round(list_cosine_similarity(t.s, c.s), 6) DESC, c.vec_id ASC) AS r
+           |  FROM $sub t CROSS JOIN (SELECT vec_id, s FROM $sub WHERE vec_id < 8) c)
+           |  WHERE r = 1)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |lo AS (SELECT vec_id, e[1 : len(e) // 2] AS s FROM emb),
+         |hi AS (SELECT vec_id, e[len(e) // 2 + 1 : len(e)] AS s FROM emb),
+         |${assign("lo", "clo")},
+         |${assign("hi", "chi")},
+         |recon AS (
+         |  SELECT clo.vec_id, list_concat(sl.s, sh.s) AS recon
+         |  FROM clo JOIN chi USING (vec_id)
+         |  JOIN lo sl ON sl.vec_id = clo.c_id
+         |  JOIN hi sh ON sh.vec_id = chi.c_id),
+         |qs AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 20),
+         |scored AS (SELECT qs.query_id, recon.vec_id AS cand_id,
+         |    round(list_cosine_similarity(qs.qe, recon.recon), 6) AS pq_cos
+         |  FROM recon CROSS JOIN qs WHERE recon.vec_id <> qs.query_id),
+         |pr AS (SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY pq_cos DESC, cand_id) AS rn FROM scored),
+         |exact AS (SELECT qs.query_id, emb.vec_id AS cand_id,
+         |    round(list_cosine_similarity(qs.qe, emb.e), 6) AS cos_sim
+         |  FROM emb CROSS JOIN qs WHERE emb.vec_id <> qs.query_id),
+         |e5 AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS ern FROM exact)
+         |  WHERE ern <= 5)
+         |SELECT pr.query_id, CAST(pr.rn AS INTEGER) AS rn, pr.cand_id, pr.pq_cos,
+         |  CAST(CASE WHEN e5.cand_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_exact_top5
+         |FROM pr LEFT JOIN e5 ON pr.query_id = e5.query_id AND pr.cand_id = e5.cand_id
+         |WHERE pr.rn <= 5 ORDER BY pr.query_id, pr.rn""".stripMargin
+    },
     "x_pq_codes" -> {
       def assign(sub: String, out: String) =
         s"""$out AS (SELECT vec_id, c_id FROM (
