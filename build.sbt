@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON line from captured stdout.
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks a strict per-line JSON parse (observed: BENCH_r02
+// "parsed": null despite the line being complete in the tail). StdoutOutput
+// makes the forked JVM inherit sbt's stdout so lines pass through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

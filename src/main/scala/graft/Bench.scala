@@ -55,7 +55,10 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale-pinned formatting: f"$v%.3f" uses the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line the driver parses.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -115,8 +115,13 @@ object Curation {
     val mad = withMed.groupBy(col("event_type").as("et2"))
       .agg(round(expr("percentile(abs(value - med), 5e-1)"), 4).as("mad"))
     withMed.join(broadcast(mad), col("event_type") === col("et2"))
-      .withColumn("score",
-        StableStats.stableRound((col("value") - col("med")) / (lit(14826e-4) * col("mad")), 4))
+      // mad = 0 (≥50% of a group equal to its median) must score NULL on
+      // BOTH engines: Spark's Divide yields NULL for x/0, but DuckDB's
+      // IEEE float division yields ±Infinity and would keep every
+      // non-median row — the oracle carries the matching `AND mad <> 0`.
+      .withColumn("score", when(col("mad") === 0, lit(null))
+        .otherwise(StableStats.stableRound(
+          (col("value") - col("med")) / (lit(14826e-4) * col("mad")), 4)))
       .where(abs(col("score")) >= 3)
       .select(col("event_id"), col("event_type"), col("value"),
         col("med"), col("mad"), col("score"))
@@ -519,7 +524,8 @@ object Curation {
          |SELECT event_id, event_type, value, med, mad,
          |  ${StableStats.stableRoundSql("(value - med) / (14826e-4 * mad)", 4)} AS score
          |FROM events JOIN med ON event_type = et1 JOIN mad ON event_type = et2
-         |WHERE abs(${StableStats.stableRoundSql("(value - med) / (14826e-4 * mad)", 4)}) >= 3
+         |WHERE mad <> 0
+         |  AND abs(${StableStats.stableRoundSql("(value - med) / (14826e-4 * mad)", 4)}) >= 3
          |ORDER BY event_id""".stripMargin
     },
     "x_top_terms" ->

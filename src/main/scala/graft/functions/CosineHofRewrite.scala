@@ -19,10 +19,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * expression. The HOF chain is interpreted per element and walks each
   * array three times; the native expression is one fused scalar loop with
   * identical index-order double arithmetic, so the rewrite is
-  * bit-preserving for equal-length arrays (the embedding contract — a
-  * length mismatch makes the HOF chain NULL where the fused loop
-  * truncates, which is why the match demands the norm folds run over
-  * semantically-equal children of the zip).
+  * bit-preserving for equal-length arrays with a nonzero norm (the
+  * embedding contract). Two documented edge divergences: a length
+  * mismatch makes the HOF chain NULL where the fused loop truncates
+  * (why the match demands the norm folds run over semantically-equal
+  * children of the zip), and a zero-norm vector is NULL under the HOF
+  * chain (Spark Divide by 0) but NaN under the fused loop (0/0).
   *
   * Wired two ways: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (config-time, every session) or [[CosineHofRewrite.register]] on a
@@ -48,11 +50,16 @@ object CosineHofRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** `(acc, v) -> acc + v` with acc and v playing DISTINCT roles. */
+  /** `(acc, v) -> acc + v` with acc and v playing DISTINCT roles, and
+    * BOTH being this lambda's own arguments — a merge that references an
+    * enclosing HOF's lambda variable (nested-transform shapes) is not a
+    * plain sum and must not match. */
   private object SumMerge {
     def unapply(e: Expression): Boolean = e match {
-      case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _) =>
-        x.exprId != y.exprId
+      case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+          Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _) =>
+        x.exprId != y.exprId &&
+          Set(x.exprId, y.exprId) == Set(accArg.exprId, vArg.exprId)
       case _ => false
     }
   }

@@ -56,7 +56,9 @@ object Incremental {
     * day), merged — must equal [[mergedStats]]. Exercised in the spec. */
   def mergeWithRefreshedDay(spark: SparkSession, dir: String, day: String): DataFrame = {
     val all = dailyPartials(spark, dir)
-    val kept = all.where(col("day") =!= to_date(lit(day)))
+    // Null-safe: events with NULL ts land in a day=NULL partial row, and a
+    // plain =!= would evaluate to NULL there and silently drop the bucket.
+    val kept = all.where(!col("day").eqNullSafe(to_date(lit(day))))
     val refreshed = Tables.events(spark, dir)
       .where(to_date(col("ts")) === to_date(lit(day)))
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -79,20 +81,23 @@ object Incremental {
 
   /** SCD2 (type-2 slowly-changing dimension) build from the event log:
     * per user, consecutive runs of the same `event_type` collapse into one
-    * VERSIONED interval `[valid_from, valid_to)` with the classic
-    * 9999-12-31 open-end sentinel on the current row — the dimension-
-    * history table every warehouse ETL maintains. Island detection is the
-    * standard gaps-and-islands move: a change flag against `lag`, a
+    * VERSIONED interval `[valid_from, valid_to)` with NULL `valid_to` on the
+    * open (current) row — the dimension-history table every warehouse ETL
+    * maintains. (A 9999-12-31 open-end sentinel is deliberately NOT used:
+    * it overflows pandas' datetime64[ns] range, which the driver's compare
+    * goes through — observed as the r02 hash mismatch.) Island detection is
+    * the standard gaps-and-islands move: a change flag against `lag`, a
     * running sum for the version number, one grouped agg per island, and
     * a `lead` for the closing bound — three window passes over the SAME
     * (user_id, time) partitioning, so Catalyst plans ONE shuffle and
-    * sorts once; at 100 TB this scales as a single user-keyed exchange. */
+    * sorts once; at 100 TB this scales as a single user-keyed exchange.
+    * Null ordering is pinned NULLS FIRST on both engines (Spark's asc
+    * default; DuckDB defaults NULLS LAST, so the oracle says it out loud). */
   def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTs = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc)
     val byVer = Window.partitionBy(col("user_id")).orderBy(col("version").asc)
-    val endOfTime = to_timestamp(lit("9999-12-31 00:00:00"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("state"))
       .withColumn("chg",
@@ -101,8 +106,8 @@ object Incremental {
       .withColumn("version", sum(col("chg")).over(byTs))
       .groupBy(col("user_id"), col("version"), col("state"))
       .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
-      .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byVer), endOfTime))
-      .withColumn("is_current", (col("valid_to") === endOfTime).cast("int"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
       .select(col("user_id"), col("version"), col("state"),
         col("valid_from"), col("valid_to"), col("is_current"), col("n_events"))
       .orderBy("user_id", "version")
@@ -127,20 +132,20 @@ object Incremental {
         |    CASE WHEN lag(event_type) OVER w IS NULL
         |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC)),
         |versioned AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version
+        |  SELECT *, sum(chg) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC) AS version
         |  FROM flagged),
         |islands AS (
         |  SELECT user_id, version, state, min(ts) AS valid_from, count(*) AS n_events
         |  FROM versioned GROUP BY user_id, version, state),
         |closed AS (
-        |  SELECT *, coalesce(
-        |      lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC),
-        |      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  SELECT *,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version ASC) AS valid_to
         |  FROM islands)
         |SELECT user_id, CAST(version AS BIGINT) AS version, state, valid_from, valid_to,
-        |  CAST(valid_to = TIMESTAMP '9999-12-31 00:00:00' AS INTEGER) AS is_current,
+        |  CAST(valid_to IS NULL AS INTEGER) AS is_current,
         |  n_events
         |FROM closed ORDER BY user_id, version""".stripMargin
   )

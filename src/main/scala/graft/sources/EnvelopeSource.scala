@@ -444,6 +444,12 @@ private case class EnvelopeCommit(tempFile: String, rows: Long) extends WriterCo
 private class EnvelopeBatchWrite(schema: StructType, path: String, truncate: Boolean)
     extends BatchWrite {
 
+  // Per-job discriminator in the published name: a second append into a
+  // non-empty directory must not collide with part files from an earlier
+  // job — a fixed `part-00000.json` would fail the rename mid-commit and
+  // leave a partially-visible write, breaking the all-or-nothing contract.
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
@@ -460,7 +466,7 @@ private class EnvelopeBatchWrite(schema: StructType, path: String, truncate: Boo
         .foreach(p => fs.delete(p, false))
     messages.zipWithIndex.foreach { case (m: EnvelopeCommit, i) =>
       val src = new Path(m.tempFile)
-      if (!fs.rename(src, new Path(dir, f"part-$i%05d.json")))
+      if (!fs.rename(src, new Path(dir, f"part-$jobId-$i%05d.json")))
         throw new java.io.IOException(s"EnvelopeSource: commit rename failed for $src")
     }
   }

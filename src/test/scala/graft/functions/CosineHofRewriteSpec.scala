@@ -77,4 +77,22 @@ class CosineHofRewriteSpec extends SparkSpec {
     assert(!squared.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
       "single-variable product must block the rewrite")
   }
+
+  test("merge capturing an enclosing lambda's variable must block the rewrite") {
+    import s2.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("a", "b")
+    // inner merge is `acc + t` where t belongs to the OUTER transform —
+    // two distinct lambda variables, but NOT a plain sum of this fold's
+    // own (acc, v). Fold result is t + t = 2t, so per element: 2t / 5.
+    val nested = df.select(expr(
+      """transform(a, t ->
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + t)
+        |  / (sqrt(aggregate(a, 0D, (acc, v) -> acc + v * v))
+        |     * sqrt(aggregate(b, 0D, (acc, v) -> acc + v * v))))""".stripMargin).as("c"))
+    assert(!nested.queryExecution.optimizedPlan.toString.contains("cosine_sim"),
+      "captured outer lambda variable must block the rewrite")
+    val got = nested.collect().head.getSeq[Double](0)
+    assert(got.length === 2 && math.abs(got(0) - 0.4) < 1e-12 && math.abs(got(1) - 0.8) < 1e-12,
+      s"per-element 2t/5 must survive un-rewritten: $got")
+  }
 }

@@ -34,4 +34,19 @@ class IncrementalSpec extends SparkSpec {
     val p = Incremental.dailyPartials(spark, dir)
     assert(p.count() === p.select("day", "event_type").distinct().count())
   }
+
+  test("refresh parity holds with a NULL-ts event (null-safe day filter keeps the NULL-day bucket)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-incr-null").toString
+    Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-03 10:00:00")), 1L, "click", 2.0, "{}"),
+      (2L, Option(java.sql.Timestamp.valueOf("2024-01-04 10:00:00")), 1L, "click", 4.0, "{}"),
+      (3L, None: Option[java.sql.Timestamp], 2L, "click", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    assert(rows(Incremental.mergeWithRefreshedDay(spark, d, "2024-01-03"))
+      === rows(Incremental.mergedStats(spark, d)))
+    // and the merged stats really include the null-day event: n=3 not 2
+    assert(Incremental.mergedStats(spark, d).collect()(0).getAs[Long]("n") === 3L)
+  }
 }

@@ -165,6 +165,21 @@ class EnvelopeSourceSpec extends SparkSpec {
       "write→read must round-trip exactly (timestamps, nulls included)")
   }
 
+  test("second append into a non-empty directory publishes without colliding") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-envelope-app2").toString
+    read.coalesce(1).write.format("graft.sources.EnvelopeSource")
+      .mode("append").save(out)
+    read.where(col("power") === 0.0).coalesce(1)
+      .write.format("graft.sources.EnvelopeSource").mode("append").save(out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("part-")) === 2,
+      s"both jobs' part files must coexist (unique per-job names): ${files.mkString(",")}")
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .schema(EnvelopeSource.referenceSchema).load(out)
+    assert(back.count() === 4, "3 rows from job 1 + 1 row from job 2")
+  }
+
   test("V2 overwrite truncates previous part files in the same commit") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-envelope-ovr").toString
