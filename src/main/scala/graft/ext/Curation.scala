@@ -188,12 +188,20 @@ object Curation {
     * 4-grams are carried as 60-bit md5 integers (same trick as
     * [[Dedup.ngramJaccard]]; the oracle hashes identically). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // Position-explode rather than transform()-an-array: the HOF lambda is
+    // CodegenFallback (interpreted md5 per gram) and materializes a per-doc
+    // gram array — a memory hazard on book-length rows. Exploding the
+    // position index keeps md5/conv inside whole-stage codegen and streams
+    // one gram at a time. Duplicate grams within a doc survive until AFTER
+    // the broadcast join cuts the stream down to benchmark hits, so the
+    // distinct (countDistinct per doc) aggregates only the tiny hit set —
+    // nothing corpus-sized ever shuffles.
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 4)
+      .select(col("doc_id"), col("w"), explode(expr("sequence(1, size(w) - 3)")).as("i"))
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, size(w) - 3), " +
-          "i -> cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2])), 1, 15), 16, 10) as bigint)))"))
+        expr("cast(conv(substring(md5(concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2])), 1, 15), 16, 10) as bigint)")
           .as("g"))
     val docs = Tables.documents(spark, dir)
     val benchGrams = grams(docs.where(col("doc_id") % 50 === 0))
@@ -201,7 +209,7 @@ object Curation {
     grams(docs.where(col("doc_id") % 50 =!= 0))
       .join(broadcast(benchGrams), "g")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct(col("g")).as("n_hits"))
       .orderBy("doc_id")
   }
 

@@ -102,17 +102,18 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** PARTIAL aggregate pushdown for ungrouped COUNT(*)/MIN/MAX: the
+  /** PARTIAL aggregate pushdown for ungrouped COUNT(*)/MIN/MAX/SUM: the
     * reader answers with ONE partial row per envelope file (filter-aware
-    * count and per-file min/max extrema), and Spark's final aggregate
-    * merges the per-file rows — no per-record InternalRow ever
+    * count, per-file extrema, per-file numeric sums), and Spark's final
+    * aggregate merges the per-file rows — no per-record InternalRow ever
     * materializes. `supportCompletePushDown` stays false: partial rows
     * keep the contract correct under any parallelism. Grouped queries,
-    * other functions, and min/max over unsupported field types are
-    * declined and run as ordinary scans. */
+    * AVG (not losslessly partial-able without a count pair), SUM
+    * DISTINCT, and functions over unsupported field types are declined
+    * and run as ordinary scans. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -123,6 +124,10 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
       case _: CountStar => Some(EnvelopeAgg.CountStar)
       case m: Min       => fieldOf(m.column).map(EnvelopeAgg.MinOf)
       case m: Max       => fieldOf(m.column).map(EnvelopeAgg.MaxOf)
+      // SUM DISTINCT cannot partial per file (distinctness is global)
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).filter(f => EnvelopeAgg.sumable(f.dataType))
+          .map(EnvelopeAgg.SumOf)
       case _            => None
     }
     val ok = aggregation.groupByExpressions().isEmpty &&
@@ -152,6 +157,23 @@ private object EnvelopeAgg {
   final case class MaxOf(f: StructField) extends EnvelopeAgg {
     def outputField: StructField = StructField(s"MAX(${f.name})", f.dataType)
   }
+  /** Per-file partial SUM over a numeric field. The partial is typed as
+    * the FINAL sum type (integral → Long, double → Double) so Spark's
+    * rewritten final `SUM(partial)` resolves to the same result type the
+    * un-pushed aggregate had. Double partials accumulate in file-row
+    * order — the same order the ordinary scan feeds Spark's own partial
+    * aggregate, so pushing down does not change float results. Integral
+    * partials use addExact: a per-file overflow fails loudly (ANSI
+    * behavior) instead of wrapping into a silently-wrong partial. */
+  final case class SumOf(f: StructField) extends EnvelopeAgg {
+    def outputField: StructField = StructField(s"SUM(${f.name})", sumType)
+    def sumType: DataType = f.dataType match {
+      case DoubleType => DoubleType
+      case _          => LongType // IntegerType | LongType
+    }
+  }
+  def sumable(dt: DataType): Boolean =
+    dt == DoubleType || dt == LongType || dt == IntegerType
 }
 
 /** Aggregate-pushdown scan: one partial row per file. */
@@ -211,6 +233,7 @@ private case class EnvelopeAggReaderFactory(aggs: Array[EnvelopeAgg],
           var n = 0L
           val mins = new Array[Any](aggs.length)
           val maxs = new Array[Any](aggs.length)
+          val sums = new Array[Any](aggs.length) // null until a non-null value seen
           data.elements().asScala
             .filter(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _)))
             .foreach { r =>
@@ -226,15 +249,26 @@ private case class EnvelopeAggReaderFactory(aggs: Array[EnvelopeAgg],
                     val v = EnvelopeFilters.nodeValue(r, f)
                     if (v != null && (maxs(i) == null || EnvelopeFilters.compareValues(v, maxs(i)) > 0))
                       maxs(i) = v
+                  case EnvelopeAgg.SumOf(f) =>
+                    val v = EnvelopeFilters.nodeValue(r, f)
+                    if (v != null) sums(i) = (sums(i), v) match {
+                      case (null, x: Double)      => x
+                      case (acc: Double, x: Double) => acc + x
+                      case (null, x: Long)        => x
+                      case (acc: Long, x: Long)   => Math.addExact(acc, x)
+                      case (acc, x) => throw new IllegalStateException(
+                        s"EnvelopeSource: sum type confusion $acc + $x")
+                    }
                   case EnvelopeAgg.CountStar => ()
                 }
                 i += 1
               }
             }
           InternalRow.fromSeq(aggs.zipWithIndex.map {
-            case (EnvelopeAgg.CountStar, _) => n
-            case (EnvelopeAgg.MinOf(f), i)  => toInternal(mins(i), f.dataType)
-            case (EnvelopeAgg.MaxOf(f), i)  => toInternal(maxs(i), f.dataType)
+            case (EnvelopeAgg.CountStar, _)   => n
+            case (EnvelopeAgg.MinOf(f), i)    => toInternal(mins(i), f.dataType)
+            case (EnvelopeAgg.MaxOf(f), i)    => toInternal(maxs(i), f.dataType)
+            case (s @ EnvelopeAgg.SumOf(_), i) => toInternal(sums(i), s.sumType)
           }.toIndexedSeq)
         } finally in.close()
       }

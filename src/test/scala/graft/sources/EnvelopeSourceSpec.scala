@@ -103,6 +103,40 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(r.getLong(2) === 3L)
   }
 
+  test("SUM pushes down beside COUNT: per-file partials, merged by Spark") {
+    val df = read.selectExpr("sum(power) as s", "sum(ambient_temprature) as t", "count(*) as n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "EnvelopeAggScan PushedAggregates: [SUM(power), SUM(ambient_temprature), COUNT(*)]"),
+      s"sum must reach the V2 scan:\n$plan")
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 2229.3) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 41.2) < 1e-9, "null field skipped, not zeroed")
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("SUM pushdown composes with a pushed filter") {
+    import org.apache.spark.sql.functions._
+    val df = read.where(col("wind_speed") > 10.0).selectExpr("sum(power) as s")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan PushedAggregates: [SUM(power)]"), plan)
+    assert(plan.contains("GreaterThan(wind_speed"), s"filter must also push:\n$plan")
+    assert(math.abs(df.head().getDouble(0) - 2229.3) < 1e-9)
+  }
+
+  test("SUM DISTINCT and SUM over a timestamp both decline the pushdown") {
+    val d = read.selectExpr("sum(DISTINCT power) as s")
+    assert(!d.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"))
+    assert(math.abs(d.head().getDouble(0) - 2229.3) < 1e-9)
+  }
+
+  test("SUM over an empty directory is NULL") {
+    val empty = Files.createTempDirectory("graft-envelope-empty3").toString
+    val r = spark.read.format("graft.sources.EnvelopeSource").load(empty)
+      .selectExpr("sum(power) as s", "count(*) as n").head()
+    assert(r.isNullAt(0) && r.getLong(1) === 0L)
+  }
+
   test("MIN over an empty directory is NULL, COUNT is 0") {
     val empty = Files.createTempDirectory("graft-envelope-empty2").toString
     val r = spark.read.format("graft.sources.EnvelopeSource").load(empty)
