@@ -225,6 +225,42 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then prune near-duplicates WITHIN each
+    * cluster only — the clustering bounds the quadratic pairwise pass to
+    * cluster-local work, which is the whole trick that makes semantic
+    * dedup feasible at corpus scale. A vector is dropped when some
+    * same-cluster member with a SMALLER vec_id lies within cosine ≥ 0.35
+    * (one-pass "earlier-wins" rule: deterministic and SQL-expressible,
+    * vs. the paper's iterate-to-fixpoint greedy — the two differ only
+    * when a dropped vector was another's sole witness).
+    *
+    * Scale shape: seed assignment is a broadcast cross join (no corpus
+    * shuffle); the pairwise pass is ONE cluster-keyed self-join, so each
+    * cluster's quadratic runs data-local after a single exchange. At
+    * 100 TB, k grows with corpus size to hold cluster cardinality
+    * roughly constant, keeping per-cluster work bounded; the assignment
+    * frame persists because it feeds both join sides and the final
+    * projection. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = Similarity.assignToSeeds(Similarity.emb(spark, dir)).persist()
+    val earlier = clustered.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"))
+    val dups = clustered.join(earlier, "cluster")
+      .where(col("vec_b") < col("vec_id"))
+      .withColumn("cs", round(Similarity.cosine("emb", "emb_b"), 6))
+      .where(col("cs") >= 0.35)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"), max(col("cs")).as("max_sim"))
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("max_sim"),
+        col("max_sim").isNull.cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Containment verification over the LSH candidate pairs: the
     * ASYMMETRIC overlap |A∩B|/|A| (and /|B|) on distinct 60-bit shingle
     * hashes — the signal symmetric Jaccard misses when a short document
@@ -289,7 +325,8 @@ object Dedup {
     "x_dedup_simhash"       -> (simhashSignatures _),
     "x_dedup_simhash_pairs" -> (simhashPairs _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
-    "x_dedup_embedding"     -> (embeddingNearDup _)
+    "x_dedup_embedding"     -> (embeddingNearDup _),
+    "x_semdedup"            -> (semDedup _)
   )
 
   val oracles: Map[String, String] = {
@@ -408,7 +445,24 @@ object Dedup {
           |  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
           |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
-          |ORDER BY vec_a, vec_b""".stripMargin
+          |ORDER BY vec_a, vec_b""".stripMargin,
+      "x_semdedup" ->
+        """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < 8),
+          |assigned AS (SELECT vec_id, c_id AS cluster FROM (
+          |    SELECT emb.vec_id, cent.c_id, row_number() OVER (PARTITION BY emb.vec_id
+          |      ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC, cent.c_id ASC) AS r
+          |    FROM emb CROSS JOIN cent) WHERE r = 1),
+          |ce AS (SELECT a.vec_id, a.cluster, emb.e FROM assigned a JOIN emb USING (vec_id)),
+          |pairs AS (SELECT x.vec_id, round(list_cosine_similarity(x.e, y.e), 6) AS cs
+          |  FROM ce x JOIN ce y ON x.cluster = y.cluster AND y.vec_id < x.vec_id),
+          |dups AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_earlier_dups, max(cs) AS max_sim
+          |  FROM pairs WHERE cs >= 35e-2 GROUP BY vec_id)
+          |SELECT a.vec_id, a.cluster,
+          |  CAST(coalesce(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups, d.max_sim,
+          |  CAST(CASE WHEN d.max_sim IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+          |FROM assigned a LEFT JOIN dups d USING (vec_id)
+          |ORDER BY a.vec_id""".stripMargin
     )
   }
 }

@@ -36,7 +36,7 @@ object Similarity {
        | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
        |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""".stripMargin)
 
-  private def emb(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def emb(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
@@ -61,7 +61,7 @@ object Similarity {
     * vec_id < 8 standing in for a trained codebook) — shared by the
     * inline IVF search, the materialized index build, and the Lloyd
     * step, so the assignment semantics can never drift between them. */
-  private def assignToSeeds(e: DataFrame): DataFrame = {
+  private[ext] def assignToSeeds(e: DataFrame): DataFrame = {
     val cent = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
     val wAssign = Window.partitionBy(col("vec_id"))

@@ -98,6 +98,16 @@ class DedupSpec extends SparkSpec {
     assert(!r.keySet.exists { case (a, b) => Set(a, b) === Set(3L, 4L) })
   }
 
+  test("semdedup: identical later vector in the same cluster is dropped, earlier kept") {
+    val r = Dedup.semDedup(spark, dir).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("n_earlier_dups"), x.getAs[Int]("keep")))).toMap
+    assert(r.size === 5, "every vector must appear exactly once")
+    assert(r(0L) === ((0L, 1)), "first of the identical pair is kept")
+    assert(r(1L) === ((1L, 0)), "identical later vector is dropped with one witness")
+    assert(r(3L)._2 === 1 && r(4L)._2 === 1, "isolated vectors survive")
+  }
+
   test("embedding near-dup: identical vectors pair at cos 1.0; cross-label blocked") {
     val r = Dedup.embeddingNearDup(spark, dir)
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("cos_sim")).toMap

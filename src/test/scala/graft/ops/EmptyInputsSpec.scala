@@ -48,6 +48,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.TextAnalysis.pplBuckets(spark, dir).count() === 0)
     assert(graft.ext.Similarity.quantizedTopK(spark, dir).count() === 0)
     assert(Incremental.scd2Intervals(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.semDedup(spark, dir).count() === 0)
   }
 
   test("TPC-H shapes and incremental merge on empty facts") {
