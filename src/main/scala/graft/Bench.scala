@@ -42,18 +42,32 @@ object Bench {
     val fns =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.toSeq.sortBy(_._1)
       else headline.flatMap(n => all.get(n).map(n -> _))
-    // One untimed warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the
-    // timed numbers then measure the engine's steady state instead of
-    // one-off JVM/classloader/Janino-codegen costs, which otherwise
-    // dominate (~1s/query) and swing ±50% with host noise.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      fns.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
-      }
+    // Per-query protocol (round-4 fix — the round-3 single-pass numbers were
+    // untrustworthy): isolate each query by clearing the cache manager first
+    // (queries persist() intermediates; 22 accumulated caches in one heap
+    // caused eviction-driven 4× phantom swings on late-list queries), run
+    // one untimed warm-up (JVM/Janino codegen + the query's own persists),
+    // then report the MEDIAN of 3 timed steady-state passes.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = fns.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      spark.catalog.clearCache()
+      val ok = try { if (warmup) fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val t =
+        if (!ok) -1.0
+        else try {
+          median((1 to passes).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          })
+        } catch { case _: Throwable => -1.0 }
+      (name, t)
     }
     // Locale-pinned formatting: f"$v%.3f" uses the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line the driver parses.

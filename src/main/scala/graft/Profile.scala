@@ -22,6 +22,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.catalog.clearCache() // isolate: no cross-query cache reuse/eviction
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

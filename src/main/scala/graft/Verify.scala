@@ -25,7 +25,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Release every frame the query persist()ed: 120+ queries in one
+        // session would otherwise accumulate caches until heap eviction
+        // (and re-persisting an identical canonicalized plan warns "Asked
+        // to cache already cached data" on repeat invocations).
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -29,8 +29,31 @@ import graft.Tables
   */
 object Dedup {
 
-  private val K = 8          // minhash signature length
-  private val BANDS = 2      // LSH bands (rows per band = K / BANDS = 4)
+  /** MinHash/LSH parameters, with the (threshold, bands, rows) rationale.
+    *
+    * With `b` bands of `r` rows (K = b·r minima), a pair at Jaccard
+    * similarity s becomes a candidate with probability
+    * P(s) = 1 − (1 − s^r)^b — the standard LSH s-curve (Leskovec/Rajaraman
+    * /Ullman, "Mining of Massive Datasets" §3.4). Its inflection sits at
+    * s* ≈ (1/b)^(1/r); here b=2, r=4 → s* = 2^(-1/4) ≈ 0.84, matched to
+    * this corpus's near-dup population (mutated copies at Jaccard ≳ 0.85,
+    * see FIXTURES.md) while keeping unrelated docs (s ≲ 0.2,
+    * P ≈ 2·0.2⁴ ≈ 0.3%) out of the candidate set.
+    *
+    * 100 TB retuning rule: keep s* = (1/b)^(1/r) pinned to the target
+    * threshold and grow K = b·r to SHARPEN the curve — the false-positive
+    * mass scales with corpus pair count, so at web scale use e.g.
+    * b=16, r=8 (K=128, s* ≈ 0.71) or b=9, r=13 (K=117, s* ≈ 0.84):
+    * signature cost grows linearly in K (still one hash-agg pass via
+    * Kirsch-Mitzenmacher) while candidate precision improves
+    * exponentially in r. `DedupSpec` property-tests the s-curve shape. */
+  private[graft] val K = 8      // minhash signature length (= BANDS · ROWS)
+  private[graft] val BANDS = 2  // LSH bands (rows per band = K / BANDS = 4)
+
+  /** Candidate probability for a pair at Jaccard similarity `s` under the
+    * (bands, rows) banding scheme — the s-curve documented on [[K]]. */
+  private[graft] def sCurve(s: Double, bands: Int = BANDS, rows: Int = K / BANDS): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
 
   /** Word 3-gram shingles per document — NOT deduplicated here: both
     * consumers are set-semantics aggregates (`min`, `collect_set`) for
@@ -130,17 +153,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Number of signature bands for the banded Hamming search in
+    * [[simhashPairs]]. Pigeonhole: a pair within Hamming distance d shares
+    * at least one IDENTICAL band whenever bands > d — with 9 bands over 32
+    * bits, any pair at distance ≤ 8 collides in some band, so the banded
+    * candidate generation is EXACT (no recall loss) for the d=8 cutoff. */
+  private val HAMMING_BANDS = 9
+
   /** SimHash near-dup pairs: sampled probe set (doc_id % 10 = 0) × all docs,
-    * Hamming distance ≤ 8 of 32 bits. */
+    * Hamming distance ≤ 8 of 32 bits.
+    *
+    * Candidate generation is BANDED, not all-pairs: each 32-bit signature
+    * splits into [[HAMMING_BANDS]] bit-chunks; candidates come from an
+    * equi-join on (band, chunk) — the same bucketed shape as
+    * [[minhashLsh]] — and only candidates pay the `bit_count` verify. The
+    * naive formulation (`probes JOIN sims ON doc_a < doc_id` + Hamming
+    * filter) is a pure non-equi predicate and plans as a
+    * BroadcastNestedLoopJoin, O(probes × corpus) — the one quadratic this
+    * suite must never ship at 100 TB. Pigeonhole makes the banded rewrite
+    * lossless (see [[HAMMING_BANDS]]), so the output is bit-identical.
+    * `PlanSpec` pins the physical plan free of nested-loop joins. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // persist: probes and the full side both branch off the signature agg
     val sims = simhashSignatures(spark, dir).persist()
-    val probes = sims.where(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    probes.join(sims, col("doc_a") < col("doc_id"))
+    // band b covers bits [32b/B, 32(b+1)/B) — 3- and 4-bit chunks for B=9
+    val bandCols = (0 until HAMMING_BANDS).map { b =>
+      val lo = 32 * b / HAMMING_BANDS
+      val hi = 32 * (b + 1) / HAMMING_BANDS
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND((1L << (hi - lo)) - 1).as("chunk"))
+    }
+    val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val probes = banded.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("band"), col("chunk"))
+    probes.join(banded, Seq("band", "chunk"))
+      .where(col("doc_a") < col("doc_id"))
+      // verify FIRST (codegen bit_count on the streamed join output), so
+      // the distinct — a close pair collides in several bands — only
+      // shuffles surviving pairs, not the full candidate set
       .withColumn("hamming", expr("bit_count(sim_a ^ simhash)"))
       .where(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_id").as("doc_b"), col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

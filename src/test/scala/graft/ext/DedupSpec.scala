@@ -91,6 +91,50 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L) !== sigs(3L)) // disjoint vocab → different signature
   }
 
+  test("simhash pairs: banded candidate generation matches the naive all-pairs scan") {
+    // pigeonhole correctness of the banded rewrite: 9 bands over 32 bits
+    // guarantee a shared identical band for Hamming ≤ 8, so the bucketed
+    // plan must return the EXACT same pairs as the quadratic reference
+    // formulation it replaced
+    import org.apache.spark.sql.{functions => F}
+    val sims = Dedup.simhashSignatures(spark, "/root/testdata/sf0.001")
+    val probes = sims.where(F.col("doc_id") % 10 === 0)
+      .select(F.col("doc_id").as("doc_a"), F.col("simhash").as("sim_a"))
+    val naive = probes.join(sims, F.col("doc_a") < F.col("doc_id"))
+      .withColumn("hamming", F.expr("bit_count(sim_a ^ simhash)"))
+      .where(F.col("hamming") <= 8)
+      .select(F.col("doc_a"), F.col("doc_id").as("doc_b"), F.col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(naive.nonEmpty, "fixture must produce at least one close pair")
+    assert(banded === naive)
+  }
+
+  test("LSH s-curve: monotone, threshold at (1/b)^(1/r), sharpens with more rows") {
+    val sStar = math.pow(1.0 / Dedup.BANDS, Dedup.BANDS.toDouble / Dedup.K)
+    assert(math.abs(Dedup.sCurve(sStar) - (1 - math.pow(1 - 1.0 / Dedup.BANDS, Dedup.BANDS))) < 1e-12)
+    // boundary + monotonicity over a fine grid
+    assert(Dedup.sCurve(0.0) === 0.0 && Dedup.sCurve(1.0) === 1.0)
+    val grid = (0 to 1000).map(_ / 1000.0)
+    grid.sliding(2).foreach { case Seq(a, b) =>
+      assert(Dedup.sCurve(a) <= Dedup.sCurve(b) + 1e-15, s"not monotone at $a")
+    }
+    // the production curve separates this corpus's populations: near-dups
+    // (Jaccard ≳ 0.85) are likely candidates, unrelated docs (≲ 0.2) are not
+    assert(Dedup.sCurve(0.9) > 0.75, s"near-dup recall too low: ${Dedup.sCurve(0.9)}")
+    assert(Dedup.sCurve(0.2) < 0.01, s"false-candidate mass too high: ${Dedup.sCurve(0.2)}")
+    // the documented 100 TB retuning rule: same threshold, larger K →
+    // sharper curve (better precision below s*, no recall loss above)
+    val (b2, r2) = (9, 13) // K=117, s* ≈ 0.84 — the web-scale setting
+    val sStar2 = math.pow(1.0 / b2, 1.0 / r2)
+    assert(math.abs(sStar2 - sStar) < 0.03, "retuned curve keeps the threshold")
+    assert(Dedup.sCurve(0.5, b2, r2) < Dedup.sCurve(0.5),
+      "larger K must suppress sub-threshold candidates")
+    assert(Dedup.sCurve(0.95, b2, r2) > Dedup.sCurve(0.95) - 0.02,
+      "larger K must not lose above-threshold recall")
+  }
+
   test("ngram jaccard: exact dups score 1.0, disjoint docs produce no pair") {
     val r = Dedup.ngramJaccard(spark, dir)
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap

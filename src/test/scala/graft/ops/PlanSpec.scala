@@ -59,6 +59,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles === 1, s"lag + running-sum + groupBy must reuse ONE user_id exchange:\n$plan")
   }
 
+  test("simhash pairs: banded equi-join candidates, no nested-loop join") {
+    // the naive formulation (probe × corpus with only `doc_a < doc_id` +
+    // a Hamming filter) plans a BroadcastNestedLoopJoin — O(n²/10), the
+    // one shape this suite must never ship at 100 TB. The banded rewrite
+    // must keep every join an equi-join.
+    val plan = planOf(graft.ext.Dedup.simhashPairs(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banded Hamming search must not plan a nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     graft.functions.CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
