@@ -20,7 +20,12 @@ import graft.Tables
   * - Q11/Q15: global scalar aggregate broadcast back (1-row cross join),
   *   never a per-row correlated rescan;
   * - Q13: outer join preserving zero-match keys, then re-aggregation;
-  * - Q16: NOT IN as broadcast LEFT ANTI + distinct aggregate.
+  * - Q16: NOT IN as a LEFT ANTI join + distinct aggregate.
+  *
+  * Broadcast-force discipline (VERDICT r3): only fixed-cardinality frames
+  * (nation/region) and operationally-bounded filtered part slices carry a
+  * `broadcast()` hint; anything customer/supplier-derived is SF-scaled and
+  * stays threshold/AQE-driven — broadcast at test scale, shuffled at 100 TB.
   *
   * All money math uses the `StableStats` exact-integer-units discipline so
   * DuckDB hash-compares bit-for-bit (see graft-engine-gotchas).
@@ -53,14 +58,16 @@ object DecisionSupport {
   /** TPC-H Q9 shape: product-type profit by supplier nation and year.
     * No partsupp ⇒ cost is proxied as 60% of the part's retail price per
     * unit. Profit stays an exact integer in 1e-5-dollar units:
-    * units×10 − qty_cents×price_cents×6. Star join: part/supplier/nation
-    * broadcast, one orderkey shuffle. */
+    * units×10 − qty_cents×price_cents×6. Star join: nation (25 rows)
+    * force-broadcast, name-filtered part hinted, the SF-scaled supplier
+    * join threshold-driven (broadcast at test scale, shuffled at 100 TB),
+    * one orderkey shuffle. */
   def productProfit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir).where(col("p_name").contains("an"))),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .withColumn("profit_units",
         (round(col("l_extendedprice") * 100).cast("long")
@@ -86,8 +93,10 @@ object DecisionSupport {
       .join(broadcast(Tables.nation(spark, dir).where(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // nation3Supp is supplier-derived (~1/25 of suppliers — SF-scaled):
+    // threshold-driven semi join, not a forced broadcast
     val perPart = Tables.lineitem(spark, dir)
-      .join(broadcast(nation3Supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(nation3Supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .withColumn("units",
         round(col("l_extendedprice") * 100).cast("long")
           * (lit(100L) - round(col("l_discount") * 100).cast("long")))
@@ -133,7 +142,9 @@ object DecisionSupport {
     rev
       .crossJoin(broadcast(best))
       .where(col("rev_units") === col("max_units"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // the max-filtered left side is ~1 row — AQE broadcasts IT, so the
+      // SF-scaled supplier table needs no force at any scale
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         StableStats.stableRound(col("rev_units").cast("double") / lit(1e4), 2)
           .as("total_revenue"))
@@ -147,8 +158,10 @@ object DecisionSupport {
     * shape in the suite — Spark plans it as a two-phase expand+agg. */
   def supplierVariety(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
-        .select(col("s_suppkey").as("bad_suppkey"))),
+      // the blacklist is balance-filtered but still SF-scaled — threshold-
+      // driven anti join (broadcast at test scale, shuffled at 100 TB)
+      .join(Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey")),
         col("l_suppkey") === col("bad_suppkey"), "left_anti")
       .join(broadcast(Tables.part(spark, dir)
         .where(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)),
@@ -160,8 +173,7 @@ object DecisionSupport {
   /** TPC-H Q20 shape: suppliers who shipped a meaningful volume of some
     * 'blue' part in 1996 — the nested-IN chain as aggregate-then-semi:
     * per-(supplier, part) totals filtered by HAVING, distinct suppliers,
-    * then a semi join into supplier⋈nation. Every dim is broadcast; the
-    * fact scans once. */
+    * then a semi join into supplier⋈nation. The fact scans once. */
   def promotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val shipped = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
@@ -174,7 +186,9 @@ object DecisionSupport {
       .where(col("qty") > 30)
       .select(col("l_suppkey")).distinct()
     Tables.supplier(spark, dir)
-      .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // shipped is a distinct-supplier-key frame (SF-scaled): threshold-
+      // driven semi join; nation (25 rows) keeps its force
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_suppkey")
@@ -199,7 +213,8 @@ object DecisionSupport {
       .withColumn("n_supp", count(lit(1)).over(byOrder))
       .withColumn("n_late", sum(col("supp_late")).over(byOrder))
       .where(col("supp_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // supplier is SF-scaled: threshold-driven join
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)

@@ -49,14 +49,17 @@ object Olap {
         .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_nk"))
       .select(col("s_suppkey"), col("supp_nation"))
+    // customer and suppNation are SF-scaled — no broadcast force (threshold
+    // planning broadcasts at test scale, shuffles at 100 TB); asiaNations
+    // is nation-derived (≤25 rows forever) and stays forced
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
         .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01"))
           && col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .withColumn("units",
         round(col("l_extendedprice") * 100).cast("long")
           * (lit(100L) - round(col("l_discount") * 100).cast("long")))
@@ -155,14 +158,16 @@ object Olap {
       .orderBy("l_returnflag")
 
   /** TPC-H Q14-shaped promo revenue share: percentage of one month's
-    * discounted revenue from PROMO parts — broadcast part join, numerator
-    * as a conditional sum beside the denominator (single pass), exact
-    * integer units through the ratio. */
+    * discounted revenue from PROMO parts — threshold-driven part join,
+    * numerator as a conditional sum beside the denominator (single pass),
+    * exact integer units through the ratio. */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01"))
         && col("l_shipdate") < to_timestamp(lit("1996-04-01")))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      // part is SF-scaled: threshold-driven join (month-filtered lineitem
+      // may even be the smaller side at 100 TB — let stats decide)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .withColumn("units",
         round(col("l_extendedprice") * 100).cast("long")
           * (lit(100L) - round(col("l_discount") * 100).cast("long")))
@@ -207,7 +212,9 @@ object Olap {
       .where(col("total_qty") > 300)
     Tables.orders(spark, dir)
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      // customer is SF-scaled: threshold-driven (the broadcast(big)-pruned
+      // orders side is tiny, so AQE picks the right build side at any SF)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -215,17 +222,19 @@ object Olap {
   }
 
   /** TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs over the
-    * lineitem⋈part broadcast join. The part-only conjuncts stay inside
+    * lineitem⋈part equi-join. The part-only conjuncts stay inside
     * the OR (they reference both sides), but Catalyst still derives and
     * pushes the COMMON bounds (quantity ≤ 30 is implied by all branches
-    * → scan-level filter), and the join itself is a plain broadcast hash
-    * — the disjunction evaluates post-join, codegen'd. */
+    * → scan-level filter), and the join itself is a plain hash join
+    * (threshold-broadcast at test scale) — the disjunction evaluates
+    * post-join, codegen'd. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val branch1 = col("p_type") === "PROMO" && col("l_quantity").between(1, 11)
     val branch2 = col("p_type") === "STANDARD" && col("l_quantity").between(10, 20)
     val branch3 = col("p_size") <= 5 && col("l_quantity").between(20, 30)
-    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+    // part is SF-scaled: threshold-driven join
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .where(branch1 || branch2 || branch3)
       .agg(
         StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),

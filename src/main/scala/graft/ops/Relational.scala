@@ -11,8 +11,15 @@ import graft.Tables
   * engine must sustain at 100 TB.
   *
   * Scale stance per query is noted inline; the common rules:
-  * - dims (region/nation/customer/supplier/part) are broadcast — no shuffle
-  *   on the fact side for dim joins;
+  * - FIXED-cardinality dims (region: 5 rows, nation: 25 rows at every SF)
+  *   are force-broadcast — no shuffle on the fact side, at any scale;
+  * - SF-SCALED tables (customer/supplier/part) are NEVER force-broadcast:
+  *   at 100 TB lineitem, customer is ~1.5 TB and a forced broadcast OOMs
+  *   the cluster. Their joins stay threshold/stats-driven — at test scale
+  *   size-based planning still broadcasts them (all under the 10 MB
+  *   threshold), while at 100 TB the same code plans a shuffled join.
+  *   Selectively-filtered part frames (a brand, a name prefix) may keep a
+  *   broadcast hint where the filter output is operationally bounded;
   * - filters/projections are plain `where`/`select` so Catalyst pushes them
   *   into the parquet scan (PushedFilters + ReadSchema pruning);
   * - every output ends in a deterministic total-order `orderBy` (driver
@@ -47,11 +54,15 @@ object Relational {
         col("std_value"), col("sum_value"))
       .orderBy("bucket_ts", "event_type")
 
-  /** J1+A4: fact ⋈ broadcast dim, grouped stats (reference
-    * `dagster/assets.py:201-211`). */
+  /** J1+A4: fact ⋈ dim, grouped stats (reference
+    * `dagster/assets.py:201-211`). The dim here is customer — SF-scaled,
+    * so the join is threshold-driven: size-based planning broadcasts it
+    * at test scale (PlanSpec pins the broadcast-hash shape), and the same
+    * code degrades to a shuffled join when customer outgrows the
+    * threshold at 100 TB. */
   def factDimStats(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"), "inner")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -170,23 +181,25 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-shaped shipping priority: broadcast dim (customer) into the
-    * orders scan, then top-10 by revenue. The FACT (lineitem) is the
-    * streamed/left side: with it on the right, size-based planning
+  /** TPC-H Q3-shaped shipping priority: join the segment-filtered customer
+    * into the orders scan, then top-10 by revenue. The FACT (lineitem) is
+    * the streamed/left side: with it on the right, size-based planning
     * broadcast-builds a hash relation over the whole fact (its compressed
     * footprint sits under the 10 MB threshold at test scale). The
     * orders⋈customer side carries a SHUFFLE_HASH hint, not a broadcast:
     * it is date/segment-filtered but still grows linearly with the
     * orders table, so at 100 TB a forced broadcast would OOM — the
     * shuffled hash join builds per-partition hash tables of the smaller
-    * side instead, which scales. Customer alone is a true dim and stays
-    * broadcast. */
+    * side instead, which scales. Customer is SF-scaled too (~1/5 of
+    * customers per segment), so it carries no broadcast force either:
+    * threshold planning broadcasts it at test scale, a shuffled join
+    * takes over at 100 TB. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).where(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
     val li   = Tables.lineitem(spark, dir).where(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
     li
-      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey"), "inner")
           .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -195,12 +208,14 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-shaped local-supplier volume: 6-table join with every dim
-    * broadcast into the streamed lineitem scan. As in [[shippingPriority]],
-    * the fact stays on the LEFT and the (date-filtered) orders⋈customer
-    * side is the SHUFFLE_HASH build (filtered, but linear in the orders
-    * table — broadcast would not survive 100 TB); the true dims
-    * (customer/supplier/nation/region) broadcast. */
+  /** TPC-H Q5-shaped local-supplier volume: 6-table join into the streamed
+    * lineitem scan. As in [[shippingPriority]], the fact stays on the LEFT
+    * and the (date-filtered) orders⋈customer side is the SHUFFLE_HASH
+    * build (filtered, but linear in the orders table — broadcast would
+    * not survive 100 TB). Only the FIXED-cardinality dims (nation/region)
+    * are force-broadcast; customer and supplier scale with SF, so their
+    * joins stay threshold-driven (broadcast at test scale, shuffled at
+    * 100 TB). */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -211,10 +226,10 @@ object Relational {
         && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
     val li = Tables.lineitem(spark, dir)
     li
-      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .join(ord.join(cust, col("o_custkey") === col("c_custkey"), "inner")
           .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "inner")
-      .join(broadcast(supp),
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"), "inner")
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "inner")
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "inner")
@@ -293,8 +308,10 @@ object Relational {
 
   /** TPC-H Q7-shaped volume shipping: the SAME dim (nation) joined twice
     * under different roles (supplier's vs customer's nation) — alias
-    * discipline + two broadcasts; fact side shuffles once for the
-    * orders⋈lineitem join, then one hash-agg on (year, nation pair). */
+    * discipline + two forced nation broadcasts (25 rows at every SF);
+    * the SF-scaled supplier/customer joins are threshold-driven. Fact
+    * side shuffles once for the orders⋈lineitem join, then one hash-agg
+    * on (year, nation pair). */
   def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
@@ -302,8 +319,8 @@ object Relational {
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .where(col("supp_nation") =!= col("cust_nation")
@@ -316,12 +333,13 @@ object Relational {
   }
 
   /** TPC-H Q10-shaped returned-item reporting: customers ranked by revenue
-    * lost to returns — join/filter/agg then TakeOrdered top-20. */
+    * lost to returns — join/filter/agg then TakeOrdered top-20. Customer
+    * is SF-scaled: threshold-driven join (nation stays force-broadcast). */
   def returnedItemReport(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .where(col("l_returnflag") === "R")
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(StableStats.discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),

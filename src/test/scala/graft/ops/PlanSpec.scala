@@ -59,6 +59,40 @@ class PlanSpec extends SparkSpec {
     assert(shuffles === 1, s"lag + running-sum + groupBy must reuse ONE user_id exchange:\n$plan")
   }
 
+  test("100TB simulation: only fixed-cardinality frames broadcast when auto-broadcast is off") {
+    // Disabling size-based broadcast simulates the 100 TB regime where
+    // customer/supplier/part outgrow every threshold. The surviving
+    // BroadcastExchange nodes are then exactly the FORCED hints — which
+    // must only cover fixed-cardinality frames (nation: 25 rows, region:
+    // 5 rows at every SF) or operationally-bounded filtered slices.
+    // VERDICT r3: a forced broadcast(customer)/broadcast(supplier) here
+    // would OOM a real cluster (~1.5 TB build side).
+    val expected = Map[String, (org.apache.spark.sql.DataFrame, Int)](
+      "q3_shipping_priority" -> ((Relational.shippingPriority(spark, dir), 0)),
+      "q5_local_supplier"    -> ((Relational.localSupplierVolume(spark, dir), 2)), // nation + region
+      "q7_volume_shipping"   -> ((Relational.volumeShipping(spark, dir), 2)),      // n1 + n2
+      "q10_returned_items"   -> ((Relational.returnedItemReport(spark, dir), 1)),  // nation
+      "q9_product_profit"    -> ((DecisionSupport.productProfit(spark, dir), 2)),  // part-filtered + nation
+      "q21_waiting_suppliers" -> ((DecisionSupport.waitingSuppliers(spark, dir), 0)),
+      "j1_fact_dim_stats"    -> ((Relational.factDimStats(spark, dir), 0)))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try expected.foreach { case (name, (df, maxBcast)) =>
+      // strip AQE's "== Initial Plan ==" echo before counting nodes
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      val n = "BroadcastExchange".r.findAllIn(plan).size
+      assert(n <= maxBcast,
+        s"$name: $n BroadcastExchange nodes (allowed $maxBcast) with auto-broadcast off:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name must stay equi-joined at scale:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("simhash pairs: banded equi-join candidates, no nested-loop join") {
     // the naive formulation (probe × corpus with only `doc_a < doc_id` +
     // a Hamming filter) plans a BroadcastNestedLoopJoin — O(n²/10), the
