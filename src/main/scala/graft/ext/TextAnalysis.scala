@@ -88,8 +88,11 @@ object TextAnalysis {
 
   /** TF-IDF: top term per document (tf normalized by doc length, smoothed
     * idf, ranked on the ROUNDED score so cross-engine ties are
-    * well-defined). Two hash-aggs + one user-partitioned window + a
-    * broadcast of the tiny df/N frames. */
+    * well-defined). Two hash-aggs + one doc-partitioned window. The
+    * per-token document-frequency frame is VOCABULARY-sized — it grows
+    * with the corpus (Heaps' law: billions of distinct tokens at web
+    * scale), so its join is threshold/AQE-driven, not force-broadcast;
+    * only the 1-row n_docs aggregate keeps a broadcast hint. */
   def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // persist: tf feeds BOTH the doc-length window and the document
@@ -104,7 +107,7 @@ object TextAnalysis {
     val dfTok = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = withLen
-      .join(broadcast(dfTok), "tok")
+      .join(dfTok, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round((col("tf") / col("doc_len")) * log((col("n_docs") + 1) / (col("df") + 1)), 6))

@@ -22,10 +22,13 @@ import graft.Tables
   * - Q13: outer join preserving zero-match keys, then re-aggregation;
   * - Q16: NOT IN as a LEFT ANTI join + distinct aggregate.
   *
-  * Broadcast-force discipline (VERDICT r3): only fixed-cardinality frames
-  * (nation/region) and operationally-bounded filtered part slices carry a
-  * `broadcast()` hint; anything customer/supplier-derived is SF-scaled and
-  * stays threshold/AQE-driven — broadcast at test scale, shuffled at 100 TB.
+  * Broadcast-force discipline (VERDICT r3/r4): only fixed-cardinality
+  * frames (nation: 25 rows, region: 5 rows at every SF) and 1-row global
+  * aggregates carry a `broadcast()` hint. Anything derived from an
+  * SF-scaled table — customer, supplier, and ALL filtered part slices
+  * (a predicate keeps a constant fraction, so the slice still grows
+  * linearly with SF) — stays threshold/AQE-driven: broadcast at test
+  * scale, shuffled at 100 TB. Pinned by `PlanSpec`'s 100 TB simulation.
   *
   * All money math uses the `StableStats` exact-integer-units discipline so
   * DuckDB hash-compares bit-for-bit (see graft-engine-gotchas).
@@ -58,13 +61,14 @@ object DecisionSupport {
   /** TPC-H Q9 shape: product-type profit by supplier nation and year.
     * No partsupp ⇒ cost is proxied as 60% of the part's retail price per
     * unit. Profit stays an exact integer in 1e-5-dollar units:
-    * units×10 − qty_cents×price_cents×6. Star join: nation (25 rows)
-    * force-broadcast, name-filtered part hinted, the SF-scaled supplier
-    * join threshold-driven (broadcast at test scale, shuffled at 100 TB),
-    * one orderkey shuffle. */
+    * units×10 − qty_cents×price_cents×6. Star join: only nation (25 rows,
+    * fixed cardinality) is force-broadcast; the name-filtered part slice
+    * keeps a constant FRACTION of an SF-scaled table (≈200M rows at
+    * 100 TB), so it is threshold/AQE-driven like the supplier join —
+    * broadcast at test scale, shuffled at 100 TB. One orderkey shuffle. */
   def productProfit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).where(col("p_name").contains("an"))),
+      .join(Tables.part(spark, dir).where(col("p_name").contains("an")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
@@ -152,19 +156,21 @@ object DecisionSupport {
   }
 
   /** TPC-H Q16 shape: supplier variety per (brand, type). NOT IN the
-    * negative-balance supplier blacklist becomes a broadcast LEFT ANTI
-    * join (the blacklist is tiny and null-free, so the NOT-IN null trap
-    * doesn't apply); count(DISTINCT l_suppkey) is the one distinct-agg
-    * shape in the suite — Spark plans it as a two-phase expand+agg. */
+    * negative-balance supplier blacklist becomes a LEFT ANTI join (the
+    * blacklist is null-free, so the NOT-IN null trap doesn't apply);
+    * count(DISTINCT l_suppkey) is the one distinct-agg shape in the
+    * suite — Spark plans it as a two-phase expand+agg. Both join sides
+    * here are SF-scaled slices (balance-filtered supplier, brand/size-
+    * filtered part keeps ~half the table), so NEITHER carries a
+    * broadcast force — threshold/AQE planning broadcasts at test scale
+    * and shuffles at 100 TB. */
   def supplierVariety(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      // the blacklist is balance-filtered but still SF-scaled — threshold-
-      // driven anti join (broadcast at test scale, shuffled at 100 TB)
       .join(Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_suppkey")),
         col("l_suppkey") === col("bad_suppkey"), "left_anti")
-      .join(broadcast(Tables.part(spark, dir)
-        .where(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)),
+      .join(Tables.part(spark, dir)
+        .where(col("p_brand") =!= "Brand#1" && col("p_size") <= 25),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -173,13 +179,16 @@ object DecisionSupport {
   /** TPC-H Q20 shape: suppliers who shipped a meaningful volume of some
     * 'blue' part in 1996 — the nested-IN chain as aggregate-then-semi:
     * per-(supplier, part) totals filtered by HAVING, distinct suppliers,
-    * then a semi join into supplier⋈nation. The fact scans once. */
+    * then a semi join into supplier⋈nation. The fact scans once. The
+    * 'blue'-prefix part slice is a constant ~1/92 fraction of an
+    * SF-scaled table — threshold-driven semi join, no force; only the
+    * fixed-cardinality nation keeps its broadcast hint. */
   def promotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val shipped = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
         && col("l_shipdate") < to_timestamp(lit("1997-01-01")))
-      .join(broadcast(Tables.part(spark, dir).where(col("p_name").startsWith("blue"))
-        .select(col("p_partkey"))),
+      .join(Tables.part(spark, dir).where(col("p_name").startsWith("blue"))
+        .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(round(sum(col("l_quantity")), 2).as("qty"))

@@ -202,16 +202,18 @@ object Olap {
 
   /** TPC-H Q18-shaped large-order customers: orders whose total quantity
     * exceeds 300, joined back to customers — aggregate-then-semi-join.
-    * The HAVING filter shrinks the agg output to a handful of keys BEFORE
-    * any join, so the join side is tiny (broadcast) no matter how large
-    * lineitem is. */
+    * The HAVING filter shrinks the agg output to a small fraction of
+    * order keys BEFORE any join — but a FRACTION of an SF-scaled key set
+    * is still SF-linear, so `big` carries no broadcast force: AQE sees
+    * the post-filter size at runtime and broadcasts it while it fits
+    * (it does at test scale), shuffling at 100 TB. */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
       .where(col("total_qty") > 300)
     Tables.orders(spark, dir)
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       // customer is SF-scaled: threshold-driven (the broadcast(big)-pruned
       // orders side is tiny, so AQE picks the right build side at any SF)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
