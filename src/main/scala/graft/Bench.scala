@@ -42,13 +42,19 @@ object Bench {
     val fns =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) all.toSeq.sortBy(_._1)
       else headline.flatMap(n => all.get(n).map(n -> _))
-    // Per-query protocol (round-4 fix — the round-3 single-pass numbers were
-    // untrustworthy): isolate each query by clearing the cache manager first
-    // (queries persist() intermediates; 22 accumulated caches in one heap
-    // caused eviction-driven 4× phantom swings on late-list queries), run
-    // one untimed warm-up (JVM/Janino codegen + the query's own persists),
-    // then report the MEDIAN of 3 timed steady-state passes.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(3)
+    // Per-query protocol (round-4 fix, tightened round 5): run one untimed
+    // warm-up (JVM/Janino codegen compilation), then report the MEDIAN of 3
+    // timed passes — with the cache manager CLEARED before every pass, not
+    // just per query. Spark's cache manager keys on canonicalized plans, so
+    // a query's internal persist() from the warm-up would otherwise stay
+    // hot across passes and persist-heavy queries (minhash LSH, dup
+    // clusters) would report cached-read medians instead of full
+    // execution (ADVICE r4). Clearing per pass also removes the "Asked to
+    // cache already cached data" warning spam — each pass re-persists into
+    // an empty cache. Pass count is clamped to >= 1 (median of an empty
+    // seq throws and would silently mark every query -1).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+      .getOrElse(3).max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -62,6 +68,7 @@ object Bench {
         if (!ok) -1.0
         else try {
           median((1 to passes).map { _ =>
+            spark.catalog.clearCache()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9

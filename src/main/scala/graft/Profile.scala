@@ -22,8 +22,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      spark.catalog.clearCache() // isolate: no cross-query cache reuse/eviction
       val times = (1 to runs).map { _ =>
+        // clear per RUN, not just per query: internal persist()s stay hot
+        // across runs otherwise (cache manager keys on canonicalized
+        // plans) and later runs measure cached reads, not execution
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

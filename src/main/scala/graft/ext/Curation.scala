@@ -49,11 +49,14 @@ object Curation {
     * cluster) for every doc in some pair, cluster = smallest doc_id in its
     * component (the canonical keeper). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(spark, dir) // (doc_a < doc_b), already distinct
+    // unsorted candidate set: the pair frame feeds straight into the loop's
+    // joins, so minhashLsh's presentation orderBy would be a wasted
+    // range-partitioned sort (destroyed by the very next shuffle)
+    val pairs = Dedup.lshCandidates(spark, dir) // (doc_a < doc_b), distinct
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // localCheckpoint (eager) TRUNCATES the logical plan each round — each
+    // localCheckpoint TRUNCATES the logical plan each round — each
     // iteration references the previous labels twice, so without the cut
     // the analyzed plan doubles per round (2^N subtrees ⇒ analyzer OOM,
     // observed). On a real cluster use reliable checkpointing instead
@@ -69,11 +72,18 @@ object Curation {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("doc_id2")).agg(min(col("label")).as("nbr_label"))
+      // LAZY checkpoint + count fuses the round into ONE job: the count
+      // action below computes every partition (materializing the
+      // checkpoint as a side effect) AND returns the changed-label count
+      // for the convergence test — the previous eager-checkpoint +
+      // separate isEmpty scheme paid two jobs per round (ADVICE r4 perf
+      // item). count() scans all partitions, so unlike isEmpty it cannot
+      // leave a partition unmaterialized for the next round.
       val step = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
         .select(labels("doc_id"), labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = step.where(col("label") =!= col("old_label")).isEmpty
+        .localCheckpoint(false)
+      converged = step.where(col("label") =!= col("old_label")).count() == 0L
       labels = step.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
@@ -353,7 +363,7 @@ object Curation {
     * the oracle compare is exact and any cluster reproduces the same
     * ranks bit-for-bit. */
   def pagerankSim(spark: SparkSession, dir: String): DataFrame =
-    pagerankEdges(Dedup.minhashLsh(spark, dir))
+    pagerankEdges(Dedup.lshCandidates(spark, dir))
 
   /** Power iteration over (doc_a, doc_b) undirected pairs — see
     * [[pagerankSim]]; exposed for direct graph-shape testing. */

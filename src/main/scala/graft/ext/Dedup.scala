@@ -109,7 +109,17 @@ object Dedup {
     * memory shape at 100 TB), and measured 14% faster at sf0.1
     * (0.52 vs 0.60 s steady-state). The Aggregator is kept as the typed
     * alternative; `DedupSpec` pins bit-equality of the two paths. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshCandidates(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashLsh]] without the final presentation sort: the distinct
+    * (doc_a < doc_b) candidate set with no ordering guarantee. Internal
+    * consumers (dup clusters, pagerank, containment, source overlap) feed
+    * these pairs into further joins/aggregates where a global sort is
+    * wasted work — at 100 TB the range-partitioned sort of the pair set
+    * is a whole extra shuffle that the downstream shuffle immediately
+    * destroys. */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
       .withColumn("h1", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
       .withColumn("h2", expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
@@ -129,7 +139,6 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash: 32-bit signature from md5-derived token hashes — 32 ±1 vote
@@ -329,7 +338,7 @@ object Dedup {
     * trick as [[ngramJaccard]]). */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
-    val pairs = minhashLsh(spark, dir)
+    val pairs = lshCandidates(spark, dir)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
@@ -365,7 +374,7 @@ object Dedup {
     * [[minhashLsh]] is two map-side joins and a tiny agg. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    minhashLsh(spark, dir)
+    lshCandidates(spark, dir)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .select(least(col("src_a"), col("src_b")).as("source_x"),
