@@ -96,8 +96,11 @@ class DedupSpec extends SparkSpec {
     // guarantee a shared identical band for Hamming ≤ 8, so the bucketed
     // plan must return the EXACT same pairs as the quadratic reference
     // formulation it replaced
+    // self-contained on the spec's temp fixture (ADVICE r4): docs 0/1 are
+    // identical (Hamming 0), so doc 0 — the only %10==0 probe — always
+    // yields at least the (0,1) pair, on any machine, no external data
     import org.apache.spark.sql.{functions => F}
-    val sims = Dedup.simhashSignatures(spark, "/root/testdata/sf0.001")
+    val sims = Dedup.simhashSignatures(spark, dir)
     val probes = sims.where(F.col("doc_id") % 10 === 0)
       .select(F.col("doc_id").as("doc_a"), F.col("simhash").as("sim_a"))
     val naive = probes.join(sims, F.col("doc_a") < F.col("doc_id"))
@@ -105,9 +108,9 @@ class DedupSpec extends SparkSpec {
       .where(F.col("hamming") <= 8)
       .select(F.col("doc_a"), F.col("doc_id").as("doc_b"), F.col("hamming"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val banded = Dedup.simhashPairs(spark, "/root/testdata/sf0.001")
+    val banded = Dedup.simhashPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(naive.nonEmpty, "fixture must produce at least one close pair")
+    assert(naive.contains((0L, 1L, 0)), "identical docs must pair at Hamming 0")
     assert(banded === naive)
   }
 
