@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Explicit DDL surface (SURVEY §2.1 S6) — the reference's database
+  * bootstrap re-expressed as Spark SQL DDL over parquet tables
+  * (`database/init_fonte.sql:4-20`):
+  *
+  *  - `CREATE TABLE (id SERIAL, timestamp, wind_speed, power,
+  *    ambient_temprature)` → `CREATE TABLE ... USING parquet` with the
+  *    same columns and COMMENTs. Postgres' auto-incrementing SERIAL has
+  *    no distributed analog (a global counter is a single point of
+  *    contention at any scale); ingest assigns ids explicitly — the
+  *    engine's deterministic-hash discipline — so the column is plain
+  *    BIGINT here.
+  *  - `CREATE INDEX ON data(timestamp)` → no secondary indexes over
+  *    parquet; the Spark-native counterpart is layout (daily partition
+  *    dirs in [[PartitionedSink]], bucketing in [[BucketedTables]]) plus
+  *    parquet min/max pruning, which the engine's scans already use.
+  *  - `COMMENT ON TABLE/COLUMN` → inline `COMMENT` clauses, surfaced by
+  *    `DESCRIBE TABLE`.
+  *
+  * The misspelled `ambient_temprature` is load-bearing reference fidelity
+  * (`api/app/main.py:69,124`).
+  */
+object Ddl {
+
+  /** Column DDL shared by [[createSourceTable]] and CTAS callers. */
+  private val sourceColumns: String =
+    """id BIGINT NOT NULL COMMENT 'row id (assigned by ingest, not SERIAL)',
+      |timestamp TIMESTAMP NOT NULL COMMENT 'measurement timestamp',
+      |wind_speed DOUBLE COMMENT 'wind speed in m/s',
+      |power DOUBLE COMMENT 'power in kW',
+      |ambient_temprature DOUBLE COMMENT 'ambient temperature in Celsius'""".stripMargin
+
+  /** `CREATE TABLE IF NOT EXISTS` for the reference source table. Pass a
+    * `location` for an external table (data outlives DROP TABLE); omit it
+    * for a managed table in the session warehouse. */
+  def createSourceTable(spark: SparkSession, table: String,
+      location: Option[String] = None): Unit = {
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($sourceColumns)
+         |USING parquet
+         |COMMENT 'sensor data: timestamp, wind speed, power, ambient temperature'
+         |$loc""".stripMargin)
+  }
+
+  /** `DESCRIBE TABLE` as data — the introspection the reference exposes
+    * through information_schema (`dagster/assets.py:261-307`); pairs with
+    * the driver-side [[graft.ops.Analytics.catalogStructure]]. */
+  def describeTable(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE $table")
+}

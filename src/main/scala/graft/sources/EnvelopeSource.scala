@@ -102,18 +102,29 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** PARTIAL aggregate pushdown for ungrouped COUNT(*)/MIN/MAX/SUM: the
-    * reader answers with ONE partial row per envelope file (filter-aware
-    * count, per-file extrema, per-file numeric sums), and Spark's final
-    * aggregate merges the per-file rows — no per-record InternalRow ever
-    * materializes. `supportCompletePushDown` stays false: partial rows
-    * keep the contract correct under any parallelism. Grouped queries,
-    * AVG (not losslessly partial-able without a count pair), SUM
-    * DISTINCT, and functions over unsupported field types are declined
-    * and run as ordinary scans. */
+  /** PARTIAL aggregate pushdown for COUNT(*)/COUNT(col)/MIN/MAX/SUM,
+    * grouped or ungrouped: the reader answers with one partial row per
+    * (envelope file × group) — filter-aware counts, per-file extrema,
+    * per-file numeric sums keyed by the group columns — and Spark's
+    * final aggregate merges the per-file rows; no per-record InternalRow
+    * ever materializes. `supportCompletePushDown` stays false: partial
+    * rows keep the contract correct under any parallelism.
+    *
+    * AVG needs no case here: since SPARK-37839, Catalyst rewrites
+    * `avg(x)` to `sum(x)/count(x)` when the source only supports partial
+    * pushdown, so supporting non-distinct COUNT(col) + SUM makes AVG
+    * partial-pushable for free (reference anchor: the API's count/min/
+    * max/avg endpoints, `api/app/database.py:66-74`).
+    *
+    * DISTINCT aggregates (distinctness is global, not per-file) and
+    * group-by/agg expressions that aren't plain envelope fields are
+    * declined and run as ordinary scans. Per-file group cardinality is
+    * bounded by the file (the API pages by day), so the reader's
+    * in-memory group map stays day-sized — the same boundedness the
+    * partial-row contract already relies on. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -122,6 +133,7 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
       }
     val specs = aggregation.aggregateExpressions().map {
       case _: CountStar => Some(EnvelopeAgg.CountStar)
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(EnvelopeAgg.CountOf)
       case m: Min       => fieldOf(m.column).map(EnvelopeAgg.MinOf)
       case m: Max       => fieldOf(m.column).map(EnvelopeAgg.MaxOf)
       // SUM DISTINCT cannot partial per file (distinctness is global)
@@ -130,16 +142,22 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
           .map(EnvelopeAgg.SumOf)
       case _            => None
     }
-    val ok = aggregation.groupByExpressions().isEmpty &&
+    val groups = aggregation.groupByExpressions().map(fieldOf)
+    val ok = groups.forall(_.isDefined) &&
       specs.nonEmpty && specs.forall(_.isDefined)
-    if (ok) pushedAggs = specs.map(_.get)
+    if (ok) {
+      pushedGroupBy = groups.map(_.get)
+      pushedAggs = specs.map(_.get)
+    }
     ok
   }
 
   private var pushedAggs: Array[EnvelopeAgg] = Array.empty
+  private var pushedGroupBy: Array[StructField] = Array.empty
 
   override def build(): Scan =
-    if (pushedAggs.nonEmpty) new EnvelopeAggScan(pushedAggs, pushed, path, fullSchema)
+    if (pushedAggs.nonEmpty)
+      new EnvelopeAggScan(pushedGroupBy, pushedAggs, pushed, path, fullSchema)
     else new EnvelopeScan(required, fullSchema, pushed, path, options)
 }
 
@@ -150,6 +168,11 @@ private sealed trait EnvelopeAgg extends Serializable {
 private object EnvelopeAgg {
   case object CountStar extends EnvelopeAgg {
     val outputField: StructField = StructField("COUNT(*)", LongType, nullable = false)
+  }
+  /** Non-null count of one field — also the count half of Catalyst's
+    * partial-AVG sum/count rewrite. */
+  final case class CountOf(f: StructField) extends EnvelopeAgg {
+    def outputField: StructField = StructField(s"COUNT(${f.name})", LongType, nullable = false)
   }
   final case class MinOf(f: StructField) extends EnvelopeAgg {
     def outputField: StructField = StructField(s"MIN(${f.name})", f.dataType)
@@ -176,39 +199,43 @@ private object EnvelopeAgg {
     dt == DoubleType || dt == LongType || dt == IntegerType
 }
 
-/** Aggregate-pushdown scan: one partial row per file. */
-private class EnvelopeAggScan(aggs: Array[EnvelopeAgg], pushed: Array[Filter],
-    path: String, fullSchema: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = StructType(aggs.map(_.outputField).toIndexedSeq)
+/** Aggregate-pushdown scan: one partial row per (file × group); group
+  * columns (if any) lead the output schema, matching the shape Catalyst's
+  * pushdown rewrite expects for its final merge aggregate. */
+private class EnvelopeAggScan(groupBy: Array[StructField], aggs: Array[EnvelopeAgg],
+    pushed: Array[Filter], path: String, fullSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((groupBy ++ aggs.map(_.outputField)).toIndexedSeq)
   override def toBatch: Batch = this
   override def description(): String =
     s"EnvelopeAggScan PushedAggregates: [${aggs.map(_.outputField.name).mkString(", ")}], " +
+      s"PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] = {
     val files = EnvelopeScan.listFiles(path)
-    // an empty directory must still yield one partial row: Spark's
-    // pushdown rewrite turns the final COUNT into a SUM of the partials,
-    // and sum over NO rows is NULL where count(*) must be 0 (min/max
-    // partials are NULL in that row — the correct empty-input extrema)
-    if (files.isEmpty) Array(EnvelopeInputPartition(""))
+    // an empty directory must still yield one UNGROUPED partial row:
+    // Spark's pushdown rewrite turns the final COUNT into a SUM of the
+    // partials, and sum over NO rows is NULL where count(*) must be 0
+    // (min/max partials are NULL in that row — the correct empty-input
+    // extrema). A GROUPED aggregate over empty input is correctly EMPTY,
+    // so no sentinel is planned when group columns exist.
+    if (files.isEmpty && groupBy.isEmpty) Array(EnvelopeInputPartition(""))
     else files.map(f => EnvelopeInputPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val bc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    EnvelopeAggReaderFactory(aggs, pushed, fullSchema, bc)
+    EnvelopeAggReaderFactory(groupBy, aggs, pushed, fullSchema, bc)
   }
 }
 
-private case class EnvelopeAggReaderFactory(aggs: Array[EnvelopeAgg],
-    pushed: Array[Filter], fullSchema: StructType,
+private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
+    aggs: Array[EnvelopeAgg], pushed: Array[Filter], fullSchema: StructType,
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val file = partition.asInstanceOf[EnvelopeInputPartition].file
-      private var emitted = false
-      override def next(): Boolean = !emitted
 
       private def toInternal(v: Any, dt: DataType): Any =
         if (v == null) null
@@ -218,60 +245,85 @@ private case class EnvelopeAggReaderFactory(aggs: Array[EnvelopeAgg],
           case _           => v // Long micros / Long / Double pass through
         }
 
-      override def get(): InternalRow = {
-        emitted = true
-        if (file.isEmpty) // empty-directory sentinel partial
-          return InternalRow.fromSeq(aggs.map {
-            case EnvelopeAgg.CountStar => 0L
-            case _                     => null
-          }.toIndexedSeq)
-        val p = new Path(file)
-        val in = FileSystem.get(p.toUri, conf.value.value).open(p)
-        try {
-          val data = new ObjectMapper().readTree(in).get("data")
-          require(data != null && data.isArray, s"$file: envelope has no data[] array")
-          var n = 0L
-          val mins = new Array[Any](aggs.length)
-          val maxs = new Array[Any](aggs.length)
-          val sums = new Array[Any](aggs.length) // null until a non-null value seen
-          data.elements().asScala
-            .filter(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _)))
-            .foreach { r =>
-              n += 1
-              var i = 0
-              while (i < aggs.length) {
-                aggs(i) match {
-                  case EnvelopeAgg.MinOf(f) =>
-                    val v = EnvelopeFilters.nodeValue(r, f)
-                    if (v != null && (mins(i) == null || EnvelopeFilters.compareValues(v, mins(i)) < 0))
-                      mins(i) = v
-                  case EnvelopeAgg.MaxOf(f) =>
-                    val v = EnvelopeFilters.nodeValue(r, f)
-                    if (v != null && (maxs(i) == null || EnvelopeFilters.compareValues(v, maxs(i)) > 0))
-                      maxs(i) = v
-                  case EnvelopeAgg.SumOf(f) =>
-                    val v = EnvelopeFilters.nodeValue(r, f)
-                    if (v != null) sums(i) = (sums(i), v) match {
-                      case (null, x: Double)      => x
-                      case (acc: Double, x: Double) => acc + x
-                      case (null, x: Long)        => x
-                      case (acc: Long, x: Long)   => Math.addExact(acc, x)
-                      case (acc, x) => throw new IllegalStateException(
-                        s"EnvelopeSource: sum type confusion $acc + $x")
-                    }
-                  case EnvelopeAgg.CountStar => ()
-                }
-                i += 1
-              }
-            }
-          InternalRow.fromSeq(aggs.zipWithIndex.map {
-            case (EnvelopeAgg.CountStar, _)   => n
-            case (EnvelopeAgg.MinOf(f), i)    => toInternal(mins(i), f.dataType)
-            case (EnvelopeAgg.MaxOf(f), i)    => toInternal(maxs(i), f.dataType)
-            case (s @ EnvelopeAgg.SumOf(_), i) => toInternal(sums(i), s.sumType)
-          }.toIndexedSeq)
-        } finally in.close()
+      /** Per-group accumulator state: counts + per-agg min/max/sum slots. */
+      private final class GroupAcc {
+        var n = 0L
+        val counts = new Array[Long](aggs.length)
+        val mins = new Array[Any](aggs.length)
+        val maxs = new Array[Any](aggs.length)
+        val sums = new Array[Any](aggs.length) // null until a non-null value seen
       }
+
+      private val rows: Iterator[InternalRow] = {
+        if (file.isEmpty) // empty-directory sentinel partial (ungrouped only)
+          Iterator.single(InternalRow.fromSeq(aggs.map {
+            case EnvelopeAgg.CountStar    => 0L
+            case EnvelopeAgg.CountOf(_)   => 0L
+            case _                        => null
+          }.toIndexedSeq))
+        else {
+          val p = new Path(file)
+          val in = FileSystem.get(p.toUri, conf.value.value).open(p)
+          val groups = try {
+            val data = new ObjectMapper().readTree(in).get("data")
+            require(data != null && data.isArray, s"$file: envelope has no data[] array")
+            // LinkedHashMap: groups emit in first-seen file order, so the
+            // partial stream is deterministic for a given file set
+            val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], GroupAcc]
+            data.elements().asScala
+              .filter(r => pushed.forall(EnvelopeFilters.satisfies(r, fullSchema, _)))
+              .foreach { r =>
+                val key: Seq[Any] =
+                  groupBy.map(f => EnvelopeFilters.nodeValue(r, f)).toIndexedSeq
+                val g = acc.getOrElseUpdate(key, new GroupAcc)
+                g.n += 1
+                var i = 0
+                while (i < aggs.length) {
+                  aggs(i) match {
+                    case EnvelopeAgg.CountOf(f) =>
+                      if (EnvelopeFilters.nodeValue(r, f) != null) g.counts(i) += 1
+                    case EnvelopeAgg.MinOf(f) =>
+                      val v = EnvelopeFilters.nodeValue(r, f)
+                      if (v != null && (g.mins(i) == null || EnvelopeFilters.compareValues(v, g.mins(i)) < 0))
+                        g.mins(i) = v
+                    case EnvelopeAgg.MaxOf(f) =>
+                      val v = EnvelopeFilters.nodeValue(r, f)
+                      if (v != null && (g.maxs(i) == null || EnvelopeFilters.compareValues(v, g.maxs(i)) > 0))
+                        g.maxs(i) = v
+                    case EnvelopeAgg.SumOf(f) =>
+                      val v = EnvelopeFilters.nodeValue(r, f)
+                      if (v != null) g.sums(i) = (g.sums(i), v) match {
+                        case (null, x: Double)        => x
+                        case (acc0: Double, x: Double) => acc0 + x
+                        case (null, x: Long)          => x
+                        case (acc0: Long, x: Long)    => Math.addExact(acc0, x)
+                        case (acc0, x) => throw new IllegalStateException(
+                          s"EnvelopeSource: sum type confusion $acc0 + $x")
+                      }
+                    case EnvelopeAgg.CountStar => ()
+                  }
+                  i += 1
+                }
+              }
+            acc
+          } finally in.close()
+          groups.iterator.map { case (key, g) =>
+            val keyVals = groupBy.zip(key).map { case (f, v) => toInternal(v, f.dataType) }
+            val aggVals = aggs.zipWithIndex.map {
+              case (EnvelopeAgg.CountStar, _)    => g.n
+              case (EnvelopeAgg.CountOf(_), i)   => g.counts(i)
+              case (EnvelopeAgg.MinOf(f), i)     => toInternal(g.mins(i), f.dataType)
+              case (EnvelopeAgg.MaxOf(f), i)     => toInternal(g.maxs(i), f.dataType)
+              case (s @ EnvelopeAgg.SumOf(_), i) => toInternal(g.sums(i), s.sumType)
+            }
+            InternalRow.fromSeq((keyVals ++ aggVals).toIndexedSeq)
+          }
+        }
+      }
+
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
 }

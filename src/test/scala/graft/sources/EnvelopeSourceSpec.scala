@@ -52,11 +52,15 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(read.rdd.getNumPartitions === 2)
   }
 
-  test("aggregates compose over the source like any table") {
+  test("AVG pushes down as per-file SUM/COUNT partials (SPARK-37839 rewrite)") {
     import org.apache.spark.sql.functions._
     val q = read.agg(count(lit(1)), round(avg("wind_speed"), 2))
-    // AVG is not a supported pushdown — the whole aggregation declines
-    assert(!q.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"))
+    // Catalyst rewrites avg(x) → sum(x)/count(x) for partial-only sources,
+    // so the scan must advertise the sum/count pair
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("SUM(wind_speed)")
+      && plan.contains("COUNT(wind_speed)"),
+      s"avg must partial-push as sum+count:\n$plan")
     val r = q.head()
     assert(r.getLong(0) === 3L)
     assert(r.getDouble(1) === 8.67)
@@ -144,11 +148,86 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.getLong(1) === 0L)
   }
 
-  test("grouped or multi-function aggregates are declined, not broken") {
+  test("group-by EXPRESSION (not a plain field) is declined, not broken") {
     import org.apache.spark.sql.functions._
     val grouped = read.groupBy(to_date(col("timestamp"))).count()
     assert(!grouped.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"))
     assert(grouped.collect().map(_.getLong(1)).sorted === Array(1L, 2L))
+  }
+
+  /** Fixture with a categorical column repeated within and across files —
+    * the shape grouped partial pushdown has to merge correctly. */
+  private lazy val groupedDir: String = {
+    val d = Files.createTempDirectory("graft-envelope-grp")
+    Files.writeString(d.resolve("day1.json"),
+      """{"data": [
+        |  {"station": "A", "power": 10.0},
+        |  {"station": "B", "power": 20.0},
+        |  {"station": "A", "power": 30.0},
+        |  {"station": "C", "power": null}
+        |], "count": 4, "filters": {}, "metadata": {}}""".stripMargin)
+    Files.writeString(d.resolve("day2.json"),
+      """{"data": [
+        |  {"station": "B", "power": 5.0},
+        |  {"station": "A", "power": 7.0}
+        |], "count": 2, "filters": {}, "metadata": {}}""".stripMargin)
+    d.toString
+  }
+
+  private def readGrouped = spark.read
+    .format("graft.sources.EnvelopeSource")
+    .schema("station STRING, power DOUBLE")
+    .load(groupedDir)
+
+  test("grouped COUNT/SUM/MIN push down by plain field: per-(file,group) partials") {
+    import org.apache.spark.sql.functions._
+    val df = readGrouped.groupBy("station")
+      .agg(count(lit(1)).as("n"), sum("power").as("s"), min("power").as("mn"))
+      .orderBy("station")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("PushedGroupBy: [station]"),
+      s"grouped aggregation must reach the V2 scan:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(rows === Array(
+      ("A", 3L, 47.0, 7.0),   // merged across both files
+      ("B", 2L, 25.0, 5.0),
+      ("C", 1L, null, null))) // all-null group: sum/min NULL, count(*) 1
+  }
+
+  test("grouped AVG pushes down via the sum/count rewrite and merges exactly") {
+    import org.apache.spark.sql.functions._
+    val df = readGrouped.groupBy("station").agg(avg("power").as("a")).orderBy("station")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("SUM(power)")
+      && plan.contains("COUNT(power)"), s"grouped avg must partial-push:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // A: (10+30+7)/3 — a per-file-average-of-averages would give 17.33, the
+    // sum/count partial merge must give the true 15.67
+    assert(rows(0)._1 === "A" && math.abs(rows(0)._2.asInstanceOf[Double] - 47.0 / 3) < 1e-9)
+    assert(rows(1) === ("B", 12.5))
+    assert(rows(2) === ("C", null), "avg of an all-null group is NULL")
+  }
+
+  test("grouped pushdown composes with a pushed filter") {
+    import org.apache.spark.sql.functions._
+    val df = readGrouped.where(col("power") >= 7.0)
+      .groupBy("station").agg(count(lit(1)).as("n")).orderBy("station")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("GreaterThanOrEqual(power"),
+      s"filter must push beneath the grouped aggregate:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))) ===
+      Array(("A", 3L), ("B", 1L)))
+  }
+
+  test("grouped aggregate over an empty directory is empty (no sentinel row)") {
+    import org.apache.spark.sql.functions._
+    val empty = Files.createTempDirectory("graft-envelope-empty-grp").toString
+    val df = spark.read.format("graft.sources.EnvelopeSource")
+      .schema("station STRING, power DOUBLE").load(empty)
+      .groupBy("station").agg(count(lit(1)))
+    assert(df.collect().isEmpty)
   }
 
   test("timestamp range filter pushes into the scan: no post-scan Filter node") {
