@@ -253,8 +253,14 @@ object Dedup {
           .as("ss"))
       .persist()
       .select(col("doc_id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("s"))
-    // df cap: tiny distinct-shingle frame → broadcast semi-filter (the
-    // df >= 2 floor is implied by the self-join itself)
+    // df cap: the informative-shingle set is NOT tiny — distinct shingles
+    // with df>=2 grow near-linearly with the corpus (Heaps' law), so at the
+    // 100 TB design point it is billions of 8-byte keys, far past any
+    // broadcast budget. No forced broadcast: both sides already hash on `s`,
+    // so a threshold/AQE-planned shuffled join on the 60-bit keys is cheap
+    // and the Exchange on docSh is shared with the self-join below. (The
+    // df >= 2 floor is implied by the self-join itself; the cap at 100
+    // drops stop-word-like shingles that would make candidates quadratic.)
     val informative = docSh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df").between(2, 100)).select("s")
     // MERGE hint is load-bearing: a broadcast self-join would duplicate the
@@ -262,7 +268,7 @@ object Dedup {
     // build), while a sort-merge self-join shuffles two IDENTICAL subplans
     // on s — Catalyst plans one Exchange and reuses it, so the text scan +
     // shingle HOF run once, not four times
-    val shr = docSh.join(broadcast(informative), "s").hint("merge")
+    val shr = docSh.join(informative, "s").hint("merge")
     shr.as("x")
       .join(shr.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -87,7 +87,10 @@ class PlanSpec extends SparkSpec {
       "j1_fact_dim_stats"    -> ((Relational.factDimStats(spark, dir), 0, 0)),
       // vocabulary-sized token-DF join must NOT broadcast; the only
       // surviving broadcast is the 1-row n_docs cross join (a BNLJ)
-      "x_text_tfidf"         -> ((graft.ext.TextAnalysis.tfidfTopTerm(spark, dir), 1, 1)))
+      "x_text_tfidf"         -> ((graft.ext.TextAnalysis.tfidfTopTerm(spark, dir), 1, 1)),
+      // the informative-shingle set is vocabulary-sized (Heaps'-law-linear
+      // in the corpus) — no broadcast may survive anywhere in the plan
+      "x_dedup_ngram_jaccard" -> ((graft.ext.Dedup.ngramJaccard(spark, dir), 0, 0)))
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -105,7 +108,7 @@ class PlanSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
-    spark.sharedState.cacheManager.clearCache() // tfidf persists its tf frame
+    spark.sharedState.cacheManager.clearCache() // tfidf/ngram persist internal frames
   }
 
   test("simhash pairs: banded equi-join candidates, no nested-loop join") {
