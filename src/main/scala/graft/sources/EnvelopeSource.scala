@@ -254,13 +254,21 @@ private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
         val sums = new Array[Any](aggs.length) // null until a non-null value seen
       }
 
+      /** Ungrouped zero-input partial: counts 0, min/max/sum NULL. Emitted
+        * for the empty-directory sentinel AND for a file whose rows are all
+        * excluded by the pushed filters — in both cases Spark's rewritten
+        * final SUM(partial-count) needs at least one zero partial or an
+        * ungrouped COUNT comes back NULL instead of 0. */
+      private def zeroPartial: InternalRow =
+        InternalRow.fromSeq(aggs.map {
+          case EnvelopeAgg.CountStar    => 0L
+          case EnvelopeAgg.CountOf(_)   => 0L
+          case _                        => null
+        }.toIndexedSeq)
+
       private val rows: Iterator[InternalRow] = {
         if (file.isEmpty) // empty-directory sentinel partial (ungrouped only)
-          Iterator.single(InternalRow.fromSeq(aggs.map {
-            case EnvelopeAgg.CountStar    => 0L
-            case EnvelopeAgg.CountOf(_)   => 0L
-            case _                        => null
-          }.toIndexedSeq))
+          Iterator.single(zeroPartial)
         else {
           val p = new Path(file)
           val in = FileSystem.get(p.toUri, conf.value.value).open(p)
@@ -307,7 +315,11 @@ private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
               }
             acc
           } finally in.close()
-          groups.iterator.map { case (key, g) =>
+          // a file whose rows ALL fail the pushed filters still owes one
+          // zero partial in the ungrouped case (grouped stays correctly
+          // empty — zero groups aggregate to zero output rows)
+          if (groupBy.isEmpty && groups.isEmpty) Iterator.single(zeroPartial)
+          else groups.iterator.map { case (key, g) =>
             val keyVals = groupBy.zip(key).map { case (f, v) => toInternal(v, f.dataType) }
             val aggVals = aggs.zipWithIndex.map {
               case (EnvelopeAgg.CountStar, _)    => g.n

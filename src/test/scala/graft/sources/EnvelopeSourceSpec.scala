@@ -88,6 +88,30 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(df.head().getLong(0) === 2L)
   }
 
+  test("COUNT/SUM with a filter matching NO rows: 0 and NULL, not NULL and NULL") {
+    import org.apache.spark.sql.functions._
+    // every file's rows are excluded by the pushed filter — each reader
+    // must still emit one zero partial or the final SUM-of-partial-counts
+    // over zero rows collapses the ungrouped COUNT to NULL
+    val df = read.where(col("wind_speed") > 1e9)
+      .selectExpr("count(*) as n", "count(power) as np", "sum(power) as s", "min(power) as mn")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan PushedAggregates: [COUNT(*), COUNT(power), SUM(power), MIN(power)]"), plan)
+    assert(plan.contains("GreaterThan(wind_speed"), s"filter must also push:\n$plan")
+    val r = df.head()
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L, "COUNT(*) must be 0 when all rows filter out")
+    assert(!r.isNullAt(1) && r.getLong(1) === 0L, "COUNT(col) must be 0 when all rows filter out")
+    assert(r.isNullAt(2) && r.isNullAt(3), "SUM/MIN over zero rows stay NULL")
+    assert(read.where(col("wind_speed") > 1e9).count() === 0L)
+  }
+
+  test("grouped aggregate with a filter matching NO rows is empty (no sentinel row)") {
+    import org.apache.spark.sql.functions._
+    val df = readGrouped.where(col("power") > 1e9).groupBy("station").count()
+    assert(df.queryExecution.executedPlan.toString.contains("EnvelopeAggScan"), "must stay pushed")
+    assert(df.collect().isEmpty, "zero groups must aggregate to zero rows, not a sentinel")
+  }
+
   test("COUNT(*) over an empty directory is 0, not NULL") {
     val empty = Files.createTempDirectory("graft-envelope-empty").toString
     val r = spark.read.format("graft.sources.EnvelopeSource").load(empty)
@@ -219,6 +243,36 @@ class EnvelopeSourceSpec extends SparkSpec {
       s"filter must push beneath the grouped aggregate:\n$plan")
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))) ===
       Array(("A", 3L), ("B", 1L)))
+  }
+
+  test("TWO-key grouped pushdown: per-(file,station,day) partials merge exactly") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft-envelope-grp2")
+    Files.writeString(d.resolve("day1.json"),
+      """{"data": [
+        |  {"station": "A", "day": "d1", "power": 10.0},
+        |  {"station": "A", "day": "d2", "power": 20.0},
+        |  {"station": "B", "day": "d1", "power": 30.0},
+        |  {"station": "A", "day": "d1", "power": 40.0}
+        |], "count": 4, "filters": {}, "metadata": {}}""".stripMargin)
+    Files.writeString(d.resolve("day2.json"),
+      """{"data": [
+        |  {"station": "A", "day": "d1", "power": 5.0},
+        |  {"station": "B", "day": "d2", "power": 7.0}
+        |], "count": 2, "filters": {}, "metadata": {}}""".stripMargin)
+    val df = spark.read.format("graft.sources.EnvelopeSource")
+      .schema("station STRING, day STRING, power DOUBLE").load(d.toString)
+      .groupBy("station", "day")
+      .agg(count(lit(1)).as("n"), sum("power").as("s"))
+      .orderBy("station", "day")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("PushedGroupBy: [station, day]"),
+      s"both group keys must reach the V2 scan:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))) ===
+      Array(("A", "d1", 3L, 55.0),  // merged across both files
+            ("A", "d2", 1L, 20.0),
+            ("B", "d1", 1L, 30.0),
+            ("B", "d2", 1L, 7.0)))
   }
 
   test("grouped aggregate over an empty directory is empty (no sentinel row)") {
