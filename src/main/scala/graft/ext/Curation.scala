@@ -16,6 +16,32 @@ import graft.Tables
   */
 object Curation {
 
+  /** Lineage cut for the iterative loops (connected components, PageRank).
+    * Each round references the previous state twice, so without a cut the
+    * analyzed plan doubles per round (2^N subtrees ⇒ analyzer OOM,
+    * observed). Two modes, switched by the `spark.graft.checkpointDir`
+    * runtime conf:
+    *
+    *  - UNSET (default, right for local/dev): `localCheckpoint` — blocks
+    *    live in executor storage, zero extra I/O, but are LOST with an
+    *    executor, which fails the job.
+    *  - SET to an HDFS/object-store path (right for a long multi-hour run
+    *    on a real cluster): reliable `checkpoint` into that directory —
+    *    survives executor loss at the price of one extra write job per
+    *    round (Spark re-runs the subgraph to persist it).
+    *
+    * `eager` mirrors the Dataset API: lazy cuts let a caller fuse the
+    * materialization into its own action (dupClusters' convergence count). */
+  private[ext] def cutLineage(df: DataFrame, eager: Boolean): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(d) if d.nonEmpty =>
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+  }
+
   /** 80/10/10 train/val/test assignment by content-stable hash bucket. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -56,13 +82,11 @@ object Curation {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // localCheckpoint TRUNCATES the logical plan each round — each
-    // iteration references the previous labels twice, so without the cut
-    // the analyzed plan doubles per round (2^N subtrees ⇒ analyzer OOM,
-    // observed). On a real cluster use reliable checkpointing instead
-    // (localCheckpoint is lost with an executor).
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    // cutLineage TRUNCATES the logical plan each round (see its doc for
+    // the local-vs-reliable checkpoint switch; set
+    // spark.graft.checkpointDir for executor-loss-safe multi-hour runs)
+    var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")), eager = true)
     var converged = false
     var rounds = 0
     // hard cap = label-propagation worst case is the graph diameter; 256 is
@@ -79,10 +103,11 @@ object Curation {
       // separate isEmpty scheme paid two jobs per round (ADVICE r4 perf
       // item). count() scans all partitions, so unlike isEmpty it cannot
       // leave a partition unmaterialized for the next round.
-      val step = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
-        .select(labels("doc_id"), labels("label").as("old_label"),
-          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-        .localCheckpoint(false)
+      val step = cutLineage(
+        labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
+          .select(labels("doc_id"), labels("label").as("old_label"),
+            least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label")),
+        eager = false)
       converged = step.where(col("label") =!= col("old_label")).count() == 0L
       labels = step.select(col("doc_id"), col("label"))
     }
@@ -386,12 +411,12 @@ object Curation {
       // so an unmaterialized chain re-evaluates ~2^k times — the eager
       // cut keeps every round a single tiny job (measured 3.6 → 1.5 s
       // warm at sf0.1, the rest being LSH pair generation; same
-      // discipline as dupClusters)
-      ranks = ranks.select(col("doc_id"), col("deg"), col("n"))
+      // discipline and local/reliable switch as dupClusters)
+      ranks = cutLineage(ranks.select(col("doc_id"), col("deg"), col("n"))
         .join(contrib, col("doc_id") === contrib("dst"), "left")
         .select(col("doc_id"), col("deg"), col("n"),
-          (expr("15000000000 div (100 * n)") + coalesce(col("in_sum"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+          (expr("15000000000 div (100 * n)") + coalesce(col("in_sum"), lit(0L))).as("r")),
+        eager = true)
     }
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id").asc)

@@ -2,6 +2,8 @@ package graft.ext
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SaveMode
 
 import graft.SparkSpec
@@ -34,5 +36,23 @@ class CurationSpec extends SparkSpec {
     // the 100 inflates sigma (~20), so z(35) < 2.5 → z-score misses it
     assert(z.contains(23L) && !z.contains(22L),
       s"z-score should be masked on the moderate outlier: $z")
+  }
+
+  test("dupClusters in reliable-checkpoint mode: bit-identical labels, files written") {
+    val sf = "/root/testdata/sf0.001"
+    val local = Curation.dupClusters(spark, sf).collect()
+    assert(local.nonEmpty, "fixture must produce clusters")
+    val ckpt = Files.createTempDirectory("graft-ckpt")
+    spark.conf.set("spark.graft.checkpointDir", ckpt.toString)
+    try {
+      val reliable = Curation.dupClusters(spark, sf).collect()
+      assert(reliable === local,
+        "reliable-checkpoint mode must not change a single label")
+      // the switch must actually route through reliable checkpointing:
+      // Spark writes rdd-* block directories under the configured dir
+      val wrote = Files.walk(ckpt).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"expected rdd-* checkpoint data under $ckpt")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 }
