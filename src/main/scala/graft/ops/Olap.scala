@@ -214,8 +214,9 @@ object Olap {
       .where(col("total_qty") > 300)
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      // customer is SF-scaled: threshold-driven (the broadcast(big)-pruned
-      // orders side is tiny, so AQE picks the right build side at any SF)
+      // customer is SF-scaled: threshold-driven (the HAVING-pruned orders
+      // side is small at runtime, so AQE picks the right build side at
+      // any SF — no forced hint on either join)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("total_qty"))

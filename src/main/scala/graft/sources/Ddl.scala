@@ -33,14 +33,27 @@ object Ddl {
       |power DOUBLE COMMENT 'power in kW',
       |ambient_temprature DOUBLE COMMENT 'ambient temperature in Celsius'""".stripMargin
 
+  /** Guard for interpolated identifiers — the same fail-loud discipline as
+    * the P8 validation module ([[graft.ops.Validation]]): a `db.table`
+    * path of plain identifiers only, so a hostile or mistyped name cannot
+    * rewrite the DDL text it is spliced into. */
+  private def validateIdentifier(table: String): String = {
+    require(table.split('.').forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      && table.nonEmpty && !table.endsWith(".") && !table.startsWith("."),
+      s"not a valid table identifier: '$table'")
+    table
+  }
+
   /** `CREATE TABLE IF NOT EXISTS` for the reference source table. Pass a
     * `location` for an external table (data outlives DROP TABLE); omit it
     * for a managed table in the session warehouse. */
   def createSourceTable(spark: SparkSession, table: String,
       location: Option[String] = None): Unit = {
-    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    // single quotes in the path are SQL-escaped by doubling, so a quoted
+    // location can never terminate the string literal early
+    val loc = location.map(l => s" LOCATION '${l.replace("'", "''")}'").getOrElse("")
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $table ($sourceColumns)
+      s"""CREATE TABLE IF NOT EXISTS ${validateIdentifier(table)} ($sourceColumns)
          |USING parquet
          |COMMENT 'sensor data: timestamp, wind speed, power, ambient temperature'
          |$loc""".stripMargin)
@@ -50,5 +63,5 @@ object Ddl {
     * through information_schema (`dagster/assets.py:261-307`); pairs with
     * the driver-side [[graft.ops.Analytics.catalogStructure]]. */
   def describeTable(spark: SparkSession, table: String): DataFrame =
-    spark.sql(s"DESCRIBE TABLE $table")
+    spark.sql(s"DESCRIBE TABLE ${validateIdentifier(table)}")
 }

@@ -47,4 +47,24 @@ class DdlSpec extends SparkSpec {
     try assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 1L)
     finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("malformed identifiers are rejected before reaching the SQL text") {
+    for (bad <- Seq("x; DROP TABLE y", "a-b", "", "db.", ".t", "t (id INT)", "a'b"))
+      assertThrows[IllegalArgumentException](Ddl.createSourceTable(spark, bad))
+    assertThrows[IllegalArgumentException](Ddl.describeTable(spark, "x; SELECT 1"))
+  }
+
+  test("a quoted LOCATION path cannot break out of its string literal") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ddl-q")
+    // a directory name containing a single quote must arrive intact
+    val loc = base.resolve("odd'name").toString
+    val t = "graft_ddl_spec_quote"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Ddl.createSourceTable(spark, t, Some(loc))
+    try {
+      spark.sql(s"INSERT INTO $t VALUES (1, TIMESTAMP '2025-08-10 00:00:00', 2.4, 0.0, 19.9)")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 1L)
+      assert(new java.io.File(loc).exists, "data must land under the quoted path")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
