@@ -66,19 +66,41 @@ object Curation {
   }
 
   /** Near-dup cluster resolution: connected components over the MinHash-LSH
-    * candidate pairs via iterative min-label propagation TO A FIXPOINT —
-    * each round is one tiny join + agg over O(edges); the loop stops when a
-    * round changes zero labels (LSH components are near-cliques, so the
-    * expected round count is small, but chained near-dups with diameter
-    * > any fixed constant still resolve correctly). Labels are
-    * checkpointed per round so lineage stays linear. Output: (doc_id,
+    * candidate pairs via iterative min-label propagation + POINTER JUMPING
+    * to a fixpoint — each round is one tiny two-join job over O(edges);
+    * the loop stops when a round changes zero labels. Output: (doc_id,
     * cluster) for every doc in some pair, cluster = smallest doc_id in its
     * component (the canonical keeper). */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
     // unsorted candidate set: the pair frame feeds straight into the loop's
     // joins, so minhashLsh's presentation orderBy would be a wasted
     // range-partitioned sort (destroyed by the very next shuffle)
-    val pairs = Dedup.lshCandidates(spark, dir) // (doc_a < doc_b), distinct
+    dupClusterLabels(Dedup.lshCandidates(spark, dir))._1
+
+  /** Core loop over (doc_a, doc_b) pairs; returns (labels, rounds) —
+    * exposed for direct graph-shape testing of the round complexity.
+    *
+    * Each round does two things to every label, in one fused job:
+    *
+    *  1. HOOK: label ← min(label, min over neighbors' labels) — the plain
+    *     propagation step, reach +1 hop per round.
+    *  2. JUMP: label ← previous round's label OF that label (a label is
+    *     itself a doc_id in the same component, so the lookup stays within
+    *     the component and correctness is untouched). Jumping through the
+    *     ALREADY-MATERIALIZED previous labels keeps the round a single
+    *     job — and composing hook reach r with jump reach r gives
+    *     reach(k) ≥ 2·reach(k−1), i.e. O(log diameter) rounds instead of
+    *     O(diameter). LSH components are near-cliques where both variants
+    *     take 2–3 rounds, but chained near-dups (A≈B≈C≈…) form paths
+    *     whose diameter grows with the corpus — at 100 TB that is the
+    *     difference between ~40 rounds and ~7.
+    *
+    * LAZY checkpoint + count fuses each round into ONE job: the count
+    * action computes every partition (materializing the checkpoint as a
+    * side effect) AND returns the changed-label count for the convergence
+    * test. count() scans all partitions, so unlike isEmpty it cannot leave
+    * a partition unmaterialized for the next round. */
+  private[ext] def dupClusterLabels(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -89,30 +111,31 @@ object Curation {
       .withColumn("label", col("doc_id")), eager = true)
     var converged = false
     var rounds = 0
-    // hard cap = label-propagation worst case is the graph diameter; 256 is
-    // an OOM/runaway guard far above any plausible LSH-component diameter,
-    // not a correctness bound — the loop exits on the fixpoint.
-    while (!converged && rounds < 256) {
+    // hard cap: with pointer jumping the worst case is O(log diameter);
+    // 64 covers any graph that fits in an address space and remains a
+    // runaway guard, not a correctness bound — the loop exits on the
+    // fixpoint.
+    while (!converged && rounds < 64) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("doc_id2")).agg(min(col("label")).as("nbr_label"))
-      // LAZY checkpoint + count fuses the round into ONE job: the count
-      // action below computes every partition (materializing the
-      // checkpoint as a side effect) AND returns the changed-label count
-      // for the convergence test — the previous eager-checkpoint +
-      // separate isEmpty scheme paid two jobs per round (ADVICE r4 perf
-      // item). count() scans all partitions, so unlike isEmpty it cannot
-      // leave a partition unmaterialized for the next round.
+      val hooked = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
+        .select(labels("doc_id"), labels("label").as("old_label"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+      // jump through the previous round's materialized labels: labels is a
+      // checkpointed RDD scan, so this third reference costs a hash join,
+      // not a recompute of the label lineage
+      val jump = labels.select(col("doc_id").as("jid"), col("label").as("jlabel"))
       val step = cutLineage(
-        labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
-          .select(labels("doc_id"), labels("label").as("old_label"),
-            least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label")),
+        hooked.join(jump, hooked("label") === col("jid"), "left")
+          .select(hooked("doc_id"), hooked("old_label"),
+            least(hooked("label"), coalesce(col("jlabel"), hooked("label"))).as("label")),
         eager = false)
       converged = step.where(col("label") =!= col("old_label")).count() == 0L
       labels = step.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    (labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id"), rounds)
   }
 
   /** Outlier filtering: per-event-type z-score against the group mean/std

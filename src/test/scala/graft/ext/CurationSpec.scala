@@ -38,6 +38,19 @@ class CurationSpec extends SparkSpec {
       s"z-score should be masked on the moderate outlier: $z")
   }
 
+  test("pointer jumping: a 33-node chain resolves in O(log d) rounds, labels exact") {
+    // worst case for plain min-label propagation: a path graph whose ids
+    // increase along the path — the min label moves ONE hop per round, so
+    // 32 edges would need 32 propagation rounds; the jump step must
+    // collapse that to ~log2(32) + fixpoint-detection overhead
+    val pairs = (1L to 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Curation.dupClusterLabels(pairs)
+    val rows = labels.collect()
+    assert(rows.length === 33 && rows.forall(_.getLong(1) === 1L),
+      "every chain node must resolve to cluster 1")
+    assert(rounds <= 10, s"expected O(log diameter) rounds on a 32-edge chain, got $rounds")
+  }
+
   test("dupClusters in reliable-checkpoint mode: bit-identical labels, files written") {
     val sf = "/root/testdata/sf0.001"
     val local = Curation.dupClusters(spark, sf).collect()
