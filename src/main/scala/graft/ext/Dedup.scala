@@ -261,8 +261,13 @@ object Dedup {
     // and the Exchange on docSh is shared with the self-join below. (The
     // df >= 2 floor is implied by the self-join itself; the cap at 100
     // drops stop-word-like shingles that would make candidates quadratic.)
+    // persist: the self-join references shr — and through it this frame —
+    // twice, and exchange reuse does not collapse the duplicated df-agg
+    // subplans; one cached copy halves the explode+shuffle+agg work. At
+    // scale the set is tens of GB (8 bytes × vocabulary) — MEMORY_AND_DISK
+    // absorbs that where a broadcast could not.
     val informative = docSh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, 100)).select("s")
+      .where(col("df").between(2, 100)).select("s").persist()
     // MERGE hint is load-bearing: a broadcast self-join would duplicate the
     // expensive shingle subplan on both sides (plus once per broadcast
     // build), while a sort-merge self-join shuffles two IDENTICAL subplans
