@@ -132,4 +132,30 @@ class CurationPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("dup clusters == sequential union-find on any pair graph") {
+    // pins the hook+jump loop (pointer jumping) against a straight-line
+    // reference: every node must resolve to the smallest doc_id reachable
+    // through any chain of candidate pairs
+    for (i <- 1 to 6) {
+      val pairs = graphGen.pureApply(Gen.Parameters.default, Seed(300L + i))
+      if (pairs.nonEmpty) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        val (labels, rounds) = Curation.dupClusterLabels(pairs.toDF("doc_a", "doc_b"))
+        val got = labels.collect()
+          .map(row => row.getAs[Long]("doc_id") -> row.getAs[Long]("cluster")).toMap
+        assert(got === expected, s"clusters diverged from union-find on graph $i")
+        assert(rounds <= 10, s"tiny graph took $rounds rounds")
+      }
+    }
+  }
 }

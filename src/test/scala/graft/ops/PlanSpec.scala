@@ -111,6 +111,77 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // tfidf/ngram persist internal frames
   }
 
+  test("100TB simulation: the corpus-scaled dedup/curation suite broadcasts NOTHING") {
+    // corpus×corpus shapes — every frame in these plans grows with the
+    // corpus, so ANY surviving BroadcastExchange/BNLJ/Cartesian under
+    // auto-broadcast-off planning is a scale bug by definition. This is
+    // the suite-wide closure of the per-query de-forcing sweeps (tfidf
+    // r5, ngram-Jaccard r6).
+    val names = Seq("x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_simhash",
+      "x_dedup_simhash_pairs", "x_dedup_embedding", "x_dedup_containment",
+      "x_source_overlap", "x_dedup_spans", "x_dedup_keep_best",
+      "x_boilerplate_ngrams", "x_top_terms", "x_text_langid",
+      "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins")
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try names.foreach { name =>
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, dir))
+        .split("== Initial Plan ==")(0)
+      assert("BroadcastExchange".r.findAllIn(plan).isEmpty
+        && !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name must shuffle, never broadcast, at 100 TB:\n$plan")
+      spark.sharedState.cacheManager.clearCache() // several persist internally
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("100TB simulation: bounded-frame forces stay at their audited ceilings") {
+    // These queries legitimately force broadcasts of frames whose size is
+    // INDEPENDENT of the corpus: ANN query sets (|q| rows), k-bounded
+    // centroids/codebooks/hyperplanes, per-event-type stats, the
+    // benchmark-suite gram set, 1-row global aggregates (those plan as
+    // BNLJ cross joins by construction). Ceilings are the audited r6
+    // counts — a regression ABOVE a ceiling means someone forced a new
+    // broadcast, which must instead justify itself here.
+    val ceilings = Map(
+      "x_semdedup"        -> ((1, 1)), // k centroids
+      "x_decontaminate"   -> ((1, 0)), // benchmark grams
+      "x_sim_topk_brute"  -> ((1, 1)), // query set (BNLJ IS the brute force)
+      "x_sim_ivf_topk"    -> ((1, 1)), // centroids + query probes
+      "x_sim_lsh_topk"    -> ((1, 1)), // hyperplanes + query buckets
+      "x_sim_quantized"   -> ((2, 2)), // scale consts + query set
+      "x_pq_codes"        -> ((2, 2)), // 2 subspace codebooks
+      "x_pq_search"       -> ((6, 4)), // codebooks × (encode + ADC tables)
+      "x_kmeans_step"     -> ((1, 1)), // current centroids
+      "x_outliers"        -> ((1, 0)), // per-event-type stats
+      "x_outliers_mad"    -> ((3, 0)), // median, MAD, join-back
+      "x_winsorize"       -> ((1, 0)), // per-type percentile cuts
+      "x_domain_mix"      -> ((2, 1)), // per-source rates + 1-row total
+      "x_bm25_topk"       -> ((2, 1)), // query-token DF + 1-row stats
+      "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
+      "x_ppl_buckets"     -> ((1, 1))) // 1-row corpus total
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try ceilings.foreach { case (name, (maxBcast, maxBnlj)) =>
+      val plan = planOf(graft.SparkEntry.queries(name)(spark, dir))
+        .split("== Initial Plan ==")(0)
+      val b = "BroadcastExchange".r.findAllIn(plan).size
+      val j = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(b <= maxBcast && j <= maxBnlj && !plan.contains("CartesianProduct"),
+        s"$name: $b broadcasts / $j BNLJ exceed audited ceiling ($maxBcast, $maxBnlj):\n$plan")
+      spark.sharedState.cacheManager.clearCache()
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("simhash pairs: banded equi-join candidates, no nested-loop join") {
     // the naive formulation (probe × corpus with only `doc_a < doc_id` +
     // a Hamming filter) plans a BroadcastNestedLoopJoin — O(n²/10), the
