@@ -167,7 +167,7 @@ object Dedup {
     * at least one IDENTICAL band whenever bands > d — with 9 bands over 32
     * bits, any pair at distance ≤ 8 collides in some band, so the banded
     * candidate generation is EXACT (no recall loss) for the d=8 cutoff. */
-  private val HAMMING_BANDS = 9
+  private[graft] val HAMMING_BANDS = 9
 
   /** SimHash near-dup pairs: sampled probe set (doc_id % 10 = 0) × all docs,
     * Hamming distance ≤ 8 of 32 bits.

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import NearDupStream.{Doc, NearDup}
+
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Texts engineered around a 12-word base: A/B differ by one word
+    * (near-dups), C shares nothing (far from both). */
+  private val base = "the quick brown fox jumps over the lazy dog near the river"
+  private val textA = base
+  private val textB = base.replace("river", "creek")
+  private val textC = "entirely different words compose this document about spark physical plans"
+
+  test("per-row simhash32 is bit-identical to the batch signature aggregate") {
+    val d = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    Seq((1L, textA, "en", "s0", textA.length.toLong),
+        (2L, textB, "en", "s0", textB.length.toLong),
+        (3L, textC, "en", "s0", textC.length.toLong),
+        (4L, "", "en", "s0", 0L), // empty text: split yields one "" token
+        (5L, "sole", "en", "s0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = graft.ext.Dedup.simhashSignatures(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Map(1L -> textA, 2L -> textB, 3L -> textC, 4L -> "", 5L -> "sole")
+      .map { case (id, t) => id -> NearDupStream.simhash32(t) }
+    assert(local === batch, "streaming signature must match the batch aggregate bit-for-bit")
+  }
+
+  test("streaming near-dups: close pair found across batches, far doc silent") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Doc(1L, ts("2024-01-01 00:00:00"), textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0)
+
+      // B arrives a batch later: must pair with the retained A; C never pairs
+      stream.addData(
+        Doc(2L, ts("2024-01-01 00:01:00"), textB),
+        Doc(3L, ts("2024-01-01 00:02:00"), textC))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").as[NearDup].collect()
+      assert(got.map(p => (p.doc_a, p.doc_b)).toList === List((1L, 2L)),
+        s"expected exactly one A-B near-dup row, got ${got.mkString(", ")}")
+      val expectedHam = java.lang.Long.bitCount(
+        NearDupStream.simhash32(textA) ^ NearDupStream.simhash32(textB))
+      assert(got.head.hamming === expectedHam && expectedHam <= 8)
+    } finally q.stop()
+  }
+
+  test("state evicts by watermark: a dup past the horizon is NOT detected") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Doc(1L, ts("2024-01-01 00:00:00"), textA))
+      q.processAllAvailable()
+      // push the watermark far past doc 1 (+10 min watermark on 02:00)
+      stream.addData(Doc(9L, ts("2024-01-01 02:00:00"), textC))
+      q.processAllAvailable()
+      // an exact copy of A arrives AFTER eviction: cohort no longer holds A
+      stream.addData(Doc(2L, ts("2024-01-01 02:05:00"), textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_evict").count() === 0,
+        "a pair across the watermark horizon must not be emitted")
+    } finally q.stop()
+  }
+
+  test("intra-batch near-dups emit EXACTLY once despite 9-band collisions") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_batch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // identical texts collide in ALL 9 bands — the lowest-band emission
+      // rule must still produce a single row, at Hamming 0
+      stream.addData(
+        Doc(10L, ts("2024-01-01 00:00:00"), textA),
+        Doc(11L, ts("2024-01-01 00:00:30"), textA),
+        Doc(12L, ts("2024-01-01 00:01:00"), textC))
+      q.processAllAvailable()
+      val got = spark.table("neardup_batch").as[NearDup].collect()
+      assert(got.map(p => (p.doc_a, p.doc_b, p.hamming)).toList === List((10L, 11L, 0)),
+        s"identical docs must pair exactly once at Hamming 0, got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
+}
