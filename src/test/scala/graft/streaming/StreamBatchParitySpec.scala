@@ -32,4 +32,39 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.count() === batchClosed.count())
     assert(streamed.exceptAll(batchClosed).isEmpty && batchClosed.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming near-dup pairs == batch simhashPairs on the real documents table") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    implicit val ctx = spark.sqlContext
+    // feed every fixture document through the stream in one batch, all at
+    // one event time (no eviction in play — pure detection parity)
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[NearDupStream.Doc]
+    val q = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("neardup_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(docs.map { case (id, t) =>
+        NearDupStream.Doc(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t)
+      }.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("neardup_parity")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // batch samples probes (doc_id % 10 == 0, probe = smaller id); the
+    // streaming operator detects ALL pairs — restrict to the batch slice
+    val batch = graft.ext.Dedup.simhashPairs(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    val streamedSlice = streamed.filter { case (a, _, _) => a % 10 == 0 }
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(streamedSlice === batch,
+      s"stream/batch divergence: extra=${(streamedSlice -- batch).take(5)} " +
+        s"missing=${(batch -- streamedSlice).take(5)}")
+    // exactly-once: no pair may appear twice even across 9 band collisions
+    val keys = spark.table("neardup_parity").select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(keys.length === keys.distinct.length, "duplicate pair emissions")
+  }
 }
