@@ -61,6 +61,42 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("random corpora: emitted pairs == local brute-force Hamming model") {
+    // simhash32 itself is parity-pinned against the batch aggregate above,
+    // so a brute-force model over simhash32 fully specifies the expected
+    // output: every unordered pair at Hamming <= 8, exactly once. This
+    // exercises the banding + lowest-band-emission logic on corpora where
+    // collisions, ties, and identical texts all occur.
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map { id =>
+        val words = Vector.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        id -> words.mkString(" ")
+      }
+      val sigs = docs.map { case (id, t) => id -> NearDupStream.simhash32(t) }.toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if ham <= 8
+      } yield (a, b, ham)).toSet
+
+      implicit val ctx = spark.sqlContext
+      val stream = MemoryStream[Doc]
+      val q = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+        .toDF().writeStream.format("memory").queryName(s"neardup_prop_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        stream.addData(docs.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) })
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"neardup_prop_$seed").as[NearDup].collect()
+        .map(p => (p.doc_a, p.doc_b, p.hamming))
+      assert(got.length === got.distinct.length, s"seed $seed: duplicate emissions")
+      assert(got.toSet === expected,
+        s"seed $seed: extra=${(got.toSet -- expected).take(5)} missing=${(expected -- got.toSet).take(5)}")
+    }
+  }
+
   test("state evicts by watermark: a dup past the horizon is NOT detected") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Doc]
