@@ -60,7 +60,11 @@ object Dedup {
     * which duplicates are free, so the extra distinct-shuffle would be
     * pure cost. */
   private[ext] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** [[shingles]] over an arbitrary (doc_id, text, ...) frame. */
+  private[ext] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -112,6 +116,34 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshCandidates(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** MinHash signature table (doc_id, m0..m{K−1}) for arbitrary
+    * (doc_id, text, …) rows. A document split across SEVERAL rows
+    * (shards, pages, appended parts) folds naturally: each slot is a min
+    * over the union of all its rows' shingle hashes. */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
+      .withColumn("h1", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
+    val mins = (0 until K).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Merge MinHash signature tables from separate ingest batches:
+    * slot-wise min per doc_id. Every slot is a min over shingle hashes
+    * and min is associative, commutative, and idempotent, so signatures
+    * are ALGEBRAIC partials in the [[graft.ops.Incremental]] sense —
+    * batch-at-a-time maintenance is bit-identical to a full recompute.
+    * The 100 TB ingest story: a new shard's signatures are computed from
+    * that shard alone (one scan of the NEW data only) and merged into the
+    * stored O(docs) signature table; LSH banding then reads the merged
+    * table — no history rescan, ever. Re-ingesting a shard is a no-op by
+    * idempotence. `DedupSpec` pins the merge≡recompute bit-equality. */
+  def mergeMinhashSignatures(a: DataFrame, b: DataFrame): DataFrame = {
+    val mins = (0 until K).map(i => min(col(s"m$i")).as(s"m$i"))
+    a.unionByName(b).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
   /** [[minhashLsh]] without the final presentation sort: the distinct
     * (doc_a < doc_b) candidate set with no ordering guarantee. Internal
     * consumers (dup clusters, pagerank, containment, source overlap) feed
@@ -120,15 +152,10 @@ object Dedup {
     * is a whole extra shuffle that the downstream shuffle immediately
     * destroys. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-      .withColumn("h1", expr("cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint)"))
-    val mins = (0 until K).map(i =>
-      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(P))).as(s"m$i"))
     // persist: the signature frame (one row per doc) feeds both band
     // projections AND both sides of the bucket self-join — without the
     // cache point the full shingle+hash subplan runs four times
-    val mh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*).persist()
+    val mh = minhashSignaturesOf(Tables.documents(spark, dir)).persist()
     val bands = (0 until BANDS).map { b =>
       val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"m$i"))
       mh.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))

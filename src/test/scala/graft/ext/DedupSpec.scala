@@ -47,6 +47,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(4L) })
   }
 
+  test("minhash signatures merge algebraically: batch-at-a-time == full recompute") {
+    val all = graft.Tables.documents(spark, dir)
+    val full = Dedup.minhashSignaturesOf(all).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // three ingest batches with OVERLAP (doc 2 re-ingested in both):
+    // idempotence must make the re-ingest a no-op
+    val b1 = Dedup.minhashSignaturesOf(all.where("doc_id <= 2"))
+    val b2 = Dedup.minhashSignaturesOf(all.where("doc_id >= 2"))
+    val merged = Dedup.mergeMinhashSignatures(b1, b2).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(merged === full, "merged batch signatures must equal the one-pass table")
+  }
+
+  test("multi-part documents fold to one signature: parts' merge == union of shingles") {
+    // a document stored as two parts (rows sharing doc_id): the signature
+    // table built over the parts must equal slot-wise mins over the UNION
+    // of both parts' shingle sets — computed here via two single-part docs
+    // merged under one id
+    val partA = "alpha beta gamma delta epsilon"
+    val partB = "one two three four five six"
+    val parts = Seq((7L, partA), (7L, partB)).toDF("doc_id", "text")
+    val together = Dedup.minhashSignaturesOf(parts).collect()
+    assert(together.length === 1)
+    val merged = Dedup.mergeMinhashSignatures(
+      Dedup.minhashSignaturesOf(Seq((7L, partA)).toDF("doc_id", "text")),
+      Dedup.minhashSignaturesOf(Seq((7L, partB)).toDF("doc_id", "text"))).collect()
+    assert(merged.map(_.toSeq).toSeq === together.map(_.toSeq).toSeq,
+      "per-part signatures must merge to the multi-row-document signature")
+  }
+
   test("minhash: udaf Aggregator path is bit-equal to the codegen k-min path") {
     import org.apache.spark.sql.{functions => F}
     val K = 8
