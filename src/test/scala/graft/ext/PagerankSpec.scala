@@ -26,4 +26,16 @@ class PagerankSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_units")).toMap
     assert(rows.values.toSet.size === 1, s"4 symmetric nodes, 1 rank value: $rows")
   }
+
+  test("reliable-checkpoint mode: bit-identical ranks (integer arithmetic end-to-end)") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val local = Curation.pagerankEdges(pairs).collect().map(_.toSeq)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    spark.conf.set("spark.graft.checkpointDir", ckpt.toString)
+    try {
+      val reliable = Curation.pagerankEdges(pairs).collect().map(_.toSeq)
+      assert(reliable.toSeq === local.toSeq,
+        "reliable-checkpoint mode must not change a single rank unit")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
