@@ -85,9 +85,20 @@ private class EnvelopeTable(tableSchema: StructType, path: String)
 private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, so Spark
+    * keeps its global Limit): each file reader stops emitting after
+    * `limit` rows that survive the pushed filters — a `LIMIT n` over a
+    * million-file lake materializes at most n rows PER FILE instead of
+    * the whole corpus. Spark only calls this when the limit sits directly
+    * above the (projected/filtered) scan, so it never interacts with the
+    * aggregate branch. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -158,7 +169,7 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new EnvelopeAggScan(pushedGroupBy, pushedAggs, pushed, path, fullSchema)
-    else new EnvelopeScan(required, fullSchema, pushed, path, options)
+    else new EnvelopeScan(required, fullSchema, pushed, limit, path, options)
 }
 
 /** A pushed ungrouped aggregate the reader can answer per file. */
@@ -341,13 +352,14 @@ private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
 }
 
 private class EnvelopeScan(schema: StructType, fullSchema: StructType,
-    pushed: Array[Filter], path: String,
+    pushed: Array[Filter], limit: Int, path: String,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"EnvelopeScan ReadSchema: ${schema.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)
@@ -356,7 +368,7 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val bc = spark.sparkContext.broadcast(conf)
-    EnvelopeReaderFactory(schema, fullSchema, pushed, bc)
+    EnvelopeReaderFactory(schema, fullSchema, pushed, limit, bc)
   }
 }
 
@@ -380,11 +392,11 @@ private object EnvelopeScan {
 private case class EnvelopeInputPartition(file: String) extends InputPartition
 
 private case class EnvelopeReaderFactory(schema: StructType, fullSchema: StructType,
-    pushed: Array[Filter],
+    pushed: Array[Filter], limit: Int,
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EnvelopeReader(partition.asInstanceOf[EnvelopeInputPartition].file, schema,
-      fullSchema, pushed, conf.value.value)
+      fullSchema, pushed, limit, conf.value.value)
 }
 
 /** Pushed-filter support + evaluation over parsed JSON records. A filter
@@ -479,7 +491,7 @@ private object EnvelopeFilters {
   * schema's fields. Filter columns are evaluated on the raw JSON node, so
   * a pruned-out column can still be filtered on. */
 private class EnvelopeReader(file: String, schema: StructType,
-    fullSchema: StructType, pushed: Array[Filter],
+    fullSchema: StructType, pushed: Array[Filter], limit: Int,
     hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -490,8 +502,11 @@ private class EnvelopeReader(file: String, schema: StructType,
       val root = new ObjectMapper().readTree(in)
       val data = root.get("data")
       require(data != null && data.isArray, s"$file: envelope has no data[] array")
-      data.elements().asScala.toVector.iterator
+      val matching = data.elements().asScala.toVector.iterator
         .filter(n => pushed.forall(EnvelopeFilters.satisfies(n, fullSchema, _)))
+      // partial pushed limit: emit at most `limit` surviving records per
+      // file; Spark's retained global Limit finishes the job
+      if (limit >= 0) matching.take(limit) else matching
     } finally in.close()
   }
   private var cur: JsonNode = _

@@ -71,6 +71,24 @@ class EnvelopeSourceSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FilterExec => f
     }
 
+  test("LIMIT pushes down: per-file emission stops at n, plan advertises PushedLimit") {
+    val df = read.limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2"), s"limit must reach the V2 scan:\n$plan")
+    assert(df.collect().length === 2)
+  }
+
+  test("LIMIT pushdown composes with pushed filters: limit counts SURVIVING rows") {
+    import org.apache.spark.sql.functions._
+    // wind_speed > 10 keeps 2 of 3 records; a limit applied before the
+    // filter would starve the result
+    val df = read.where(col("wind_speed") > 10.0).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2") && plan.contains("GreaterThan(wind_speed"), plan)
+    val rows = df.collect()
+    assert(rows.length === 2 && rows.forall(_.getDouble(1) > 10.0))
+  }
+
   test("COUNT(*) pushes down: per-file count rows, no record materialization") {
     val df = read.selectExpr("count(*) as n")
     val plan = df.queryExecution.executedPlan.toString
