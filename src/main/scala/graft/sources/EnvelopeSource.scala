@@ -353,13 +353,32 @@ private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
 
 private class EnvelopeScan(schema: StructType, fullSchema: StructType,
     pushed: Array[Filter], limit: Int, path: String,
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"EnvelopeScan ReadSchema: ${schema.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  /** Size estimate from the visible files' byte lengths — without it a
+    * DSv2 relation reports `defaultSizeInBytes` (effectively infinite),
+    * so an envelope table could never auto-broadcast into a join however
+    * small the actual payload. JSON text over-counts the row data, which
+    * errs on the safe (non-broadcast) side. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val hc = spark.sessionState.newHadoopConf()
+      EnvelopeScan.listFiles(path).map { f =>
+        val p = new Path(f)
+        FileSystem.get(p.toUri, hc).getFileStatus(p).getLen
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)

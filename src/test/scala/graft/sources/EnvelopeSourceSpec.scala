@@ -71,6 +71,18 @@ class EnvelopeSourceSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FilterExec => f
     }
 
+  test("V2 statistics: relation size == sum of file bytes, so small lakes can broadcast") {
+    val expected = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .map(_.length).sum
+    val size = read.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size === BigInt(expected),
+      s"scan must report the actual byte size (got $size, files total $expected)")
+    // sanity: the fixture is far under any broadcast threshold — without
+    // estimateStatistics the default is spark.sql.defaultSizeInBytes (max)
+    assert(size < 10L * 1024 * 1024)
+  }
+
   test("LIMIT pushes down: per-file emission stops at n, plan advertises PushedLimit") {
     val df = read.limit(2)
     val plan = df.queryExecution.executedPlan.toString
