@@ -10,7 +10,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -86,10 +86,11 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Array[EnvelopeSortKey] = Array.empty
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, so Spark
     * keeps its global Limit): each file reader stops emitting after
@@ -99,6 +100,32 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
     * above the (projected/filtered) scan, so it never interacts with the
     * aggregate branch. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** PARTIAL top-N pushdown: each file returns ITS top n under the query
+    * ordering, a guaranteed superset of that file's contribution to the
+    * global top n, and Spark's retained TakeOrderedAndProject finishes —
+    * `ORDER BY ts DESC LIMIT 10` over a many-file lake moves 10 rows per
+    * file instead of every row. Accepted only when every sort key is a
+    * plain comparable envelope field (same exactness bar as the filter
+    * pushdown); the per-file sort is bounded by the file (the API pages
+    * by day). */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val keys = orders.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          fullSchema.fields.find(_.name == nr.fieldNames.head)
+            .filter(f => EnvelopeFilters.comparable(f.dataType))
+            .map(f => EnvelopeSortKey(f,
+              so.direction() == SortDirection.DESCENDING,
+              so.nullOrdering() == NullOrdering.NULLS_LAST))
+        case _ => None
+      }
+    }
+    if (keys.forall(_.isDefined)) { topN = keys.map(_.get); limit = l; true }
+    else false
+  }
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -169,8 +196,12 @@ private class EnvelopeScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new EnvelopeAggScan(pushedGroupBy, pushedAggs, pushed, path, fullSchema)
-    else new EnvelopeScan(required, fullSchema, pushed, limit, path, options)
+    else new EnvelopeScan(required, fullSchema, pushed, limit, topN, path, options)
 }
+
+/** One accepted pushed sort key: field + direction + null placement. */
+private case class EnvelopeSortKey(f: StructField, desc: Boolean, nullsLast: Boolean)
+    extends Serializable
 
 /** A pushed ungrouped aggregate the reader can answer per file. */
 private sealed trait EnvelopeAgg extends Serializable {
@@ -352,7 +383,7 @@ private case class EnvelopeAggReaderFactory(groupBy: Array[StructField],
 }
 
 private class EnvelopeScan(schema: StructType, fullSchema: StructType,
-    pushed: Array[Filter], limit: Int, path: String,
+    pushed: Array[Filter], limit: Int, topN: Array[EnvelopeSortKey], path: String,
     options: CaseInsensitiveStringMap)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
@@ -360,7 +391,9 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
   override def description(): String =
     s"EnvelopeScan ReadSchema: ${schema.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (topN.nonEmpty)
+        s", PushedTopN: [${topN.map(k => s"${k.f.name}${if (k.desc) " DESC" else ""}").mkString(", ")}] LIMIT $limit"
+       else if (limit >= 0) s", PushedLimit: $limit" else "")
 
   /** Size estimate from the visible files' byte lengths — without it a
     * DSv2 relation reports `defaultSizeInBytes` (effectively infinite),
@@ -387,7 +420,7 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val bc = spark.sparkContext.broadcast(conf)
-    EnvelopeReaderFactory(schema, fullSchema, pushed, limit, bc)
+    EnvelopeReaderFactory(schema, fullSchema, pushed, limit, topN, bc)
   }
 }
 
@@ -411,11 +444,11 @@ private object EnvelopeScan {
 private case class EnvelopeInputPartition(file: String) extends InputPartition
 
 private case class EnvelopeReaderFactory(schema: StructType, fullSchema: StructType,
-    pushed: Array[Filter], limit: Int,
+    pushed: Array[Filter], limit: Int, topN: Array[EnvelopeSortKey],
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EnvelopeReader(partition.asInstanceOf[EnvelopeInputPartition].file, schema,
-      fullSchema, pushed, limit, conf.value.value)
+      fullSchema, pushed, limit, topN, conf.value.value)
 }
 
 /** Pushed-filter support + evaluation over parsed JSON records. A filter
@@ -426,6 +459,10 @@ private object EnvelopeFilters {
 
   private val comparableTypes: Set[DataType] =
     Set(TimestampType, DoubleType, LongType, IntegerType, StringType)
+
+  /** Types [[compareValues]] can order — shared by the filter and top-N
+    * pushdown acceptance checks. */
+  def comparable(dt: DataType): Boolean = comparableTypes(dt)
 
   def supported(schema: StructType, f: Filter): Boolean = {
     def field(a: String): Option[StructField] = schema.fields.find(_.name == a)
@@ -511,8 +548,30 @@ private object EnvelopeFilters {
   * a pruned-out column can still be filtered on. */
 private class EnvelopeReader(file: String, schema: StructType,
     fullSchema: StructType, pushed: Array[Filter], limit: Int,
+    topN: Array[EnvelopeSortKey],
     hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
+
+  /** Null-aware comparator over the pushed sort keys: record a sorts
+    * before b exactly when Spark's SortOrder says so. */
+  private def topNLess(a: JsonNode, b: JsonNode): Boolean = {
+    var i = 0
+    while (i < topN.length) {
+      val k = topN(i)
+      val (va, vb) = (EnvelopeFilters.nodeValue(a, k.f), EnvelopeFilters.nodeValue(b, k.f))
+      val c = (va, vb) match {
+        case (null, null) => 0
+        case (null, _)    => if (k.nullsLast) 1 else -1
+        case (_, null)    => if (k.nullsLast) -1 else 1
+        case _ =>
+          val base = EnvelopeFilters.compareValues(va, vb)
+          if (k.desc) -base else base
+      }
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
+  }
 
   private val rows: Iterator[JsonNode] = {
     val p = new Path(file)
@@ -521,11 +580,15 @@ private class EnvelopeReader(file: String, schema: StructType,
       val root = new ObjectMapper().readTree(in)
       val data = root.get("data")
       require(data != null && data.isArray, s"$file: envelope has no data[] array")
-      val matching = data.elements().asScala.toVector.iterator
+      val matching = data.elements().asScala.toVector
         .filter(n => pushed.forall(EnvelopeFilters.satisfies(n, fullSchema, _)))
-      // partial pushed limit: emit at most `limit` surviving records per
-      // file; Spark's retained global Limit finishes the job
-      if (limit >= 0) matching.take(limit) else matching
+      // partial pushed top-N / limit: this file's top n (a superset of its
+      // contribution to the global top n) or its first n survivors;
+      // Spark's retained TakeOrderedAndProject / global Limit finishes
+      if (topN.nonEmpty && limit >= 0)
+        matching.sortWith(topNLess).take(limit).iterator
+      else if (limit >= 0) matching.iterator.take(limit)
+      else matching.iterator
     } finally in.close()
   }
   private var cur: JsonNode = _

@@ -101,6 +101,28 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(rows.length === 2 && rows.forall(_.getDouble(1) > 10.0))
   }
 
+  test("ORDER BY + LIMIT pushes down as per-file top-N; global order exact") {
+    import org.apache.spark.sql.functions._
+    val df = read.orderBy(col("wind_speed").desc).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [wind_speed DESC] LIMIT 2"),
+      s"top-N must reach the V2 scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "Spark must retain the global top-N merge (partial pushdown)")
+    assert(df.collect().map(_.getDouble(1)).toSeq === Seq(12.1, 11.5))
+  }
+
+  test("top-N on a null-bearing column honors Spark's null ordering per file") {
+    import org.apache.spark.sql.functions._
+    // ambient_temprature is NULL on one row; asc = nulls first (Spark
+    // default) so the NULL row must win position 1
+    val df = read.orderBy(col("ambient_temprature").asc).limit(1)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedTopN: [ambient_temprature] LIMIT 1"))
+    assert(df.collect().map(r => r.isNullAt(3)).toSeq === Seq(true))
+    val dfLast = read.orderBy(col("ambient_temprature").asc_nulls_last).limit(1)
+    assert(dfLast.collect().map(_.getDouble(3)).toSeq === Seq(19.9))
+  }
+
   test("COUNT(*) pushes down: per-file count rows, no record materialization") {
     val df = read.selectExpr("count(*) as n")
     val plan = df.queryExecution.executedPlan.toString
