@@ -82,9 +82,17 @@ object NearDupStream {
   /** Near-dup pairs over a document stream: every arriving document is
     * checked against the documents seen within the watermark horizon and
     * pairs at Hamming distance ≤ `maxHamming` (of 32) are emitted in
-    * append mode, exactly once per pair (see object doc). */
+    * append mode, exactly once per pair (see object doc).
+    *
+    * `maxCohort` bounds the per-bucket state even against a viral
+    * document repeated without pause inside the horizon (the streaming
+    * analog of the batch operator's hot-bucket skew): when a bucket's
+    * cohort exceeds the cap, the OLDEST entries are dropped first. The
+    * cost is recall against exactly those dropped entries — a knob, not
+    * a silent cap. At the default 10k a worst-case bucket holds ~160 KB
+    * of (id, sig, ts) triples. */
   def nearDupSimhash(docs: Dataset[Doc], watermark: String = "30 minutes",
-      maxHamming: Int = 8): Dataset[NearDup] = {
+      maxHamming: Int = 8, maxCohort: Int = 10000): Dataset[NearDup] = {
     import docs.sparkSession.implicits._
     val bands = graft.ext.Dedup.HAMMING_BANDS
     require(maxHamming <= bands - 1,
@@ -132,10 +140,13 @@ object NearDupStream {
               }
               cohort ::= Seen(bd.doc_id, bd.simhash, bd.ts.getTime)
             }
-            state.update(cohort)
+            // newest-first list: the cap drops the OLDEST entries
+            val bounded = if (cohort.lengthCompare(maxCohort) > 0)
+              cohort.take(maxCohort) else cohort
+            state.update(bounded)
             // let the timeout fire once the watermark passes the newest
             // entry — by then every entry is evictable
-            state.setTimeoutTimestamp(cohort.map(_.tsMs).max + 1)
+            state.setTimeoutTimestamp(bounded.map(_.tsMs).max + 1)
             out.result().iterator
           }
       }

@@ -97,6 +97,40 @@ class NearDupStreamSpec extends SparkSpec {
     }
   }
 
+  test("cohort cap bounds per-bucket state: oldest entries stop matching first") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    // cap 1: each bucket remembers only the NEWEST document
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes",
+      maxCohort = 1)
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Doc(1L, ts("2024-01-01 00:00:00"), textA))
+      q.processAllAvailable()
+      stream.addData(Doc(2L, ts("2024-01-01 00:01:00"), textC)) // far text, replaces nothing relevant
+      q.processAllAvailable()
+      // doc 3 = copy of A: with cap 1 the A entry survives only in buckets
+      // C did not claim — A and C share no band bucket (different texts),
+      // so the A-3 pair must still be found...
+      stream.addData(Doc(3L, ts("2024-01-01 00:02:00"), textA))
+      q.processAllAvailable()
+      val got1 = spark.table("neardup_cap").as[NearDup].collect()
+        .map(p => (p.doc_a, p.doc_b)).toSet
+      assert(got1 === Set((1L, 3L)), s"disjoint buckets keep A alive under cap 1: $got1")
+      // ...but a SECOND copy of C evicts the first C, and then a third C
+      // still pairs with the second (newest survives)
+      stream.addData(Doc(4L, ts("2024-01-01 00:03:00"), textC))
+      q.processAllAvailable()
+      stream.addData(Doc(5L, ts("2024-01-01 00:04:00"), textC))
+      q.processAllAvailable()
+      val got2 = spark.table("neardup_cap").as[NearDup].collect()
+        .map(p => (p.doc_a, p.doc_b)).toSet
+      assert(got2.contains((4L, 5L)) && got2.contains((2L, 4L)) && !got2.contains((2L, 5L)),
+        s"cap 1 must keep only the newest C in the bucket: $got2")
+    } finally q.stop()
+  }
+
   test("state evicts by watermark: a dup past the horizon is NOT detected") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Doc]
