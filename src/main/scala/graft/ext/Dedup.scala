@@ -129,6 +129,20 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Incremental-ingest parity AS A QUERY: signatures computed per shard
+    * (doc_id parity split, with every %10==0 doc deliberately re-ingested
+    * in BOTH shards) and merged — the DuckDB oracle recomputes the table
+    * in ONE pass over the full corpus, so the oracle-hash equality IS the
+    * merge≡recompute theorem, idempotence included, verified at every SF
+    * the driver runs. */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd  = docs.where(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+    mergeMinhashSignatures(minhashSignaturesOf(even), minhashSignaturesOf(odd))
+      .orderBy("doc_id")
+  }
+
   /** Merge MinHash signature tables from separate ingest batches:
     * slot-wise min per doc_id. Every slot is a min over shingle hashes
     * and min is associative, commutative, and idempotent, so signatures
@@ -426,6 +440,7 @@ object Dedup {
     "x_dedup_containment"   -> (containment _),
     "x_dedup_exact"         -> (exact _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
+    "x_incr_minhash"        -> (incrementalMinhash _),
     "x_dedup_simhash"       -> (simhashSignatures _),
     "x_dedup_simhash_pairs" -> (simhashPairs _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -506,6 +521,18 @@ object Dedup {
            |FROM bands x JOIN bands y
            |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // ONE-pass signature recompute: hash-equality against the Spark
+      // side's per-shard merge is the merge≡recompute proof
+      "x_incr_minhash" ->
+        s"""WITH $shinglesSql,
+           |hashed AS (SELECT doc_id,
+           |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+           |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+           |mh AS (SELECT doc_id,
+           |  ${(0 until K).map(i => s"min((h1 + $i * h2) % $P) AS m$i").mkString(", ")}
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, ${(0 until K).map(i => s"m$i").mkString(", ")}
+           |FROM mh ORDER BY doc_id""".stripMargin,
       "x_dedup_simhash" ->
         s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),

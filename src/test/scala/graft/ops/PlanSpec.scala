@@ -117,7 +117,7 @@ class PlanSpec extends SparkSpec {
     // auto-broadcast-off planning is a scale bug by definition. This is
     // the suite-wide closure of the per-query de-forcing sweeps (tfidf
     // r5, ngram-Jaccard r6).
-    val names = Seq("x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_simhash",
+    val names = Seq("x_dedup_exact", "x_incr_minhash", "x_dedup_minhash_lsh", "x_dedup_simhash",
       "x_dedup_simhash_pairs", "x_dedup_embedding", "x_dedup_containment",
       "x_source_overlap", "x_dedup_spans", "x_dedup_keep_best",
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid",
