@@ -262,7 +262,7 @@ private class EnvelopeAggScan(groupBy: Array[StructField], aggs: Array[EnvelopeA
     // extrema). A GROUPED aggregate over empty input is correctly EMPTY,
     // so no sentinel is planned when group columns exist.
     if (files.isEmpty && groupBy.isEmpty) Array(EnvelopeInputPartition(""))
-    else files.map(f => EnvelopeInputPartition(f): InputPartition)
+    else files.map(f => EnvelopeInputPartition(f._1): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -395,26 +395,26 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
         s", PushedTopN: [${topN.map(k => s"${k.f.name}${if (k.desc) " DESC" else ""}").mkString(", ")}] LIMIT $limit"
        else if (limit >= 0) s", PushedLimit: $limit" else "")
 
+  /** ONE listing per scan: statistics and partition planning share this
+    * memoized (path, length) listing, so a query costs a single directory
+    * RPC however many times the optimizer asks for stats (ADVICE r6: the
+    * old shape re-listed per consumer AND issued one getFileStatus per
+    * file — O(files) sequential namenode calls at planning time). */
+  private lazy val files: Array[(String, Long)] = EnvelopeScan.listFiles(path)
+
   /** Size estimate from the visible files' byte lengths — without it a
     * DSv2 relation reports `defaultSizeInBytes` (effectively infinite),
     * so an envelope table could never auto-broadcast into a join however
     * small the actual payload. JSON text over-counts the row data, which
     * errs on the safe (non-broadcast) side. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      val spark = org.apache.spark.sql.SparkSession.active
-      val hc = spark.sessionState.newHadoopConf()
-      EnvelopeScan.listFiles(path).map { f =>
-        val p = new Path(f)
-        FileSystem.get(p.toUri, hc).getFileStatus(p).getLen
-      }.sum
-    }
+    private val bytes: Long = files.map(_._2).sum
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    EnvelopeScan.listFiles(path).map(f => EnvelopeInputPartition(f): InputPartition)
+    files.map(f => EnvelopeInputPartition(f._1): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -425,19 +425,29 @@ private class EnvelopeScan(schema: StructType, fullSchema: StructType,
 }
 
 private object EnvelopeScan {
-  /** One partition per visible envelope file (the API pages by day, so
-    * files ≙ daily partitions); writer temps and hidden files skipped. */
-  def listFiles(path: String): Array[String] = {
+  /** Listings issued since JVM start — a test hook only: the spec pins
+    * "one listing per scan" against the million-file-lake concern (a
+    * planning pass that re-lists per consumer is an O(files) RPC storm
+    * on a real object store). */
+  private[sources] val listings = new java.util.concurrent.atomic.AtomicLong
+
+  /** One (path, byteLength) per visible envelope file (the API pages by
+    * day, so files ≙ daily partitions); writer temps and hidden files
+    * skipped. Lengths come from the directory listing's own FileStatus
+    * entries — NO per-file getFileStatus RPCs (ADVICE r6). */
+  def listFiles(path: String): Array[(String, Long)] = {
+    listings.incrementAndGet()
     val spark = org.apache.spark.sql.SparkSession.active
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.getFileStatus(hPath).isDirectory)
-      fs.listStatus(hPath).filter(_.isFile).map(_.getPath)
+    val root = fs.getFileStatus(hPath)
+    if (root.isDirectory)
+      fs.listStatus(hPath).filter(_.isFile)
         // skip in-flight/aborted writer temps (Hadoop hidden-file convention)
-        .filter(p => p.getName.endsWith(".json")
-          && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-        .map(_.toString).sorted
-    else Array(path)
+        .filter(s => s.getPath.getName.endsWith(".json")
+          && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+    else Array((path, root.getLen))
   }
 }
 

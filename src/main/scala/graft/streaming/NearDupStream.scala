@@ -88,8 +88,13 @@ object NearDupStream {
     * document repeated without pause inside the horizon (the streaming
     * analog of the batch operator's hot-bucket skew): when a bucket's
     * cohort exceeds the cap, the OLDEST entries are dropped first. The
-    * cost is recall against exactly those dropped entries — a knob, not
-    * a silent cap. At the default 10k a worst-case bucket holds ~160 KB
+    * recall cost is broader than the dropped entries alone: a pair's
+    * unique emitter is its lowest shared band, so if THAT band's bucket
+    * evicted one member, the pair is silenced even when both members
+    * still co-reside in a higher shared band (the higher bucket stays
+    * silent by design — it cannot know about the eviction without
+    * cross-bucket coordination). A knob with a documented cost, not a
+    * silent cap. At the default 10k a worst-case bucket holds ~160 KB
     * of (id, sig, ts) triples. */
   def nearDupSimhash(docs: Dataset[Doc], watermark: String = "30 minutes",
       maxHamming: Int = 8, maxCohort: Int = 10000): Dataset[NearDup] = {
@@ -127,8 +132,21 @@ object NearDupStream {
             var cohort = kept
             val out = Seq.newBuilder[NearDup]
             arrived.foreach { bd =>
-              cohort.foreach { s =>
-                if (s.doc_id != bd.doc_id) {
+              // Re-ingest semantics (batch `distinct` parity): a doc_id
+              // already in this cohort is removed before comparing, so the
+              // bucket holds at most one entry per document and a pair can
+              // be emitted at most once per bucket. An unchanged signature
+              // is a pure re-ingest — no comparison at all; its pairs were
+              // emitted on first arrival. A CHANGED signature is new
+              // content and compares like a fresh arrival (entries the old
+              // signature left in other-chunk buckets age out with the
+              // watermark; until then the old content remains pairable,
+              // the honest reading of "a version was in the corpus").
+              val (prior, rest) = cohort.partition(_.doc_id == bd.doc_id)
+              val reingest = prior.exists(_.simhash == bd.simhash)
+              cohort = rest
+              if (!reingest) {
+                cohort.foreach { s =>
                   val ham = java.lang.Long.bitCount(s.simhash ^ bd.simhash)
                   // emit only from the lowest band the pair collides in —
                   // the same pair in this bucket's higher band stays silent
@@ -138,7 +156,10 @@ object NearDupStream {
                       math.max(s.doc_id, bd.doc_id), ham, bd.ts)
                 }
               }
-              cohort ::= Seen(bd.doc_id, bd.simhash, bd.ts.getTime)
+              // keep the NEWEST event time across arrivals (out-of-order
+              // re-ingest must not shrink the entry's horizon lifetime)
+              cohort ::= Seen(bd.doc_id, bd.simhash,
+                (bd.ts.getTime +: prior.map(_.tsMs)).max)
             }
             // newest-first list: the cap drops the OLDEST entries
             val bounded = if (cohort.lengthCompare(maxCohort) > 0)

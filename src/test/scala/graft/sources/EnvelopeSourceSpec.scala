@@ -123,6 +123,39 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(dfLast.collect().map(_.getDouble(3)).toSeq === Seq(19.9))
   }
 
+  test("ORDER BY + LIMIT over an AGGREGATED read: agg pushes, top-N does not") {
+    import org.apache.spark.sql.functions._
+    // The sort sits above the aggregate, not the scan, so Spark never
+    // offers the top-N to the source — and the aggregation branch of
+    // build() ignores limit/topN anyway. Pin both: the plan shows the
+    // agg pushdown WITHOUT any PushedTopN claim, the global
+    // TakeOrderedAndProject survives, and values are exact.
+    val q = read.groupBy("ambient_temprature").agg(sum("power").as("p"))
+      .orderBy(desc("p")).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EnvelopeAggScan") && plan.contains("SUM(power)"),
+      s"grouped agg must still push under an outer sort+limit:\n$plan")
+    assert(!plan.contains("PushedTopN"),
+      s"the scan must NOT claim a top-N it cannot honor post-aggregation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the global ordered limit must remain Spark's")
+    val rows = q.collect().map(r => (if (r.isNullAt(0)) -1.0 else r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq((-1.0, 1171.3), (21.3, 1058.0)))
+  }
+
+  test("one directory listing serves statistics AND partition planning") {
+    // Million-file-lake shape (ADVICE r6): statistics used to re-list the
+    // directory and stat every file individually; now the scan memoizes
+    // one listStatus whose FileStatus lengths already carry the sizes.
+    val df = read.select("power")
+    val before = EnvelopeScan.listings.get()
+    df.queryExecution.optimizedPlan.stats.sizeInBytes // statistics pass
+    assert(df.collect().length === 3)                 // execution pass
+    val delta = EnvelopeScan.listings.get() - before
+    assert(delta === 1L,
+      s"stats + planning must share ONE listing per scan, saw $delta")
+  }
+
   test("COUNT(*) pushes down: per-file count rows, no record materialization") {
     val df = read.selectExpr("count(*) as n")
     val plan = df.queryExecution.executedPlan.toString

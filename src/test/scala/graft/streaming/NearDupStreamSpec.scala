@@ -131,6 +131,58 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("re-ingest of an identical document is a no-op: pairs emit at most once") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_reingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // A arrives TWICE (identical text) before B: the bucket must hold one
+      // entry for doc 1, so B pairs against it once — not once per copy
+      stream.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), textA),
+        Doc(1L, ts("2024-01-01 00:00:30"), textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_reingest").count() === 0,
+        "a document re-ingested unchanged must not pair with itself")
+      stream.addData(Doc(2L, ts("2024-01-01 00:01:00"), textB))
+      q.processAllAvailable()
+      val got1 = spark.table("neardup_reingest").as[NearDup].collect()
+      assert(got1.map(p => (p.doc_a, p.doc_b)).toList === List((1L, 2L)),
+        s"one cohort entry per doc_id => exactly one A-B pair, got ${got1.mkString(", ")}")
+      // A re-arrives unchanged AFTER the pair was emitted: batch `distinct`
+      // semantics — the pair is NOT re-emitted
+      stream.addData(Doc(1L, ts("2024-01-01 00:02:00"), textA))
+      q.processAllAvailable()
+      assert(spark.table("neardup_reingest").count() === 1,
+        "unchanged re-ingest must not re-emit already-reported pairs")
+    } finally q.stop()
+  }
+
+  test("re-ingest with CHANGED content compares like a fresh arrival") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_update")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 1 starts far from doc 2...
+      stream.addData(
+        Doc(1L, ts("2024-01-01 00:00:00"), textA),
+        Doc(2L, ts("2024-01-01 00:00:30"), textC))
+      q.processAllAvailable()
+      assert(spark.table("neardup_update").count() === 0)
+      // ...then doc 1's content is UPDATED to match doc 2: the new version
+      // is new content, so it must pair with doc 2 exactly once
+      stream.addData(Doc(1L, ts("2024-01-01 00:01:00"), textC))
+      q.processAllAvailable()
+      val got = spark.table("neardup_update").as[NearDup].collect()
+      assert(got.map(p => (p.doc_a, p.doc_b, p.hamming)).toList === List((1L, 2L, 0)),
+        s"updated content must pair as fresh, got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("state evicts by watermark: a dup past the horizon is NOT detected") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Doc]
