@@ -36,11 +36,43 @@ object Curation {
     val sc = df.sparkSession.sparkContext
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(d) if d.nonEmpty =>
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        // setCheckpointDir stores <d>/<uuid>; re-point whenever the
+        // CONFIGURED base no longer matches (the context is shared, so a
+        // user re-pointing the conf mid-session must take effect — the
+        // old shape latched the first dir forever). Compared on the path
+        // component: scheme/authority spelling of the same dir may vary.
+        val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        val cur = sc.getCheckpointDir
+          .map(c => new org.apache.hadoop.fs.Path(c).getParent.toUri.getPath)
+        if (!cur.contains(want)) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
   }
+
+  /** Best-effort removal of the reliable-checkpoint files backing an
+    * EARLIER round's cut, called once a newer cut has fully materialized
+    * (the new checkpoint is self-contained, so the old files are dead
+    * weight). Without this a multi-hour cluster run accumulates
+    * O(rounds) full copies of the loop state under
+    * `spark.graft.checkpointDir` — Spark's ContextCleaner only removes
+    * checkpoint files when `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` was set at context construction, which a library
+    * cannot assume (ADVICE r6). Local checkpoints report no file and
+    * stay managed by Spark's block manager. Deletion failures are
+    * swallowed: leaking one directory must never fail the job. */
+  private[ext] def dropCheckpointData(cut: DataFrame): Unit =
+    cut.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(cut.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: java.io.IOException => () }
+        }
+      case _ => ()
+    }
 
   /** 80/10/10 train/val/test assignment by content-stable hash bucket. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
@@ -75,32 +107,44 @@ object Curation {
     // unsorted candidate set: the pair frame feeds straight into the loop's
     // joins, so minhashLsh's presentation orderBy would be a wasted
     // range-partitioned sort (destroyed by the very next shuffle)
-    dupClusterLabels(Dedup.lshCandidates(spark, dir))._1
+    dupClusterLabels(Dedup.lshCandidates(spark, dir)).labels
 
-  /** Core loop over (doc_a, doc_b) pairs; returns (labels, rounds) —
-    * exposed for direct graph-shape testing of the round complexity.
+  /** Result of the label-propagation loop: final labels plus the round
+    * counts the graph-shape specs pin (`jumpRounds` = rounds that paid
+    * the extra jump join). */
+  private[ext] final case class ClusterRun(labels: DataFrame, rounds: Int, jumpRounds: Int)
+
+  /** Core loop over (doc_a, doc_b) pairs — exposed for direct graph-shape
+    * testing of the round complexity.
     *
-    * Each round does two things to every label, in one fused job:
+    * Each round HOOKS every label (label ← min(label, min over neighbors'
+    * labels) — plain propagation, reach +1 hop per round) and, once
+    * ADAPTIVE JUMPING engages, also JUMPS it: label ← previous round's
+    * label OF that label (a label is itself a doc_id in the same
+    * component, so the lookup stays within the component and correctness
+    * is untouched). Jumping through the ALREADY-MATERIALIZED previous
+    * labels keeps the round a single job — and composing hook reach r
+    * with jump reach r gives reach(k) ≥ 2·reach(k−1), i.e. O(log
+    * diameter) rounds instead of O(diameter).
     *
-    *  1. HOOK: label ← min(label, min over neighbors' labels) — the plain
-    *     propagation step, reach +1 hop per round.
-    *  2. JUMP: label ← previous round's label OF that label (a label is
-    *     itself a doc_id in the same component, so the lookup stays within
-    *     the component and correctness is untouched). Jumping through the
-    *     ALREADY-MATERIALIZED previous labels keeps the round a single
-    *     job — and composing hook reach r with jump reach r gives
-    *     reach(k) ≥ 2·reach(k−1), i.e. O(log diameter) rounds instead of
-    *     O(diameter). LSH components are near-cliques where both variants
-    *     take 2–3 rounds, but chained near-dups (A≈B≈C≈…) form paths
-    *     whose diameter grows with the corpus — at 100 TB that is the
-    *     difference between ~40 rounds and ~7.
+    * The jump join is pure overhead on the near-cliques LSH usually
+    * emits (hook alone converges in 2 rounds), so it is ADAPTIVE
+    * (round 7, after profiling r6's always-jump loop): rounds start
+    * hook-only, and jumping engages permanently the first time a
+    * round's changed-label count fails to halve — the signature of
+    * chain-like propagation (paths change ~constant labels per round,
+    * cliques collapse geometrically). Near-cliques therefore never pay
+    * a jump join, while a chain pays at most two hook-only rounds
+    * before doubling kicks in, keeping O(log diameter) overall — at
+    * 100 TB chained near-dups are the difference between ~40 rounds
+    * and ~7.
     *
     * LAZY checkpoint + count fuses each round into ONE job: the count
     * action computes every partition (materializing the checkpoint as a
     * side effect) AND returns the changed-label count for the convergence
     * test. count() scans all partitions, so unlike isEmpty it cannot leave
     * a partition unmaterialized for the next round. */
-  private[ext] def dupClusterLabels(pairs: DataFrame): (DataFrame, Int) = {
+  private[ext] def dupClusterLabels(pairs: DataFrame): ClusterRun = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -109,8 +153,14 @@ object Curation {
     // spark.graft.checkpointDir for executor-loss-safe multi-hour runs)
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = true)
+    // the raw cut of the PREVIOUS round, dropped from the checkpoint store
+    // once the next round's cut has materialized (reliable mode only)
+    var prevCut = labels
     var converged = false
     var rounds = 0
+    var jumpRounds = 0
+    var jumping = false
+    var prevChanged = Long.MaxValue
     // hard cap: with pointer jumping the worst case is O(log diameter);
     // 64 covers any graph that fits in an address space and remains a
     // runaway guard, not a correctness bound — the loop exits on the
@@ -122,20 +172,35 @@ object Curation {
       val hooked = labels.join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
         .select(labels("doc_id"), labels("label").as("old_label"),
           least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-      // jump through the previous round's materialized labels: labels is a
-      // checkpointed RDD scan, so this third reference costs a hash join,
-      // not a recompute of the label lineage
-      val jump = labels.select(col("doc_id").as("jid"), col("label").as("jlabel"))
-      val step = cutLineage(
-        hooked.join(jump, hooked("label") === col("jid"), "left")
-          .select(hooked("doc_id"), hooked("old_label"),
-            least(hooked("label"), coalesce(col("jlabel"), hooked("label"))).as("label")),
-        eager = false)
-      converged = step.where(col("label") =!= col("old_label")).count() == 0L
+      val stepped =
+        if (!jumping) hooked
+        else {
+          jumpRounds += 1
+          // jump through the previous round's materialized labels: labels
+          // is a checkpointed RDD scan, so this third reference costs a
+          // hash join, not a recompute of the label lineage
+          val jump = labels.select(col("doc_id").as("jid"), col("label").as("jlabel"))
+          hooked.join(jump, hooked("label") === col("jid"), "left")
+            .select(hooked("doc_id"), hooked("old_label"),
+              least(hooked("label"), coalesce(col("jlabel"), hooked("label"))).as("label"))
+        }
+      val step = cutLineage(stepped, eager = false)
+      val changed = step.where(col("label") =!= col("old_label")).count()
+      converged = changed == 0L
+      // the count materialized step's checkpoint, so the previous round's
+      // files are now dead — reclaim them before the next round
+      dropCheckpointData(prevCut)
+      prevCut = step
+      // halving test: cliques collapse geometrically under hook alone;
+      // anything slower is chain-shaped and needs the jump's doubling
+      if (!jumping && changed * 2 > prevChanged) jumping = true
+      prevChanged = changed
       labels = step.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
-    (labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id"), rounds)
+    ClusterRun(
+      labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id"),
+      rounds, jumpRounds)
   }
 
   /** Outlier filtering: per-event-type z-score against the group mean/std
@@ -424,6 +489,8 @@ object Curation {
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("doc_id"), col("deg"), col("n"),
         expr("1000000000 div n").as("r"))
+    // previous round's cut, reclaimed once the next eager cut lands
+    var prevCut: Option[DataFrame] = None
     for (_ <- 1 to 3) {
       val contrib = edges
         .join(ranks.select(col("doc_id"), col("deg").as("sdeg"), col("r")),
@@ -440,6 +507,10 @@ object Curation {
         .select(col("doc_id"), col("deg"), col("n"),
           (expr("15000000000 div (100 * n)") + coalesce(col("in_sum"), lit(0L))).as("r")),
         eager = true)
+      // eager cut fully materialized: the previous round's checkpoint
+      // files are dead — reclaim before the next round (reliable mode)
+      prevCut.foreach(dropCheckpointData)
+      prevCut = Some(ranks)
     }
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id").asc)

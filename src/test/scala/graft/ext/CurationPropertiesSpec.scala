@@ -150,11 +150,11 @@ class CurationPropertiesSpec extends SparkSpec {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val expected = parent.keys.map(v => v -> find(v)).toMap
-        val (labels, rounds) = Curation.dupClusterLabels(pairs.toDF("doc_a", "doc_b"))
-        val got = labels.collect()
+        val run = Curation.dupClusterLabels(pairs.toDF("doc_a", "doc_b"))
+        val got = run.labels.collect()
           .map(row => row.getAs[Long]("doc_id") -> row.getAs[Long]("cluster")).toMap
         assert(got === expected, s"clusters diverged from union-find on graph $i")
-        assert(rounds <= 10, s"tiny graph took $rounds rounds")
+        assert(run.rounds <= 10, s"tiny graph took ${run.rounds} rounds")
       }
     }
   }

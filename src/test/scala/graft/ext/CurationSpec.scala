@@ -44,11 +44,29 @@ class CurationSpec extends SparkSpec {
     // 32 edges would need 32 propagation rounds; the jump step must
     // collapse that to ~log2(32) + fixpoint-detection overhead
     val pairs = (1L to 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = Curation.dupClusterLabels(pairs)
-    val rows = labels.collect()
+    val run = Curation.dupClusterLabels(pairs)
+    val rows = run.labels.collect()
     assert(rows.length === 33 && rows.forall(_.getLong(1) === 1L),
       "every chain node must resolve to cluster 1")
-    assert(rounds <= 10, s"expected O(log diameter) rounds on a 32-edge chain, got $rounds")
+    assert(run.rounds <= 10,
+      s"expected O(log diameter) rounds on a 32-edge chain, got ${run.rounds}")
+    assert(run.jumpRounds >= 1,
+      "chain-shaped propagation must engage the adaptive jump")
+  }
+
+  test("adaptive jumping: a clique converges hook-only — zero jump joins") {
+    // the common LSH shape: every node adjacent to the minimum, so one
+    // hook round labels everything and the second confirms the fixpoint;
+    // the jump join would be pure overhead and must never be planned
+    val nodes = 1L to 8L
+    val pairs = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val run = Curation.dupClusterLabels(pairs)
+    val rows = run.labels.collect()
+    assert(rows.length === 8 && rows.forall(_.getLong(1) === 1L))
+    assert(run.rounds === 2, s"clique must converge in 2 rounds, got ${run.rounds}")
+    assert(run.jumpRounds === 0,
+      s"near-clique graphs must not pay the jump join, got ${run.jumpRounds}")
   }
 
   test("dupClusters in reliable-checkpoint mode: bit-identical labels, files written") {
@@ -61,11 +79,15 @@ class CurationSpec extends SparkSpec {
       val reliable = Curation.dupClusters(spark, sf).collect()
       assert(reliable === local,
         "reliable-checkpoint mode must not change a single label")
-      // the switch must actually route through reliable checkpointing:
-      // Spark writes rdd-* block directories under the configured dir
-      val wrote = Files.walk(ckpt).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("rdd-"))
-      assert(wrote, s"expected rdd-* checkpoint data under $ckpt")
+      // the switch must actually route through reliable checkpointing
+      // (Spark writes rdd-* block directories under the configured dir)
+      // AND earlier rounds' checkpoints must be reclaimed as the loop
+      // advances — a multi-round run may leave only the FINAL round's
+      // rdd-* directory behind, not O(rounds) copies of the state
+      val rddDirs = Files.walk(ckpt).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      assert(rddDirs.size === 1,
+        s"expected exactly the final round's rdd-* checkpoint under $ckpt, got $rddDirs")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 }

@@ -36,6 +36,13 @@ class PagerankSpec extends SparkSpec {
       val reliable = Curation.pagerankEdges(pairs).collect().map(_.toSeq)
       assert(reliable.toSeq === local.toSeq,
         "reliable-checkpoint mode must not change a single rank unit")
+      // 3 power-iteration rounds cut 3 checkpoints; rounds 1-2 must be
+      // reclaimed once the next round lands — only round 3's remains
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(ckpt).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      assert(rddDirs.size === 1,
+        s"expected only the final round's rdd-* checkpoint, got $rddDirs")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 }

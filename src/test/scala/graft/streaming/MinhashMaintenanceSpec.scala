@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import NearDupStream.Doc
+
+/** Streaming MinHash signature maintenance: the stored table must stay
+  * bit-identical to a one-pass batch recompute over everything ingested —
+  * the streaming extension of the `x_incr_minhash` merge≡recompute
+  * oracle query. */
+class MinhashMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+
+  private val b1 = Seq((1L, "the quick brown fox jumps over the dog"),
+                       (2L, "pack my box with five dozen liquor jugs"))
+  private val b2 = Seq((3L, "the quick brown fox jumps over the cat"),
+                       (5L, "sphinx of black quartz judge my vow now"))
+  // doc 1 re-arrives with MORE content (a sharded/append-ingested doc):
+  // its signature must become the min over the UNION of both rows' shingles
+  private val b3 = Seq((1L, "how vexingly quick daft zebras jump today"))
+
+  private def runBatches(tableDir: String, batches: Seq[Seq[(Long, String)]],
+      buckets: Int): Unit = {
+    val ckpt = Files.createTempDirectory("graft-sig-ckpt").toString
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = MinhashMaintenance.start(stream.toDS(), tableDir, ckpt, buckets)
+    try {
+      batches.foreach { b =>
+        stream.addData(b.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  test("streamed table == one-pass batch recompute after 3 micro-batches") {
+    val tableDir = Files.createTempDirectory("graft-sig-table").toString
+    runBatches(tableDir, Seq(b1, b2, b3), buckets = 4)
+    val got = sigMap(MinhashMaintenance.signatures(spark, tableDir))
+    val expected = sigMap(Dedup.minhashSignaturesOf((b1 ++ b2 ++ b3).toDF("doc_id", "text")))
+    assert(got === expected,
+      "streamed merge must be bit-identical to the one-pass recompute " +
+        "(including the doc split across batches 1 and 3)")
+  }
+
+  test("re-ingesting a whole batch is a no-op (idempotent merge)") {
+    val tableDir = Files.createTempDirectory("graft-sig-idem").toString
+    runBatches(tableDir, Seq(b1, b2, b2), buckets = 4)
+    val got = sigMap(MinhashMaintenance.signatures(spark, tableDir))
+    val expected = sigMap(Dedup.minhashSignaturesOf((b1 ++ b2).toDF("doc_id", "text")))
+    assert(got === expected,
+      "a replayed/re-delivered batch must not change a single signature slot")
+  }
+
+  test("a batch rewrites ONLY the buckets it touches") {
+    val tableDir = Files.createTempDirectory("graft-sig-bkt").toString
+    // doc_ids 1,2,3,5 under 4 buckets land in buckets 1,2,3,1 — bucket 0
+    // stays empty until doc 8 arrives
+    runBatches(tableDir, Seq(b1, b2), buckets = 4)
+    def filesUnder(b: Int): Set[String] = {
+      val d = new java.io.File(tableDir, s"bucket=$b")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = (0 to 3).map(filesUnder)
+    assert(before(0).isEmpty && before.drop(1).forall(_.nonEmpty))
+    runBatches(tableDir, Seq(Seq((8L, "five quacking zephyrs jolt my wax bed"))), buckets = 4)
+    val after = (0 to 3).map(filesUnder)
+    assert(after(0).nonEmpty, "doc 8 must create bucket 0")
+    assert(after.drop(1) === before.drop(1),
+      s"untouched buckets must keep their exact files: $before vs $after")
+    // and the table still equals the full recompute
+    val got = sigMap(MinhashMaintenance.signatures(spark, tableDir))
+    val expected = sigMap(Dedup.minhashSignaturesOf(
+      (b1 ++ b2 ++ Seq((8L, "five quacking zephyrs jolt my wax bed"))).toDF("doc_id", "text")))
+    assert(got === expected)
+  }
+}
