@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Failures are explicit: a query that throws contributes -1 and lands in
   * an `"errors"` list — a broken query can never masquerade as a fast one.
-  * Each query also reports its per-pass [min,max] in a `"spread"` map so a
-  * noisy machine is distinguishable from a real regression.
+  * A `"spread"` map reports per-pass [min,max] for any query whose passes
+  * disagreed by >1.5x, so a noisy machine is distinguishable from a real
+  * regression without lengthening the line for tight runs.
   */
 object Bench {
   /** Representative heavy/headline queries across the engine's surfaces:
@@ -101,11 +102,14 @@ object Bench {
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // Spread map keeps the line bounded: [min,max] only (the per-query value
-    // above is already the median). Errored queries are absent here — the
-    // "errors" list is their channel.
-    val spread = results.collect { case (k, ts) if ts.nonEmpty =>
-      s"\"" + k + "\":[" + r3(ts.min) + "," + r3(ts.max) + "]"
+    // Spread map stays SHORT to protect the driver's bounded-tail parse (a
+    // full per-query map would double the line toward the length that
+    // truncated in round 1): only queries whose passes actually disagreed
+    // (max/min > 1.5) report their [min,max] — an absent entry means the
+    // passes were tight and the median is trustworthy.
+    val spread = results.collect {
+      case (k, ts) if ts.nonEmpty && ts.max / ts.min.max(1e-9) > 1.5 =>
+        s"\"" + k + "\":[" + r3(ts.min) + "," + r3(ts.max) + "]"
     }.mkString("{", ",", "}")
     val errors = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -198,6 +198,8 @@ object Curation {
       labels = step.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
+    if (sys.env.get("GRAFT_DEBUG_ROUNDS").contains("1"))
+      System.err.println(s"[dupClusters] rounds=$rounds jumpRounds=$jumpRounds")
     ClusterRun(
       labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id"),
       rounds, jumpRounds)

@@ -165,15 +165,16 @@ object Dedup {
     * wasted work — at 100 TB the range-partitioned sort of the pair set
     * is a whole extra shuffle that the downstream shuffle immediately
     * destroys. */
-  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesOf(Tables.documents(spark, dir))
+
+  /** [[lshCandidates]] over an arbitrary (doc_id, text, …) frame. */
+  private[graft] def lshCandidatesOf(docs: DataFrame): DataFrame = {
     // persist: the signature frame (one row per doc) feeds both band
     // projections AND both sides of the bucket self-join — without the
     // cache point the full shingle+hash subplan runs four times
-    val mh = minhashSignaturesOf(Tables.documents(spark, dir)).persist()
-    val bands = (0 until BANDS).map { b =>
-      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"m$i"))
-      mh.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
-    }.reduce(_ union _)
+    val mh = minhashSignaturesOf(docs).persist()
+    val bands = bandsOf(mh)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -181,6 +182,17 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** LSH band rows (doc_id, band, bucket) of a signature frame — the
+    * banding shared by the batch self-join above and the streaming
+    * band-index maintenance ([[graft.streaming.MinhashMaintenance]]):
+    * one row per (doc, band), bucket = md5 over that band's K/BANDS
+    * signature slots. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
+    (0 until BANDS).map { b =>
+      val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"m$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
+    }.reduce(_ union _)
 
   /** SimHash: 32-bit signature from md5-derived token hashes — 32 ±1 vote
     * sums folded to the signature (bit j set iff the vote sum is strictly

@@ -62,6 +62,63 @@ class MinhashMaintenanceSpec extends SparkSpec {
       "a replayed/re-delivered batch must not change a single signature slot")
   }
 
+  test("candidate loop: every final-signature LSH pair is emitted across batches") {
+    val base = Files.createTempDirectory("graft-cand")
+    val (tableDir, bandDir, pairsDir) =
+      (s"$base/sigs", s"$base/bands", s"$base/pairs")
+    val ckpt = s"$base/ckpt"
+    // doc 3 (batch 2) is an exact copy of doc 1 (batch 1): identical
+    // signatures band together in EVERY band, so the cross-batch probe
+    // against the stored index must find (1,3) deterministically. Batch 3
+    // then SHARDS doc 1 with extra content — whatever pairs the merged
+    // signature forms, the ground-truth subset check below covers them.
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val c1 = Seq((1L, t1), (2L, "one two three four five six seven"))
+    val c2 = Seq((3L, t1),
+                 (6L, "omega psi chi phi upsilon tau sigma rho"))
+    val c3 = Seq((1L, "omega psi chi phi upsilon tau sigma rho"))
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = MinhashMaintenance.startWithCandidates(stream.toDS(), tableDir,
+      bandDir, pairsDir, ckpt, buckets = 4, bandParts = 8)
+    try {
+      Seq(c1, c2, c3).foreach { b =>
+        stream.addData(b.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val emitted = MinhashMaintenance.candidates(spark, pairsDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch operator's candidate set over the final corpus (sharded
+    // doc 1 = both its rows): every one of its pairs must have been
+    // emitted by some batch (extras from transient signatures allowed)
+    val expected = Dedup.lshCandidatesOf(
+      (c1 ++ c2 ++ c3).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(emitted),
+      s"missing final-signature pairs: ${expected -- emitted} (emitted $emitted)")
+    assert(emitted.contains((1L, 3L)),
+      "the cross-batch exact copy must be found by probing the stored index")
+  }
+
+  test("re-running a batch rewrites its own pairs partition identically") {
+    val base = Files.createTempDirectory("graft-cand-idem")
+    val (tableDir, bandDir) = (s"$base/sigs", s"$base/bands")
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                    (3L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val p1 = MinhashMaintenance.mergeBatchWithCandidates(batch, tableDir, bandDir, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // direct replay of the SAME batch (the foreachBatch crash-recovery
+    // path): table and band index must be unchanged, pairs identical
+    val sigsBefore = MinhashMaintenance.signatures(spark, tableDir).collect().toSet
+    val p2 = MinhashMaintenance.mergeBatchWithCandidates(batch, tableDir, bandDir, 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 === p1, "replayed batch must emit the same candidate set")
+    assert(MinhashMaintenance.signatures(spark, tableDir).collect().toSet === sigsBefore,
+      "replayed batch must not change a signature")
+  }
+
   test("a batch rewrites ONLY the buckets it touches") {
     val tableDir = Files.createTempDirectory("graft-sig-bkt").toString
     // doc_ids 1,2,3,5 under 4 buckets land in buckets 1,2,3,1 — bucket 0
