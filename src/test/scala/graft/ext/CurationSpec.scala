@@ -69,6 +69,20 @@ class CurationSpec extends SparkSpec {
       s"near-clique graphs must not pay the jump join, got ${run.jumpRounds}")
   }
 
+  test("adaptive jumping: chain + clique mixture resolves both components exactly") {
+    // a 21-node chain (forces the jump to engage) living alongside a
+    // 5-clique (would converge hook-only): one loop must serve both —
+    // chain labels collapse in O(log d) total rounds, clique labels exact
+    val chain = (101L to 120L).map(i => (i, i + 1))
+    val clique = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val run = Curation.dupClusterLabels((chain ++ clique).toDF("doc_a", "doc_b"))
+    val labels = run.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((101L to 121L).forall(labels(_) === 101L), "chain must resolve to 101")
+    assert((1L to 5L).forall(labels(_) === 1L), "clique must resolve to 1")
+    assert(run.jumpRounds >= 1, "the chain component must trigger jumping")
+    assert(run.rounds <= 10, s"mixture took ${run.rounds} rounds")
+  }
+
   test("dupClusters in reliable-checkpoint mode: bit-identical labels, files written") {
     val sf = "/root/testdata/sf0.001"
     val local = Curation.dupClusters(spark, sf).collect()

@@ -119,6 +119,33 @@ class MinhashMaintenanceSpec extends SparkSpec {
       "replayed batch must not change a signature")
   }
 
+  test("random corpora: any batch split (with overlaps) == one-pass recompute") {
+    // property form of the bit-identity claim: random docs partitioned
+    // into random batches, some docs deliberately repeated across batches
+    // (sharded/re-ingested), folded via the direct mergeBatch entry point
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 20L).map { id =>
+        (id, Vector.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // 2-4 batches; ~25% of docs get an extra copy in a random batch
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = Array.fill(nBatches)(Vector.newBuilder[(Long, String)])
+      docs.foreach { d =>
+        batches(rnd.nextInt(nBatches)) += d
+        if (rnd.nextInt(4) == 0) batches(rnd.nextInt(nBatches)) += d
+      }
+      val tableDir = Files.createTempDirectory(s"graft-sig-prop$seed").toString
+      batches.map(_.result()).filter(_.nonEmpty).foreach { b =>
+        MinhashMaintenance.mergeBatch(b.toDF("doc_id", "text"), tableDir, buckets = 4)
+      }
+      val got = sigMap(MinhashMaintenance.signatures(spark, tableDir))
+      val expected = sigMap(Dedup.minhashSignaturesOf(docs.toDF("doc_id", "text")))
+      assert(got === expected, s"seed $seed: streamed table diverged from recompute")
+    }
+  }
+
   test("a batch rewrites ONLY the buckets it touches") {
     val tableDir = Files.createTempDirectory("graft-sig-bkt").toString
     // doc_ids 1,2,3,5 under 4 buckets land in buckets 1,2,3,1 — bucket 0
