@@ -62,6 +62,38 @@ object EnvelopeSource {
     StructField("wind_speed", DoubleType),
     StructField("power", DoubleType),
     StructField("ambient_temprature", DoubleType)))
+
+  /** STREAMING ingest of an envelope lake: each newly-published envelope
+    * file becomes a micro-batch of its `data[]` rows.
+    *
+    * Deliberately built on Spark's own file stream source rather than a
+    * custom MicroBatchStream: exactly-once new-file tracking (seen-file
+    * log in the checkpoint, no reliance on name ordering or mtimes) is
+    * precisely what FileStreamSource already solves, and the envelope
+    * writer's rename-as-publish commit means a file is complete the
+    * moment it is visible. One envelope = one wrapper row (`multiLine`,
+    * whole-file JSON), exploded to the `data[]` elements; timestamps
+    * parse from the API's zoneless isoformat in UTC, matching the batch
+    * reader. */
+  def readStream(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, to_timestamp}
+    val raw = StructType(Seq(StructField("data", ArrayType(StructType(Seq(
+      StructField("timestamp", StringType),
+      StructField("wind_speed", DoubleType),
+      StructField("power", DoubleType),
+      StructField("ambient_temprature", DoubleType)))))))
+    spark.readStream
+      .schema(raw)
+      .option("multiLine", "true") // one envelope object spans lines
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+      .select(explode(col("data")).as("r"))
+      .select(to_timestamp(col("r.timestamp")).as("timestamp"),
+        col("r.wind_speed").as("wind_speed"),
+        col("r.power").as("power"),
+        col("r.ambient_temprature").as("ambient_temprature"))
+  }
 }
 
 private class EnvelopeTable(tableSchema: StructType, path: String)

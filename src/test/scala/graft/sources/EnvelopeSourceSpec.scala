@@ -402,6 +402,39 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(1)).sorted === Array(2.4, 12.1))
   }
 
+  test("streaming ingest: published envelopes arrive once; late file appends") {
+    import org.apache.spark.sql.functions.col
+    // fresh dir (not `dir`): the seen-file log must start empty
+    val d = Files.createTempDirectory("graft-envelope-stream")
+    Files.writeString(d.resolve("day1.json"),
+      Files.readString(java.nio.file.Path.of(dir, "day1.json")))
+    val q = EnvelopeSource.readStream(spark, d.toString)
+      .writeStream.format("memory").queryName("env_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("env_stream").collect()
+      assert(first.length === 2, s"day1 rows: ${first.mkString(", ")}")
+      // batch/stream parity: same values, same types as the DSv2 reader
+      val batch = read.where(col("timestamp") < "2025-08-11").collect()
+        .map(_.toSeq).toSet
+      assert(first.map(_.toSeq).toSet === batch,
+        "streamed rows must match the batch DSv2 read bit-for-bit")
+      // a LATE publish is one new micro-batch: only its rows append
+      Files.writeString(d.resolve("day2.json"),
+        Files.readString(java.nio.file.Path.of(dir, "day2.json")))
+      q.processAllAvailable()
+      val all = spark.table("env_stream").collect()
+      assert(all.length === 3, "day2's single row must append exactly once")
+      // hidden writer temps must never enter the stream
+      Files.writeString(d.resolve(".tmp-envelope-inflight.json"),
+        """{"data": [{"timestamp": "2025-08-12T00:00:00", "wind_speed": 1.0, "power": 2.0, "ambient_temprature": 3.0}], "count": 1}""")
+      q.processAllAvailable()
+      assert(spark.table("env_stream").count() === 3,
+        "dot-files (in-flight writer temps) must be invisible to the stream")
+    } finally q.stop()
+  }
+
   test("V2 write: envelope round-trip, one part file per partition, no temps left") {
     val out = Files.createTempDirectory("graft-envelope-out").toString
     val src = read
