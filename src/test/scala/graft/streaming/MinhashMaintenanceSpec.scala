@@ -119,6 +119,48 @@ class MinhashMaintenanceSpec extends SparkSpec {
       "replayed batch must not change a signature")
   }
 
+  test("band index: a batch rewrites ONLY the partitions its band rows hash into") {
+    val base = Files.createTempDirectory("graft-band-stab")
+    val (tableDir, bandDir) = (s"$base/sigs", s"$base/bands")
+    val b1df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+                   (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    MinhashMaintenance.mergeBatchWithCandidates(b1df, tableDir, bandDir, 4, 8)
+    def filesUnder(p: Long): Set[String] = {
+      val d = new java.io.File(bandDir, s"p=$p")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = (0L to 7L).map(p => p -> filesUnder(p)).toMap
+    // second batch: a brand-new doc — its touched partitions are exactly
+    // the p-hashes of its own band rows (no old rows to retire)
+    import org.apache.spark.sql.functions.expr
+    val b2df = Seq((9L, "nine ten eleven twelve thirteen fourteen fifteen")).toDF("doc_id", "text")
+    val touched = Dedup.bandsOf(Dedup.minhashSignaturesOf(b2df))
+      .withColumn("p", expr("pmod(cast(conv(substring(bucket, 1, 8), 16, 10) as bigint), 8)"))
+      .select("p").distinct().collect().map(_.getLong(0)).toSet
+    MinhashMaintenance.mergeBatchWithCandidates(b2df, tableDir, bandDir, 4, 8)
+    val after = (0L to 7L).map(p => p -> filesUnder(p)).toMap
+    (0L to 7L).filterNot(touched).foreach { p =>
+      assert(after(p) === before(p),
+        s"partition p=$p (untouched by batch 2) must keep its exact files")
+    }
+    touched.foreach(p => assert(after(p).nonEmpty, s"touched partition p=$p must exist"))
+  }
+
+  test("an empty micro-batch is a no-op for table, index, and candidates") {
+    val base = Files.createTempDirectory("graft-empty-batch")
+    val (tableDir, bandDir) = (s"$base/sigs", s"$base/bands")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pairs = MinhashMaintenance.mergeBatchWithCandidates(empty, tableDir, bandDir, 4, 8)
+    assert(pairs.collect().isEmpty)
+    assert(!new java.io.File(tableDir).exists && !new java.io.File(bandDir).exists,
+      "an empty batch must not create store directories")
+    // and a doc too short to shingle (< 3 words) contributes nothing either
+    val tiny = Seq((1L, "just two")).toDF("doc_id", "text")
+    MinhashMaintenance.mergeBatch(tiny, tableDir, 4)
+    assert(!new java.io.File(tableDir).exists)
+  }
+
   test("random corpora: any batch split (with overlaps) == one-pass recompute") {
     // property form of the bit-identity claim: random docs partitioned
     // into random batches, some docs deliberately repeated across batches
