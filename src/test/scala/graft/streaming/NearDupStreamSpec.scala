@@ -183,6 +183,32 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("re-ingest refreshes the horizon: a refreshed doc outlives its first arrival") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val pairs = NearDupStream.nearDupSimhash(stream.toDS(), watermark = "10 minutes")
+    val q = pairs.toDF().writeStream.format("memory").queryName("neardup_refresh")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // A at 00:00, re-ingested (unchanged) at 01:00 — the cohort entry's
+      // event time must advance to 01:00
+      stream.addData(Doc(1L, ts("2024-01-01 00:00:00"), textA))
+      q.processAllAvailable()
+      stream.addData(Doc(1L, ts("2024-01-01 01:00:00"), textA))
+      q.processAllAvailable()
+      // push the watermark past 00:00 + horizon but NOT past 01:00 + horizon
+      stream.addData(Doc(9L, ts("2024-01-01 01:05:00"), textC))
+      q.processAllAvailable()
+      // B arrives: had the re-ingest not refreshed ts, A would have been
+      // evicted (00:00 is far past the ~00:55 watermark) and no pair found
+      stream.addData(Doc(2L, ts("2024-01-01 01:06:00"), textB))
+      q.processAllAvailable()
+      val got = spark.table("neardup_refresh").as[NearDup].collect()
+      assert(got.map(p => (p.doc_a, p.doc_b)).toList === List((1L, 2L)),
+        s"refreshed entry must still pair within the NEW horizon, got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("state evicts by watermark: a dup past the horizon is NOT detected") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Doc]
