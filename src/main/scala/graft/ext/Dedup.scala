@@ -158,6 +158,39 @@ object Dedup {
     a.unionByName(b).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Incremental candidate generation AS A QUERY — the batch twin of the
+    * streaming band-index probe ([[graft.streaming.MinhashMaintenance]]):
+    * the corpus ingests as two shards (doc_id parity, every %10==0 doc
+    * re-ingested in both), each shard's band rows probe the band index
+    * AS OF that shard, and the union of the probes must equal the
+    * one-pass LSH candidate set — which is exactly what the DuckDB
+    * oracle computes, so the hash-equality IS the incremental≡one-pass
+    * theorem. No transient-signature slack exists here: documents is one
+    * row per doc, so a signature is final on first ingest and the
+    * re-ingested docs merge idempotently. */
+  def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd  = docs.where(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+    // persist: each signature frame feeds BANDS band projections and both
+    // probe sides — the same cache point lshCandidatesOf needs
+    val sigs1   = minhashSignaturesOf(even).persist()
+    val sigsAll = mergeMinhashSignatures(sigs1, minhashSignaturesOf(odd)).persist()
+    def probe(x: DataFrame, index: DataFrame): DataFrame =
+      x.as("x").join(index.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val bands1 = bandsOf(sigs1)
+    val bandsAll = bandsOf(sigsAll)
+    probe(bands1, bands1) // shard-1 rows probe the shard-1 index
+      .union(probe( // shard-2 rows (post-merge signatures) probe the updated index
+        bandsAll.join(odd.select("doc_id"), Seq("doc_id"), "left_semi"), bandsAll))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** [[minhashLsh]] without the final presentation sort: the distinct
     * (doc_a < doc_b) candidate set with no ordering guarantee. Internal
     * consumers (dup clusters, pagerank, containment, source overlap) feed
@@ -453,6 +486,7 @@ object Dedup {
     "x_dedup_exact"         -> (exact _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
     "x_incr_minhash"        -> (incrementalMinhash _),
+    "x_incr_lsh_pairs"      -> (incrementalLshPairs _),
     "x_dedup_simhash"       -> (simhashSignatures _),
     "x_dedup_simhash_pairs" -> (simhashPairs _),
     "x_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -532,6 +566,11 @@ object Dedup {
            |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            |FROM bands x JOIN bands y
            |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // ONE-pass candidate set: hash-equality against the Spark side's
+      // per-shard probes is the incremental≡one-pass proof
+      "x_incr_lsh_pairs" ->
+        s"""$pairsSubquery
            |ORDER BY doc_a, doc_b""".stripMargin,
       // ONE-pass signature recompute: hash-equality against the Spark
       // side's per-shard merge is the merge≡recompute proof
