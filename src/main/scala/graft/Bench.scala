@@ -72,26 +72,48 @@ object Bench {
     // median rests on a stable core instead of a 3-sample coin flip.
     val maxPasses = sys.env.get("SPARK_GRAFT_BENCH_MAX_PASSES")
       .flatMap(_.toIntOption).getOrElse(5).max(passes)
-    val results: Seq[(String, Seq[Double])] = fns.map { case (name, fn) =>
+    // Round-9 fix (VERDICT r8 task 1, third round of spread evidence): passes
+    // are INTERLEAVED round-robin across queries — warm everything once, then
+    // pass 1 of all queries, pass 2 of all, etc. Under the old
+    // all-passes-of-one-query-consecutively protocol a transient load window
+    // (driver-side compaction, page-cache churn) poisoned every pass of
+    // exactly one query, so its median moved 4-7x while its neighbors held
+    // still (BENCH_r06..r08: x_dedup_ngram_jaccard spreads up to [1.21,
+    // 8.49] with unchanged code). Interleaving spreads any load window
+    // across MANY queries' single passes: a noisy machine now shows as a
+    // wide "spread" on many entries at once (self-diagnosing), while each
+    // query's median rests on passes taken minutes apart. The JSON line
+    // shape is unchanged. A query that throws mid-pass is dropped from
+    // further rounds and lands in "errors" as before.
+    val timed = fns.filter { case (name, fn) =>
       spark.catalog.clearCache()
-      val ok = try { if (warmup) fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val times: Seq[Double] =
-        if (!ok) Seq.empty
-        else try {
-          def onePass(): Double = {
-            spark.catalog.clearCache()
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          val base = (1 to passes).map(_ => onePass())
-          if (base.size >= 2 && base.size < maxPasses &&
-              base.max / base.min.max(1e-9) > 2.0)
-            base ++ (base.size until maxPasses).map(_ => onePass())
-          else base
-        } catch { case _: Throwable => Seq.empty }
-      (name, times)
+      try { if (warmup) fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+    }
+    val acc = scala.collection.mutable.LinkedHashMap(
+      timed.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    val failed = scala.collection.mutable.Set.empty[String]
+    def onePass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => failed += name; acc(name) = Vector.empty }
+    for (_ <- 1 to passes; (name, fn) <- timed if !failed(name)) onePass(name, fn)
+    // Adaptive extra rounds (round-7 behavior, kept): queries whose passes
+    // disagree by >2x get additional round-robin rounds up to maxPasses so
+    // the median rests on a stable core instead of a 3-sample coin flip.
+    for (_ <- passes until maxPasses) {
+      val noisy = timed.filter { case (name, _) =>
+        !failed(name) && acc(name).size >= 2 &&
+          acc(name).max / acc(name).min.max(1e-9) > 2.0
+      }
+      noisy.foreach { case (name, fn) => onePass(name, fn) }
+    }
+    val timedNames = timed.map(_._1).toSet
+    val results: Seq[(String, Seq[Double])] = fns.map { case (name, _) =>
+      (name, if (timedNames(name)) acc(name) else Seq.empty[Double])
     }
     // Locale-pinned formatting: f"$v%.3f" uses the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line the driver parses.

@@ -39,12 +39,30 @@ object Curation {
         // setCheckpointDir stores <d>/<uuid>; re-point whenever the
         // CONFIGURED base no longer matches (the context is shared, so a
         // user re-pointing the conf mid-session must take effect — the
-        // old shape latched the first dir forever). Compared on the path
-        // component: scheme/authority spelling of the same dir may vary.
-        val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
-        val cur = sc.getCheckpointDir
-          .map(c => new org.apache.hadoop.fs.Path(c).getParent.toUri.getPath)
-        if (!cur.contains(want)) sc.setCheckpointDir(d)
+        // old shape latched the first dir forever). Compared on
+        // fs.makeQualified URIs: a bare-path compare treated
+        // `hdfs:///ckpt` and `file:///ckpt` as the same dir (same-path
+        // cross-filesystem repoints were ignored) and re-pointed every
+        // call for relative dirs (relative vs absolute spelling of the
+        // same location never matched).
+        val hconf = sc.hadoopConfiguration
+        def qualified(p: String): java.net.URI = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          // URI.normalize: Hadoop Path keeps "." segments; strip them and
+          // the trailing slash they leave so equal dirs compare equal
+          val u = path.getFileSystem(hconf).makeQualified(path).toUri.normalize()
+          val pp = Option(u.getPath).getOrElse("")
+          if (pp.length > 1 && pp.endsWith("/"))
+            new java.net.URI(u.getScheme, u.getAuthority, pp.stripSuffix("/"), null, null)
+          else u
+        }
+        val want = qualified(d)
+        // compare the parent of the stored <d>/<uuid> against the base
+        val curBase = sc.getCheckpointDir.map { c =>
+          val parent = new org.apache.hadoop.fs.Path(c).getParent
+          parent.getFileSystem(hconf).makeQualified(parent).toUri
+        }
+        if (!curBase.contains(want)) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
@@ -69,7 +87,12 @@ object Curation {
             val p = new org.apache.hadoop.fs.Path(f)
             p.getFileSystem(cut.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)
-          } catch { case _: java.io.IOException => () }
+          } catch {
+            // NonFatal, not just IOException: Path/FS resolution can throw
+            // IllegalArgumentException etc., and aborting a multi-hour run
+            // over dead-file cleanup is never the right trade.
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
       case _ => ()
     }

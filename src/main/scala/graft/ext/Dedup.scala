@@ -137,8 +137,11 @@ object Dedup {
     * the driver runs. */
   def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val even = docs.where(col("doc_id") % 2 === 0)
-    val odd  = docs.where(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+    // pmod, not signed %: -3 % 2 is -1 in Spark, so a signed parity test
+    // drops every negative odd id from BOTH shards and the merge no longer
+    // covers the corpus. pmod is total over the id domain.
+    val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd  = docs.where(pmod(col("doc_id"), lit(2)) === 1 || pmod(col("doc_id"), lit(10)) === 0)
     mergeMinhashSignatures(minhashSignaturesOf(even), minhashSignaturesOf(odd))
       .orderBy("doc_id")
   }
@@ -170,8 +173,9 @@ object Dedup {
     * re-ingested docs merge idempotently. */
   def incrementalLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val even = docs.where(col("doc_id") % 2 === 0)
-    val odd  = docs.where(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+    // pmod for the same negative-id totality reason as incrementalMinhash
+    val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd  = docs.where(pmod(col("doc_id"), lit(2)) === 1 || pmod(col("doc_id"), lit(10)) === 0)
     // persist: each signature frame feeds BANDS band projections and both
     // probe sides — the same cache point lshCandidatesOf needs
     val sigs1   = minhashSignaturesOf(even).persist()

@@ -74,12 +74,19 @@ object EnvelopeSource {
     * moment it is visible. One envelope = one wrapper row (`multiLine`,
     * whole-file JSON), exploded to the `data[]` elements; timestamps
     * parse from the API's zoneless isoformat in UTC, matching the batch
-    * reader. */
+    * reader.
+    *
+    * The UTC pin lives in the JSON source itself (TimestampType field +
+    * `timeZone=UTC` option) rather than a post-hoc `to_timestamp`, which
+    * follows `spark.sql.session.timeZone` — under a non-UTC user session
+    * that silently shifted every instant relative to the batch DSv2
+    * reader (which parses with an explicit `ZoneOffset.UTC`), so
+    * watermarks and time filters disagreed between the two paths. */
   def readStream(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerTrigger: Int = 1000): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, to_timestamp}
+    import org.apache.spark.sql.functions.{col, explode}
     val raw = StructType(Seq(StructField("data", ArrayType(StructType(Seq(
-      StructField("timestamp", StringType),
+      StructField("timestamp", TimestampType),
       StructField("wind_speed", DoubleType),
       StructField("power", DoubleType),
       StructField("ambient_temprature", DoubleType)))))))
@@ -87,9 +94,10 @@ object EnvelopeSource {
       .schema(raw)
       .option("multiLine", "true") // one envelope object spans lines
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("timeZone", "UTC") // zoneless isoformat = UTC, as in batch
       .json(path)
       .select(explode(col("data")).as("r"))
-      .select(to_timestamp(col("r.timestamp")).as("timestamp"),
+      .select(col("r.timestamp").as("timestamp"),
         col("r.wind_speed").as("wind_speed"),
         col("r.power").as("power"),
         col("r.ambient_temprature").as("ambient_temprature"))

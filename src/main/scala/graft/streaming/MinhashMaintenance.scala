@@ -122,9 +122,13 @@ object MinhashMaintenance {
       }
       .start()
 
-  /** The emitted candidate-pair log. */
+  /** The emitted candidate-pair log. Schema is explicit so a read of a
+    * pair log to which no batch has emitted yet (dir absent or empty)
+    * returns an empty frame instead of failing schema inference. */
   def candidates(spark: SparkSession, pairsDir: String): DataFrame =
-    spark.read.parquet(pairsDir)
+    spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, batch_id BIGINT")
+      .parquet(pairsDir)
 
   private def bandPartCol(bandParts: Int) =
     expr(s"pmod(cast(conv(substring(bucket, 1, 8), 16, 10) as bigint), $bandParts)")

@@ -104,4 +104,31 @@ class CurationSpec extends SparkSpec {
         s"expected exactly the final round's rdd-* checkpoint under $ckpt, got $rddDirs")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  test("checkpoint repoint compares qualified URIs: respelled same dir is a no-op") {
+    // regression (ADVICE r8): the repoint check compared only the URI path
+    // component, so the same path on a DIFFERENT filesystem was treated as
+    // already-pointed, and a relative spelling of the current dir re-pointed
+    // (new uuid subdir) on every call. Qualified-URI comparison fixes both.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val ckpt = Files.createTempDirectory("graft-ckpt-uri")
+    spark.conf.set("spark.graft.checkpointDir", ckpt.toString)
+    try {
+      Curation.cutLineage(Seq(1, 2).toDF("v"), eager = true)
+      val first = sc.getCheckpointDir
+      assert(first.isDefined)
+      // same directory, different spelling: explicit scheme + non-normalized
+      spark.conf.set("spark.graft.checkpointDir", "file:" + ckpt.toString + "/.")
+      Curation.cutLineage(Seq(3).toDF("v"), eager = true)
+      assert(sc.getCheckpointDir === first,
+        "a respelling of the same qualified dir must not re-point")
+      // a genuinely different directory must re-point
+      val other = Files.createTempDirectory("graft-ckpt-uri2")
+      spark.conf.set("spark.graft.checkpointDir", other.toString)
+      Curation.cutLineage(Seq(4).toDF("v"), eager = true)
+      assert(sc.getCheckpointDir !== first, "a new dir must re-point")
+      assert(sc.getCheckpointDir.exists(_.contains(other.getFileName.toString)))
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

@@ -100,6 +100,37 @@ class DedupSpec extends SparkSpec {
     assert(viaUdaf === viaExpr)
   }
 
+  test("incremental minhash/LSH cover negative doc ids (pmod sharding)") {
+    // regression (ADVICE r8): the shards were cut with signed %, and
+    // -3 % 2 is -1 in Spark — every negative ODD id landed in neither
+    // shard, so the incremental paths silently dropped those documents.
+    // pmod makes the parity split total over the id domain.
+    val d = Files.createTempDirectory("graft-dedup-neg").toString
+    Seq(
+      (-10L, "alpha beta gamma delta epsilon zeta eta theta"), // pmod10==0: re-ingested in both shards
+      (-3L,  "alpha beta gamma delta epsilon zeta eta theta"), // negative odd — the lost shard
+      (-2L,  "one two three four five six seven eight nine"),
+      (1L,   "one two three four five six seven eight nine"),
+      (4L,   "uno dos tres cuatro cinco seis siete ocho nueve"))
+      .toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val all = graft.Tables.documents(spark, d)
+    val onePassSigs = Dedup.minhashSignaturesOf(all).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val incrSigs = Dedup.incrementalMinhash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(incrSigs.keySet === onePassSigs.keySet,
+      "merged shards must cover every doc id, negatives included")
+    assert(incrSigs === onePassSigs)
+    val onePassPairs = Dedup.lshCandidatesOf(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incrPairs = Dedup.incrementalLshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incrPairs === onePassPairs)
+    assert(incrPairs.contains((-10L, -3L)), "identical negative-id docs must pair")
+    assert(incrPairs.contains((-2L, 1L)), "cross-shard negative/positive pair must survive")
+  }
+
   test("simhash: udaf Aggregator path is bit-equal to the codegen vote-sum path") {
     import org.apache.spark.sql.{functions => F}
     val toks = graft.Tables.documents(spark, dir)

@@ -435,6 +435,31 @@ class EnvelopeSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parse pins UTC: non-UTC session sees the same instants as batch") {
+    // regression (ADVICE r8): the stream path parsed the zoneless isoformat
+    // with to_timestamp(), which follows spark.sql.session.timeZone, while
+    // the batch DSv2 reader pins ZoneOffset.UTC — a non-UTC user session
+    // got silently shifted instants and batch/stream watermark divergence.
+    val tzConf = "spark.sql.session.timeZone"
+    val orig = spark.conf.get(tzConf)
+    spark.conf.set(tzConf, "America/New_York")
+    try {
+      val q = EnvelopeSource.readStream(spark, dir)
+        .writeStream.format("memory").queryName("env_stream_tz")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("env_stream_tz").collect()
+          .map(_.getTimestamp(0).toInstant).toSet
+        val batch = read.collect().map(_.getTimestamp(0).toInstant).toSet
+        assert(streamed === batch,
+          "stream and batch must agree on instants under a non-UTC session")
+        assert(streamed.contains(java.time.Instant.parse("2025-08-10T00:00:00Z")),
+          "zoneless isoformat must be read as UTC wall-clock")
+      } finally q.stop()
+    } finally spark.conf.set(tzConf, orig)
+  }
+
   test("V2 write: envelope round-trip, one part file per partition, no temps left") {
     val out = Files.createTempDirectory("graft-envelope-out").toString
     val src = read

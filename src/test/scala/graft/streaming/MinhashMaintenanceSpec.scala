@@ -101,6 +101,15 @@ class MinhashMaintenanceSpec extends SparkSpec {
       "the cross-batch exact copy must be found by probing the stored index")
   }
 
+  test("candidates() on an empty pair log reads cleanly (explicit schema)") {
+    // regression (ADVICE r8): a schema-less parquet read of a pair log to
+    // which no batch had emitted yet failed with "Unable to infer schema"
+    val empty = java.nio.file.Files.createTempDirectory("graft-pairs-empty").toString
+    val r = MinhashMaintenance.candidates(spark, empty)
+    assert(r.columns.toSeq === Seq("doc_a", "doc_b", "batch_id"))
+    assert(r.count() === 0L)
+  }
+
   test("re-running a batch rewrites its own pairs partition identically") {
     val base = Files.createTempDirectory("graft-cand-idem")
     val (tableDir, bandDir) = (s"$base/sigs", s"$base/bands")
