@@ -205,19 +205,47 @@ object Dedup {
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesOf(Tables.documents(spark, dir))
 
+  /** Hot-bucket cap for LSH candidate generation: a (band, bucket) cohort
+    * larger than this emits STAR edges (bucket-min representative → each
+    * member) instead of all pairs. An uncapped band self-join is the last
+    * quadratic in the dedup suite — one degenerate bucket (boilerplate or
+    * identical docs, the NORM in web crawls) yields |B|² candidate pairs,
+    * a scale-killer no matter how good the banding is. A star keeps the
+    * output O(|B|) while preserving exactly what downstream consumers
+    * need: connectivity (dup clusters / PageRank see the same connected
+    * components — every member still reaches the representative) and
+    * verification reachability (containment verifies rep↔member; a bucket
+    * this hot is one near-identical family by construction, so
+    * member↔member pairs are transitively implied). Mirrors the streaming
+    * path's `maxCohort` discipline ([[graft.streaming.NearDupStream]]). */
+  private[graft] val MaxBucket = 1024
+
   /** [[lshCandidates]] over an arbitrary (doc_id, text, …) frame. */
-  private[graft] def lshCandidatesOf(docs: DataFrame): DataFrame = {
+  private[graft] def lshCandidatesOf(docs: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
     // persist: the signature frame (one row per doc) feeds both band
     // projections AND both sides of the bucket self-join — without the
     // cache point the full shingle+hash subplan runs four times
     val mh = minhashSignaturesOf(docs).persist()
     val bands = bandsOf(mh)
-    bands.as("x")
-      .join(bands.as("y"),
+    // bucket size + representative via one window over the same
+    // (band, bucket) hash partitioning the self-join needs — the join
+    // reads the window's exchange, so the sizing adds a sort, not a
+    // shuffle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = bands
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rep", min("doc_id").over(w))
+    val cold = sized.where(col("n") <= maxBucket)
+    val pairs = cold.as("x")
+      .join(cold.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val star = sized
+      .where(col("n") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    pairs.union(star).distinct()
   }
 
   /** LSH band rows (doc_id, band, bucket) of a signature frame — the
@@ -508,7 +536,32 @@ object Dedup {
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val simhashExpr = (0 until 32).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    // Capped candidate set — the SQL twin of lshCandidatesOf's hot-bucket
+    // star routing: buckets at or under MaxBucket emit all pairs, larger
+    // ones only (bucket-min → member) edges. n is constant within a
+    // bucket, so testing one side suffices.
     val pairsSubquery =
+      s"""WITH $shinglesSql,
+         |hashed AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+         |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
+         |mh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |sized AS (SELECT doc_id, band, bucket,
+         |  count(*) OVER (PARTITION BY band, bucket) AS n,
+         |  min(doc_id) OVER (PARTITION BY band, bucket) AS rep FROM bands)
+         |SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM sized x JOIN sized y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id AND x.n <= $MaxBucket
+         |  UNION ALL
+         |  SELECT rep AS doc_a, doc_id AS doc_b FROM sized
+         |  WHERE n > $MaxBucket AND doc_id <> rep)""".stripMargin
+    // UNCAPPED one-pass candidate set: the incremental probes
+    // (incrementalLshPairs) carry no hot-bucket routing, so their
+    // incremental≡one-pass proof compares against the raw self-join.
+    val uncappedPairsSubquery =
       s"""WITH $shinglesSql,
          |hashed AS (SELECT doc_id,
          |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
@@ -561,20 +614,12 @@ object Dedup {
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
       "x_dedup_minhash_lsh" ->
-        s"""WITH $shinglesSql,
-           |hashed AS (SELECT doc_id,
-           |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-           |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh),
-           |mh AS (SELECT doc_id, $minCols FROM hashed GROUP BY doc_id),
-           |bands AS ($bandSelects)
-           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |FROM bands x JOIN bands y
-           |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        s"""$pairsSubquery
            |ORDER BY doc_a, doc_b""".stripMargin,
       // ONE-pass candidate set: hash-equality against the Spark side's
       // per-shard probes is the incremental≡one-pass proof
       "x_incr_lsh_pairs" ->
-        s"""$pairsSubquery
+        s"""$uncappedPairsSubquery
            |ORDER BY doc_a, doc_b""".stripMargin,
       // ONE-pass signature recompute: hash-equality against the Spark
       // side's per-shard merge is the merge≡recompute proof

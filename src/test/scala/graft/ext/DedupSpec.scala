@@ -100,6 +100,30 @@ class DedupSpec extends SparkSpec {
     assert(viaUdaf === viaExpr)
   }
 
+  test("hot LSH buckets emit O(B) star edges, not |B|^2 pairs") {
+    // 10k identical docs collapse every band into ONE bucket — uncapped,
+    // that is ~50M candidate pairs from one degenerate bucket (boilerplate
+    // is the norm in web crawls). The cap must route the bucket to star
+    // edges: one (representative → member) edge per non-representative.
+    val n = 10000L
+    val docs = spark.range(n).selectExpr("id as doc_id",
+      "'alpha beta gamma delta epsilon zeta eta theta' as text")
+    val pairs = Dedup.lshCandidatesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === (n - 1).toInt,
+      "star routing must emit exactly one edge per non-representative member")
+    assert(pairs.forall(_._1 === 0L),
+      "every edge must anchor at the bucket-min representative")
+    assert(pairs.map(_._2).toSet === (1L until n).toSet,
+      "connectivity to every member must be preserved for downstream clustering")
+    // below the cap the candidate set is unchanged: all pairs
+    val small = Dedup.lshCandidatesOf(docs.where("doc_id < 5"))
+    assert(small.count() === 10L, "5 identical docs under the cap -> all C(5,2) pairs")
+    // explicit cap override: 100 docs, cap 10 -> star edges again
+    val capped = Dedup.lshCandidatesOf(docs.where("doc_id < 100"), maxBucket = 10)
+    assert(capped.count() === 99L)
+  }
+
   test("incremental minhash/LSH cover negative doc ids (pmod sharding)") {
     // regression (ADVICE r8): the shards were cut with signed %, and
     // -3 % 2 is -1 in Spark — every negative ODD id landed in neither

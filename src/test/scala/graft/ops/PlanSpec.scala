@@ -182,6 +182,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH candidates: hot-bucket sizing adds no shuffle to the band self-join") {
+    // the cap's window (count/min over band,bucket) must ride the SAME
+    // hash partitioning the self-join already needs — if the sizing ever
+    // plans its own repartition the cap costs a corpus-wide shuffle.
+    // Expected exchanges: one into (band,bucket) for window+join, one
+    // into (doc_a,doc_b) for the final distinct.
+    val plan = planOf(graft.ext.Dedup.lshCandidates(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // raw Exchange counts are inflated by the cached signature frame's
+    // repeated inner-plan dumps, so pin per partitioning key: at most one
+    // (band,bucket) exchange per consumer of the sized frame (join x/y
+    // sides + star path — identical canonicalized subtrees, so AQE's
+    // exchange reuse collapses them to ONE physical shuffle at runtime)
+    // and one (doc_a,doc_b) for the distinct. A regression to sizing on
+    // its own key (a corpus-wide repartition) would show here.
+    val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(plan).size
+    assert(bandEx <= 3,
+      s"sizing window must ride the join's (band,bucket) partitioning, found $bandEx:\n$plan")
+    val pairEx = "Exchange hashpartitioning\\(doc_a".r.findAllIn(plan).size
+    assert(pairEx <= 1,
+      s"expected one (doc_a,doc_b) exchange for distinct, found $pairEx:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("simhash pairs: banded equi-join candidates, no nested-loop join") {
     // the naive formulation (probe × corpus with only `doc_a < doc_id` +
     // a Hamming filter) plans a BroadcastNestedLoopJoin — O(n²/10), the
