@@ -39,6 +39,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the 100-entry default codegen cache thrashes under a multi-query
+      // suite (a single iterative query compiles ~155 classes), so with
+      // interleaved passes every pass recompiled everything — pure
+      // driver-side overhead in every measurement (static conf, must be
+      // set at session build)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries

@@ -13,13 +13,24 @@ object Profile {
     val runs = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(2)
     val names = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // separate knob for shuffle-partition experiments (defaults to cpus,
+    // matching Bench): lets a profile isolate task-scheduling overhead
+    // from parallelism
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // default 100 entries overflows on the iterative queries (~155
+      // generated classes per dupClusters run), so EVERY run recompiles
+      // everything — static conf, must be set at session build
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val times = (1 to runs).map { _ =>

@@ -176,6 +176,20 @@ object Curation {
     // spark.graft.checkpointDir for executor-loss-safe multi-hour runs)
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = true)
+    // Size the LOOP's shuffles to the DATA, not to the session's
+    // spark.sql.shuffle.partitions: the label table is O(docs-in-pairs),
+    // far smaller than the corpus the session is tuned for, and every
+    // round otherwise pays shuffle.partitions tasks per stage plus the
+    // per-partition AQE/scheduler latency — profiled at local[32]/sf0.1
+    // as the DOMINANT cost (all 18 jobs of a run sum under 2 s while the
+    // run walls 4.5 s; gaps are driver-side stage latency scaling with
+    // partition count). ~4M label rows (~64 MB) per partition, floor 1,
+    // never RAISED above the session's setting — a real cluster keeps
+    // its configured width when the label table is genuinely large.
+    val sess = pairs.sparkSession
+    val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val targetParts = math.max(4, math.min(sessionParts,
+      math.ceil(labels.count() / 4e6).toInt))
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store
     // once the next round's cut has materialized (reliable mode only)
     var prevCut = labels
@@ -188,6 +202,19 @@ object Curation {
     // 64 covers any graph that fits in an address space and remains a
     // runaway guard, not a correctness bound — the loop exits on the
     // fixpoint.
+    // Scoped width + AQE off: queries PLANNED between set and restore read
+    // the narrowed values — in-loop jobs only. (Concurrent planning on
+    // other threads of the same session would see them too; the loop is a
+    // blocking driver-side iteration, so that window is the loop itself.)
+    // AQE is safe to drop here: each round's joins key on the UNIQUE
+    // doc_id side of the label table, so there is no skew for AQE to
+    // repair, and its per-stage future/replan latency dominates the tiny
+    // per-round jobs (profiled at local[32]: all jobs of a run sum under
+    // half the wall time; the gaps are driver-side stage latency).
+    val sessionAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     while (!converged && rounds < 64) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -207,7 +234,10 @@ object Curation {
             .select(hooked("doc_id"), hooked("old_label"),
               least(hooked("label"), coalesce(col("jlabel"), hooked("label"))).as("label"))
         }
-      val step = cutLineage(stepped, eager = false)
+      // coalesce, not repartition: merges the round's shuffle output into
+      // targetParts checkpoint partitions with no extra exchange, so the
+      // NEXT round's scans of this RDD launch targetParts map tasks
+      val step = cutLineage(stepped.coalesce(targetParts), eager = false)
       val changed = step.where(col("label") =!= col("old_label")).count()
       converged = changed == 0L
       // the count materialized step's checkpoint, so the previous round's
@@ -219,6 +249,10 @@ object Curation {
       if (!jumping && changed * 2 > prevChanged) jumping = true
       prevChanged = changed
       labels = step.select(col("doc_id"), col("label"))
+    }
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
+      sess.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
     edges.unpersist()
     if (sys.env.get("GRAFT_DEBUG_ROUNDS").contains("1"))
