@@ -64,4 +64,31 @@ object Ddl {
     * the driver-side [[graft.ops.Analytics.catalogStructure]]. */
   def describeTable(spark: SparkSession, table: String): DataFrame =
     spark.sql(s"DESCRIBE TABLE ${validateIdentifier(table)}")
+
+  /** External DAY-partitioned fact table over a [[PartitionedSink]] lake
+    * path — the catalog face of the daily layout. The sink writes `day=…`
+    * directories straight to storage (catalog-less by design: ingest
+    * must not depend on metastore availability); this DDL +
+    * [[discoverPartitions]] is how a 100 TB lake operator registers that
+    * layout for SQL users, partition pruning included. */
+  def createDailyTable(spark: SparkSession, table: String,
+      location: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${validateIdentifier(table)}
+         |($sourceColumns, day DATE COMMENT 'daily partition (derived from timestamp)')
+         |USING parquet
+         |PARTITIONED BY (day)
+         |LOCATION '${location.replace("'", "''")}'""".stripMargin)
+
+  /** `MSCK REPAIR TABLE`: sync the catalog with partition directories
+    * written BEHIND it (each [[PartitionedSink.writeDaily]] run can add
+    * late days). Until this runs, a freshly-registered external
+    * partitioned table sees zero rows — partition metadata, not file
+    * listing, drives its scans. */
+  def discoverPartitions(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${validateIdentifier(table)}")
+
+  /** `SHOW PARTITIONS` as data (one `day=…` row per registered partition). */
+  def showPartitions(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"SHOW PARTITIONS ${validateIdentifier(table)}")
 }

@@ -101,6 +101,40 @@ class MinhashMaintenanceSpec extends SparkSpec {
       "the cross-batch exact copy must be found by probing the stored index")
   }
 
+  test("real corpus: streamed candidate log == one-pass batch candidates over 4 batches") {
+    // VERDICT r8 task 6: the candidate-parity property over the driver's
+    // actual documents table, not a literal fixture. One row per doc in
+    // this corpus means a signature is final on first ingest, so the
+    // union of per-batch index probes must equal the one-pass batch
+    // candidate set EXACTLY — supersets quantify to zero extras here.
+    val base = Files.createTempDirectory("graft-cand-corpus")
+    val (tableDir, bandDir, pairsDir, ckpt) =
+      (s"$base/sigs", s"$base/bands", s"$base/pairs", s"$base/ckpt")
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = corpus.groupBy { case (id, _) => (id % 4).toInt }
+      .toSeq.sortBy(_._1).map(_._2.toSeq)
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = MinhashMaintenance.startWithCandidates(stream.toDS(), tableDir,
+      bandDir, pairsDir, ckpt, buckets = 8, bandParts = 8)
+    try {
+      batches.foreach { b =>
+        stream.addData(b.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val emitted = MinhashMaintenance.candidates(spark, pairsDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePass = Dedup.lshCandidatesOf(corpus.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onePass.subsetOf(emitted),
+      s"stream missed final-signature pairs: ${(onePass -- emitted).take(10)}")
+    val extras = emitted -- onePass
+    assert(extras.isEmpty,
+      s"${extras.size} transient pairs emitted on a one-row-per-doc corpus: ${extras.take(10)}")
+  }
+
   test("candidates() on an empty pair log reads cleanly (explicit schema)") {
     // regression (ADVICE r8): a schema-less parquet read of a pair log to
     // which no batch had emitted yet failed with "Unable to infer schema"
