@@ -97,6 +97,34 @@ object Curation {
       case _ => ()
     }
 
+  /** Run `body` with the session's shuffle width narrowed to fit
+    * `stateRows` of iterated loop state (~4M rows ≈ 64 MB per partition,
+    * floor 4, never raised above the session setting) and AQE scoped
+    * off. Shared by the [[dupClusterLabels]] and [[pagerankEdges]]
+    * loops: their per-round jobs iterate a state table that is O(docs
+    * in pairs) — far smaller than the corpus the session is tuned
+    * for — and profiling at local[32]/sf0.1 showed the rounds
+    * driver-bound (all executed jobs sum under half the wall time; the
+    * gaps are per-stage planning/AQE-future latency scaling with
+    * partition count). AQE is safe to drop: the loops' joins key on the
+    * UNIQUE id side of the state table, so there is no skew for it to
+    * repair. Queries planned on other threads of the same session
+    * during `body` would see the narrowed conf — both loops are
+    * blocking driver-side iterations, so that window is the loop
+    * itself. */
+  private def withLoopTuning[T](sess: SparkSession, stateRows: Long)(body: Int => T): T = {
+    val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.max(4, math.min(sessionParts, math.ceil(stateRows / 4e6).toInt))
+    val sessionAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.shuffle.partitions", target.toString)
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try body(target)
+    finally {
+      sess.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
+      sess.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
+  }
+
   /** 80/10/10 train/val/test assignment by content-stable hash bucket. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -176,20 +204,6 @@ object Curation {
     // spark.graft.checkpointDir for executor-loss-safe multi-hour runs)
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = true)
-    // Size the LOOP's shuffles to the DATA, not to the session's
-    // spark.sql.shuffle.partitions: the label table is O(docs-in-pairs),
-    // far smaller than the corpus the session is tuned for, and every
-    // round otherwise pays shuffle.partitions tasks per stage plus the
-    // per-partition AQE/scheduler latency — profiled at local[32]/sf0.1
-    // as the DOMINANT cost (all 18 jobs of a run sum under 2 s while the
-    // run walls 4.5 s; gaps are driver-side stage latency scaling with
-    // partition count). ~4M label rows (~64 MB) per partition, floor 1,
-    // never RAISED above the session's setting — a real cluster keeps
-    // its configured width when the label table is genuinely large.
-    val sess = pairs.sparkSession
-    val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
-    val targetParts = math.max(4, math.min(sessionParts,
-      math.ceil(labels.count() / 4e6).toInt))
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store
     // once the next round's cut has materialized (reliable mode only)
     var prevCut = labels
@@ -202,19 +216,7 @@ object Curation {
     // 64 covers any graph that fits in an address space and remains a
     // runaway guard, not a correctness bound — the loop exits on the
     // fixpoint.
-    // Scoped width + AQE off: queries PLANNED between set and restore read
-    // the narrowed values — in-loop jobs only. (Concurrent planning on
-    // other threads of the same session would see them too; the loop is a
-    // blocking driver-side iteration, so that window is the loop itself.)
-    // AQE is safe to drop here: each round's joins key on the UNIQUE
-    // doc_id side of the label table, so there is no skew for AQE to
-    // repair, and its per-stage future/replan latency dominates the tiny
-    // per-round jobs (profiled at local[32]: all jobs of a run sum under
-    // half the wall time; the gaps are driver-side stage latency).
-    val sessionAqe = sess.conf.get("spark.sql.adaptive.enabled")
-    sess.conf.set("spark.sql.shuffle.partitions", targetParts.toString)
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withLoopTuning(pairs.sparkSession, labels.count()) { targetParts =>
     while (!converged && rounds < 64) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -250,9 +252,6 @@ object Curation {
       prevChanged = changed
       labels = step.select(col("doc_id"), col("label"))
     }
-    } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
-      sess.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
     edges.unpersist()
     if (sys.env.get("GRAFT_DEBUG_ROUNDS").contains("1"))
@@ -550,6 +549,9 @@ object Curation {
         expr("1000000000 div n").as("r"))
     // previous round's cut, reclaimed once the next eager cut lands
     var prevCut: Option[DataFrame] = None
+    // rank table is O(nodes) loop state — same scoped width + AQE-off
+    // discipline as the label-propagation loop (see withLoopTuning)
+    withLoopTuning(pairs.sparkSession, deg.count()) { _ =>
     for (_ <- 1 to 3) {
       val contrib = edges
         .join(ranks.select(col("doc_id"), col("deg").as("sdeg"), col("r")),
@@ -570,6 +572,7 @@ object Curation {
       // files are dead — reclaim before the next round (reliable mode)
       prevCut.foreach(dropCheckpointData)
       prevCut = Some(ranks)
+    }
     }
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id").asc)
