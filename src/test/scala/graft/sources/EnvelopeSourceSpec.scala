@@ -457,6 +457,22 @@ class EnvelopeSourceSpec extends SparkSpec {
         assert(streamed.contains(java.time.Instant.parse("2025-08-10T00:00:00Z")),
           "zoneless isoformat must be read as UTC wall-clock")
       } finally q.stop()
+      // python isoformat() carries microseconds when nonzero — the stream
+      // schema's TimestampType parse must keep them, exactly like batch
+      val md = Files.createTempDirectory("graft-envelope-micros")
+      Files.writeString(md.resolve("day.json"),
+        """{"data": [{"timestamp": "2025-08-10T00:00:00.123456", "wind_speed": 1.0,
+          |"power": 2.0, "ambient_temprature": 3.0}], "count": 1}""".stripMargin)
+      val q2 = EnvelopeSource.readStream(spark, md.toString)
+        .writeStream.format("memory").queryName("env_stream_micros")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.table("env_stream_micros").collect()
+          .map(_.getTimestamp(0).toInstant).toSeq
+        assert(got === Seq(java.time.Instant.parse("2025-08-10T00:00:00.123456Z")),
+          "fractional-second isoformat must survive the UTC-pinned stream parse")
+      } finally q2.stop()
     } finally spark.conf.set(tzConf, orig)
   }
 
