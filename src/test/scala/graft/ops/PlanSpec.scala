@@ -182,6 +182,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("100TB simulation: selective dim filters inject runtime bloom pruning into the fact side") {
+    // at cluster scale a dim too big to broadcast still prunes the fact
+    // shuffle via Spark's runtime bloom filter (InjectRuntimeFilter): the
+    // filtered dim side builds a bloom_filter_agg and the fact side scans
+    // through bloom_filter_might_contain BEFORE the join shuffle. This
+    // pins that the engine's join shapes stay ELIGIBLE for the rewrite —
+    // plain equi-joins on scan columns, selective predicate on the
+    // creation side. Size thresholds are relaxed to simulate tables past
+    // the defaults (10MB creation side / large application scan).
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"selective dim join must stay eligible for runtime bloom pruning:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("LSH candidates: hot-bucket sizing adds no shuffle to the band self-join") {
     // the cap's window (count/min over band,bucket) must ride the SAME
     // hash partitioning the self-join already needs — if the sizing ever
