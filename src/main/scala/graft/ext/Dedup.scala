@@ -512,7 +512,49 @@ object Dedup {
       .orderBy("source_x", "source_y")
   }
 
+  /** Prefix clamp for [[editDistancePairs]]: candidates are compared on
+    * their first EditCap chars. Levenshtein is O(len²) per pair — the
+    * clamp makes the verify cost a CONSTANT per candidate instead of
+    * quadratic in document length (a single 1 MB boilerplate pair would
+    * otherwise cost ~10¹² DP cells). */
+  private[graft] val EditCap = 256
+
+  /** Relative edit-distance cutoff: keep a pair when the distance is at
+    * most this fraction of the longer prefix. */
+  private[graft] val EditMaxFrac = 0.3
+
+  /** Edit-distance verification of LSH candidate pairs — the fuzzy-dedup
+    * verify stage (title/URL/short-doc dedup where token-set Jaccard is
+    * too coarse and character-level similarity is the signal).
+    *
+    * Scale shape: Levenshtein NEVER runs corpus×corpus — only over the
+    * [[lshCandidates]] pair set (O(corpus) pairs under the hot-bucket
+    * cap), on [[EditCap]]-clamped prefixes, and through Spark's
+    * THRESHOLD-BOUNDED DP (`levenshtein(l, r, t)` returns −1 past t
+    * without filling the full matrix — O(t·len) per pair, not O(len²)).
+    * The fixed DP bound ⌊EditCap·EditMaxFrac⌋ dominates every per-pair
+    * relative cutoff ⌊max_len·EditMaxFrac⌋, so bounding the DP never
+    * drops a pair the relative filter would keep; the oracle runs the
+    * unbounded distance with the same relative filter. */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val prefix = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EditCap).as("p"))
+    val dpBound = math.floor(EditCap * EditMaxFrac).toInt
+    lshCandidates(spark, dir)
+      .join(prefix.select(col("doc_id").as("doc_a"), col("p").as("ta")), "doc_a")
+      .join(prefix.select(col("doc_id").as("doc_b"), col("p").as("tb")), "doc_b")
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_dist", expr(s"levenshtein(ta, tb, $dpBound)").cast("long"))
+      .where(col("edit_dist") >= 0 &&
+        col("edit_dist") <= floor(col("max_len") * EditMaxFrac))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        StableStats.ratio(col("max_len") - col("edit_dist"), col("max_len")).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_editdist"      -> (editDistancePairs _),
     "x_source_overlap"      -> (sourceOverlap _),
     "x_dedup_containment"   -> (containment _),
     "x_dedup_exact"         -> (exact _),
@@ -572,6 +614,23 @@ object Dedup {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
     Map(
+      "x_dedup_editdist" -> {
+        import graft.ops.StableStats
+        s"""WITH pairs AS ($pairsSubquery),
+           |pfx AS (SELECT doc_id, substr(text, 1, $EditCap) AS p FROM documents),
+           |cand AS (
+           |  SELECT doc_a, doc_b, a.p AS ta, b.p AS tb,
+           |    greatest(len(a.p), len(b.p)) AS max_len
+           |  FROM pairs
+           |  JOIN pfx a ON a.doc_id = doc_a
+           |  JOIN pfx b ON b.doc_id = doc_b)
+           |SELECT doc_a, doc_b,
+           |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+           |  ${StableStats.ratioSql("max_len - levenshtein(ta, tb)", "max_len")} AS edit_sim
+           |FROM cand
+           |WHERE levenshtein(ta, tb) <= floor(max_len * 3e-1)
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
       "x_source_overlap" ->
         s"""WITH pairs AS ($pairsSubquery)
            |SELECT least(da.source, db.source) AS source_x,

@@ -48,6 +48,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher "must contain ≥2 of" required-word rule (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A1) is parameterized by a stopword list —
+    * canonically (the, be, to, of, and, that, have, with) for English web
+    * text. This corpus's synthetic vocabulary carries only [[stopEn]], so
+    * the registered query binds THAT list (the canonical one matches zero
+    * docs here and would pin the keep flag to a constant — useless as a
+    * differential signal). */
+  private[ext] val gopherStops = stopEn
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A1): per-document word count, mean word length,
+    * symbol-to-word ratio ('#' and '...'), alphabetic-word ratio,
+    * required-stopword hits, and the conjunctive keep flag over the
+    * published thresholds. Every signal is a map-side projection over the
+    * token array — zero shuffles except the presentation sort, so at
+    * 100 TB this pass streams at scan speed and composes with any
+    * downstream filter. The keep flag compares the ROUNDED ratios so
+    * cross-engine threshold ties are well-defined. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.ratio
+    val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+    val nWords = size(col("w")).cast("long")
+    val sumLen = expr("aggregate(w, 0L, (a, x) -> a + length(x))")
+    val nAlpha = expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long")
+    val nSym = (length(col("text")) - length(expr("replace(text, '#', '')"))) +
+      (length(col("text")) - length(expr("replace(text, '...', '')"))) / lit(3)
+    val stopHits = gopherStops.map(s => array_contains(col("w"), s).cast("int"))
+      .reduce(_ + _).cast("long")
+    d.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      ratio(sumLen, nWords).as("mean_word_len"),
+      ratio(nSym, nWords).as("symbol_ratio"),
+      ratio(nAlpha, nWords).as("alpha_ratio"),
+      stopHits.as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
+          col("stop_hits") >= 2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   private val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -349,6 +392,7 @@ object TextAnalysis {
     "x_text_char_bigrams" -> (charBigrams _),
     "x_text_tokens"      -> (tokenCounts _),
     "x_text_quality"     -> (qualityScore _),
+    "x_text_gopher"      -> (gopherRules _),
     "x_text_langid"      -> (languageId _),
     "x_text_fingerprint" -> (fingerprint _),
     "x_text_tfidf"       -> (tfidfTopTerm _)
@@ -487,6 +531,28 @@ object TextAnalysis {
          |  ${graft.ops.StableStats.stableRoundSql("CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)} AS stopword_ratio,
          |  ${graft.ops.StableStats.stableRoundSql("least(1e0, CAST(n_words AS DOUBLE) / 1e2) * (1 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * (CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)} AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
+    "x_text_gopher" -> {
+      import graft.ops.StableStats.stableRoundSql
+      val stopHitsSql = gopherStops
+        .map(s => s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  ${stableRoundSql(
+               "CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS mean_word_len,
+         |  ${stableRoundSql(
+               "CAST((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS symbol_ratio,
+         |  ${stableRoundSql(
+               "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS alpha_ratio,
+         |  CAST($stopHitsSql AS BIGINT) AS stop_hits FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+         |  CAST(n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3e0 AND mean_word_len <= 1e1
+         |    AND symbol_ratio <= 1e-1 AND alpha_ratio >= 8e-1
+         |    AND stop_hits >= 2 AS INTEGER) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "x_text_langid" -> {
       val scoreCols = langStops.map { case (l, ws) =>
         s"CAST(len(list_filter(w, x -> x IN (${inList(ws)}))) AS INTEGER) AS s_$l"

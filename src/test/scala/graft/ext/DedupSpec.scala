@@ -248,4 +248,48 @@ class DedupSpec extends SparkSpec {
     assert(!r.keySet.exists { case (a, b) => b === 4L }) // label 1 blocked from label 0
     assert(!r.contains((0L, 3L))) // orthogonal → cos 0 < 0.4
   }
+
+  test("edit-distance verify: exact dup at distance 0 / sim 1.0; near dup scored") {
+    val r = Dedup.editDistancePairs(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getAs[Long]("edit_dist"), x.getAs[Double]("edit_sim")))).toMap
+    assert(r((0L, 1L)) === ((0L, 1.0)))
+    // 0–2 differ only in the last word (theta → iota, lev 3); candidate
+    // status depends on the banding, so assert conditionally
+    r.get((0L, 2L)).foreach { case (d, s) =>
+      assert(d === 3L && s > 0.9 && s < 1.0)
+    }
+    assert(!r.keySet.exists { case (a, b) => Set(a, b) === Set(3L, 4L) },
+      "unrelated docs never reach the edit verify")
+  }
+
+  test("edit-distance verify: bounded DP == unbounded distance + relative filter") {
+    import org.apache.spark.sql.functions._
+    // pin the 3-arg threshold semantics the operator relies on: distance
+    // above the bound returns -1, at or below returns the exact distance
+    val probe = spark.sql(
+      "SELECT levenshtein('kitten', 'sitting', 2) AS a, levenshtein('kitten', 'sitting', 3) AS b").head()
+    assert(probe.getInt(0) === -1 && probe.getInt(1) === 3)
+
+    val corpus = "/root/testdata/sf0.001"
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_sim")))).toMap
+    val bounded = collectPairs(Dedup.editDistancePairs(spark, corpus))
+    // unbounded twin: full O(len²) DP on every candidate, same filter
+    val prefix = graft.Tables.documents(spark, corpus)
+      .select(col("doc_id"), substring(col("text"), 1, Dedup.EditCap).as("p"))
+    val unbounded = collectPairs(Dedup.lshCandidates(spark, corpus)
+      .join(prefix.select(col("doc_id").as("doc_a"), col("p").as("ta")), "doc_a")
+      .join(prefix.select(col("doc_id").as("doc_b"), col("p").as("tb")), "doc_b")
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("edit_dist") <= floor(col("max_len") * Dedup.EditMaxFrac))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        graft.ops.StableStats.ratio(col("max_len") - col("edit_dist"), col("max_len"))
+          .as("edit_sim")))
+    assert(bounded === unbounded,
+      "threshold-bounded Levenshtein must drop nothing the relative filter keeps")
+    assert(bounded.nonEmpty, "corpus near-dups must survive the edit verify")
+  }
 }

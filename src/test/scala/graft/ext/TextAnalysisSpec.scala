@@ -122,4 +122,34 @@ class TextAnalysisSpec extends SparkSpec {
     // rarer tokens ⇒ lower mean log-prob
     assert(r(1L) < r(0L))
   }
+
+  test("gopher rules: hand-computed signals on the tiny fixture") {
+    val r = TextAnalysis.gopherRules(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val d0 = r(0L) // "the cat and the hat": 5 words × 3 chars, stops {the, and}
+    assert(d0.getAs[Long]("n_words") === 5L)
+    assert(d0.getAs[Double]("mean_word_len") === 3.0)
+    assert(d0.getAs[Double]("symbol_ratio") === 0.0)
+    assert(d0.getAs[Double]("alpha_ratio") === 1.0)
+    assert(d0.getAs[Long]("stop_hits") === 2L)
+    assert(d0.getAs[Int]("keep") === 0, "5 words fails the ≥50-word rule")
+    val d2 = r(2L) // "zebra zebra zebra unique": no required words
+    assert(d2.getAs[Long]("stop_hits") === 0L)
+    assert(d2.getAs[Int]("keep") === 0)
+  }
+
+  test("gopher rules: keep flag is the conjunction of its own reported signals") {
+    val rows = TextAnalysis.gopherRules(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 500)
+    rows.foreach { x =>
+      val expect = x.getAs[Long]("n_words") >= 50 && x.getAs[Long]("n_words") <= 100000 &&
+        x.getAs[Double]("mean_word_len") >= 3.0 && x.getAs[Double]("mean_word_len") <= 10.0 &&
+        x.getAs[Double]("symbol_ratio") <= 0.1 && x.getAs[Double]("alpha_ratio") >= 0.8 &&
+        x.getAs[Long]("stop_hits") >= 2
+      assert(x.getAs[Int]("keep") === (if (expect) 1 else 0), s"doc ${x.getAs[Long]("doc_id")}")
+    }
+    // the battery must split the corpus, not rubber-stamp it
+    val kept = rows.count(_.getAs[Int]("keep") == 1)
+    assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
+  }
 }
