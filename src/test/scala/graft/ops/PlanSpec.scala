@@ -239,6 +239,50 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("100TB simulation: skewed shuffle joins stay eligible for AQE skew splitting") {
+    // Salting (ops.Skew) handles PLANNED-FOR skew; AQE's skew-join split
+    // is the backstop for skew nobody predicted. That rewrite only fires
+    // on plain shuffled equi-joins — a join shape wrapped in anything
+    // exotic silently loses the protection. This pins eligibility: a
+    // deliberately skewed join (one key holding 3/4 of the probe side),
+    // with thresholds scaled down to the test's data volume, must come
+    // out of AQE with its skewed partition split (the join node reports
+    // skew=true / the shuffle read shows skewed segments).
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    // a downstream agg would normally veto the split (it would add a
+    // shuffle); force simulates the cluster operator's recovery switch
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      // the payload makes the hot partition's shuffle bytes incompressible
+      // (a constant-key long column compresses below any threshold) and is
+      // aggregated after the join so column pruning can't drop it
+      val probe = spark.range(300000).select(
+        when(col("id") % 4 =!= 0, 0L).otherwise(col("id") % 32).as("k"),
+        org.apache.spark.sql.functions.expr("md5(cast(id as string))").as("payload"))
+      val build = spark.range(32).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val q = probe.join(build, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.max("payload").as("p"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"the skewed join partition must be split by AQE:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    }
+  }
+
   test("simhash pairs: banded equi-join candidates, no nested-loop join") {
     // the naive formulation (probe × corpus with only `doc_a < doc_id` +
     // a Hamming filter) plans a BroadcastNestedLoopJoin — O(n²/10), the
