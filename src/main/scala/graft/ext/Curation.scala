@@ -135,6 +135,30 @@ object Curation {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Leakage-safe split assignment: a near-dup pair split across
+    * train/val is silent eval contamination — the model "generalizes" to
+    * a paraphrase of its own training data. [[splitAssign]]'s hash policy
+    * is lifted from document to DUP-CLUSTER granularity: every doc
+    * hashes the REPRESENTATIVE of its connected component (the cluster
+    * min from [[dupClusters]]); docs with no near-dup hash their own id.
+    * A whole near-dup family therefore lands in ONE split, and the
+    * assignment stays deterministic under re-runs and re-shards. The
+    * marginal cost over the cluster pass is one left join against the
+    * label frame — which holds only docs that appear in some candidate
+    * pair, a vanishing fraction of a mostly-unique corpus. */
+  def clusterSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labels
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("anchor", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(anchor as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "anchor", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sample: 3 docs per language, chosen by hash
     * order (≙ uniform-without-replacement, but reproducible). */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
@@ -587,6 +611,7 @@ object Curation {
     "x_decontaminate"     -> (decontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
+    "x_cluster_split"     -> (clusterSplitAssign _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
     "x_outliers"          -> (outliers _),
@@ -758,6 +783,16 @@ object Curation {
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     "x_dup_clusters" -> clustersSql,
+    "x_cluster_split" ->
+      s"""WITH cl AS ($clustersSql),
+         |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS anchor
+         |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |b AS (SELECT doc_id, anchor,
+         |  ('0x' || substr(md5(CAST(anchor AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket FROM a)
+         |SELECT doc_id, anchor, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "x_dedup_keep_best" ->
       s"""WITH clusters AS ($clustersSql),
          |q AS (${TextAnalysis.qualityScoreSql})

@@ -91,6 +91,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One BPE training step, distributed (Sennrich et al. 2016,
+    * arXiv:1508.07909): count adjacent character pairs across the corpus
+    * and return the top merge candidates.
+    *
+    * Scale shape: the corpus FIRST collapses to the word-frequency table
+    * (one hash-agg; vocabulary-sized — Heaps'-law sublinear in corpus
+    * size), and pair counting explodes THAT, weighted by word frequency —
+    * the standard trick that makes each BPE iteration O(vocab), not
+    * O(corpus). The second agg folds to ≤|alphabet|² keys, and the top-k
+    * plans as TakeOrderedAndProject (no global sort). Ties break on the
+    * pair string so the cut is cross-engine deterministic. */
+  def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wordFreq
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   private val langStops: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -393,6 +418,7 @@ object TextAnalysis {
     "x_text_tokens"      -> (tokenCounts _),
     "x_text_quality"     -> (qualityScore _),
     "x_text_gopher"      -> (gopherRules _),
+    "x_bpe_merge_step"   -> (bpeMergeStep _),
     "x_text_langid"      -> (languageId _),
     "x_text_fingerprint" -> (fingerprint _),
     "x_text_tfidf"       -> (tfidfTopTerm _)
@@ -553,6 +579,13 @@ object TextAnalysis {
          |    AND stop_hits >= 2 AS INTEGER) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "x_bpe_merge_step" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+        |      FROM (SELECT word, freq, unnest(generate_series(1, len(word) - 1)) AS i FROM wf))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "x_text_langid" -> {
       val scoreCols = langStops.map { case (l, ws) =>
         s"CAST(len(list_filter(w, x -> x IN (${inList(ws)}))) AS INTEGER) AS s_$l"

@@ -131,4 +131,30 @@ class CurationSpec extends SparkSpec {
       assert(sc.getCheckpointDir.exists(_.contains(other.getFileName.toString)))
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  test("cluster split: near-dup families land whole in one split; singletons match doc split") {
+    val corpus = "/root/testdata/sf0.001"
+    val rows = Curation.clusterSplitAssign(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("anchor"), x.getAs[Long]("bucket"), x.getAs[String]("split")))).toMap
+    assert(rows.size === 500, "every doc gets exactly one assignment")
+    val clusters = Curation.dupClusters(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster")).toMap
+    // every clustered doc anchors on its component representative, so the
+    // whole family shares one split — the anti-leakage property
+    clusters.foreach { case (doc, cluster) =>
+      assert(rows(doc)._1 === cluster, s"doc $doc must anchor on $cluster")
+      assert(rows(doc)._3 === rows(cluster)._3, s"family of $cluster split apart")
+    }
+    assert(clusters.values.toSet.size < clusters.size,
+      "fixture sanity: the corpus holds multi-doc families")
+    // singletons keep the plain per-doc assignment (policy compatibility)
+    val plain = Curation.splitAssign(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("bucket"), x.getAs[String]("split")))).toMap
+    (rows.keySet -- clusters.keySet).foreach { doc =>
+      assert(rows(doc)._1 === doc)
+      assert((rows(doc)._2, rows(doc)._3) === plain(doc))
+    }
+  }
 }

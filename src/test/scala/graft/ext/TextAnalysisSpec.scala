@@ -152,4 +152,15 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = rows.count(_.getAs[Int]("keep") == 1)
     assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
   }
+
+  test("bpe merge step: hand-computed top pairs with deterministic tie-break") {
+    val r = TextAnalysis.bpeMergeStep(spark, dir).collect()
+      .map(x => x.getAs[String]("pair") -> x.getAs[Long]("n"))
+    // zebra×3 + katze give 'ze' 4; the six pairs at 3 tie-break by string
+    assert(r.head === (("ze", 4L)))
+    assert(r.slice(1, 7).toSeq ===
+      Seq("at" -> 3L, "br" -> 3L, "eb" -> 3L, "nd" -> 3L, "ra" -> 3L, "un" -> 3L))
+    // the×2 contributes both of its pairs at weight 2
+    assert(r.toMap.get("th") === Some(2L) && r.toMap.get("he") === Some(2L))
+  }
 }
