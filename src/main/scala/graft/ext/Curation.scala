@@ -285,6 +285,48 @@ object Curation {
       rounds, jumpRounds)
   }
 
+  /** Incremental cluster maintenance: when a new shard ingests, near-dup
+    * components are NOT recomputed over the whole corpus. The previous
+    * labels contract to STAR edges (component representative → member —
+    * contraction preserves connectivity exactly), the shard's new
+    * candidate pairs come from a band-index probe touching only rows with
+    * a new-shard endpoint (the batch twin of
+    * [[graft.streaming.MinhashMaintenance]]'s ingest loop), and the label
+    * loop reruns over star ∪ new — a graph of O(previously-paired docs +
+    * new pairs), independent of how much history the corpus holds. At
+    * 100 TB this is the difference between a per-ingest job sized by the
+    * DELTA and one sized by the lake. Components and min-labels are
+    * provably identical to the one-pass recompute (contraction lemma +
+    * identical bucket connectivity), and the DuckDB oracle IS the
+    * one-pass transitive closure — the gate hash-equality is the
+    * incremental ≡ recompute theorem. The probe is uncapped here (like
+    * [[graft.ext.Dedup.incrementalLshPairs]]); a hot NEW bucket would
+    * take the same per-(band,bucket) star routing [[graft.ext.Dedup
+    * .lshCandidatesOf]] applies, unchanged in semantics. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old   = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val newer = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    // stored state as of the previous ingest: labels over the old shard
+    val labels0 = dupClusterLabels(Dedup.lshCandidatesOf(old)).labels
+    val star = labels0.where(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as("doc_a"), col("doc_id").as("doc_b"))
+    // the shard's probe against the post-merge band index: every pair
+    // with at least one new endpoint (new-new and new-old)
+    val sigsOld = Dedup.minhashSignaturesOf(old).persist()
+    val sigsAll = Dedup.mergeMinhashSignatures(
+      sigsOld, Dedup.minhashSignaturesOf(newer)).persist()
+    val bandsAll = Dedup.bandsOf(sigsAll)
+    val newPairs = bandsAll.join(newer.select("doc_id"), Seq("doc_id"), "left_semi").as("x")
+      .join(bandsAll.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    dupClusterLabels(star.union(newPairs)).labels
+  }
+
   /** Outlier filtering: per-event-type z-score against the group mean/std
     * (both computed ONCE per group and broadcast back); |z| ≥ 2.5 rows
     * survive. Stats are rounded before the z computation so the score is
@@ -614,6 +656,7 @@ object Curation {
     "x_cluster_split"     -> (clusterSplitAssign _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
+    "x_incr_clusters"     -> (incrementalClusters _),
     "x_outliers"          -> (outliers _),
     "x_outliers_mad"      -> (madOutliers _),
     "x_top_terms"         -> (topTerms _),
@@ -783,6 +826,9 @@ object Curation {
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     "x_dup_clusters" -> clustersSql,
+    // the one-pass closure IS the oracle: hash-equality against the
+    // star ∪ new-probe loop is the incremental ≡ recompute proof
+    "x_incr_clusters" -> clustersSql,
     "x_cluster_split" ->
       s"""WITH cl AS ($clustersSql),
          |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS anchor

@@ -132,6 +132,20 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("incremental clusters: star-contracted delta loop == full recompute, bit-identical") {
+    val corpus = "/root/testdata/sf0.001"
+    val full = Curation.dupClusters(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster")).toMap
+    val incr = Curation.incrementalClusters(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("cluster")).toMap
+    assert(incr === full,
+      "ingest-delta label loop must reproduce the one-pass components exactly")
+    // fixture sanity: the split corpus must actually exercise cross-shard
+    // pairs, or the star-contraction path went untested
+    assert(full.exists { case (d, c) => d % 2 != c % 2 },
+      "corpus must contain components spanning both ingest shards")
+  }
+
   test("cluster split: near-dup families land whole in one split; singletons match doc split") {
     val corpus = "/root/testdata/sf0.001"
     val rows = Curation.clusterSplitAssign(spark, corpus).collect()
