@@ -146,7 +146,12 @@ object Curation {
     * marginal cost over the cluster pass is one left join against the
     * label frame — which holds only docs that appear in some candidate
     * pair, a vanishing fraction of a mostly-unique corpus. */
-  def clusterSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+  def clusterSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    clusterSplits(spark, dir).orderBy("doc_id")
+
+  /** [[clusterSplitAssign]] without the presentation sort — the
+    * composition form ([[curationPipeline]] joins it mid-plan). */
+  def clusterSplits(spark: SparkSession, dir: String): DataFrame = {
     val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labels
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -156,7 +161,34 @@ object Curation {
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .select("doc_id", "anchor", "bucket", "split")
-      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation flagship: quality gate → canonical-copy exact
+    * dedup → leakage-safe cluster split → per-(split, lang) census. This
+    * is the shape a training-data pipeline actually ships — the point is
+    * that the suite's operators COMPOSE: everything except the label
+    * loop's inherent checkpoints fuses into one declarative plan (the
+    * unsorted stage forms keep wasted mid-plan sorts out), Catalyst
+    * prunes every column the census doesn't need, and each stage keeps
+    * the scale discipline it was built with (the quality battery is
+    * map-side, the dedup is one hash-agg, the split's loop is O(paired
+    * docs), the census a tiny agg). The oracle chains the same stages as
+    * SQL CTEs, so the differential covers the COMPOSITION, not just the
+    * parts. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = TextAnalysis.gopherSignals(spark, dir)
+      .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
+    // canonical copy per content hash: the lowest doc_id survives
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    kept
+      .join(canon, "doc_id")
+      .join(clusterSplits(spark, dir).select(col("doc_id"), col("split")), "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+      .orderBy("split", "lang")
   }
 
   /** Stratified deterministic sample: 3 docs per language, chosen by hash
@@ -654,6 +686,7 @@ object Curation {
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
     "x_cluster_split"     -> (clusterSplitAssign _),
+    "x_curation_e2e"      -> (curationPipeline _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
     "x_incr_clusters"     -> (incrementalClusters _),
@@ -829,6 +862,24 @@ object Curation {
     // the one-pass closure IS the oracle: hash-equality against the
     // star ∪ new-probe loop is the incremental ≡ recompute proof
     "x_incr_clusters" -> clustersSql,
+    "x_curation_e2e" ->
+      s"""WITH g AS (${TextAnalysis.gopherSignalsSql}),
+         |keep AS (SELECT doc_id, n_words FROM g WHERE keep = 1),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |cl AS ($clustersSql),
+         |anch AS (SELECT d.doc_id,
+         |    ('0x' || substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM anch)
+         |SELECT sp.split, d.lang, count(*) AS n_docs,
+         |  CAST(sum(keep.n_words) AS BIGINT) AS sum_words
+         |FROM keep
+         |JOIN canon USING (doc_id)
+         |JOIN sp USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "x_cluster_split" ->
       s"""WITH cl AS ($clustersSql),
          |a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS anchor

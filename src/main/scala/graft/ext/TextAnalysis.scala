@@ -66,7 +66,14 @@ object TextAnalysis {
     * 100 TB this pass streams at scan speed and composes with any
     * downstream filter. The keep flag compares the ROUNDED ratios so
     * cross-engine threshold ties are well-defined. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherSignals(spark, dir).orderBy("doc_id")
+
+  /** [[gopherRules]] without the presentation sort — the composition form:
+    * [[graft.ext.Curation.curationPipeline]] filters on `keep` mid-plan,
+    * where an embedded orderBy would plan a wasted range-partitioned sort
+    * that the next join shuffle destroys. */
+  def gopherSignals(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats.ratio
     val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
     val nWords = size(col("w")).cast("long")
@@ -88,7 +95,6 @@ object TextAnalysis {
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("symbol_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
           col("stop_hits") >= 2).cast("int"))
-      .orderBy("doc_id")
   }
 
   /** One BPE training step, distributed (Sennrich et al. 2016,
@@ -436,6 +442,33 @@ object TextAnalysis {
               " * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))", 4)} AS quality_score
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** Gopher signal battery SQL (DuckDB): SELECTs the full per-doc signal
+    * set incl. the keep flag, no ordering — shared by the x_text_gopher
+    * oracle and composing pipeline oracles (same pattern as
+    * [[qualityScoreSql]]). */
+  private[ext] val gopherSignalsSql: String = {
+    import graft.ops.StableStats.stableRoundSql
+    val stopHitsSql = gopherStops
+      .map(s => s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  ${stableRoundSql(
+             "CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS mean_word_len,
+       |  ${stableRoundSql(
+             "CAST((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS symbol_ratio,
+       |  ${stableRoundSql(
+             "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS alpha_ratio,
+       |  CAST($stopHitsSql AS BIGINT) AS stop_hits FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+       |  CAST(n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3e0 AND mean_word_len <= 1e1
+       |    AND symbol_ratio <= 1e-1 AND alpha_ratio >= 8e-1
+       |    AND stop_hits >= 2 AS INTEGER) AS keep
+       |FROM s""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x_ppl_buckets" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -557,28 +590,8 @@ object TextAnalysis {
          |  ${graft.ops.StableStats.stableRoundSql("CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)} AS stopword_ratio,
          |  ${graft.ops.StableStats.stableRoundSql("least(1e0, CAST(n_words AS DOUBLE) / 1e2) * (1 - CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * (CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)} AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
-    "x_text_gopher" -> {
-      import graft.ops.StableStats.stableRoundSql
-      val stopHitsSql = gopherStops
-        .map(s => s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-         |s AS (SELECT doc_id,
-         |  CAST(len(w) AS BIGINT) AS n_words,
-         |  ${stableRoundSql(
-               "CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS mean_word_len,
-         |  ${stableRoundSql(
-               "CAST((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS symbol_ratio,
-         |  ${stableRoundSql(
-               "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / (CAST(len(w) AS BIGINT))", 4)} AS alpha_ratio,
-         |  CAST($stopHitsSql AS BIGINT) AS stop_hits FROM t)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
-         |  CAST(n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3e0 AND mean_word_len <= 1e1
-         |    AND symbol_ratio <= 1e-1 AND alpha_ratio >= 8e-1
-         |    AND stop_hits >= 2 AS INTEGER) AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "x_text_gopher" -> s"""$gopherSignalsSql
+         |ORDER BY doc_id""".stripMargin,
     "x_bpe_merge_step" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |wf AS (SELECT word, count(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY 1),

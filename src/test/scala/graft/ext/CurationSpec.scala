@@ -146,6 +146,26 @@ class CurationSpec extends SparkSpec {
       "corpus must contain components spanning both ingest shards")
   }
 
+  test("curation pipeline: census equals the composition of its stage outputs") {
+    val corpus = "/root/testdata/sf0.001"
+    val kept = TextAnalysis.gopherRules(spark, corpus).collect()
+      .filter(_.getAs[Int]("keep") == 1)
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_words")).toMap
+    val canon = Dedup.exact(spark, corpus).collect().map(_.getAs[Long]("keep_id")).toSet
+    val split = Curation.clusterSplitAssign(spark, corpus).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    val lang = graft.Tables.documents(spark, corpus).select("doc_id", "lang").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val expect = kept.keySet.intersect(canon)
+      .groupBy(d => (split(d), lang(d)))
+      .map { case (k, ds) => k -> ((ds.size.toLong, ds.toSeq.map(kept).sum)) }
+    val got = Curation.curationPipeline(spark, corpus).collect()
+      .map(x => (x.getAs[String]("split"), x.getAs[String]("lang")) ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("sum_words")))).toMap
+    assert(got === expect, "pipeline census must equal the stage-by-stage recomputation")
+    assert(got.keySet.map(_._1).subsetOf(Set("train", "val", "test")) && got.nonEmpty)
+  }
+
   test("cluster split: near-dup families land whole in one split; singletons match doc split") {
     val corpus = "/root/testdata/sf0.001"
     val rows = Curation.clusterSplitAssign(spark, corpus).collect()
