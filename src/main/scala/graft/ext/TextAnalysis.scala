@@ -73,9 +73,17 @@ object TextAnalysis {
     * [[graft.ext.Curation.curationPipeline]] filters on `keep` mid-plan,
     * where an embedded orderBy would plan a wasted range-partitioned sort
     * that the next join shuffle destroys. */
-  def gopherSignals(spark: SparkSession, dir: String): DataFrame = {
+  def gopherSignals(spark: SparkSession, dir: String): DataFrame =
+    gopherSignalsOf(Tables.documents(spark, dir))
+
+  /** [[gopherSignals]] over an arbitrary (doc_id, text, …) frame — batch
+    * OR streaming: every signal is a stateless map-side projection, so
+    * the battery applies unchanged as an INGEST-TIME quality gate on a
+    * `readStream` (no watermark, no state store, scan-speed throughput;
+    * `StreamBatchParitySpec` pins stream ≡ batch on the real corpus). */
+  def gopherSignalsOf(docs: DataFrame): DataFrame = {
     import graft.ops.StableStats.ratio
-    val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+    val d = docs.withColumn("w", split(col("text"), " "))
     val nWords = size(col("w")).cast("long")
     val sumLen = expr("aggregate(w, 0L, (a, x) -> a + length(x))")
     val nAlpha = expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long")

@@ -67,4 +67,26 @@ class StreamBatchParitySpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(keys.length === keys.distinct.length, "duplicate pair emissions")
   }
+
+  test("streaming gopher quality gate == batch battery on the real documents table") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // stateless map-side battery: append mode, no watermark, no state
+    val q = graft.ext.TextAnalysis.gopherSignalsOf(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // several micro-batches: per-row signals must not depend on batching
+      docs.grouped(200).foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("gopher_stream")
+    val batch = graft.ext.TextAnalysis.gopherSignals(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "ingest-time gate must score exactly like the batch battery")
+  }
 }
