@@ -122,7 +122,11 @@ class PlanSpec extends SparkSpec {
       "x_source_overlap", "x_dedup_spans", "x_dedup_keep_best", "x_dedup_editdist",
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid", "x_text_gopher",
       "x_bpe_merge_step",
-      "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins")
+      "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins",
+      // iterative-loop composites: the label loop materializes through
+      // checkpoints, so the final plan audited here is the probe/census
+      // stage — the part that could regress into a corpus broadcast
+      "x_incr_clusters", "x_curation_e2e")
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
