@@ -51,6 +51,15 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Dedup.semDedup(spark, dir).count() === 0)
   }
 
+  test("round-9 additions on empty documents") {
+    assert(graft.ext.Dedup.editDistancePairs(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.gopherRules(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.bpeMergeStep(spark, dir).count() === 0)
+    assert(graft.ext.Curation.clusterSplitAssign(spark, dir).count() === 0)
+    assert(graft.ext.Curation.incrementalClusters(spark, dir).count() === 0)
+    assert(graft.ext.Curation.curationPipeline(spark, dir).count() === 0)
+  }
+
   test("TPC-H shapes and incremental merge on empty facts") {
     assert(Relational.pricingSummary(spark, dir).count() === 0)
     assert(Olap.marketShare(spark, dir).count() === 0)
