@@ -95,6 +95,37 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** ANN index-quality report: recall@3 of the 1-probe IVF search against
+    * the exact brute-force top-3 over the same query set — the
+    * measurement an index operator runs before trusting an approximate
+    * path at scale (recall is the contract; latency means nothing without
+    * it). The ground-truth pass scores only the broadcast query set
+    * against the corpus (|q|·n, one scan), so the report costs one scored
+    * scan, not an index rebuild; at 100 TB you run it on a sampled query
+    * set exactly like this one. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val hits = truth
+      .join(ivfTopK(spark, dir).select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select("query_id").join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("query_id"), col("n_hits"),
+        StableStats.ratio(col("n_hits"), lit(3)).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   private val PLANES = 8
   private val DIMS = 64
 
@@ -283,6 +314,7 @@ object Similarity {
     "x_kmeans_step"    -> (kmeansStep _),
     "x_sim_topk_brute" -> (bruteTopK _),
     "x_sim_ivf_topk"   -> (ivfTopK _),
+    "x_sim_ivf_recall" -> (ivfRecall _),
     "x_sim_lsh_topk"   -> (lshTopK _),
     "x_sim_quantized"  -> (quantizedTopK _)
   )
@@ -415,6 +447,38 @@ object Similarity {
         |  FROM scored)
         |SELECT query_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "x_sim_ivf_recall" -> {
+      import graft.ops.StableStats
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < 8),
+         |assigned AS (SELECT emb.vec_id, cent.c_id,
+         |    round(list_cosine_similarity(emb.e, cent.ce), 6) AS c_cos
+         |  FROM emb CROSS JOIN cent),
+         |clustered AS (SELECT vec_id, c_id AS cluster FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS r FROM assigned)
+         |  WHERE r = 1),
+         |ce AS (SELECT c.vec_id, c.cluster, emb.e FROM clustered c JOIN emb USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, cluster AS q_cluster, e AS qe
+         |  FROM ce WHERE vec_id >= 100 AND vec_id < 110),
+         |ivf AS (SELECT query_id, cand_id FROM (
+         |    SELECT q.query_id, ce.vec_id AS cand_id, row_number() OVER
+         |      (PARTITION BY q.query_id
+         |       ORDER BY round(list_cosine_similarity(q.qe, ce.e), 6) DESC, ce.vec_id) AS rn
+         |    FROM ce JOIN q ON ce.cluster = q.q_cluster AND ce.vec_id <> q.query_id)
+         |  WHERE rn <= 3),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |    SELECT q.query_id, emb.vec_id AS cand_id, row_number() OVER
+         |      (PARTITION BY q.query_id
+         |       ORDER BY round(list_cosine_similarity(q.qe, emb.e), 6) DESC, emb.vec_id) AS rn
+         |    FROM emb CROSS JOIN q WHERE emb.vec_id <> q.query_id)
+         |  WHERE rn <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS n_hits
+         |  FROM truth t JOIN ivf USING (query_id, cand_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${StableStats.ratioSql("coalesce(n_hits, 0)", "3")} AS recall_at_3
+         |FROM q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+    },
     "x_sim_ivf_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < 8),

@@ -108,4 +108,33 @@ class SimilaritySpec extends SparkSpec {
     val dirs = new java.io.File(idx).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster=")), dirs.mkString(","))
   }
+
+  test("ivf recall report: hits equal truth∩ivf, recall bounded and rounded") {
+    val corpus = "/root/testdata/sf0.001"
+    val r = Similarity.ivfRecall(spark, corpus).collect()
+      .map(x => x.getAs[Long]("query_id") ->
+        ((x.getAs[Long]("n_hits"), x.getAs[Double]("recall_at_3")))).toMap
+    assert(r.size === 10 && r.keySet === (100L until 110L).toSet)
+    // independent ground truth: HOF cosine + driver-side ranking (vs the
+    // operator's native-expression + window ranking)
+    val e = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+    val q = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = e.crossJoin(q).where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Similarity.cosineHof("qemb", "emb"), 6))
+      .select("query_id", "vec_id", "cos").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val truth = scored.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet }
+    val ivf = Similarity.ivfTopK(spark, corpus).collect()
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("cand_id"))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    r.foreach { case (qid, (hits, rec)) =>
+      val expect = truth(qid).intersect(ivf.getOrElse(qid, Set.empty[Long])).size
+      assert(hits === expect.toLong, s"query $qid")
+      assert(rec === math.floor(hits / 3.0 * 1e4 + 0.5) / 1e4, s"query $qid rounding")
+    }
+    assert(r.values.map(_._1).sum > 0, "1-probe IVF must recover some of the truth")
+  }
 }
