@@ -153,6 +153,15 @@ class DedupSpec extends SparkSpec {
     assert(incrPairs === onePassPairs)
     assert(incrPairs.contains((-10L, -3L)), "identical negative-id docs must pair")
     assert(incrPairs.contains((-2L, 1L)), "cross-shard negative/positive pair must survive")
+    // the incremental CLUSTER loop shards the same way — negative ids must
+    // produce the same components as the one-pass recompute
+    val fullClusters = Curation.dupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incrClusters = Curation.incrementalClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incrClusters === fullClusters,
+      "incremental components must cover negative ids exactly")
+    assert(fullClusters.contains(-3L), "negative odd id must appear in some component")
   }
 
   test("simhash: udaf Aggregator path is bit-equal to the codegen vote-sum path") {
