@@ -317,6 +317,30 @@ object Curation {
       rounds, jumpRounds)
   }
 
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram [[decontaminate]]: a paraphrased benchmark item shares no
+    * 8-gram with the eval set but still sits next to the eval prompt in
+    * embedding space. Eval vectors (vec_id < 20, the standing benchmark
+    * stand-in) broadcast and score against the corpus; rows at cosine
+    * ≥ 0.4 (the suite's near threshold, [[graft.ext.Dedup
+    * .embeddingNearDup]]) are flagged with their eval witness. At 100 TB
+    * the eval set stays |benchmarks|-bounded (thousands of rows), so this
+    * is one broadcast scored scan — the same shape as the ANN
+    * ground-truth pass; a web-scale eval suite would take the IVF bucket
+    * route instead. The threshold compares the ROUNDED score so the
+    * cross-engine cut is well-defined. */
+  def semDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.emb(spark, dir)
+    val ev = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"))
+    e.where(col("vec_id") >= 20)
+      .crossJoin(broadcast(ev))
+      .withColumn("cos_sim", round(Similarity.cosine("emb", "eemb"), 6))
+      .where(col("cos_sim") >= 0.4)
+      .select(col("vec_id"), col("eval_id"), col("cos_sim"))
+      .orderBy("vec_id", "eval_id")
+  }
+
   /** Incremental cluster maintenance: when a new shard ingests, near-dup
     * components are NOT recomputed over the whole corpus. The previous
     * labels contract to STAR edges (component representative → member —
@@ -683,6 +707,7 @@ object Curation {
     "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
     "x_decontaminate"     -> (decontaminate _),
+    "x_decontaminate_sem" -> (semDecontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
     "x_cluster_split"     -> (clusterSplitAssign _),
@@ -776,6 +801,15 @@ object Curation {
          |WHERE value IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "x_decontaminate_sem" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, e AS ee FROM emb WHERE vec_id < 20)
+        |SELECT emb.vec_id, ev.eval_id,
+        |  round(list_cosine_similarity(emb.e, ev.ee), 6) AS cos_sim
+        |FROM emb CROSS JOIN ev
+        |WHERE emb.vec_id >= 20
+        |  AND round(list_cosine_similarity(emb.e, ev.ee), 6) >= 4e-1
+        |ORDER BY vec_id, eval_id""".stripMargin,
     "x_decontaminate" ->
       """WITH grams AS (
         |  SELECT doc_id, g FROM (

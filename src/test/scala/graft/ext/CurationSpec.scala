@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
 
+  test("semantic decontamination: flags match an independent HOF-cosine rescore") {
+    val corpus = "/root/testdata/sf0.001"
+    val flagged = Curation.semDecontaminate(spark, corpus).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("eval_id")) -> x.getAs[Double]("cos_sim"))
+      .toMap
+    assert(flagged.nonEmpty, "corpus must contain eval-similar vectors at the 0.4 cut")
+    assert(flagged.keys.forall { case (v, e) => v >= 20 && e < 20 })
+    assert(flagged.values.forall(_ >= 0.4))
+    // independent rescore through the HOF cosine path
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+    val ev = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"))
+    val rescored = e.where(col("vec_id") >= 20).crossJoin(ev)
+      .withColumn("c", round(Similarity.cosineHof("emb", "eemb"), 6))
+      .where(col("c") >= 0.4)
+      .select("vec_id", "eval_id", "c").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(flagged === rescored, "native and HOF scoring must flag identical pairs")
+  }
+
   test("incremental clusters: star-contracted delta loop == full recompute, bit-identical") {
     val corpus = "/root/testdata/sf0.001"
     val full = Curation.dupClusters(spark, corpus).collect()
