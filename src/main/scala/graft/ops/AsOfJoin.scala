@@ -37,7 +37,7 @@ object AsOfJoin {
     val l = left.withColumn("__asof_id", lit(null).cast(r.schema("__asof_id").dataType))
       .withColumn("__asof_ts", lit(null).cast("timestamp"))
       .withColumn("__side", lit(1))
-    val u = l.select(r.columns.map(col) ++ left.columns.filterNot(c => c == key || c == ts).map(col): _*)
+    val u = l.select((r.columns.map(col) ++ left.columns.filterNot(c => c == key || c == ts).map(col)).toIndexedSeq: _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
