@@ -160,4 +160,33 @@ class PropertiesSpec extends SparkSpec {
       long.unpersist()
     }
   }
+
+  test("levenshtein: engine matches an independent DP; threshold form is exact-or-(-1)") {
+    // the edit-distance dedup verify (ext.Dedup.editDistancePairs) leans on
+    // both forms of the builtin — pin them against a from-scratch DP
+    def dp(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val strGen = for {
+      n <- Gen.choose(0, 12)
+      s <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield s.mkString
+    val pairGen = for { a <- strGen; b <- strGen } yield (a, b)
+    val pairs = (1 to 40).map(i =>
+      pairGen.pureApply(Gen.Parameters.default, Seed(100 + i.toLong)))
+    pairs.toDF("a", "b")
+      .selectExpr("a", "b", "levenshtein(a, b) AS d", "levenshtein(a, b, 4) AS d4")
+      .collect().foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        val expect = dp(a, b)
+        assert(r.getInt(2) === expect, s"'$a' vs '$b'")
+        assert(r.getInt(3) === (if (expect <= 4) expect else -1),
+          s"threshold form '$a' vs '$b'")
+      }
+  }
 }
