@@ -161,6 +161,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bpe merge step: pair counts conserve corpus mass vs a local reference") {
+    // the distributed trick (collapse to word-freq, explode THAT weighted
+    // by freq) must be indistinguishable from naive per-occurrence pair
+    // counting. A 3-letter alphabet keeps distinct pairs ≤ 9 < the top-20
+    // cut, so the engine returns the COMPLETE table and we can compare
+    // whole maps, plus total mass = Σ_occurrences (len-1).
+    val wordGen = for {
+      n <- Gen.choose(1, 6) // length-1 words exercise the ≥2 filter
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, docGen))
+    for (i <- 1 to 5) {
+      val docs = corpusGen.pureApply(Gen.Parameters.default, Seed(200 + i.toLong))
+      val d = java.nio.file.Files.createTempDirectory("graft-bpe-prop").toString
+      docs.zipWithIndex.map { case (t, id) => (id.toLong, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+      val words = docs.flatMap(_.split(" ")).filter(_.length >= 2)
+      val expect = words.flatMap(w => w.sliding(2))
+        .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+      val got = graft.ext.TextAnalysis.bpeMergeStep(spark, d).collect()
+        .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+      assert(got.toMap === expect, s"corpus $i: $docs")
+      assert(got.map(_._2).sum === words.map(_.length - 1L).sum, s"corpus $i mass")
+      // the committed ordering contract: count desc, then pair asc
+      assert(got.toSeq === got.toSeq.sortBy { case (p, n) => (-n, p) }, s"corpus $i order")
+    }
+  }
+
   test("levenshtein: engine matches an independent DP; threshold form is exact-or-(-1)") {
     // the edit-distance dedup verify (ext.Dedup.editDistancePairs) leans on
     // both forms of the builtin — pin them against a from-scratch DP
