@@ -603,6 +603,67 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-flattened sampling mix (XLM arXiv:1901.07291 §3.1; the
+    * multilingual `p^α` scheme mT5/XLM-R train with): q_s ∝ p_s^α with
+    * α = 0.3 up-weights small sources and down-weights dominant ones.
+    * Since p_s = n_s / N, q_s = n_s^α / Σ n^α — the N^α cancels, so the
+    * powers are taken on exact integer counts. Each n^α is snapped to
+    * integer 10⁻⁶ units BEFORE the normalizing sum (Σ of irrational
+    * doubles is addition-order-dependent — Spark's partial aggregation
+    * order differs from DuckDB's sequential scan; integer sums are
+    * order-free, the [[graft.ops.StableStats]] discipline).
+    *
+    * Scale shape: one sources-sized hash-agg, a 1-row global broadcast,
+    * and per-source arithmetic — nothing touches the corpus twice. */
+  def temperatureMix(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("q_units",
+        floor(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1e6) + lit(0.5)).cast("long"))
+    val stats = counts.agg(sum(col("n_docs")).as("total"), sum(col("q_units")).as("q_total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("p", col("n_docs").cast("double") / col("total"))
+      .withColumn("q", col("q_units").cast("double") / col("q_total"))
+      .select(col("source"), col("n_docs"),
+        stableRound(col("p"), 4).as("mix_p"),
+        stableRound(col("q"), 4).as("mix_q"),
+        stableRound(col("q") / col("p"), 4).as("up_weight"),
+        floor(col("q") * col("total") + lit(0.5)).cast("long").as("expected_docs"))
+      .orderBy("source")
+  }
+
+  /** Length-bucketed batch assignment: the padding-waste reducer every
+    * sequence-training loader ships (bucket docs by similar token count,
+    * batch within the bucket, pad each batch only to ITS max). Shards by
+    * content-stable hash first — each shard buckets and batches
+    * independently (exactly how per-worker loaders operate), so every
+    * window below is partitioned and the operator scales linearly with
+    * shard count: no global sort anywhere. Output is the per-batch
+    * packing ledger; `pad_waste` = Σ(batch max − doc tokens) is the
+    * padding the bucketing saves versus corpus-max padding, and is pure
+    * integer arithmetic — nothing to drift cross-engine. */
+  def lengthBuckets(spark: SparkSession, dir: String, shards: Int = 4,
+      buckets: Int = 8, batchSize: Int = 16): DataFrame = {
+    val byLen = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val inBucket = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(md5(concat('shard|', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % $shards"))
+      .withColumn("bucket", ntile(buckets).over(byLen).cast("long"))
+      .withColumn("batch",
+        floor((row_number().over(inBucket) - lit(1)) / lit(batchSize)).cast("long"))
+      .groupBy(col("shard"), col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens"))).as("pad_waste"))
+      .orderBy("shard", "bucket", "batch")
+  }
+
   /** Winsorized per-type means over `events.value`: the p05/p95 cutoffs
     * are EXACT ORDER STATISTICS (the element at rank ⌈p·n⌉ under a
     * total (value, event_id) order), so both engines pick the identical
@@ -704,6 +765,8 @@ object Curation {
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
+    "x_mix_temperature"   -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "x_len_buckets"       -> ((s: SparkSession, d: String) => lengthBuckets(s, d)),
     "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
     "x_decontaminate"     -> (decontaminate _),
@@ -776,6 +839,44 @@ object Curation {
          |FROM u JOIN rates USING (source)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "x_mix_temperature" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(floor(pow(CAST(count(*) AS DOUBLE), 0.3) * 1e6 + 0.5) AS BIGINT) AS q_units
+         |  FROM documents GROUP BY source),
+         |stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    CAST(sum(q_units) AS BIGINT) AS q_total FROM counts),
+         |r AS (SELECT source, n_docs,
+         |    CAST(n_docs AS DOUBLE) / total AS p,
+         |    CAST(q_units AS DOUBLE) / q_total AS q, total
+         |  FROM counts, stats)
+         |SELECT source, n_docs,
+         |  ${stableRoundSql("p", 4)} AS mix_p,
+         |  ${stableRoundSql("q", 4)} AS mix_q,
+         |  ${stableRoundSql("q / p", 4)} AS up_weight,
+         |  CAST(floor(q * total + 0.5) AS BIGINT) AS expected_docs
+         |FROM r ORDER BY source""".stripMargin
+    },
+    "x_len_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(ntile(8) OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        |  FROM t),
+        |r AS (
+        |  SELECT shard, bucket, n_tokens,
+        |    row_number() OVER (PARTITION BY shard, bucket ORDER BY n_tokens, doc_id) AS rn
+        |  FROM b)
+        |SELECT shard, bucket, CAST(floor((rn - 1) / 16) AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY shard, bucket, batch
+        |ORDER BY shard, bucket, batch""".stripMargin,
     "x_winsorize" -> {
       import graft.ops.StableStats
       def tenKMeanSql(e: String) = StableStats.stableRoundSql(

@@ -70,6 +70,57 @@ class CurationMixSpec extends SparkSpec {
     assert(kept > 30 && kept < 70, s"big source downsamples to ~rate*n: $kept")
   }
 
+  test("temperature mix flattens toward the rare source with p^0.3 weights") {
+    val rows = Curation.temperatureMix(spark, mixDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("mix_p"), r.getAs[Double]("mix_q"),
+          r.getAs[Double]("up_weight"), r.getAs[Long]("expected_docs"))))
+      .toMap
+    // reference arithmetic, same snapping discipline as the engine
+    def qUnits(n: Long) = math.floor(math.pow(n.toDouble, 0.3) * 1e6 + 0.5).toLong
+    val qTotal = qUnits(90) + qUnits(10)
+    def q(n: Long) = qUnits(n).toDouble / qTotal
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val (nB, pB, qB, wB, eB) = rows("src_big")
+    val (nS, pS, qS, wS, eS) = rows("src_small")
+    assert((nB, nS) === ((90L, 10L)))
+    assert(pB === 0.9 && pS === 0.1)
+    assert(qB === r4(q(90)) && qS === r4(q(10)), s"q: $qB / $qS")
+    assert(wS > 1.0 && wB < 1.0, "temperature up-weights rare, down-weights dominant")
+    assert(wS === r4(q(10) / 0.1) && wB === r4(q(90) / 0.9))
+    assert(eB === math.floor(q(90) * 100 + 0.5).toLong && eB + eS === 100L,
+      s"expected docs re-normalize to the corpus: $eB + $eS")
+    // flattening, not inversion: the dominant source still expects more docs
+    assert(eB > eS && eB < 90, s"expected big-source share flattens below raw: $eB")
+  }
+
+  test("length buckets: boundaries are monotone, batches bounded, token mass conserved") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.lengthBuckets(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf)
+      .selectExpr("cast(sum(size(split(text, ' '))) as bigint)").head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L, "every doc lands in a batch")
+    assert(rows.forall(_.getAs[Long]("n_docs") <= 16L), "batch size respects the cap")
+    assert(rows.forall(_.getAs[Long]("pad_waste") >= 0L))
+    // Σ (batch_max × n − waste) = Σ tokens: the ledger accounts exactly
+    assert(rows.map(r => r.getAs[Long]("max_tokens") * r.getAs[Long]("n_docs")
+      - r.getAs[Long]("pad_waste")).sum === total)
+    // within a shard, bucket b's longest doc never exceeds bucket b+1's
+    // shortest — ntile over the length order makes buckets contiguous
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val byBucket = rs.groupBy(_.getAs[Long]("bucket")).toSeq.sortBy(_._1)
+        .map { case (b, bs) =>
+          (b, bs.map(_.getAs[Long]("min_tokens")).min, bs.map(_.getAs[Long]("max_tokens")).max)
+        }
+      byBucket.sliding(2).foreach {
+        case Seq((_, _, hiPrev), (_, loNext, _)) =>
+          assert(hiPrev <= loNext, s"shard $shard bucket boundary: $hiPrev > $loNext")
+        case _ =>
+      }
+      assert(byBucket.map(_._1) === (1L to byBucket.size).toSeq, s"shard $shard buckets contiguous")
+    }
+  }
+
   private lazy val winsorDir: String = {
     val d = Files.createTempDirectory("graft-winsor").toString
     (1 to 100).map(i =>

@@ -58,6 +58,8 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Curation.clusterSplitAssign(spark, dir).count() === 0)
     assert(graft.ext.Curation.incrementalClusters(spark, dir).count() === 0)
     assert(graft.ext.Curation.curationPipeline(spark, dir).count() === 0)
+    assert(graft.ext.Curation.temperatureMix(spark, dir).count() === 0)
+    assert(graft.ext.Curation.lengthBuckets(spark, dir).count() === 0)
   }
 
   test("TPC-H shapes and incremental merge on empty facts") {

@@ -123,6 +123,7 @@ class PlanSpec extends SparkSpec {
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid", "x_text_gopher",
       "x_bpe_merge_step",
       "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins",
+      "x_len_buckets",
       // iterative-loop composites: the label loop materializes through
       // checkpoints, so the final plan audited here is the probe/census
       // stage — the part that could regress into a corpus broadcast
@@ -167,6 +168,7 @@ class PlanSpec extends SparkSpec {
       "x_outliers_mad"    -> ((3, 0)), // median, MAD, join-back
       "x_winsorize"       -> ((1, 0)), // per-type percentile cuts
       "x_domain_mix"      -> ((2, 1)), // per-source rates + 1-row total
+      "x_mix_temperature" -> ((1, 1)), // 1-row (total, q_total) aggregate
       "x_bm25_topk"       -> ((2, 1)), // query-token DF + 1-row stats
       "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
       "x_ppl_buckets"     -> ((1, 1))) // 1-row corpus total
