@@ -308,7 +308,77 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Hybrid retrieval via reciprocal rank fusion (Cormack et al.,
+    * SIGIR'09: score = Σ_lists 1/(k + rank), k = 60): the standard
+    * combiner behind every lexical+vector hybrid search stack. Queries
+    * are documents 0..4; the LEXICAL list ranks candidates by
+    * distinct-token Jaccard against the query doc, the SEMANTIC list by
+    * embedding cosine (the `documents`/`embeddings` tables share the
+    * id space). Each list keeps top-20; fusion takes top-10.
+    *
+    * Scale shape: the query side of both lists is a 5-row broadcast —
+    * lexical candidates come from a token-equality join against the
+    * broadcast query-token set (only docs sharing ≥1 token are scored,
+    * an inverted-index probe, never corpus×corpus), semantic scoring is
+    * one scan with the broadcast query embeddings. The RRF sum is two
+    * IEEE terms in a fixed order (`1/(60+lex) + 1/(60+sem)`), so both
+    * engines compute it bit-identically; absent-from-list ranks encode
+    * as 0 contribution, matching the RRF convention. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 5
+    val listK = 20
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .where(length(col("tok")) >= 1)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val qtoks = toks.where(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val qsizes = sizes.where(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("n_tok").as("q_tok"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val lex = toks.join(broadcast(qtoks), "tok")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes, "doc_id")
+      .join(broadcast(qsizes), "query_id")
+      // one IEEE division on integers: bit-identical cross-engine, so the
+      // rank order (jac desc, doc asc) can never disagree with the oracle
+      .withColumn("jac",
+        col("inter").cast("double") / (col("q_tok") + col("n_tok") - col("inter")))
+      .withColumn("lex_rn", row_number().over(wLex))
+      .where(col("lex_rn") <= listK)
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("lex_rn"))
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val wSem = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val sem = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine("qemb", "emb"), 6))
+      .withColumn("sem_rn", row_number().over(wSem))
+      .where(col("sem_rn") <= listK)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("sem_rn"))
+    val wFuse = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id").asc)
+    lex.join(sem, Seq("query_id", "cand_id"), "full_outer")
+      // RRF is RATIONAL (sum of two unit fractions) — plain round()'s
+      // halfway handling can diverge cross-engine, so it goes through the
+      // StableStats arithmetic-only rounding like every rational stat
+      .withColumn("rrf", graft.ops.StableStats.stableRound(
+        when(col("lex_rn").isNotNull, lit(1.0) / (lit(60) + col("lex_rn"))).otherwise(lit(0.0))
+          + when(col("sem_rn").isNotNull, lit(1.0) / (lit(60) + col("sem_rn"))).otherwise(lit(0.0)),
+        6))
+      .withColumn("rn", row_number().over(wFuse))
+      .where(col("rn") <= 10)
+      .select(col("query_id"), col("rn"), col("cand_id"), col("rrf"),
+        coalesce(col("lex_rn"), lit(0)).cast("int").as("lex_rn"),
+        coalesce(col("sem_rn"), lit(0)).cast("int").as("sem_rn"))
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rrf_hybrid"     -> (rrfHybrid _),
     "x_pq_search"      -> (pqSearch _),
     "x_pq_codes"       -> (pqCodes _),
     "x_kmeans_step"    -> (kmeansStep _),
@@ -320,6 +390,47 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_rrf_hybrid" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH toks AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |    FROM documents) WHERE len(tok) >= 1),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+         |qt AS (SELECT doc_id AS query_id, tok FROM toks WHERE doc_id < 5),
+         |qs AS (SELECT doc_id AS query_id, n_tok AS q_tok FROM sizes WHERE doc_id < 5),
+         |inter AS (SELECT qt.query_id, toks.doc_id, count(*) AS inter
+         |  FROM toks JOIN qt USING (tok) WHERE toks.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id AS cand_id, lex_rn FROM (
+         |    SELECT i.query_id, i.doc_id, row_number() OVER (PARTITION BY i.query_id
+         |        ORDER BY CAST(i.inter AS DOUBLE) / (qs.q_tok + s.n_tok - i.inter) DESC,
+         |                 i.doc_id) AS lex_rn
+         |    FROM inter i JOIN sizes s ON s.doc_id = i.doc_id
+         |    JOIN qs ON qs.query_id = i.query_id)
+         |  WHERE lex_rn <= 20),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 5),
+         |sem AS (SELECT query_id, cand_id, sem_rn FROM (
+         |    SELECT q.query_id, emb.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.qe, emb.e), 6) DESC,
+         |                 emb.vec_id) AS sem_rn
+         |    FROM emb CROSS JOIN q WHERE emb.vec_id <> q.query_id)
+         |  WHERE sem_rn <= 20),
+         |fused AS (SELECT
+         |    coalesce(lex.query_id, sem.query_id) AS query_id,
+         |    coalesce(lex.cand_id, sem.cand_id) AS cand_id,
+         |    ${stableRoundSql(
+                 "coalesce(1e0/(60 + lex.lex_rn), 0) + coalesce(1e0/(60 + sem.sem_rn), 0)", 6)} AS rrf,
+         |    coalesce(lex.lex_rn, 0) AS lex_rn, coalesce(sem.sem_rn, 0) AS sem_rn
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.query_id = sem.query_id AND lex.cand_id = sem.cand_id)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rn, cand_id, rrf,
+         |  CAST(lex_rn AS INTEGER) AS lex_rn, CAST(sem_rn AS INTEGER) AS sem_rn
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, cand_id) AS rn FROM fused)
+         |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+    },
     "x_pq_search" -> {
       def assign(sub: String, out: String) =
         s"""$out AS (SELECT vec_id, c_id FROM (

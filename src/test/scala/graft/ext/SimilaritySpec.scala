@@ -137,4 +137,31 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(r.values.map(_._1).sum > 0, "1-probe IVF must recover some of the truth")
   }
+
+  test("RRF hybrid: fused score reconstructs from list ranks, ordered, both lists contribute") {
+    val corpus = "/root/testdata/sf0.001"
+    val rows = Similarity.rrfHybrid(spark, corpus).collect()
+    assert(rows.length === 50, "5 queries x top-10")
+    def f(r: Int) = if (r == 0) 0.0 else 1.0 / (60 + r)
+    rows.foreach { x =>
+      val (lex, sem) = (x.getAs[Int]("lex_rn"), x.getAs[Int]("sem_rn"))
+      assert(lex >= 0 && lex <= 20 && sem >= 0 && sem <= 20)
+      assert(lex > 0 || sem > 0, "every fused candidate came from at least one list")
+      // the engine's published score must be exactly the RRF of its own ranks
+      val expect = math.floor((f(lex) + f(sem)) * 1e6 + 0.5) / 1e6
+      assert(x.getAs[Double]("rrf") === expect, s"row $x")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rn"))
+      assert(byRank.map(_.getAs[Int]("rn")).toSeq === (1 to 10), s"query $qid dense ranks")
+      val scores = byRank.map(_.getAs[Double]("rrf")).toSeq
+      assert(scores === scores.sorted.reverse, s"query $qid rrf descending")
+      // fusion is real: both lists reach the fused top-10 (equal ranks
+      // score equally, so neither modality can shut the other out; the
+      // synthetic embeddings are NOT derived from the text, so a
+      // stronger both-lists-agree-on-top-1 claim would not hold here)
+      assert(rs.exists(_.getAs[Int]("lex_rn") > 0), s"query $qid has lexical evidence")
+      assert(rs.exists(_.getAs[Int]("sem_rn") > 0), s"query $qid has semantic evidence")
+    }
+  }
 }

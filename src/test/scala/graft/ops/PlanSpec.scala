@@ -158,6 +158,7 @@ class PlanSpec extends SparkSpec {
       "x_decontaminate"   -> ((1, 0)), // benchmark grams
       "x_decontaminate_sem" -> ((1, 1)), // eval vectors (BNLJ IS the scored scan)
       "x_sim_topk_brute"  -> ((1, 1)), // query set (BNLJ IS the brute force)
+      "x_rrf_hybrid"      -> ((3, 1)), // query tokens + sizes + embeddings
       "x_sim_ivf_topk"    -> ((1, 1)), // centroids + query probes
       "x_sim_lsh_topk"    -> ((1, 1)), // hyperplanes + query buckets
       "x_sim_quantized"   -> ((2, 2)), // scale consts + query set
