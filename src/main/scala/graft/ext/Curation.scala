@@ -633,6 +633,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Materialize [[temperatureMix]]'s quotas as an exact per-source
+    * sample: docs rank by a content-stable hash within their source and
+    * the first `expected_docs` are taken — deterministic, seedless, and
+    * re-runnable (the same doc set every time, the property a training
+    * run needs to be reproducible). The output is the per-source sample
+    * ledger: `n_sampled < expected_docs` exposes quota shortfall on
+    * up-weighted small sources (p^α gives them up_weight > 1 — a sampler
+    * without replacement can only repeat epochs, which `repeat_factor`
+    * quantifies), and the doc-id / token checksums pin the EXACT sampled
+    * set cross-engine, not just its size.
+    *
+    * Scale shape: quotas are a sources-sized broadcast; the rank is a
+    * hash sort WITHIN each source partition (the one unavoidable cost of
+    * an exact quota — an approximate quota would instead filter on
+    * hash < rate with no sort, the [[domainMix]] path). */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val quota = temperatureMix(spark, dir)
+      .select(col("source"), col("n_docs"), col("expected_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("tsamp|"), col("doc_id").cast("string"))), col("doc_id"))
+    val sampled = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quota.select(col("source"), col("expected_docs"))), "source")
+      .where(col("rn") <= col("expected_docs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("sample_doc_sum"),
+        sum(col("n_tokens")).as("sample_tokens"))
+    quota.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("expected_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        stableRound(col("expected_docs").cast("double") / col("n_docs"), 4)
+          .as("repeat_factor"),
+        coalesce(col("sample_doc_sum"), lit(0L)).as("sample_doc_sum"),
+        coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"))
+      .orderBy("source")
+  }
+
   /** Length-bucketed batch assignment: the padding-waste reducer every
     * sequence-training loader ships (bucket docs by similar token count,
     * batch within the bucket, pad each batch only to ITS max). Shards by
@@ -766,6 +807,7 @@ object Curation {
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
     "x_mix_temperature"   -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "x_mix_temp_sample"   -> (temperatureSample _),
     "x_len_buckets"       -> ((s: SparkSession, d: String) => lengthBuckets(s, d)),
     "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
@@ -857,6 +899,39 @@ object Curation {
          |  ${stableRoundSql("q / p", 4)} AS up_weight,
          |  CAST(floor(q * total + 0.5) AS BIGINT) AS expected_docs
          |FROM r ORDER BY source""".stripMargin
+    },
+    "x_mix_temp_sample" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(floor(pow(CAST(count(*) AS DOUBLE), 0.3) * 1e6 + 0.5) AS BIGINT) AS q_units
+         |  FROM documents GROUP BY source),
+         |stats AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    CAST(sum(q_units) AS BIGINT) AS q_total FROM counts),
+         |quota AS (SELECT source, n_docs,
+         |    CAST(floor(CAST(q_units AS DOUBLE) / q_total * total + 0.5) AS BIGINT)
+         |      AS expected_docs
+         |  FROM counts, stats),
+         |ranked AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('tsamp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents),
+         |samp AS (SELECT r.source, r.doc_id, r.n_tokens
+         |  FROM ranked r JOIN quota q
+         |    ON r.source = q.source AND r.rn <= q.expected_docs),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         |    CAST(sum(doc_id) AS BIGINT) AS sample_doc_sum,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sample_tokens
+         |  FROM samp GROUP BY source)
+         |SELECT q.source, q.n_docs, q.expected_docs,
+         |  coalesce(a.n_sampled, 0) AS n_sampled,
+         |  ${stableRoundSql("CAST(q.expected_docs AS DOUBLE) / q.n_docs", 4)}
+         |    AS repeat_factor,
+         |  coalesce(a.sample_doc_sum, 0) AS sample_doc_sum,
+         |  coalesce(a.sample_tokens, 0) AS sample_tokens
+         |FROM quota q LEFT JOIN agg a USING (source)
+         |ORDER BY source""".stripMargin
     },
     "x_len_buckets" ->
       """WITH t AS (

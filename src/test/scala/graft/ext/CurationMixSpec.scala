@@ -94,6 +94,33 @@ class CurationMixSpec extends SparkSpec {
     assert(eB > eS && eB < 90, s"expected big-source share flattens below raw: $eB")
   }
 
+  test("temperature sample: exact quotas, shortfall on up-weighted source, checksum pins the set") {
+    val rows = Curation.temperatureSample(spark, mixDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("expected_docs"), r.getAs[Long]("n_sampled"),
+          r.getAs[Double]("repeat_factor"), r.getAs[Long]("sample_doc_sum"))))
+      .toMap
+    val (nS, eS, sS, fS, sumS) = rows("src_small")
+    val (nB, eB, sB, fB, sumB) = rows("src_big")
+    // the flattened quota exceeds the small source: it contributes ALL its
+    // docs (checksum = Σ 91..100) and the shortfall surfaces as epochs
+    assert(nS === 10L && eS > 10L && sS === 10L, s"small: ${rows("src_small")}")
+    assert(sumS === (91 to 100).map(_.toLong).sum)
+    assert(fS > 1.0 && fS === math.floor(eS.toDouble / 10 * 1e4 + 0.5) / 1e4)
+    // the dominant source fills its (reduced) quota exactly
+    assert(nB === 90L && eB < 90L && sB === eB && fB < 1.0, s"big: ${rows("src_big")}")
+    assert(eB + eS === 100L, "quotas re-normalize to the corpus size")
+    // independent formulation of the same sample: hash-order the big
+    // source directly and take its quota — the checksums must agree
+    val expectSumB = graft.Tables.documents(spark, mixDir)
+      .where($"source" === "src_big")
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("tsamp|"), $"doc_id".cast("string"))), $"doc_id")
+      .limit(eB.toInt).agg(org.apache.spark.sql.functions.sum($"doc_id")).head().getLong(0)
+    assert(sumB === expectSumB, "ledger checksum pins the exact sampled set")
+  }
+
   test("length buckets: boundaries are monotone, batches bounded, token mass conserved") {
     val sf = "/root/testdata/sf0.001"
     val rows = Curation.lengthBuckets(spark, sf).collect()
