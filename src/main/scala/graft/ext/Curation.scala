@@ -674,6 +674,56 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DSIR-style data selection (Xie et al., arXiv:2302.03169): score
+    * every document by the log-likelihood ratio of its hashed-unigram
+    * features under a TARGET distribution (here: the `en` slice standing
+    * in for "looks like the domain I want") vs the RAW corpus
+    * distribution — the importance weight DSIR resamples by. Features
+    * hash into a fixed bucket space (1024) with add-1 smoothing, so both
+    * distributions are bounded frames no matter the corpus size.
+    *
+    * Each bucket's log-ratio is snapped to integer 10⁻⁶ units BEFORE the
+    * per-document sum (Σ of transcendental doubles is addition-order-
+    * dependent across engines; integer sums are order-free — the
+    * [[graft.ops.StableStats]] discipline), and ranking uses the
+    * per-token mean so long documents don't win by length alone.
+    *
+    * Scale shape: one token explode feeding two bucket-bounded (≤1024
+    * group) hash-aggs, a 1-row totals broadcast, the bucket scores as a
+    * broadcast map-side join back onto the token stream, one per-doc
+    * agg, and a top-k (TakeOrdered — no global sort). */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024,
+      targetLang: String = "en", k: Int = 20): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .withColumn("b",
+        expr(s"cast(conv(substring(md5(concat('dsir|', tok)), 1, 8), 16, 10) as bigint) % $buckets"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val totals = toks.agg(count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    val bstats = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), floor(
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(1)).cast("double")
+            / (col("n_tgt") + lit(buckets)).cast("double"))
+          - log((col("c_raw") + lit(1)).cast("double")
+            / (col("n_raw") + lit(buckets)).cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long").as("units"))
+    toks.join(broadcast(bstats), "b")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("units")).as("sum_units"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        stableRound(col("sum_units") / lit(1e6), 4).as("log_ratio"),
+        stableRound(col("sum_units") / lit(1e6) / col("n_tokens"), 4).as("mean_log_ratio"))
+      .orderBy(col("mean_log_ratio").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Length-bucketed batch assignment: the padding-waste reducer every
     * sequence-training loader ships (bucket docs by similar token count,
     * batch within the bucket, pad each batch only to ITS max). Shards by
@@ -808,6 +858,7 @@ object Curation {
     "x_domain_mix"        -> (domainMix _),
     "x_mix_temperature"   -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "x_mix_temp_sample"   -> (temperatureSample _),
+    "x_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "x_len_buckets"       -> ((s: SparkSession, d: String) => lengthBuckets(s, d)),
     "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
@@ -932,6 +983,34 @@ object Curation {
          |  coalesce(a.sample_tokens, 0) AS sample_tokens
          |FROM quota q LEFT JOIN agg a USING (source)
          |ORDER BY source""".stripMargin
+    },
+    "x_dsir_weights" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH toks AS (SELECT doc_id, source, lang, tok,
+         |    ('0x' || substr(md5('dsir|' || tok), 1, 8))::BIGINT % 1024 AS b
+         |  FROM (SELECT doc_id, source, lang,
+         |      unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE len(tok) >= 1),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_raw FROM toks GROUP BY b),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_tgt FROM toks
+         |  WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM toks),
+         |bs AS (SELECT raw.b, CAST(floor(
+         |    (ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE) / (tot.n_tgt + 1024))
+         |     - ln(CAST(raw.c_raw + 1 AS DOUBLE) / (tot.n_raw + 1024)))
+         |    * 1e6 + 0.5) AS BIGINT) AS units
+         |  FROM raw LEFT JOIN tgt USING (b), tot),
+         |d AS (SELECT t.doc_id, t.lang, t.source,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(bs.units) AS BIGINT) AS sum_units
+         |  FROM toks t JOIN bs USING (b)
+         |  GROUP BY t.doc_id, t.lang, t.source)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  ${stableRoundSql("sum_units / 1e6", 4)} AS log_ratio,
+         |  ${stableRoundSql("sum_units / 1e6 / n_tokens", 4)} AS mean_log_ratio
+         |FROM d ORDER BY mean_log_ratio DESC, doc_id LIMIT 20""".stripMargin
     },
     "x_len_buckets" ->
       """WITH t AS (

@@ -121,6 +121,35 @@ class CurationMixSpec extends SparkSpec {
     assert(sumB === expectSumB, "ledger checksum pins the exact sampled set")
   }
 
+  test("DSIR weights score content against the target distribution, not the label") {
+    val d = Files.createTempDirectory("graft-dsir").toString
+    val enVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val deVocab = Seq("zett", "eta", "theta", "iota", "kappa")
+    def text(v: Seq[String], seed: Int) = (0 until 8).map(i => v((seed + i) % v.size)).mkString(" ")
+    val docs = (1 to 10).map(i => (i.toLong, text(enVocab, i), "en", "s0", 0L)) ++
+      (11 to 20).map(i => (i.toLong, text(deVocab, i), "de", "s1", 0L)) :+
+      // the ringer: labeled de, written in the target's vocabulary
+      ((21L, text(enVocab, 3), "de", "s1", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val rows = Curation.dsirWeights(spark, d).collect()
+    val rank = rows.map(_.getAs[Long]("doc_id")).zipWithIndex.toMap
+    // every target-vocabulary doc (including the mislabeled ringer)
+    // outranks every out-of-domain doc: the weight reads the text
+    (1L to 10L).foreach(en => (11L to 20L).foreach { de =>
+      if (rank.contains(de)) assert(rank(en) < rank(de), s"doc $en vs $de") })
+    assert(rank(21L) < 11, s"ringer ranks with the target-vocab docs: ${rank.get(21L)}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === 8L)
+      // mean is the published sum scaled by length, same rounding path
+      val lr = r.getAs[Double]("log_ratio")
+      val mean = r.getAs[Double]("mean_log_ratio")
+      assert(math.abs(mean - lr / 8) < 2e-4, s"mean/sum consistent: $r")
+    }
+    val means = rows.map(_.getAs[Double]("mean_log_ratio")).toSeq
+    assert(means === means.sorted.reverse, "output ordered by descending weight")
+  }
+
   test("length buckets: boundaries are monotone, batches bounded, token mass conserved") {
     val sf = "/root/testdata/sf0.001"
     val rows = Curation.lengthBuckets(spark, sf).collect()

@@ -171,6 +171,7 @@ class PlanSpec extends SparkSpec {
       "x_domain_mix"      -> ((2, 1)), // per-source rates + 1-row total
       "x_mix_temperature" -> ((1, 1)), // 1-row (total, q_total) aggregate
       "x_mix_temp_sample" -> ((3, 2)), // quota × 2 sites, each with its 1-row stats
+      "x_dsir_weights"    -> ((2, 1)), // 1024-bucket scores + 1-row totals
       "x_bm25_topk"       -> ((2, 1)), // query-token DF + 1-row stats
       "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
       "x_ppl_buckets"     -> ((1, 1))) // 1-row corpus total
