@@ -222,11 +222,18 @@ object Dedup {
 
   /** [[lshCandidates]] over an arbitrary (doc_id, text, …) frame. */
   private[graft] def lshCandidatesOf(docs: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
     // persist: the signature frame (one row per doc) feeds both band
     // projections AND both sides of the bucket self-join — without the
     // cache point the full shingle+hash subplan runs four times
-    val mh = minhashSignaturesOf(docs).persist()
+    lshCandidatesOfSigs(minhashSignaturesOf(docs).persist(), maxBucket)
+
+  /** [[lshCandidatesOf]] when the caller already holds (and has cached)
+    * the signature frame — lets composites that need BOTH the candidates
+    * and the signatures (estimation-quality reports, incremental probes)
+    * pay for one signature pass instead of two. */
+  private[graft] def lshCandidatesOfSigs(mh: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val bands = bandsOf(mh)
     // bucket size + representative via one window over the same
     // (band, bucket) hash partitioning the self-join needs — the join
@@ -495,6 +502,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimation-quality report: for every LSH candidate pair,
+    * the signature-estimated Jaccard (matching-slot fraction — the
+    * unbiased MinHash estimator, MMDS §3.3) next to the EXACT distinct-
+    * shingle Jaccard, with the signed error. The measurement a dedup
+    * operator runs before trusting signature-space thresholds at scale:
+    * with K=8 slots the estimator is quantized to eighths, and this
+    * report shows exactly how that granularity spreads around truth on
+    * the real corpus (the [[Similarity.ivfRecall]] pattern, applied to
+    * the dedup index).
+    *
+    * Cost shape: one signature pass shared between banding and the
+    * estimator (via [[lshCandidatesOfSigs]]), and the exact-Jaccard
+    * verify touches only O(candidate × shingles) — the same bounded
+    * verify join as [[containment]], never corpus × corpus. */
+  def minhashEstQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val docs = Tables.documents(spark, dir)
+    val sigs = minhashSignaturesOf(docs).persist()
+    val pairs = lshCandidatesOfSigs(sigs)
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+    val slotMatches = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(hashedShingleExpr)).as("s"))
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s").as("sb")),
+        col("doc_b") === col("db") && col("sa") === col("sb"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("slot_matches", slotMatches)
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("est_jaccard", StableStats.ratio(col("slot_matches"), lit(K)))
+      .withColumn("exact_jaccard",
+        StableStats.ratio(col("n_inter"), col("n_a") + col("n_b") - col("n_inter")))
+      .withColumn("est_err",
+        StableStats.stableRound(col("est_jaccard") - col("exact_jaccard"), 4))
+      .select(col("doc_a"), col("doc_b"), col("slot_matches"), col("n_inter"),
+        col("est_jaccard"), col("exact_jaccard"), col("est_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs rolled up
     * by (source, source) — the "which crawls copy from which" diagnostic
     * that decides source-level dedup priorities. Pure composition: the
@@ -557,6 +618,7 @@ object Dedup {
     "x_dedup_editdist"      -> (editDistancePairs _),
     "x_source_overlap"      -> (sourceOverlap _),
     "x_dedup_containment"   -> (containment _),
+    "x_minhash_est"         -> (minhashEstQuality _),
     "x_dedup_exact"         -> (exact _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
     "x_incr_minhash"        -> (incrementalMinhash _),
@@ -640,6 +702,48 @@ object Dedup {
            |JOIN documents da ON da.doc_id = doc_a
            |JOIN documents db ON db.doc_id = doc_b
            |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
+      "x_minhash_est" -> {
+        import graft.ops.StableStats
+        val est = (0 until K).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH pairs AS ($pairsSubquery),
+           |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh2 AS (SELECT DISTINCT doc_id, s FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+           |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           |  FROM words WHERE len(w) >= 3)),
+           |hashed2 AS (SELECT doc_id,
+           |  ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+           |  ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2 FROM sh2),
+           |mh2 AS (SELECT doc_id, $minCols FROM hashed2 GROUP BY doc_id),
+           |hsh AS (SELECT DISTINCT doc_id,
+           |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS hs FROM sh2),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM hsh GROUP BY doc_id),
+           |inter AS (SELECT doc_a, doc_b, count(*) AS n_inter
+           |  FROM pairs
+           |  JOIN hsh a ON a.doc_id = doc_a
+           |  JOIN hsh b ON b.doc_id = doc_b AND b.hs = a.hs
+           |  GROUP BY doc_a, doc_b),
+           |slots AS (SELECT pairs.doc_a, pairs.doc_b,
+           |    CAST($est AS BIGINT) AS slot_matches
+           |  FROM pairs
+           |  JOIN mh2 a ON a.doc_id = pairs.doc_a
+           |  JOIN mh2 b ON b.doc_id = pairs.doc_b)
+           |SELECT s.doc_a, s.doc_b, s.slot_matches,
+           |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+           |  ${StableStats.ratioSql("s.slot_matches", s"$K")} AS est_jaccard,
+           |  ${StableStats.ratioSql("coalesce(n_inter, 0)",
+                "sa.n_sh + sb.n_sh - coalesce(n_inter, 0)")} AS exact_jaccard,
+           |  ${StableStats.stableRoundSql(
+                s"${StableStats.ratioSql("s.slot_matches", s"$K")}" +
+                s" - ${StableStats.ratioSql("coalesce(n_inter, 0)",
+                  "sa.n_sh + sb.n_sh - coalesce(n_inter, 0)")}", 4)} AS est_err
+           |FROM slots s
+           |LEFT JOIN inter ON inter.doc_a = s.doc_a AND inter.doc_b = s.doc_b
+           |JOIN sizes sa ON sa.doc_id = s.doc_a
+           |JOIN sizes sb ON sb.doc_id = s.doc_b
+           |ORDER BY s.doc_a, s.doc_b""".stripMargin
+      },
       "x_dedup_containment" -> {
         import graft.ops.StableStats
         s"""WITH pairs AS ($pairsSubquery),

@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(4L) })
   }
 
+  test("minhash estimation report: exact dup estimates 1.0 exactly, errors reconstruct") {
+    val rows = Dedup.minhashEstQuality(spark, dir).collect()
+    assert(rows.nonEmpty, "the exact-dup pair is always a candidate")
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    val dup = byPair((0L, 1L))
+    // identical text → identical signature (all slots match) AND exact
+    // Jaccard 1.0, so the estimator is exact and the error is zero
+    assert(dup.getAs[Long]("slot_matches") === 8L)
+    assert(dup.getAs[Double]("est_jaccard") === 1.0)
+    assert(dup.getAs[Double]("exact_jaccard") === 1.0)
+    assert(dup.getAs[Double]("est_err") === 0.0)
+    rows.foreach { r =>
+      val slots = r.getAs[Long]("slot_matches")
+      assert(slots >= 0L && slots <= 8L)
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(est === math.floor(slots / 8.0 * 1e4 + 0.5) / 1e4, s"estimator quantized: $r")
+      assert(exact >= 0.0 && exact <= 1.0)
+      // the published error is the difference of the published columns
+      assert(r.getAs[Double]("est_err") === math.floor((est - exact) * 1e4 + 0.5) / 1e4, s"$r")
+    }
+    // the near-dup (0,2): 5 of each side's 6 shingles shared → 5/7
+    byPair.get((0L, 2L)).foreach { nd =>
+      assert(nd.getAs[Long]("n_inter") === 5L
+        && nd.getAs[Double]("exact_jaccard") === math.floor(5.0 / 7 * 1e4 + 0.5) / 1e4)
+    }
+  }
+
   test("minhash signatures merge algebraically: batch-at-a-time == full recompute") {
     val all = graft.Tables.documents(spark, dir)
     val full = Dedup.minhashSignaturesOf(all).collect()

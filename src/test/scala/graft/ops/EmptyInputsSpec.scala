@@ -63,6 +63,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Similarity.rrfHybrid(spark, dir).count() === 0)
     assert(graft.ext.Curation.temperatureSample(spark, dir).count() === 0)
     assert(graft.ext.Curation.dsirWeights(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.minhashEstQuality(spark, dir).count() === 0)
   }
 
   test("TPC-H shapes and incremental merge on empty facts") {

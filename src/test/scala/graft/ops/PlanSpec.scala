@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
     val names = Seq("x_dedup_exact", "x_incr_minhash", "x_dedup_minhash_lsh", "x_dedup_simhash",
       "x_dedup_simhash_pairs", "x_dedup_embedding", "x_dedup_containment",
       "x_source_overlap", "x_dedup_spans", "x_dedup_keep_best", "x_dedup_editdist",
+      "x_minhash_est",
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid", "x_text_gopher",
       "x_bpe_merge_step",
       "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins",
