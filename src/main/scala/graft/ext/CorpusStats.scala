@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.StableStats.{stableRound, stableRoundSql}
+
+/** Corpus-census statistics for a training-data pipeline over
+  * `documents`: a Zipf rank-frequency fit (is this corpus shaped like
+  * natural language?), per-source unigram-distribution drift vs the
+  * corpus (KL divergence — flags a source whose content distribution
+  * went weird before it pollutes the mix), and PMI collocations (which
+  * adjacent word pairs co-occur far above chance — boilerplate and
+  * template phrases surface here first).
+  *
+  * Scale shape: every operator reduces the corpus to its VOCABULARY
+  * before doing anything quadratic-looking — word counts are one
+  * hash-agg over the token stream (map-side partial aggregation does
+  * the heavy lifting), and everything after operates on vocab-sized or
+  * top-V-sized frames. At 100 TB the token explode is the only wide
+  * stage; the census frames it produces are MBs.
+  */
+object CorpusStats {
+
+  private def words(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+
+  /** Global unigram counts: (tok, freq) — one explode + hash-agg. */
+  private def unigramCounts(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+
+  /** Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    * top-`topV` vocabulary — slope ≈ −1 is the natural-language
+    * signature; a corpus of templated/duplicated text flattens it.
+    * Single summary row: (n_types, n_tokens, slope, intercept, r2).
+    *
+    * The only global ordering is the top-V selection, which plans as
+    * TakeOrderedAndProject (no full sort); the rank window then runs on
+    * one partition of ≤ topV rows — bounded by construction, not by the
+    * corpus. regr_* aggregates over ≤ topV points; rounding to 4dp
+    * absorbs partial-agg summation-order drift. */
+  def zipfFit(spark: SparkSession, dir: String, topV: Int = 100): DataFrame = {
+    val counts = unigramCounts(spark, dir)
+    val totals = counts.agg(
+      count(lit(1)).as("n_types"), sum(col("freq")).as("n_tokens"))
+    val byFreq = Window.orderBy(col("freq").desc, col("tok").asc)
+    val ranked = counts
+      .orderBy(col("freq").desc, col("tok").asc).limit(topV)
+      .withColumn("rank", row_number().over(byFreq))
+    val fit = ranked.agg(
+      stableRound(regr_slope(log(col("freq")), log(col("rank"))), 4).as("slope"),
+      stableRound(regr_intercept(log(col("freq")), log(col("rank"))), 4).as("intercept"),
+      stableRound(regr_r2(log(col("freq")), log(col("rank"))), 4).as("r2"))
+    totals.crossJoin(fit)
+      .select(col("n_types"), col("n_tokens"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the unigram
+    * distribution, add-one smoothed over the GLOBAL vocabulary so both
+    * distributions share support. A drifting source (spam injection,
+    * template rot, language flip) shows as a KL outlier long before any
+    * per-document quality rule fires.
+    *
+    * Plan: one (source, tok) hash-agg is the wide stage; the global
+    * word-count frame derived from it is vocab-sized and broadcast into
+    * the source × vocab grid (sources are thousands, vocab is bounded —
+    * at 100 TB cap the census to top-V words + an OOV residual bucket,
+    * same algebra). The per-source KL sum is a second, sources-sized
+    * agg. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val sw = words(spark, dir)
+      .select(col("source"), explode(col("w")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_sw"))
+    val global = sw.groupBy(col("tok")).agg(sum(col("c_sw")).as("c_w"))
+    val grand = global.agg(
+      sum(col("c_w")).as("n"), count(lit(1)).as("v"))
+    val perSource = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val grid = perSource
+      .crossJoin(broadcast(global))
+      .join(sw, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c_sw"))
+      .crossJoin(broadcast(grand))
+    val p = (col("c_sw") + lit(1)).cast("double") / (col("n_s") + col("v"))
+    val q = (col("c_w") + lit(1)).cast("double") / (col("n") + col("v"))
+    grid
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        stableRound(sum(p * log(p / q)), 6).as("kl_nat"))
+      .orderBy(col("source"))
+  }
+
+  /** PMI collocations: adjacent word pairs whose co-occurrence beats
+    * independence — ln(p(w1,w2) / (p(w1)·p(w2))) over bigram/unigram
+    * counts, min support `minCount`, top-`k` by (rounded PMI desc,
+    * pair asc). Ordering compares the ROUNDED score so cross-engine ULP
+    * drift in ln() can't flip near-ties at the cut (the same discipline
+    * as the suite's other float-ranked top-k queries).
+    *
+    * Bigrams come from a narrow zip of the word array with its own
+    * shift — no self-join, no positional shuffle; the pair hash-agg is
+    * the one wide stage, and the unigram joins are vocab-sized equi-joins
+    * (AQE broadcast-eligible here; at 100 TB they stay shuffle joins and
+    * that is the right plan — vocab outgrows the broadcast ceiling). */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val pairs = words(spark, dir)
+      .where(size(col("w")) >= 2)
+      .withColumn("heads", slice(col("w"), lit(1), size(col("w")) - 1))
+      .withColumn("tails", slice(col("w"), lit(2), size(col("w")) - 1))
+      .select(explode(arrays_zip(col("heads"), col("tails"))).as("b"))
+      .select(col("b.heads").as("w1"), col("b.tails").as("w2"))
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val uc = unigramCounts(spark, dir)
+    val totals = uc.agg(
+      sum(col("freq")).cast("double").as("n_uni"))
+    val tBig = bc.agg(sum(col("n")).cast("double").as("t_big"))
+    val scored = bc.where(col("n") >= minCount)
+      .join(uc.select(col("tok").as("w1"), col("freq").as("c1")), Seq("w1"))
+      .join(uc.select(col("tok").as("w2"), col("freq").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(tBig))
+      .withColumn("pmi", stableRound(
+        log((col("n") / col("t_big")) /
+          ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))), 6))
+    scored
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_corpus_zipf" -> ((s, d) => zipfFit(s, d)),
+    "x_source_kl"   -> (sourceKl _),
+    "x_word_pmi"    -> ((s, d) => pmiCollocations(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_corpus_zipf" ->
+      s"""WITH c AS (SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_tokens FROM c),
+         |top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+         |  FROM c ORDER BY freq DESC, tok ASC LIMIT 100),
+         |fit AS (SELECT
+         |  ${stableRoundSql("regr_slope(ln(freq), ln(rank))", 4)} AS slope,
+         |  ${stableRoundSql("regr_intercept(ln(freq), ln(rank))", 4)} AS intercept,
+         |  ${stableRoundSql("regr_r2(ln(freq), ln(rank))", 4)} AS r2 FROM top)
+         |SELECT n_types, n_tokens, slope, intercept, r2 FROM t CROSS JOIN fit""".stripMargin,
+    "x_source_kl" ->
+      s"""WITH sw AS (SELECT source, tok, count(*) AS c_sw FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |g AS (SELECT tok, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+         |grand AS (SELECT sum(c_w) AS n, count(*) AS v FROM g),
+         |per_src AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1),
+         |grid AS (SELECT ps.source, ps.n_s, g.tok, g.c_w,
+         |    coalesce(sw.c_sw, 0) AS c_sw, grand.n, grand.v
+         |  FROM per_src ps CROSS JOIN g
+         |  LEFT JOIN sw ON sw.source = ps.source AND sw.tok = g.tok
+         |  CROSS JOIN grand)
+         |SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+         |  ${stableRoundSql(
+             "sum((CAST(c_sw + 1 AS DOUBLE) / (n_s + v)) * " +
+               "ln((CAST(c_sw + 1 AS DOUBLE) / (n_s + v)) / " +
+               "(CAST(c_w + 1 AS DOUBLE) / (n + v))))", 6)} AS kl_nat
+         |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+    "x_word_pmi" ->
+      s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> [w[i], w[i + 1]])) AS pair FROM d),
+         |bc AS (SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |uc AS (SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(freq) AS DOUBLE) FROM uc) AS n_uni,
+         |  (SELECT CAST(sum(n) AS DOUBLE) FROM bc) AS t_big),
+         |scored AS (SELECT bc.w1, bc.w2, bc.n,
+         |  ${stableRoundSql(
+             "ln((bc.n / tot.t_big) / ((u1.freq / tot.n_uni) * (u2.freq / tot.n_uni)))", 6)} AS pmi
+         |  FROM bc JOIN uc u1 ON u1.tok = bc.w1 JOIN uc u2 ON u2.tok = bc.w2
+         |  CROSS JOIN tot WHERE bc.n >= 5)
+         |SELECT w1, w2, CAST(n AS BIGINT) AS n, pmi FROM scored
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+  )
+}
