@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fuzzy record linkage with multi-pass blocking — the entity-resolution
+  * shape (Fellegi-Sunter via blocking; see also MMDS §3.9 on the
+  * candidate-pair discipline): canonicalize records to a name table,
+  * generate candidate pairs ONLY within blocks, verify candidates with an
+  * edit-distance predicate. A single blocking key loses recall — two
+  * names can differ in exactly the token you blocked on — so linkage
+  * runs one pass per token position and unions the candidate sets, the
+  * standard multi-pass fix.
+  *
+  * Scale shape: the corpus first collapses to the DISTINCT name table
+  * with support counts (one hash-agg — names are a vocabulary, Heaps'-law
+  * sublinear in row count), so the self-joins run on vocab-sized frames.
+  * Candidate volume is Σ|block|², bounded by [[maxBlock]] exactly like
+  * the LSH hot-bucket cap in [[Dedup]]: a degenerate block (every record
+  * sharing one token) is dropped from THAT pass — the other pass still
+  * contributes its candidates, which is the point of multi-pass blocking.
+  * The levenshtein verify runs only on candidates, never on the cross
+  * product.
+  */
+object Linkage {
+
+  /** Blocks above this size are dropped from their blocking pass. */
+  val MaxBlock = 10000
+
+  /** Canonical name table: (name, n) with first/second token block keys. */
+  private def names(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tok1", split(col("name"), " ").getItem(0))
+      .withColumn("tok2", split(col("name"), " ").getItem(1))
+
+  /** One blocking pass: candidate pairs within blocks of `key`, ordered
+    * (name_a < name_b), hot blocks dropped. */
+  private def blockPass(nm: DataFrame, key: String, maxBlock: Int): DataFrame = {
+    val sized = nm.join(
+      nm.groupBy(col(key)).agg(count(lit(1)).as("block_n")), Seq(key))
+      .where(col("block_n") <= maxBlock)
+    val a = sized.select(col(key).as("k"), col("name").as("name_a"), col("n").as("n_a"))
+    val b = sized.select(col(key).as("k"), col("name").as("name_b"), col("n").as("n_b"))
+    a.join(b, Seq("k")).where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+  }
+
+  /** Linked name pairs: candidates from both blocking passes, verified at
+    * `maxDist` edit distance. Output carries each side's support count —
+    * the merge decision downstream keeps the higher-support spelling as
+    * canonical. */
+  def fuzzyLinkage(spark: SparkSession, dir: String,
+      maxDist: Int = 3, maxBlock: Int = MaxBlock): DataFrame = {
+    val nm = names(spark, dir).persist()
+    val candidates = blockPass(nm, "tok2", maxBlock)
+      .unionByName(blockPass(nm, "tok1", maxBlock))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_fuzzy_linkage" -> ((s, d) => fuzzyLinkage(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_fuzzy_linkage" ->
+      """WITH nm AS (SELECT p_name AS name, count(*) AS n,
+        |    string_split(p_name, ' ')[1] AS tok1, string_split(p_name, ' ')[2] AS tok2
+        |  FROM part GROUP BY 1),
+        |cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b
+        |  FROM nm a JOIN nm b ON a.tok2 = b.tok2 AND a.name < b.name
+        |  UNION
+        |  SELECT a.name, b.name, a.n, b.n
+        |  FROM nm a JOIN nm b ON a.tok1 = b.tok1 AND a.name < b.name)
+        |SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY dist, name_a, name_b""".stripMargin
+  )
+}
