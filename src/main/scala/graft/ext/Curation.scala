@@ -852,7 +852,37 @@ object Curation {
       .orderBy(col("rank_units").desc, col("doc_id").asc)
   }
 
+  /** Curriculum ordering: a deterministic training-order schedule that
+    * interleaves quality bands round-robin, so every consecutive slice of
+    * the schedule sees the full quality spectrum (anti-curriculum clumping
+    * — a quality-sorted corpus front-loads easy/clean text and the tail of
+    * training only ever sees dregs). Band = fixed quality-score quarter
+    * (score ∈ [0,1] → band = min(3, ⌊4·score⌋) — fixed bands, not
+    * quantiles, so the assignment is a stateless map: no global
+    * percentile pass, bit-identical across engines), then
+    * `position = (rank_within_band − 1) · 4 + band`: pure arithmetic on a
+    * band-partitioned rank, NO global sort anywhere in the plan.
+    *
+    * Scale shape: the one wide stage is the rank window partitioned by
+    * band. Four bands is too coarse a partitioning for 100 TB — there,
+    * sub-shard each band by a hash of doc_id and schedule within shards
+    * (the interleave property holds per shard union); the presentation
+    * sort here exists only because the driver compares ordered output. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScoreOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("band", least(lit(3), floor(col("quality_score") * 4)).cast("int"))
+    val inBand = Window.partitionBy(col("band"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    scored
+      .withColumn("r", row_number().over(inBand))
+      .select(col("doc_id"), col("band"),
+        ((col("r") - 1) * 4 + col("band")).cast("long").as("position"))
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_curriculum"        -> (curriculumOrder _),
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
@@ -878,6 +908,14 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_curriculum" ->
+      s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+         |b AS (SELECT doc_id,  quality_score,
+         |  CAST(least(3, floor(quality_score * 4)) AS INTEGER) AS band FROM q),
+         |r AS (SELECT doc_id, band, row_number() OVER (
+         |    PARTITION BY band ORDER BY quality_score DESC, doc_id ASC) AS rn FROM b)
+         |SELECT doc_id, band, CAST((rn - 1) * 4 + band AS BIGINT) AS position
+         |FROM r ORDER BY position""".stripMargin,
     "x_pagerank_sim" -> {
       val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
         .replaceAll("ORDER BY doc_a, doc_b$", "")

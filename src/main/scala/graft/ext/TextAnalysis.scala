@@ -32,8 +32,15 @@ object TextAnalysis {
 
   /** Quality scoring: length prior × (1 − stopword ratio) × lexical
     * diversity. Ratios from exact integer counts → IEEE-deterministic. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[qualityScore]] without the presentation sort — the composition
+    * form (same pattern as [[gopherSignalsOf]]): mid-plan consumers like
+    * [[graft.ext.Curation.curriculumOrder]] re-sort or re-shuffle anyway,
+    * so an embedded orderBy would plan a wasted range exchange. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("w", split(col("text"), " "))
     val nWords = size(col("w")).cast("double")
     val nUniq  = size(array_distinct(col("w"))).cast("double")
     val nStop  = expr(s"size(filter(w, x -> x in (${stopEn.map("'" + _ + "'").mkString(",")})))").cast("double")
@@ -45,7 +52,6 @@ object TextAnalysis {
       stableRound(nStop / nWords, 4).as("stopword_ratio"),
       stableRound(least(lit(1.0), nWords / 100.0) * (lit(1) - nStop / nWords) * (nUniq / nWords), 4)
         .as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** The Gopher "must contain ≥2 of" required-word rule (Rae et al. 2021,
