@@ -259,7 +259,33 @@ object Analytics {
       .orderBy("event_type", "slot")
   }
 
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * columns, long form (col_a, col_b, corr) — the census pass a feature
+    * pipeline runs before trusting any derived signal. All C(4,2) pairs
+    * compute in ONE hash-agg over one scan (at 100 TB the scan dominates;
+    * N² correlations must not mean N² passes) and the agg folds to a
+    * single row of partial moment sums — map-side combine does the work,
+    * the exchange moves one row per partition. 4dp rounding absorbs
+    * summation-order drift in the moment sums. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      StableStats.stableRound(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${pairs.size}, $stacked) as (col_a, col_b, corr)")
+      .orderBy("col_a", "col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_corr_matrix"      -> (corrMatrix _),
     "x_gap_fill"         -> (gapFill _),
     "a_funnel"           -> (funnel _),
     "a_cohort_retention" -> (cohortRetention _),
@@ -278,6 +304,15 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = (for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
+        s"${StableStats.stableRoundSql(s"corr(${cols(i)}, ${cols(j)})", 4)} AS corr FROM lineitem")
+        .mkString("\nUNION ALL\n")
+      s"$rows\nORDER BY col_a, col_b"
+    },
     "x_gap_fill" ->
       s"""WITH day AS (
          |  SELECT * FROM events

@@ -77,16 +77,40 @@ object QualityChecks {
       count(lit(1)).as("n_rows"),
       coalesce(sum(when(col("ts").isNull, 1).otherwise(0)), lit(0)).as("n_null_ts"),
       coalesce(sum(when(col("value") <= 0, 1).otherwise(0)), lit(0)).as("n_nonpos_value"),
-      min(col("ts")).as("min_ts"),
-      max(col("ts")).as("max_ts"))
+      // formatted at observe time: the driver-side metrics map then holds
+      // plain strings/longs — no JVM temporal type to un-marshal
+      date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
     val out = SensorPipeline.mapSignals(
       SensorPipeline.toLong(SensorPipeline.wideAgg(instrumented)),
       SensorPipeline.signalDim(spark))
     (out, obs)
   }
 
+  /** [[observedPipeline]]'s counters surfaced as a registry query: run
+    * the instrumented pipeline to completion against the `noop` sink (full
+    * execution, zero write cost) and return the observation as a one-row
+    * report. The metrics accumulate ON the pipeline job itself — at
+    * 100 TB this is the difference between monitoring for free and paying
+    * a second full scan for the same counters. The oracle recomputes the
+    * identical aggregates relationally, which is exactly the equivalence
+    * `observe()` guarantees. */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val (out, obs) = observedPipeline(spark, dir)
+    out.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("n_null_ts").asInstanceOf[Long],
+        m("n_nonpos_value").asInstanceOf[Long],
+        m("min_ts").asInstanceOf[String],
+        m("max_ts").asInstanceOf[String]))
+      .toDF("n_rows", "n_null_ts", "n_nonpos_value", "min_ts", "max_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_quality_checks" -> (report _)
+    "x_quality_checks"  -> (report _),
+    "x_observe_metrics" -> (observedMetrics _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -110,6 +134,13 @@ object QualityChecks {
         |  UNION ALL
         |  SELECT 'documents_n_chars_consistent', count(*), count(*) = 0 FROM documents
         |    WHERE length(text) <> n_chars)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+    "x_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_ts,
+        |  CAST(coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonpos_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events""".stripMargin
   )
 }

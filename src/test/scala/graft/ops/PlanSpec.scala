@@ -306,6 +306,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("corr matrix: all six pairwise correlations ride ONE scan and one agg") {
+    val plan = planOf(Analytics.corrMatrix(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"N² correlations must not mean N² passes:\n$plan")
+    // one single-row exchange between partial and final moment sums
+    val shuffles = "Exchange".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected the one global-agg exchange:\n$plan")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     graft.functions.CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
