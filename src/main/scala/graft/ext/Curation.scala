@@ -852,6 +852,50 @@ object Curation {
       .orderBy(col("rank_units").desc, col("doc_id").asc)
   }
 
+  /** Per-document triangle participation over the near-dup similarity
+    * graph — the local-clustering signal: a doc whose neighbors are also
+    * neighbors of each other sits inside a duplication FAMILY (template
+    * farms, mirror sets), while a doc with many triangle-free edges is a
+    * hub of incidental similarity. Downstream, triangle-dense families
+    * are the ones worth collapsing to a single representative.
+    *
+    * Scale shape: the standard degree-ordered enumeration (each triangle
+    * counted exactly once at its lowest-(deg, id) vertex): edges orient
+    * from the (deg, id)-smaller endpoint, wedges pair the out-neighbors
+    * of each source, and a join back against the undirected edge set
+    * closes them. Orienting by DEGREE bounds wedge count by Σ out-deg²
+    * with out-degrees capped near √|E| (arboricity argument) — the
+    * id-ordered variant looks identical on this corpus but explodes on a
+    * power-law graph where one low-id hub owns half the edges. Candidate
+    * edges come LSH-capped from [[Dedup.lshCandidates]], so |E| is
+    * already bounded per band bucket. */
+  def triangleSim(spark: SparkSession, dir: String): DataFrame =
+    triangleNodes(Dedup.lshCandidates(spark, dir))
+
+  private[ext] def triangleNodes(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented
+      .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
+        col("src") === col("src2") && col("dst") < col("dst2"))
+      .select(col("src"), col("dst").as("u"), col("dst2").as("v"))
+    val closed = wedges.join(und,
+      least(col("u"), col("v")) === col("a") &&
+        greatest(col("u"), col("v")) === col("b"))
+      .select(col("src"), col("u"), col("v"))
+    closed.select(explode(array(col("src"), col("u"), col("v"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum ordering: a deterministic training-order schedule that
     * interleaves quality bands round-robin, so every consecutive slice of
     * the schedule sees the full quality spectrum (anti-curriculum clumping
@@ -883,6 +927,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_curriculum"        -> (curriculumOrder _),
+    "x_triangle_sim"      -> (triangleSim _),
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
@@ -916,6 +961,22 @@ object Curation {
          |    PARTITION BY band ORDER BY quality_score DESC, doc_id ASC) AS rn FROM b)
          |SELECT doc_id, band, CAST((rn - 1) * 4 + band AS BIGINT) AS position
          |FROM r ORDER BY position""".stripMargin,
+    "x_triangle_sim" -> {
+      val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
+        .replaceAll("ORDER BY doc_a, doc_b$", "")
+      // canonical a<b edges make (a<b<c) enumerable by one join chain;
+      // per-node participation is orientation-invariant, so the engine's
+      // degree-ordered enumeration and this id-ordered one must agree
+      s"""WITH pairs AS ($pairsSql),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "x_pagerank_sim" -> {
       val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
         .replaceAll("ORDER BY doc_a, doc_b$", "")
