@@ -135,13 +135,120 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per source over word
+    * 3-gram shingles, AUDITED against the exact count (Bar-Yossef et al.
+    * 2002; the bottom-k estimator (k−1)/u_k over hashes mapped to (0,1)).
+    * Every hash is md5 and the division is by a power of two, so the
+    * estimate is bit-identical cross-engine — which is what lets an
+    * APPROXIMATE operator carry a hash-matching oracle: the sketch is
+    * deterministic, only its error vs truth varies by data.
+    *
+    * Output: (source, n_exact, est, rel_err) — the audit ships WITH the
+    * operator (house rule: approximation quality is part of the
+    * contract, not a hope).
+    *
+    * Scale shape: the distinct (source, shingle) frame is
+    * vocabulary-sized, so the per-source rank window runs on a bounded
+    * frame (same Heaps'-law argument as the census ops above). At true
+    * corpus scale the k-th order statistic keeps to one bounded k-slot
+    * buffer per source via a typed Aggregator — the same single-buffer
+    * pattern as [[graft.functions.MinHashSignature]]; the window form
+    * here IS the oracle-matching reference implementation. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
+      .distinct()
+    // 12 hex digits = 48 bits: exact as BIGINT and as an IEEE double, and
+    // /2^48 is a power-of-two division — no cross-engine rounding anywhere
+    val hashed = sh.withColumn("u",
+      expr("cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)") / lit(281474976710656.0))
+    val byU = Window.partitionBy(col("source")).orderBy(col("u").asc, col("s").asc)
+    val kth = hashed.withColumn("rn", row_number().over(byU))
+      .where(col("rn") === k).select(col("source"), col("u").as("rk"))
+    val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val est = coalesce((lit(k) - 1) / col("rk"), col("n_exact").cast("double"))
+    exact.join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        stableRound(est, 2).as("est"),
+        stableRound(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("source")
+  }
+
+  /** Count-min frequency sketch over the token stream, AUDITED against
+    * exact counts (Cormode & Muthukrishnan 2005): d=3 md5-salted rows of
+    * w=64 cells; a token's estimate is the MIN over its d cells, which
+    * can only OVER-count (one-sided error ≤ 2N/w with prob 1−(1/2)^d).
+    * Like [[kmvDistinct]], the sketch is hash-deterministic, so the
+    * estimates themselves oracle-match bit-for-bit and the per-token
+    * overcount ships in-row — the approximation audit is the output.
+    *
+    * Scale shape: cell totals come from ONE hash-agg over the
+    * vocabulary-sized exact-count frame (d·|vocab| rows, then d·w cells —
+    * the algebra is identical to incrementing cells on the raw stream,
+    * since addition commutes through the pre-aggregation). In production
+    * the sketch is a bounded d×w buffer maintained by a single-buffer
+    * typed Aggregator (the [[graft.functions.MinHashSignature]] pattern)
+    * or mergeable per-shard partials; this relational form is the
+    * oracle-matching reference implementation of the same cells. */
+  def cmsTopTerms(spark: SparkSession, dir: String,
+      depth: Int = 3, width: Int = 64, k: Int = 20): DataFrame = {
+    val exact = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val bucketed = exact.select(col("tok"), col("freq"),
+        explode(expr(s"transform(sequence(0, ${depth - 1}), j -> named_struct(" +
+          s"'j', j, 'bucket', pmod(cast(conv(substring(md5(concat(j, '|', tok)), 1, 12), 16, 10) as bigint), $width)))")).as("db"))
+      .select(col("tok"), col("freq"), col("db.j").as("j"), col("db.bucket").as("bucket"))
+      .persist() // two consumers (cells + probe); HOF result, see CodegenFallback note
+    val cells = bucketed.groupBy(col("j"), col("bucket")).agg(sum(col("freq")).as("cell"))
+    bucketed.join(cells, Seq("j", "bucket"))
+      .groupBy(col("tok"), col("freq")).agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("freq"), col("est"), (col("est") - col("freq")).as("overcount"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
+    "x_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "x_corpus_zipf" -> ((s, d) => zipfFit(s, d)),
     "x_source_kl"   -> (sourceKl _),
     "x_word_pmi"    -> ((s, d) => pmiCollocations(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "x_cms_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |exact AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+        |b AS (SELECT tok, freq, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 12))::BIGINT % 64 AS bucket
+        |  FROM exact, unnest([0, 1, 2]) AS t(j)),
+        |cells AS (SELECT j, bucket, sum(freq) AS cell FROM b GROUP BY 1, 2),
+        |est AS (SELECT tok, freq, min(cell) AS est
+        |  FROM b JOIN cells USING (j, bucket) GROUP BY 1, 2)
+        |SELECT tok, CAST(freq AS BIGINT) AS freq, CAST(est AS BIGINT) AS est,
+        |  CAST(est - freq AS BIGINT) AS overcount
+        |FROM est ORDER BY freq DESC, tok ASC LIMIT 20""".stripMargin,
+    "x_kmv_distinct" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT source, unnest(list_transform(
+         |    generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM w),
+         |h AS (SELECT source, s,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT / 281474976710656.0 AS u FROM sh),
+         |r AS (SELECT source, u, row_number() OVER (
+         |    PARTITION BY source ORDER BY u ASC, s ASC) AS rn FROM h),
+         |kth AS (SELECT source, u AS rk FROM r WHERE rn = 64),
+         |ex AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY 1)
+         |SELECT ex.source, CAST(n_exact AS BIGINT) AS n_exact,
+         |  ${stableRoundSql("coalesce(63.0 / rk, CAST(n_exact AS DOUBLE))", 2)} AS est,
+         |  ${stableRoundSql(
+             "abs(coalesce(63.0 / rk, CAST(n_exact AS DOUBLE)) - n_exact) / n_exact", 4)} AS rel_err
+         |FROM ex LEFT JOIN kth ON ex.source = kth.source
+         |ORDER BY ex.source""".stripMargin,
     "x_corpus_zipf" ->
       s"""WITH c AS (SELECT tok, count(*) AS freq FROM (
          |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Corpus census: the KMV sketch must be an audited, deterministic
+  * estimator — not a hope. */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmv estimate lands within the theoretical error envelope at k=64") {
+    // bottom-k relative error concentrates around 1/√(k−2) ≈ 12.7%;
+    // 4 standard deviations is a generous, non-flaky bound
+    val out = CorpusStats.kmvDistinct(spark, dir).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") > 64L, "premise: every source exceeds k")
+      assert(r.getAs[Double]("rel_err") < 4.0 / math.sqrt(62.0),
+        s"source ${r.getAs[String]("source")}: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
+  test("kmv falls back to the exact count when a source has fewer than k values") {
+    val out = CorpusStats.kmvDistinct(spark, dir, k = 1000000).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("est") === r.getAs[Long]("n_exact").toDouble)
+      assert(r.getAs[Double]("rel_err") === 0.0)
+    }
+  }
+
+  test("the sketch is deterministic: two runs agree bit-for-bit") {
+    val a = CorpusStats.kmvDistinct(spark, dir).collect().toSeq
+    val b = CorpusStats.kmvDistinct(spark, dir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("count-min error is one-sided: every estimate bounds its true count from above") {
+    // k wide enough to cover the whole vocabulary — the property must
+    // hold for EVERY token, not just the reported top slice
+    val out = CorpusStats.cmsTopTerms(spark, dir, k = 1000000).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("freq"),
+        s"token ${r.getAs[String]("tok")}: CMS must never undercount")
+      assert(r.getAs[Long]("overcount") === r.getAs[Long]("est") - r.getAs[Long]("freq"))
+    }
+  }
+
+  test("count-min cells conserve mass: every row's cells sum to the corpus token count") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    // rebuild the cells exactly as the operator does and check each of
+    // the d rows partitions the full stream (the increment-on-stream ≡
+    // pre-aggregated-sum algebra the Scaladoc claims)
+    val cells = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(expr("transform(sequence(0, 2), j -> named_struct(" +
+        "'j', j, 'bucket', pmod(cast(conv(substring(md5(concat(j, '|', tok)), 1, 12), 16, 10) as bigint), 64)))")).as("db"))
+      .groupBy(col("db.j").as("j")).agg(sum(col("freq")).as("row_total"))
+      .collect()
+    assert(cells.length === 3)
+    cells.foreach(r => assert(r.getAs[Long]("row_total") === total))
+  }
+}
