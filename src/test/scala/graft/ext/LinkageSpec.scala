@@ -48,6 +48,31 @@ class LinkageSpec extends SparkSpec {
       "blocks above the cap must contribute no candidate pairs")
   }
 
+  test("entity resolution: every name resolves, canonicals carry max support") {
+    val out = Linkage.entityResolve(spark, dir).collect()
+    val nNames = graft.Tables.part(spark, dir)
+      .select(col("p_name")).distinct().count()
+    assert(out.length.toLong === nNames, "every distinct name resolves to an entity")
+    val support = out.map(r => r.getAs[String]("name") -> r.getAs[Long]("n_records")).toMap
+    out.groupBy(_.getAs[String]("canonical")).foreach { case (canonical, members) =>
+      assert(support(canonical) === members.map(m => support(m.getAs[String]("name"))).max,
+        s"canonical '$canonical' must be its family's highest-support spelling")
+    }
+    // canonicalization is idempotent: canonicals resolve to themselves
+    val canonOf = out.map(r => r.getAs[String]("name") -> r.getAs[String]("canonical")).toMap
+    canonOf.values.foreach(c => assert(canonOf(c) === c))
+  }
+
+  test("entity resolution closes transitively across blocking passes") {
+    // linked pairs form chains (old↔cold by tok2, cold bolt↔cold rod by
+    // tok1): every linked pair must land in the SAME entity family
+    val canonOf = Linkage.entityResolve(spark, dir).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("canonical")).toMap
+    Linkage.fuzzyLinkage(spark, dir).collect().foreach { r =>
+      assert(canonOf(r.getAs[String]("name_a")) === canonOf(r.getAs[String]("name_b")))
+    }
+  }
+
   test("linkage agrees with an unblocked brute-force verify at this vocabulary size") {
     val names = graft.Tables.part(spark, dir)
       .select(col("p_name")).distinct().collect().map(_.getString(0))
