@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming admission control for per-source sampling quotas — the
   * ingest-time twin of [[graft.ext.Curation.temperatureSample]]: a batch
@@ -66,4 +66,39 @@ object QuotaAdmission {
   }
 
   private type GroupState2 = org.apache.spark.sql.streaming.GroupState[QuotaState]
+
+  /** [[admit]] re-expressed on the `transformWithState` API (Spark 4's
+    * arbitrary-stateful-processing successor to flatMapGroupsWithState):
+    * identical admission semantics, state held in a named RocksDB-backed
+    * `ValueState[Long]` per source. The new API is what a production
+    * deployment targets — typed named state, TTL support, timers, and
+    * state-schema evolution — so the engine ships both forms with a
+    * parity spec pinning admitTws ≡ admit batch-for-batch. Requires the
+    * RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  class QuotaProcessor(quotas: Map[String, Long])
+      extends StatefulProcessor[String, Doc, Admitted] {
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(src: String, rows: Iterator[Doc],
+        timerValues: TimerValues): Iterator[Admitted] = {
+      val quota = quotas.getOrElse(src, 0L)
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = Seq.newBuilder[Admitted]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (n < quota) { n += 1; out += Admitted(d.doc_id, src, n) }
+      }
+      admitted.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** [[admit]] on the transformWithState API — see [[QuotaProcessor]]. */
+  def admitTws(docs: Dataset[Doc], quotas: Map[String, Long]): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(quotas),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -51,6 +51,36 @@ class QuotaAdmissionSpec extends SparkSpec {
     assert(a.map(_.doc_id).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("transformWithState path admits the identical set, batch for batch") {
+    val quotas = Map("a" -> 6L, "b" -> 10L)
+    val batches = Seq(
+      (1 to 4).map(i => QuotaAdmission.Doc(i.toLong, "a")) ++
+        Seq(QuotaAdmission.Doc(100L, "b")),
+      (5 to 8).map(i => QuotaAdmission.Doc(i.toLong, "a")) ++
+        Seq(QuotaAdmission.Doc(101L, "b"), QuotaAdmission.Doc(200L, "c")))
+    val viaFmgws = run("quota_fmgws", quotas, batches)
+    // transformWithState requires the RocksDB state-store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val stream = MemoryStream[QuotaAdmission.Doc]
+      val q = QuotaAdmission.admitTws(stream.toDS(), quotas)
+        .writeStream.format("memory").queryName("quota_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        val viaTws = spark.table("quota_tws").as[QuotaAdmission.Admitted].collect()
+        assert(viaTws.sortBy(_.doc_id).toSeq === viaFmgws.sortBy(_.doc_id).toSeq,
+          "the two stateful APIs must admit the identical document set")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream admission fills exactly the batch temperature quotas on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     val quotas = graft.ext.Curation.temperatureMix(spark, dir).collect()
