@@ -98,19 +98,52 @@ object QualityChecks {
   def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
     val (out, obs) = observedPipeline(spark, dir)
     out.write.format("noop").mode("overwrite").save()
+    // AQE's empty-relation propagation prunes the CollectMetrics node
+    // when the source scan is 0 rows, so the observation comes back as an
+    // EMPTY map — an empty day is routine at the lake, and the gate must
+    // report it as zeros, not crash (caught by EmptyInputsSpec)
     val m = obs.get
     import spark.implicits._
-    Seq((m("n_rows").asInstanceOf[Long],
-        m("n_null_ts").asInstanceOf[Long],
-        m("n_nonpos_value").asInstanceOf[Long],
-        m("min_ts").asInstanceOf[String],
-        m("max_ts").asInstanceOf[String]))
+    Seq((m.getOrElse("n_rows", 0L).asInstanceOf[Long],
+        m.getOrElse("n_null_ts", 0L).asInstanceOf[Long],
+        m.getOrElse("n_nonpos_value", 0L).asInstanceOf[Long],
+        m.getOrElse("min_ts", null).asInstanceOf[String],
+        m.getOrElse("max_ts", null).asInstanceOf[String]))
       .toDF("n_rows", "n_null_ts", "n_nonpos_value", "min_ts", "max_ts")
+  }
+
+  /** Benford first-digit audit over the revenue column — the classic
+    * fabricated-numbers screen: organically grown magnitudes put digit d
+    * first with probability log10(1+1/d); uniform or hand-entered data
+    * flattens the curve. One scan + one 9-group agg; the report ships
+    * observed share, expected share, and the signed deviation per digit.
+    *
+    * Digit extraction is INTEGER-exact: prices are cent-denominated, so
+    * round(price·100) is an exact BIGINT whose decimal string leads with
+    * the same significant digit (×100 shifts magnitude, never the lead
+    * digit) — no floor(log10(x)) anywhere, which would ULP-flip at exact
+    * powers of ten between engines. */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val digit = substring(round(col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = Tables.lineitem(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val benford = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        stableRound(col("n") / col("total"), 4).as("obs_share"),
+        stableRound(benford, 4).as("benford_p"),
+        stableRound(col("n") / col("total") - benford, 4).as("dev"))
+      .orderBy("digit")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_quality_checks"  -> (report _),
-    "x_observe_metrics" -> (observedMetrics _)
+    "x_observe_metrics" -> (observedMetrics _),
+    "x_benford"         -> (benfordPrices _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +174,18 @@ object QualityChecks {
         |  CAST(coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nonpos_value,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "x_benford" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM lineitem),
+         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  ${stableRoundSql("CAST(n AS DOUBLE) / total", 4)} AS obs_share,
+         |  ${stableRoundSql("log10(1.0 + 1.0 / digit)", 4)} AS benford_p,
+         |  ${stableRoundSql("CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)", 4)} AS dev
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+    }
   )
 }

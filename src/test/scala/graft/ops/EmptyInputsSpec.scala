@@ -66,6 +66,23 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Dedup.minhashEstQuality(spark, dir).count() === 0)
   }
 
+  test("census, linkage, scheduling, and audit additions on empty inputs") {
+    assert(graft.ext.CorpusStats.sourceKl(spark, dir).count() === 0)
+    assert(graft.ext.CorpusStats.pmiCollocations(spark, dir).count() === 0)
+    assert(graft.ext.CorpusStats.kmvDistinct(spark, dir).count() === 0)
+    assert(graft.ext.CorpusStats.cmsTopTerms(spark, dir).count() === 0)
+    // global summary shapes stay schema-stable: one row, neutral cells
+    assert(graft.ext.CorpusStats.zipfFit(spark, dir).count() === 1)
+    assert(Analytics.corrMatrix(spark, dir).count() === 6)
+    assert(graft.ext.Linkage.fuzzyLinkage(spark, dir).count() === 0)
+    assert(graft.ext.Linkage.entityResolve(spark, dir).count() === 0)
+    assert(graft.ext.Curation.curriculumOrder(spark, dir).count() === 0)
+    assert(graft.ext.Curation.triangleSim(spark, dir).count() === 0)
+    assert(QualityChecks.benfordPrices(spark, dir).count() === 0)
+    val m = QualityChecks.observedMetrics(spark, dir).head()
+    assert(m.getAs[Long]("n_rows") === 0L, "observe() counters must report an empty run as 0")
+  }
+
   test("TPC-H shapes and incremental merge on empty facts") {
     assert(Relational.pricingSummary(spark, dir).count() === 0)
     assert(Olap.marketShare(spark, dir).count() === 0)
