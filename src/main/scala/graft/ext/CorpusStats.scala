@@ -161,6 +161,10 @@ object CorpusStats {
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
       .distinct()
+      // vocab-sized; feeds BOTH the exact count and the kth-min branch —
+      // unpersisted, each branch re-pays the corpus scan + distinct agg
+      // (plan-verified: two parquet scans, no exchange reuse)
+      .persist()
     // 12 hex digits = 48 bits: exact as BIGINT and as an IEEE double, and
     // /2^48 is a power-of-two division — no cross-engine rounding anywhere
     val hashed = sh.withColumn("u",
