@@ -896,6 +896,47 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Pareto-front document selection (skyline): keep every document NOT
+    * dominated on (length, quality) — b dominates a when b is ≥ on both
+    * axes and strictly better on one. Multi-objective selection without
+    * collapsing the axes into one weighted score: the front IS the set of
+    * defensible trade-offs.
+    *
+    * Scale shape: the textbook distributed skyline. Phase 1 computes a
+    * LOCAL front per hash shard (partitioned windows, fully parallel) —
+    * any globally non-dominated doc is locally non-dominated, so phase 1
+    * never drops a keeper; phase 2 re-runs the same filter globally over
+    * the shard survivors, a frame already shrunk to ~front-sized. The
+    * global window touches only that small candidate set, never the
+    * corpus. Dominance per group: survive iff quality equals the max at
+    * your exact length AND beats the running max over strictly greater
+    * lengths (desc-ordered range frame ending at -1 excludes length
+    * ties, so equal-point duplicates are kept — neither dominates). */
+  def paretoFront(spark: SparkSession, dir: String, shards: Int = 32): DataFrame = {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("quality_score"))
+    val local = frontOf(
+      q.withColumn("shard", pmod(hash(col("doc_id")), lit(shards))), Seq(col("shard")))
+      .drop("shard")
+    frontOf(local, Nil).orderBy("doc_id")
+  }
+
+  /** One skyline filter pass, optionally partitioned (phase-1 shards). */
+  private[ext] def frontOf(df: DataFrame, part: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val longer = (if (part.isEmpty) Window.orderBy(col("n_words").desc)
+      else Window.partitionBy(part: _*).orderBy(col("n_words").desc))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameLen = if (part.isEmpty) Window.partitionBy(col("n_words"))
+      else Window.partitionBy(part :+ col("n_words"): _*)
+    df
+      .withColumn("q_longer", max(col("quality_score")).over(longer))
+      .withColumn("q_same", max(col("quality_score")).over(sameLen))
+      .where(col("quality_score") === col("q_same") &&
+        (col("q_longer").isNull || col("quality_score") > col("q_longer")))
+      .drop("q_longer", "q_same")
+  }
+
   /** Curriculum ordering: a deterministic training-order schedule that
     * interleaves quality bands round-robin, so every consecutive slice of
     * the schedule sees the full quality spectrum (anti-curriculum clumping
@@ -927,6 +968,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_curriculum"        -> (curriculumOrder _),
+    "x_pareto_front"      -> ((s: SparkSession, d: String) => paretoFront(s, d)),
     "x_triangle_sim"      -> (triangleSim _),
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
@@ -961,6 +1003,20 @@ object Curation {
          |    PARTITION BY band ORDER BY quality_score DESC, doc_id ASC) AS rn FROM b)
          |SELECT doc_id, band, CAST((rn - 1) * 4 + band AS BIGINT) AS position
          |FROM r ORDER BY position""".stripMargin,
+    "x_pareto_front" -> {
+      import graft.ops.StableStats.stableRoundSql
+      val score = stableRoundSql(
+        "least(1e0, CAST(len(w) AS DOUBLE) / 1e2)" +
+          s" * (1 - CAST(len(list_filter(w, x -> x IN (${TextAnalysis.inList(TextAnalysis.stopEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE))" +
+          " * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))", 4)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, $score AS quality_score FROM t)
+         |SELECT doc_id, n_words, quality_score FROM q a
+         |WHERE NOT EXISTS (SELECT 1 FROM q b
+         |  WHERE b.n_words >= a.n_words AND b.quality_score >= a.quality_score
+         |    AND (b.n_words > a.n_words OR b.quality_score > a.quality_score))
+         |ORDER BY doc_id""".stripMargin
+    },
     "x_triangle_sim" -> {
       val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
         .replaceAll("ORDER BY doc_a, doc_b$", "")
