@@ -78,6 +78,8 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Linkage.entityResolve(spark, dir).count() === 0)
     assert(graft.ext.Curation.curriculumOrder(spark, dir).count() === 0)
     assert(graft.ext.Curation.triangleSim(spark, dir).count() === 0)
+    assert(graft.ext.Curation.paretoFront(spark, dir).count() === 0)
+    assert(graft.ext.Dedup.jaccardPrefixJoin(spark, dir).count() === 0)
     assert(QualityChecks.benfordPrices(spark, dir).count() === 0)
     val m = QualityChecks.observedMetrics(spark, dir).head()
     assert(m.getAs[Long]("n_rows") === 0L, "observe() counters must report an empty run as 0")

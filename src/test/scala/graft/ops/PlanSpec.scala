@@ -119,6 +119,7 @@ class PlanSpec extends SparkSpec {
     // r5, ngram-Jaccard r6).
     val names = Seq("x_dedup_exact", "x_incr_minhash", "x_dedup_minhash_lsh", "x_dedup_simhash",
       "x_dedup_simhash_pairs", "x_dedup_embedding", "x_dedup_containment",
+      "x_dedup_jaccard_exact",
       "x_source_overlap", "x_dedup_spans", "x_dedup_keep_best", "x_dedup_editdist",
       "x_minhash_est",
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid", "x_text_gopher",
