@@ -937,6 +937,43 @@ object Curation {
       .drop("q_longer", "q_same")
   }
 
+  /** Per-source token-budget selection: fill each source's token budget
+    * with its best documents — rank by quality (doc_id tiebreak), keep a
+    * doc iff the running token total THROUGH it stays ≤ budget. The
+    * greedy prefix rule every "N tokens per domain" training recipe
+    * actually means, made deterministic and engine-exact: ordering ties
+    * break on doc_id, the running sum is integer, and a doc larger than
+    * the whole budget is excluded even when ranked first (its own cum
+    * already exceeds B) — identically in both engines.
+    *
+    * Scale shape: same lossless two-phase prune as [[paretoFront]]. A
+    * doc's global running sum (over its whole source) is ≥ its
+    * shard-local running sum — the same prefix restricted to a subset —
+    * so local cum > B already proves global cum > B and phase 1 drops
+    * such docs in fully parallel (source, shard) windows. Each shard
+    * keeps ≤ B tokens' worth, so phase 2's per-source window sees
+    * ≤ shards·B tokens per source, NOT the corpus: a hot source costs a
+    * bounded second pass, never a corpus-sized single-partition sort. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 800L,
+      shards: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityScoreOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("n_words"), col("quality_score"))
+    def cumW(part: org.apache.spark.sql.Column*) = Window.partitionBy(part: _*)
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pruned = q
+      .withColumn("shard", pmod(hash(col("doc_id")), lit(shards)))
+      .withColumn("lc", sum(col("n_words")).over(cumW(col("source"), col("shard"))))
+      .where(col("lc") <= budget).drop("lc", "shard")
+    pruned
+      .withColumn("cum_tokens", sum(col("n_words")).over(cumW(col("source"))))
+      .where(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
   /** Curriculum ordering: a deterministic training-order schedule that
     * interleaves quality bands round-robin, so every consecutive slice of
     * the schedule sees the full quality spectrum (anti-curriculum clumping
@@ -969,6 +1006,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_curriculum"        -> (curriculumOrder _),
     "x_pareto_front"      -> ((s: SparkSession, d: String) => paretoFront(s, d)),
+    "x_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "x_triangle_sim"      -> (triangleSim _),
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
@@ -1003,6 +1041,20 @@ object Curation {
          |    PARTITION BY band ORDER BY quality_score DESC, doc_id ASC) AS rn FROM b)
          |SELECT doc_id, band, CAST((rn - 1) * 4 + band AS BIGINT) AS position
          |FROM r ORDER BY position""".stripMargin,
+    "x_token_budget" -> {
+      import graft.ops.StableStats.stableRoundSql
+      val score = stableRoundSql(
+        "least(1e0, CAST(len(w) AS DOUBLE) / 1e2)" +
+          s" * (1 - CAST(len(list_filter(w, x -> x IN (${TextAnalysis.inList(TextAnalysis.stopEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE))" +
+          " * (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE))", 4)
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
+         |  $score AS quality_score FROM t),
+         |r AS (SELECT *, sum(n_words) OVER (PARTITION BY source
+         |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+         |SELECT doc_id, source, n_words, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin
+    },
     "x_pareto_front" -> {
       import graft.ops.StableStats.stableRoundSql
       val score = stableRoundSql(

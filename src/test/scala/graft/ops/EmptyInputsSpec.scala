@@ -79,6 +79,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Curation.curriculumOrder(spark, dir).count() === 0)
     assert(graft.ext.Curation.triangleSim(spark, dir).count() === 0)
     assert(graft.ext.Curation.paretoFront(spark, dir).count() === 0)
+    assert(graft.ext.Curation.tokenBudget(spark, dir).count() === 0)
     assert(graft.ext.Dedup.jaccardPrefixJoin(spark, dir).count() === 0)
     assert(QualityChecks.benfordPrices(spark, dir).count() === 0)
     val m = QualityChecks.observedMetrics(spark, dir).head()

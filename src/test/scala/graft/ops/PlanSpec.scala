@@ -125,7 +125,7 @@ class PlanSpec extends SparkSpec {
       "x_boilerplate_ngrams", "x_top_terms", "x_text_langid", "x_text_gopher",
       "x_bpe_merge_step",
       "x_stratified_sample", "x_split_assign", "x_pack_shards", "x_pack_bins",
-      "x_len_buckets", "x_pareto_front",
+      "x_len_buckets", "x_pareto_front", "x_token_budget",
       // iterative-loop composites: the label loop materializes through
       // checkpoints, so the final plan audited here is the probe/census
       // stage — the part that could regress into a corpus broadcast
