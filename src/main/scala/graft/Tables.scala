@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet star schema (TESTDATA.md).
   *
@@ -35,7 +35,13 @@ object Tables {
       // integer `div`, not `/`: epoch-nanos (~1.7e18) overflows a double's
       // 53-bit mantissa, so float division would corrupt timestamps
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+      // TIMESTAMP_NTZ, which unix_micros / timestamp arithmetic rejects
+      // outright. Every entry point pins session TZ to UTC, so the cast
+      // reinterprets the same wall-clock micros with zero value shift —
+      // and matches DuckDB, which treats the column as plain TIMESTAMP.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

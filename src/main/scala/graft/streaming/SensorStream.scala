@@ -24,9 +24,11 @@ object SensorStream {
 
   /** File-based streaming source over the driver's events parquet — the
     * real `readStream` path (new files in `dir` would be picked up
-    * incrementally; `Trigger.AvailableNow` drains what exists). Handles
-    * the TIMESTAMP(NANOS) column exactly like the batch reader
-    * ([[graft.Tables.events]]): nanos read as long, integer-div to µs. */
+    * incrementally; `Trigger.AvailableNow` drains what exists). Normalizes
+    * the ts column exactly like the batch reader ([[graft.Tables.events]]):
+    * epoch-nanos long → integer-div to µs; TIMESTAMP_NTZ → TIMESTAMP (the
+    * watermark operator rejects NTZ event time outright, and every entry
+    * point pins the session to UTC so the cast is value-preserving). */
   def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = graft.Tables.table(spark, dir, "events").schema
@@ -34,9 +36,13 @@ object SensorStream {
     // so stream the parent dir with a glob pinned to this table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** events stream → windowed wide aggregate (append-mode compatible):
