@@ -214,15 +214,69 @@ object CorpusStats {
       .orderBy(col("freq").desc, col("tok").asc).limit(k)
   }
 
+  /** Corpus novelty curve: for each ingestion bucket of `bucketSize`
+    * consecutive doc_ids, the fraction of its distinct word-3-gram
+    * shingles seen for the FIRST time in the corpus (first occurrence =
+    * the ngram's minimum doc_id). This is the redundancy-growth curve a
+    * pipeline reads before deciding how hard to dedup a new crawl slice:
+    * novelty collapsing toward 0 means the marginal shard is mostly
+    * re-crawl and the dedup stage will carry the round.
+    *
+    * Plan: one explode to the distinct (doc, shingle) frame (shingles as
+    * 60-bit md5 ints, [[Dedup.hashedShingleExpr]] — 8-byte join keys),
+    * one vocab-sized min-agg for first occurrence, one equi-join back on
+    * the shingle key, then two bounded aggs. The join's per-key fan-out
+    * is the shingle's document frequency — corpus-shaped (Zipfian but
+    * each row is one (doc, shingle) pair, no pair blow-up), so the shape
+    * survives 100 TB: explode + two hash-aggs + one shuffle join. */
+  def ngramNovelty(spark: SparkSession, dir: String, bucketSize: Int = 50): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(Dedup.hashedShingleExpr)).as("s"))
+      // two consumers (first-occurrence agg + the join probe) — without
+      // the barrier each re-pays the corpus scan + md5 explode
+      .persist()
+    val first = pairs.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = pairs.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+    perDoc
+      .groupBy(expr(s"doc_id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ngrams")).as("total_ngrams"),
+        sum(col("n_novel")).as("novel_ngrams"),
+        graft.ops.StableStats.ratio(sum(col("n_novel")), sum(col("n_ngrams"))).as("novelty"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
     "x_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "x_corpus_zipf" -> ((s, d) => zipfFit(s, d)),
     "x_source_kl"   -> (sourceKl _),
+    "x_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "x_word_pmi"    -> ((s, d) => pmiCollocations(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "x_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(w) - 2),
+         |    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)) AS s
+         |  FROM w),
+         |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS n_ngrams,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM sh JOIN f USING (s) GROUP BY 1)
+         |SELECT CAST(doc_id // 50 AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(sum(n_ngrams) AS BIGINT) AS total_ngrams,
+         |  CAST(sum(n_novel) AS BIGINT) AS novel_ngrams,
+         |  ${stableRoundSql("CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_ngrams) AS BIGINT)", 4)} AS novelty
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_cms_topk" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |exact AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),

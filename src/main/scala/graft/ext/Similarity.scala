@@ -377,7 +377,55 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Per-dimension standardization (z-score normalization) of the
+    * embedding corpus, with per-vector standardized norms — the feature
+    * scaling a pipeline fits before clustering/IVF training (k-means on
+    * unstandardized dims lets one high-variance dimension own the
+    * distance metric).
+    *
+    * Determinism contract: embedding floats are quantized to 1e4-scaled
+    * integers (`floor(v·10⁴ + 0.5)` — the StableStats arithmetic round),
+    * so the per-dimension moment sums are EXACT 64-bit integers with no
+    * summation-order drift; mean/variance then derive from those exact
+    * sums via a fixed IEEE double sequence both engines evaluate
+    * bit-identically, and each z-score is re-quantized the same way so
+    * the per-vector aggregates are again exact-integer. Overflow
+    * headroom: Σq² per dimension stays under 2⁶³ up to ~9·10¹⁰ vectors;
+    * past that, shard the moment agg and merge partials.
+    *
+    * Plan: posexplode (n·d rows, the one wide stage) → d-row moment agg
+    * → broadcast the d-row stats frame back onto the exploded stream →
+    * per-vector agg. Two hash-aggs and a broadcast join — no shuffle of
+    * the vector data beyond the explode. */
+  def embedNorm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("v") * lit(1e4) + lit(0.5)).cast("long").as("q"))
+    val dims = q.groupBy(col("pos")).agg(
+        count(lit(1)).as("n"), sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"))
+      .select(col("pos"),
+        (col("s").cast("double") / col("n")).as("mean_q"),
+        // sample variance from exact integer sums: (SS − S²/n)/(n−1),
+        // evaluated left-to-right in double — S² would overflow int64 at
+        // corpus scale, S·(S/n) in double does not
+        ((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1)).as("var_q"))
+    val z = q.join(broadcast(dims), Seq("pos"))
+      .withColumn("zq", when(col("var_q") > 0,
+        floor((col("q") - col("mean_q")) / sqrt(col("var_q")) * lit(1e4) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)))
+    z.groupBy(col("vec_id"))
+      .agg(
+        stableRound(sqrt(sum(col("zq") * col("zq")).cast("double")) / lit(1e4), 4).as("z_norm"),
+        stableRound(sum(col("zq")).cast("double") / lit(1e4), 4).as("z_sum"),
+        stableRound(max(abs(col("zq"))).cast("double") / lit(1e4), 4).as("z_max"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_norm"     -> (embedNorm _),
     "x_rrf_hybrid"     -> (rrfHybrid _),
     "x_pq_search"      -> (pqSearch _),
     "x_pq_codes"       -> (pqCodes _),
@@ -390,6 +438,26 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_embed_norm" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+         |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
+         |q AS (SELECT vec_id, pos,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1e4 + 5e-1) AS BIGINT) AS q FROM e),
+         |d AS (SELECT pos, count(*) AS n, sum(q) AS s, sum(q * q) AS ss
+         |  FROM q GROUP BY 1),
+         |st AS (SELECT pos, CAST(s AS DOUBLE) / n AS mean_q,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var_q FROM d),
+         |z AS (SELECT vec_id, CASE WHEN var_q > 0
+         |    THEN CAST(floor((q - mean_q) / sqrt(var_q) * 1e4 + 5e-1) AS BIGINT)
+         |    ELSE 0 END AS zq
+         |  FROM q JOIN st USING (pos))
+         |SELECT vec_id,
+         |  ${stableRoundSql("sqrt(CAST(sum(zq * zq) AS DOUBLE)) / 1e4", 4)} AS z_norm,
+         |  ${stableRoundSql("CAST(sum(zq) AS DOUBLE) / 1e4", 4)} AS z_sum,
+         |  ${stableRoundSql("CAST(max(abs(zq)) AS DOUBLE) / 1e4", 4)} AS z_max
+         |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "x_rrf_hybrid" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH toks AS (SELECT doc_id, tok FROM (

@@ -78,6 +78,53 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Cross-user concurrent-session pairs — an interval-overlap self-join
+    * over the [[sessionize]] session bounds, the range-join shape every
+    * event pipeline eventually needs (co-presence, ad attribution
+    * windows, capacity analysis).
+    *
+    * Scale shape: a naive interval self-join is |S|² with no equi-key.
+    * Here each session explodes to the HOUR buckets it covers and the
+    * join runs as an equi-join on the bucket, then filters the exact
+    * strict-overlap predicate and `distinct`s away the multi-bucket
+    * double-matches (lossless: two overlapping intervals share at least
+    * one covered hour, so bucketing never loses a pair). Per-bucket
+    * fan-out is bounded by concurrent sessions per hour — user-count
+    * shaped, not corpus-shaped; widen the bucket if sessions are long,
+    * salt a degenerate hour if one ever appears. Overlap micros are
+    * exact int64 arithmetic end-to-end. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourUs = 3600L * 1000000L
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("s_us"), unix_micros(max(col("ts"))).as("e_us"))
+      // both join sides read this frame; without the barrier the whole
+      // sessionization window pass runs twice
+      .persist()
+    def side(tag: Int) = sess.select(
+      expr(s"s_us div $hourUs").as("b0"), expr(s"e_us div $hourUs").as("b1"),
+      col("user_id").as(s"u$tag"), col("session_id").as(s"sid$tag"),
+      col("s_us").as(s"s$tag"), col("e_us").as(s"e$tag"))
+      .withColumn("b", explode(expr("sequence(b0, b1)")))
+      .drop("b0", "b1")
+    val pairs = side(1).join(side(2), Seq("b"))
+      .where(col("u1") < col("u2") && col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("u1", "sid1", "u2", "sid2", "s1", "e1", "s2", "e2").distinct()
+      .withColumn("ov_us", least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+    pairs.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("total_overlap_us"))
+      .orderBy(col("n_overlaps").desc, col("u1").asc, col("u2").asc)
+      .limit(100)
+  }
+
   /** Sliding (overlapping) windows — 10-minute windows every 5 minutes;
     * each event lands in exactly 2 windows. Spark assigns both window
     * memberships map-side (Expand), still one hash-agg shuffle. */
@@ -298,6 +345,7 @@ object Analytics {
     "o3_export_order"  -> (exportOrder _),
     "j4_concat_axis"   -> (concatAxis _),
     "x_sessionize"     -> (sessionize _),
+    "x_interval_overlap" -> (intervalOverlap _),
     "a_quantiles"      -> (quantiles _),
     "a_histogram"      -> (histogram _),
     "s9_catalog"       -> (catalogStructure _)
@@ -440,6 +488,30 @@ object Analytics {
         |  view_mean, view_min, view_max, view_std
         |FROM c FULL OUTER JOIN v ON click_ts = view_ts
         |ORDER BY timestamp""".stripMargin,
+    "x_interval_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM s GROUP BY user_id, session_id),
+        |p AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2,
+        |    least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov_us
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us)
+        |SELECT u1, u2, count(*) AS n_overlaps, CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+        |FROM p GROUP BY u1, u2
+        |ORDER BY n_overlaps DESC, u1 ASC, u2 ASC LIMIT 100""".stripMargin,
     "x_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,

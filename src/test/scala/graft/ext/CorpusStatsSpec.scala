@@ -62,4 +62,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(cells.length === 3)
     cells.foreach(r => assert(r.getAs[Long]("row_total") === total))
   }
+
+  test("ngram novelty: novel counts partition the corpus-wide distinct shingle set") {
+    import org.apache.spark.sql.functions._
+    val out = CorpusStats.ngramNovelty(spark, dir).collect()
+    assert(out.nonEmpty)
+    // every distinct shingle is novel in exactly ONE doc (its min-doc_id
+    // owner), so bucket novel counts must sum to the corpus vocabulary
+    val vocab = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(explode(expr(Dedup.hashedShingleExpr)).as("s"))
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("novel_ngrams")).sum === vocab)
+    out.foreach { r =>
+      assert(r.getAs[Long]("novel_ngrams") <= r.getAs[Long]("total_ngrams"))
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // the first bucket contains doc 0, whose shingles can only be owned
+    // inside the bucket — its novelty is the curve's maximum by design
+    val first = out.find(_.getAs[Long]("bucket") === 0L).get
+    assert(first.getAs[Double]("novelty") >= out.map(_.getAs[Double]("novelty")).min)
+  }
 }

@@ -138,6 +138,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r.values.map(_._1).sum > 0, "1-probe IVF must recover some of the truth")
   }
 
+  test("embed norm: known per-dimension moments standardize to exact z-scores") {
+    val d = Files.createTempDirectory("graft-znorm").toString
+    // dim means (2, 20), sample sds (2, 10) → z rows exactly (-1,-1),(0,0),(1,1)
+    Seq(
+      (0L, Array(0.0f, 10.0f), 0),
+      (1L, Array(2.0f, 20.0f), 0),
+      (2L, Array(4.0f, 30.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val r = Similarity.embedNorm(spark, d).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("z_norm"), x.getAs[Double]("z_sum"), x.getAs[Double]("z_max"))).toMap
+    val s2 = math.floor(math.sqrt(2.0) * 1e4 + 0.5) / 1e4 // quantized √2
+    assert(r(0L) === ((s2, -2.0, 1.0)))
+    assert(r(1L) === ((0.0, 0.0, 0.0)))
+    assert(r(2L) === ((s2, 2.0, 1.0)))
+  }
+
+  test("embed norm on real embeddings: one row per vector, deterministic across runs") {
+    val realDir = "/root/testdata/sf0.001"
+    val a = Similarity.embedNorm(spark, realDir).collect().toSeq
+    val b = Similarity.embedNorm(spark, realDir).collect().toSeq
+    assert(a === b)
+    val n = spark.read.parquet(s"$realDir/embeddings.parquet").count()
+    assert(a.length.toLong === n)
+    // standardized vectors concentrate: every norm is positive and far
+    // below the all-5-sigma corner case
+    a.foreach(r => assert(r.getAs[Double]("z_norm") > 0.0 && r.getAs[Double]("z_norm") < 64.0))
+  }
+
   test("RRF hybrid: fused score reconstructs from list ranks, ordered, both lists contribute") {
     val corpus = "/root/testdata/sf0.001"
     val rows = Similarity.rrfHybrid(spark, corpus).collect()

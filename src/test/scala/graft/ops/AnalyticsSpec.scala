@@ -72,4 +72,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(bySlot("2024-01-03 00:30:00.0") === ((1L, Some(30.0))))
     assert(bySlot("2024-01-03 23:50:00.0") === ((0L, Some(30.0))), "fill persists to day end")
   }
+
+  test("interval overlap: fixture pairs with exact overlap micros") {
+    // user 1 session [00:00, 00:10] overlaps user 2's single-event
+    // session [01:00, 01:00] not at all; extend the fixture with a user 3
+    // session [00:05, 00:20] that overlaps user 1's first session by 5 min
+    val d = Files.createTempDirectory("graft-overlap").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (0L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:10:00"), 1L, "view", 2.0, "{}"),
+      (2L, ts("2024-01-01 00:05:00"), 3L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 00:20:00"), 3L, "view", 4.0, "{}"),
+      // user 2 far away — no overlap with anyone
+      (4L, ts("2024-01-01 05:00:00"), 2L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val r = Analytics.intervalOverlap(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("u1") === 1L && r.head.getAs[Long]("u2") === 3L)
+    assert(r.head.getAs[Long]("n_overlaps") === 1L)
+    assert(r.head.getAs[Long]("total_overlap_us") === 5L * 60 * 1000000) // 00:05–00:10
+  }
+
+  test("interval overlap: hour-bucket blocking is lossless vs the naive self-join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val blocked = Analytics.intervalOverlap(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2")) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("total_overlap_us"))).toMap
+    // naive reference: no bucketing, raw theta-join over all session pairs
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sess = graft.Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_micros(min(col("ts"))).as("s_us"), unix_micros(max(col("ts"))).as("e_us"))
+    val a = sess.select(col("user_id").as("u1"), col("s_us").as("s1"), col("e_us").as("e1"))
+    val b = sess.select(col("user_id").as("u2"), col("s_us").as("s2"), col("e_us").as("e2"))
+    val naive = a.join(b,
+        col("u1") < col("u2") && col("s1") < col("e2") && col("s2") < col("e1"))
+      .withColumn("ov", least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n"), sum(col("ov")).as("tot"))
+      .orderBy(col("n").desc, col("u1").asc, col("u2").asc).limit(100)
+      .collect()
+      .map(r => (r.getAs[Long]("u1"), r.getAs[Long]("u2")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("tot"))).toMap
+    assert(blocked === naive)
+  }
 }
