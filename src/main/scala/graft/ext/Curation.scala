@@ -1003,7 +1003,55 @@ object Curation {
       .orderBy("position")
   }
 
+  /** Snapshot reconciliation: classify every document across two corpus
+    * snapshots as added / removed / changed / unchanged and report the
+    * per-source census — the audit a lake operator runs after every
+    * re-crawl ingest before deciding what downstream stages (dedup,
+    * embedding, packing) must recompute.
+    *
+    * The "new" snapshot is derived deterministically from the corpus
+    * (every 11th doc dropped, every 7th revised, every 13th cloned as a
+    * fresh id) so the differential oracle can rebuild the identical
+    * scenario; [[diffOf]] is the reusable operator over any two
+    * (doc_id, text, source) frames.
+    *
+    * Scale shape: one full-outer equi-join on doc_id (both sides shuffle
+    * once on the key — with bucketed snapshot tables it is co-located and
+    * shuffle-free) comparing md5 content hashes, then a sources-sized
+    * agg. Nothing quadratic, nothing driver-side. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val survived = old.where(pmod(col("doc_id"), lit(11)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val added = old.where(pmod(col("doc_id"), lit(13)) === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text"), col("source"))
+    diffOf(old, survived.unionByName(added))
+  }
+
+  /** Per-source diff census between two (doc_id, text, source) frames —
+    * see [[snapshotDiff]]. */
+  def diffOf(old: DataFrame, newer: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), md5(col("text")).as("o_hash"), col("source").as("o_source"))
+    val n = newer.select(col("doc_id"), md5(col("text")).as("n_hash"), col("source").as("n_source"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_hash").isNull, "added")
+          .when(col("n_hash").isNull, "removed")
+          .when(col("o_hash") === col("n_hash"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(coalesce(col("n_source"), col("o_source")).as("source"))
+      .agg(
+        sum((col("status") === "added").cast("long")).as("n_added"),
+        sum((col("status") === "removed").cast("long")).as("n_removed"),
+        sum((col("status") === "changed").cast("long")).as("n_changed"),
+        sum((col("status") === "unchanged").cast("long")).as("n_unchanged"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_snapshot_diff"     -> (snapshotDiff _),
     "x_curriculum"        -> (curriculumOrder _),
     "x_pareto_front"      -> ((s: SparkSession, d: String) => paretoFront(s, d)),
     "x_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -1033,6 +1081,26 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, source FROM documents),
+        |survived AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text, source
+        |  FROM old WHERE doc_id % 11 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text, source
+        |  FROM old WHERE doc_id % 13 = 0),
+        |nw AS (SELECT * FROM survived UNION ALL SELECT * FROM added),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_curriculum" ->
       s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
          |b AS (SELECT doc_id,  quality_score,

@@ -125,6 +125,57 @@ object Analytics {
       .limit(100)
   }
 
+  /** Poisson-bootstrap confidence intervals for per-type mean(value) —
+    * THE distributed resampling scheme (classical bootstrap draws n
+    * samples with replacement, which cannot be computed row-independently;
+    * Poisson(1) multiplicities approximate it with a per-row decision,
+    * which is why every large-scale stats stack uses it). Each (row,
+    * replicate) pair gets a deterministic md5-derived uniform mapped
+    * through the Poisson(1) inverse CDF to a multiplicity 0..7; replicate
+    * means use exact cents-integer sums, and the interval is the 2nd/31st
+    * order statistic of the 32 replicate means (≈ 5%/95%).
+    *
+    * Determinism: the uniform is a 48-bit md5 prefix over a power-of-two
+    * division (exact in double), CDF constants are identical literals in
+    * both engines, sums are exact int64 — the entire pipeline is
+    * bit-stable cross-engine. Scale shape: the explode is reps× the
+    * event stream but all downstream aggs are (type × reps)-sized; the
+    * rank window runs on ≤ reps rows per type. */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 32): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    // Poisson(1) cumulative probabilities, k = 0..6 (k=7 tail beyond)
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183, 0.999916758850712)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val rep = e
+      .select(col("event_id"), col("event_type"), col("cents"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("u",
+        expr("cast(conv(substring(md5(concat(event_id, '_', b)), 1, 12), 16, 10) as bigint)")
+          / lit(281474976710656.0))
+      .withColumn("mult",
+        cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) { case ((c, k), rest) =>
+          when(col("u") < c, k.toLong).otherwise(rest)
+        })
+    val repMeans = rep.groupBy(col("event_type"), col("b"))
+      .agg(sum(col("mult") * col("cents")).as("sc"), sum(col("mult")).as("nm"))
+      .withColumn("m", stableRound(col("sc").cast("double") / col("nm") / lit(100.0), 4))
+    val byMean = Window.partitionBy(col("event_type")).orderBy(col("m").asc, col("b").asc)
+    val ci = repMeans.withColumn("rn", row_number().over(byMean))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === 2, col("m"))).as("boot_lo"),
+        min(when(col("rn") === reps - 1, col("m"))).as("boot_hi"))
+    val base = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        stableRound(sum(col("cents")).cast("double") / count(lit(1)) / lit(100.0), 4)
+          .as("mean_value"))
+    base.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_value"), col("boot_lo"), col("boot_hi"))
+      .orderBy("event_type")
+  }
+
   /** Sliding (overlapping) windows — 10-minute windows every 5 minutes;
     * each event lands in exactly 2 windows. Spark assigns both window
     * memberships map-side (Expand), still one hash-agg shuffle. */
@@ -346,6 +397,7 @@ object Analytics {
     "j4_concat_axis"   -> (concatAxis _),
     "x_sessionize"     -> (sessionize _),
     "x_interval_overlap" -> (intervalOverlap _),
+    "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
     "a_quantiles"      -> (quantiles _),
     "a_histogram"      -> (histogram _),
     "s9_catalog"       -> (catalogStructure _)
@@ -488,6 +540,40 @@ object Analytics {
         |  view_mean, view_min, view_max, view_std
         |FROM c FULL OUTER JOIN v ON click_ts = view_ts
         |ORDER BY timestamp""".stripMargin,
+    "x_bootstrap_ci" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    CAST(round(value * 1e2) AS BIGINT) AS cents FROM events),
+         |rep AS (SELECT event_id, event_type, cents, b,
+         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 12))::BIGINT
+         |      / 281474976710656.0 AS u
+         |  FROM e, unnest(generate_series(0, 31)) AS t(b)),
+         |m AS (SELECT event_id, event_type, cents, b,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238462 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         WHEN u < 0.999916758850712 THEN 6
+         |         ELSE 7 END AS mult
+         |  FROM rep),
+         |rm AS (SELECT event_type, b,
+         |    ${stableRoundSql("CAST(sum(mult * cents) AS DOUBLE) / CAST(sum(mult) AS BIGINT) / 1e2", 4)} AS mean_b
+         |  FROM m GROUP BY 1, 2),
+         |ranked AS (SELECT event_type, mean_b,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn
+         |  FROM rm),
+         |ci AS (SELECT event_type,
+         |    min(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+         |    min(CASE WHEN rn = 31 THEN mean_b END) AS boot_hi
+         |  FROM ranked GROUP BY 1),
+         |base AS (SELECT event_type, count(*) AS n,
+         |    ${stableRoundSql("CAST(sum(cents) AS DOUBLE) / count(*) / 1e2", 4)} AS mean_value
+         |  FROM e GROUP BY 1)
+         |SELECT base.event_type, n, mean_value, boot_lo, boot_hi
+         |FROM base JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+    },
     "x_interval_overlap" ->
       """WITH g AS (
         |  SELECT user_id, ts,

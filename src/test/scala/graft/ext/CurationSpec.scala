@@ -213,4 +213,32 @@ class CurationSpec extends SparkSpec {
       assert((rows(doc)._2, rows(doc)._3) === plain(doc))
     }
   }
+
+  test("snapshot diff: fixture classifies added/removed/changed/unchanged per source") {
+    val old = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    val newer = Seq((1L, "alpha", "s1"), (2L, "beta v2", "s1"), (4L, "delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.diffOf(old, newer).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_added"), x.getAs[Long]("n_removed"),
+          x.getAs[Long]("n_changed"), x.getAs[Long]("n_unchanged")))).toMap
+    assert(r("s1") === ((0L, 0L, 1L, 1L)))
+    assert(r("s2") === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("snapshot diff: census totals reconstruct the deterministic mutation rates") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.snapshotDiff(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+    def n(cond: org.apache.spark.sql.Column) = docs.where(cond).count()
+    assert(out.map(_.getAs[Long]("n_removed")).sum === n(pmod(col("doc_id"), lit(11)) === 0))
+    assert(out.map(_.getAs[Long]("n_changed")).sum ===
+      n(pmod(col("doc_id"), lit(7)) === 0 && pmod(col("doc_id"), lit(11)) =!= 0))
+    assert(out.map(_.getAs[Long]("n_added")).sum === n(pmod(col("doc_id"), lit(13)) === 0))
+    val total = docs.count()
+    assert(out.map(r => r.getAs[Long]("n_removed") + r.getAs[Long]("n_changed") +
+      r.getAs[Long]("n_unchanged")).sum === total)
+  }
 }

@@ -95,6 +95,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("total_overlap_us") === 5L * 60 * 1000000) // 00:05–00:10
   }
 
+  test("bootstrap CI: interval brackets the point estimate, deterministic") {
+    val a = Analytics.bootstrapCi(spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("boot_lo"), r.getAs[Double]("mean_value"),
+        r.getAs[Double]("boot_hi"))
+      assert(lo <= hi, s"${r.getAs[String]("event_type")}: lo $lo > hi $hi")
+      // 5%/95% order statistics of 32 Poisson-bootstrap replicate means
+      // bracket the full-sample mean on any non-degenerate sample
+      assert(lo <= m && m <= hi, s"${r.getAs[String]("event_type")}: $m outside [$lo, $hi]")
+      // CI width is resampling noise around the mean — sanity-bound it
+      assert(hi - lo < math.abs(m) + 1.0)
+    }
+    val b = Analytics.bootstrapCi(spark, "/root/testdata/sf0.001").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("interval overlap: hour-bucket blocking is lossless vs the naive self-join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
