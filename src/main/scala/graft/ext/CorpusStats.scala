@@ -251,7 +251,43 @@ object CorpusStats {
       .orderBy("bucket")
   }
 
+  /** Incremental novelty: how much of an incoming DELTA shard's shingle
+    * mass is new relative to the BASE corpus — the ingest-time complement
+    * of [[ngramNovelty]]'s within-corpus curve, and the number that
+    * decides whether a new crawl slice is worth a dedup round before
+    * admission. Shards split on doc_id parity (`pmod`, total over
+    * negative ids — same discipline as [[Dedup.incrementalMinhash]]).
+    *
+    * Plan: base collapses to its distinct shingle set (vocab-sized);
+    * delta's (doc, shingle) pairs anti-join it on the 60-bit key — the
+    * anti-join only ever carries vocab-sized state per key, never pair
+    * blow-up. At 100 TB the base set is the persisted shingle index the
+    * incremental-LSH path already maintains — this query IS one probe of
+    * it. */
+  def incrNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.ratio
+    def sh(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(Dedup.hashedShingleExpr)).as("s"))
+    val docs = Tables.documents(spark, dir)
+    val base = sh(docs.where(pmod(col("doc_id"), lit(2)) === 0)).select(col("s")).distinct()
+    val delta = sh(docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      // two consumers (census + anti-join probe) share one explode pass
+      .persist()
+    val perSource = delta.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("delta_ngrams"))
+    val novel = delta.join(base, Seq("s"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("novel_ngrams"))
+    perSource.join(novel, Seq("source"), "left")
+      .na.fill(0L, Seq("novel_ngrams"))
+      .select(col("source"), col("n_docs"), col("delta_ngrams"), col("novel_ngrams"),
+        ratio(col("novel_ngrams"), col("delta_ngrams")).as("novelty"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_incr_novelty" -> (incrNovelty _),
     "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
     "x_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "x_corpus_zipf" -> ((s, d) => zipfFit(s, d)),
@@ -261,6 +297,25 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_incr_novelty" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
+         |    generate_series(1, len(w) - 2),
+         |    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)) AS s
+         |  FROM w),
+         |base AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+         |delta AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 2 = 1),
+         |per AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS delta_ngrams FROM delta GROUP BY 1),
+         |nov AS (SELECT source, CAST(count(*) AS BIGINT) AS novel_ngrams
+         |  FROM delta WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.s = delta.s)
+         |  GROUP BY 1)
+         |SELECT per.source, n_docs, delta_ngrams,
+         |  CAST(coalesce(novel_ngrams, 0) AS BIGINT) AS novel_ngrams,
+         |  ${stableRoundSql("CAST(coalesce(novel_ngrams, 0) AS DOUBLE) / delta_ngrams", 4)} AS novelty
+         |FROM per LEFT JOIN nov ON per.source = nov.source
+         |ORDER BY per.source""".stripMargin,
     "x_ngram_novelty" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |  WHERE len(string_split(text, ' ')) >= 3),

@@ -204,6 +204,40 @@ object Curation {
       .orderBy("lang", "rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, per source: the
+    * Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters 97(5), 2006) —
+    * each doc draws key u^(1/w) from a uniform u and weight w, and the
+    * top-k keys per group ARE a weighted sample without replacement.
+    * This is the distributable formulation (one key per row, one top-k —
+    * no sequential draws), the same reason [[graft.ops.Analytics
+    * .bootstrapCi]] uses Poisson multiplicities. Weight here is n_chars:
+    * longer docs proportionally likelier, the standard size-biased
+    * curation pick.
+    *
+    * Determinism: u is the 48-bit md5 prefix over a power-of-two
+    * division (exact), and ranking compares ln(u)/w ROUNDED to 10dp with
+    * doc_id tie-break — the suite's float-ranked-top-k discipline, so an
+    * ulp of libm ln() divergence cannot flip the cut. Scale shape: one
+    * scan, one per-group top-k window (rank over source partitions);
+    * at 100 TB the window is a per-partition top-k + merge, which is
+    * exactly what TakeOrdered-style ranking plans to. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val byKey = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("u",
+        expr("cast(conv(substring(md5(concat('wsamp|', doc_id)), 1, 12), 16, 10) as bigint)")
+          / lit(281474976710656.0))
+      // ln(u)/w is monotone in u^(1/w) (ln(u) < 0, w > 0): same top-k,
+      // no pow() — one fewer transcendental to keep cross-engine-stable
+      .withColumn("es_key", stableRound(log(col("u")) / col("n_chars"), 10))
+      .withColumn("rn", row_number().over(byKey))
+      .where(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"), col("es_key"))
+      .orderBy("source", "rn")
+  }
+
   /** Near-dup cluster resolution: connected components over the MinHash-LSH
     * candidate pairs via iterative min-label propagation + POINTER JUMPING
     * to a fixpoint — each round is one tiny two-join job over O(edges);
@@ -1052,6 +1086,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_snapshot_diff"     -> (snapshotDiff _),
+    "x_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "x_curriculum"        -> (curriculumOrder _),
     "x_pareto_front"      -> ((s: SparkSession, d: String) => paretoFront(s, d)),
     "x_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
@@ -1081,6 +1116,20 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_weighted_sample" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH u AS (SELECT source, doc_id, n_chars,
+         |    ('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |      / 281474976710656.0 AS u
+         |  FROM documents),
+         |keyed AS (SELECT source, doc_id, n_chars,
+         |    ${stableRoundSql("ln(u) / n_chars", 10)} AS es_key FROM u),
+         |r AS (SELECT source, doc_id, n_chars, es_key,
+         |    row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id ASC) AS rn
+         |  FROM keyed)
+         |SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, n_chars, es_key
+         |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+    },
     "x_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text, source FROM documents),
         |survived AS (SELECT doc_id,

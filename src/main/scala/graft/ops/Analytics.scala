@@ -207,6 +207,50 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Histogram-quantile sketch, AUDITED against the exact percentile
+    * (house rule, same as the KMV/count-min entries: an approximate
+    * operator ships WITH its error audit). A 256-bin equi-width
+    * histogram over exact cents integers estimates p50/p90 by cumulative
+    * count + linear interpolation inside the landing bin — the mergeable
+    * one-pass shape that replaces an exact total-sort percentile at
+    * 100 TB (bin counts add across shards; the exact percentile here
+    * exists only to measure the estimate).
+    *
+    * Determinism: binning is pure integer arithmetic on cents; the
+    * interpolation is a fixed IEEE op sequence from integer inputs; the
+    * exact side reuses the percentile/quantile_cont equivalence the
+    * a_quantiles entry already pins. */
+  def quantileSketch(spark: SparkSession, dir: String, bins: Int = 256): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"), col("value"))
+    val stats = e.groupBy(col("event_type")).agg(
+      min(col("c")).as("minc"), max(col("c")).as("maxc"), count(lit(1)).as("n"),
+      round(expr("percentile(value, 0.5)"), 4).as("ex50"),
+      round(expr("percentile(value, 0.9)"), 4).as("ex90"))
+    val binned = e.join(broadcast(stats.select("event_type", "minc", "maxc")), Seq("event_type"))
+      .withColumn("bin", expr(s"((c - minc) * $bins) div (maxc - minc + 1)"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = binned.withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    cum.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("cnt"), col("cum_before"),
+        col("minc"), col("maxc"), col("n"),
+        explode(expr("array(named_struct('p', 0.5D, 'exact', ex50)," +
+          " named_struct('p', 0.9D, 'exact', ex90))")).as("pp"))
+      .withColumn("t", col("pp.p") * (col("n") - 1))
+      // the continuous rank t lands in exactly one bin's [cum, cum+cnt)
+      .where(col("cum_before") <= col("t") && col("t") < col("cum_before") + col("cnt"))
+      .withColumn("est", stableRound(
+        (col("minc") + (col("bin") + (col("t") - col("cum_before") + lit(0.5)) / col("cnt"))
+          * ((col("maxc") - col("minc") + lit(1)).cast("double") / bins)) / lit(100.0), 4))
+      .select(col("event_type"), col("pp.p").as("p"), col("n"), col("est"),
+        col("pp.exact").as("exact"),
+        stableRound(col("est") - col("pp.exact"), 4).as("err"))
+      .orderBy("event_type", "p")
+  }
+
   /** Fixed-width value histogram (bucket = floor(value / 50)). */
   def histogram(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -398,6 +442,7 @@ object Analytics {
     "x_sessionize"     -> (sessionize _),
     "x_interval_overlap" -> (intervalOverlap _),
     "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
+    "x_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
     "a_quantiles"      -> (quantiles _),
     "a_histogram"      -> (histogram _),
     "s9_catalog"       -> (catalogStructure _)
@@ -540,6 +585,36 @@ object Analytics {
         |  view_mean, view_min, view_max, view_std
         |FROM c FULL OUTER JOIN v ON click_ts = view_ts
         |ORDER BY timestamp""".stripMargin,
+    "x_quantile_sketch" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH e AS (SELECT event_type, CAST(round(value * 1e2) AS BIGINT) AS c, value
+         |  FROM events),
+         |stats AS (SELECT event_type, min(c) AS minc, max(c) AS maxc,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    round(quantile_cont(value, 0.5), 4) AS ex50,
+         |    round(quantile_cont(value, 0.9), 4) AS ex90
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT e.event_type, ((c - minc) * 256) // (maxc - minc + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e JOIN stats USING (event_type) GROUP BY 1, 2),
+         |cum AS (SELECT event_type, bin, cnt,
+         |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM b),
+         |px AS (SELECT cum.event_type, bin, cnt, cum_before, minc, maxc, n, ps.p,
+         |    CASE WHEN ps.p = 0.5 THEN ex50 ELSE ex90 END AS exact,
+         |    ps.p * (n - 1) AS t
+         |  FROM cum JOIN stats USING (event_type)
+         |  CROSS JOIN (SELECT 0.5 AS p UNION ALL SELECT 0.9) ps),
+         |sel AS (SELECT event_type, p, n, exact,
+         |    ${stableRoundSql(
+             "(minc + (bin + (t - cum_before + 0.5) / cnt)" +
+               " * (CAST(maxc - minc + 1 AS DOUBLE) / 256)) / 1e2", 4)} AS est
+         |  FROM px WHERE cum_before <= t AND t < cum_before + cnt)
+         |SELECT event_type, p, n, est, exact,
+         |  ${stableRoundSql("est - exact", 4)} AS err
+         |FROM sel ORDER BY event_type, p""".stripMargin
+    },
     "x_bootstrap_ci" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH e AS (SELECT event_id, event_type,

@@ -63,6 +63,27 @@ class CorpusStatsSpec extends SparkSpec {
     cells.foreach(r => assert(r.getAs[Long]("row_total") === total))
   }
 
+  test("incremental novelty: census reconstructs the delta shard exactly") {
+    import org.apache.spark.sql.functions._
+    val out = CorpusStats.incrNovelty(spark, dir).collect()
+    assert(out.nonEmpty)
+    // per-source doc counts must cover every odd-id doc with >= 3 words
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+    val deltaDocs = docs.where(pmod(col("doc_id"), lit(2)) === 1).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === deltaDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("novel_ngrams") <= r.getAs[Long]("delta_ngrams"))
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // delta pair mass = sum of per-doc distinct shingle counts (odd ids)
+    val deltaPairs = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(explode(expr(Dedup.hashedShingleExpr)).as("s")).count()
+    assert(out.map(_.getAs[Long]("delta_ngrams")).sum === deltaPairs)
+  }
+
   test("ngram novelty: novel counts partition the corpus-wide distinct shingle set") {
     import org.apache.spark.sql.functions._
     val out = CorpusStats.ngramNovelty(spark, dir).collect()

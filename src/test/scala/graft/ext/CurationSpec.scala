@@ -214,6 +214,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: 3 per source, deterministic, and size-biased on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val a = Curation.weightedSample(spark, dir).collect()
+    val b = Curation.weightedSample(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+    val bySource = a.groupBy(_.getAs[String]("source"))
+    val nSources = graft.Tables.documents(spark, dir).select("source").distinct().count()
+    assert(bySource.size.toLong === nSources)
+    bySource.values.foreach(g => assert(g.map(_.getAs[Int]("rn")).sorted.toSeq === Seq(1, 2, 3)))
+    // A-ES with weight = n_chars is size-biased: the sampled docs' mean
+    // length must exceed the corpus mean (deterministic corpus — pinned)
+    val sampledMean = a.map(_.getAs[Long]("n_chars").toDouble).sum / a.length
+    val corpusMean = graft.Tables.documents(spark, dir)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"size bias violated: sampled $sampledMean <= corpus $corpusMean")
+  }
+
   test("snapshot diff: fixture classifies added/removed/changed/unchanged per source") {
     val old = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"))
       .toDF("doc_id", "text", "source")

@@ -112,6 +112,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("quantile sketch: estimate lands within one bin width of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = Analytics.quantileSketch(spark, d).collect()
+    assert(out.nonEmpty && out.length % 2 === 0, "p50 and p90 per event type")
+    val ranges = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(((max(round(col("value") * 100)) - min(round(col("value") * 100)) + 1) / 256.0 / 100.0)
+        .as("binw"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("binw")).toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      // interpolation error is bounded by the landing bin's width (plus
+      // rounding slack) — the audit column must agree with est − exact
+      assert(math.abs(r.getAs[Double]("err")) <= ranges(t) + 0.01,
+        s"$t p${r.getAs[Double]("p")}: err ${r.getAs[Double]("err")} vs bin ${ranges(t)}")
+      assert(math.abs(r.getAs[Double]("est") - r.getAs[Double]("exact") -
+        r.getAs[Double]("err")) < 1e-9)
+    }
+  }
+
   test("interval overlap: hour-bucket blocking is lossless vs the naive self-join") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
