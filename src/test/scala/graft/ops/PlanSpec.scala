@@ -129,7 +129,14 @@ class PlanSpec extends SparkSpec {
       // iterative-loop composites: the label loop materializes through
       // checkpoints, so the final plan audited here is the probe/census
       // stage — the part that could regress into a corpus broadcast
-      "x_incr_clusters", "x_curation_e2e")
+      "x_incr_clusters", "x_curation_e2e",
+      // round-10 additions: the novelty joins' first-occurrence/base
+      // shingle sets are vocabulary-sized (corpus-scaled), the snapshot
+      // diff joins corpus against corpus, the session self-join's both
+      // sides scale with users, the weighted sample and bootstrap carry
+      // no corpus-scaled join at all
+      "x_ngram_novelty", "x_incr_novelty", "x_snapshot_diff",
+      "x_interval_overlap", "x_weighted_sample", "x_bootstrap_ci")
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -176,7 +183,9 @@ class PlanSpec extends SparkSpec {
       "x_dsir_weights"    -> ((2, 1)), // 1024-bucket scores + 1-row totals
       "x_bm25_topk"       -> ((2, 1)), // query-token DF + 1-row stats
       "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
-      "x_ppl_buckets"     -> ((1, 1))) // 1-row corpus total
+      "x_ppl_buckets"     -> ((1, 1)), // 1-row corpus total
+      "x_embed_norm"      -> ((1, 0)), // d-row dimension stats (d fixed)
+      "x_quantile_sketch" -> ((2, 0))) // per-event-type stats × 2 sites
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
