@@ -100,4 +100,15 @@ class EmptyInputsSpec extends SparkSpec {
     assert(r.length === 6)
     assert(r.forall(_.getLong(1) === 0L), r.mkString(", "))
   }
+
+  test("round-10 additions on empty inputs") {
+    assert(graft.ext.CorpusStats.ngramNovelty(spark, dir).count() === 0)
+    assert(graft.ext.CorpusStats.incrNovelty(spark, dir).count() === 0)
+    assert(graft.ext.Curation.snapshotDiff(spark, dir).count() === 0)
+    assert(graft.ext.Curation.weightedSample(spark, dir).count() === 0)
+    assert(graft.ext.Similarity.embedNorm(spark, dir).count() === 0)
+    assert(Analytics.intervalOverlap(spark, dir).count() === 0)
+    assert(Analytics.bootstrapCi(spark, dir).count() === 0)
+    assert(Analytics.quantileSketch(spark, dir).count() === 0)
+  }
 }
