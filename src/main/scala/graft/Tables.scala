@@ -19,6 +19,11 @@ object Tables {
     // as raw nanos and truncate to micros below — same truncation DuckDB
     // applies when it coerces TIMESTAMP_NS to its microsecond TIMESTAMP.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver owns SparkSession construction (no config-time
+    // GraftExtensions), and every query path reads through here — so this
+    // is the session-level installation point for the engine's native
+    // optimizations. Both registrations are idempotent and O(1).
+    graft.functions.Md5ConvRewrite.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

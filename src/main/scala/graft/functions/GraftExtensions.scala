@@ -24,7 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_slice64"),
+      new ExpressionInfo(classOf[Md5Slice64].getName, "md5_slice64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "md5_slice64 expects exactly 3 arguments")
+        Md5Slice64(args.head, args(1), args(2))
+      }))
     // canonical HOF cosine chains collapse to the fused native expression
     ext.injectOptimizerRule(_ => CosineHofRewrite)
+    // single-slice md5 prefix-hash chains collapse to Md5Slice64
+    ext.injectOptimizerRule(_ => Md5ConvRewrite)
   }
 }
