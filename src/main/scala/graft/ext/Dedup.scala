@@ -690,7 +690,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH recall audit: the probabilistic candidate generator measured
+    * against EXACT truth, per similarity band — the empirical S-curve.
+    * Truth is [[jaccardPrefixJoin]]'s lossless Jaccard ≥ 3/5 pair set;
+    * candidates are [[lshCandidates]]' capped band-join output (the
+    * audit scores what the operator actually EMITS, star routing
+    * included). Each truth decile reports its hit rate; the constant
+    * `n_cands` column carries the cost side (candidate volume) so one
+    * result row-set holds both halves of the recall/efficiency
+    * trade-off — the measurement that justifies banding parameters
+    * before a 100 TB run, exactly like [[graft.ext.Similarity
+    * .ivfRecall]] justifies the IVF probe count.
+    *
+    * Band edges use IEEE floor(jaccard·10) on the 4dp-rounded ratio —
+    * both engines compute the identical double, so a ratio landing on a
+    * representation boundary (0.7·10 = 6.999…) bins identically
+    * cross-engine. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.ratio
+    val truth = jaccardPrefixJoinOf(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cands = lshCandidates(spark, dir).withColumn("hit", lit(1L))
+    val nCands = cands.agg(count(lit(1)).as("n_cands"))
+    truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .withColumn("decile", least(floor(col("jaccard") * 10), lit(9)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", ratio(col("n_hit"), col("n_true")))
+      .crossJoin(broadcast(nCands))
+      .select((col("decile").cast("double") / 10).as("band_lo"),
+        col("n_true"), col("n_hit"), col("recall"), col("n_cands"))
+      .orderBy("band_lo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_lsh_recall"    -> (lshRecall _),
     "x_dedup_editdist"      -> (editDistancePairs _),
     "x_source_overlap"      -> (sourceOverlap _),
     "x_dedup_containment"   -> (containment _),
@@ -753,6 +787,36 @@ object Dedup {
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin
     Map(
+      "x_dedup_lsh_recall" -> {
+        import graft.ops.StableStats
+        s"""WITH pairs AS ($pairsSubquery),
+           |words2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |shx AS (SELECT DISTINCT doc_id, s FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+           |    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT)) AS s
+           |  FROM words2 WHERE len(w) >= 3)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+           |  FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS (SELECT doc_a, doc_b,
+           |    ${StableStats.ratioSql("n_shared", "sa.n + sb.n - n_shared")} AS jaccard
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a
+           |  JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE n_shared * $TauDen >= (sa.n + sb.n - n_shared) * $TauNum),
+           |marked AS (SELECT t.jaccard,
+           |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM truth t LEFT JOIN pairs p
+           |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+           |g AS (SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+           |    CAST(count(*) AS BIGINT) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit
+           |  FROM marked GROUP BY 1),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cands FROM pairs)
+           |SELECT CAST(decile AS DOUBLE) / 10 AS band_lo, n_true, n_hit,
+           |  ${StableStats.ratioSql("n_hit", "n_true")} AS recall, n_cands
+           |FROM g CROSS JOIN nc ORDER BY band_lo""".stripMargin
+      },
       "x_dedup_editdist" -> {
         import graft.ops.StableStats
         s"""WITH pairs AS ($pairsSubquery),

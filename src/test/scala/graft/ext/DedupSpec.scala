@@ -329,4 +329,26 @@ class DedupSpec extends SparkSpec {
       "threshold-bounded Levenshtein must drop nothing the relative filter keeps")
     assert(bounded.nonEmpty, "corpus near-dups must survive the edit verify")
   }
+
+  test("lsh recall audit: totals reconcile with truth and candidate sets") {
+    val realDir = "/root/testdata/sf0.001"
+    val out = Dedup.lshRecall(spark, realDir).collect()
+    assert(out.nonEmpty)
+    val nTruth = Dedup.jaccardPrefixJoin(spark, realDir).count()
+    val nCands = Dedup.lshCandidates(spark, realDir).count()
+    assert(out.map(_.getAs[Long]("n_true")).sum === nTruth,
+      "decile rows must partition the exact truth set")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_true"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_cands") === nCands,
+        "the audit must report the operator's actual candidate volume")
+    }
+    // the synthetic corpus's near-dup families sit far above the S-curve
+    // threshold — banding must find every one of them
+    val top = out.filter(_.getAs[Double]("band_lo") >= 0.89)
+    assert(top.nonEmpty && top.forall(r => r.getAs[Double]("recall") === 1.0),
+      "high-similarity truth pairs must all be recalled")
+  }
 }
