@@ -286,7 +286,37 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Per-source quality drift: an OLS trend of the per-document quality
+    * score over ingestion order (doc_id), grouped by source — the
+    * monitoring query that catches a source ROTTING (templating creep,
+    * spam injection, encoding damage) while its aggregate quality still
+    * looks fine. Slope per 1000 docs keeps the number legible.
+    *
+    * Plan: the quality signals are a stateless projection
+    * ([[TextAnalysis.qualityScoreOf]]); the regression is one
+    * sources-sized hash-agg over Spark's built-in `regr_*` aggregates
+    * (numerically the same textbook moments DuckDB computes; 4dp
+    * rounding absorbs partial-agg summation order, the [[zipfFit]]
+    * precedent). One scan, one shuffle. */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    q.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // exact-integer mean: the scores are 4dp-quantized, so their sum
+        // as 1e-4 units is an exact long — no summation-order drift and
+        // no avg()-halfway hazard (the StableStats discipline)
+        stableRound(sum(round(col("quality_score") * 1e4).cast("long")).cast("double")
+          / count(lit(1)) / 1e4, 4).as("mean_quality"),
+        stableRound(regr_slope(col("quality_score"), col("doc_id")) * 1000, 4)
+          .as("slope_per_1k"),
+        stableRound(regr_r2(col("quality_score"), col("doc_id")), 4).as("r2"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quality_drift" -> (qualityDrift _),
     "x_incr_novelty" -> (incrNovelty _),
     "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
     "x_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
@@ -297,6 +327,16 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_quality_drift" ->
+      s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+         |j AS (SELECT q.doc_id, q.quality_score, d.source
+         |  FROM q JOIN documents d ON d.doc_id = q.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  ${stableRoundSql(
+             "CAST(sum(CAST(round(quality_score * 1e4) AS BIGINT)) AS DOUBLE) / count(*) / 1e4", 4)} AS mean_quality,
+         |  ${stableRoundSql("regr_slope(quality_score, doc_id) * 1000", 4)} AS slope_per_1k,
+         |  ${stableRoundSql("regr_r2(quality_score, doc_id)", 4)} AS r2
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "x_incr_novelty" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
          |  WHERE len(string_split(text, ' ')) >= 3),

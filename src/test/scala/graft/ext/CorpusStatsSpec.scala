@@ -63,6 +63,31 @@ class CorpusStatsSpec extends SparkSpec {
     cells.foreach(r => assert(r.getAs[Long]("row_total") === total))
   }
 
+  test("quality drift: slope matches a hand-computed OLS on one source") {
+    import org.apache.spark.sql.functions._
+    val out = CorpusStats.qualityDrift(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+    // hand-verify one source against the closed-form OLS slope
+    val src = out.head.getAs[String]("source")
+    val pts = TextAnalysis.qualityScoreOf(graft.Tables.documents(spark, dir))
+      .join(graft.Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .where(col("source") === src)
+      .select(col("doc_id").cast("double"), col("quality_score"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000
+    assert(math.abs(out.head.getAs[Double]("slope_per_1k") - slope) < 1e-3,
+      s"$src: engine slope ${out.head.getAs[Double]("slope_per_1k")} vs manual $slope")
+  }
+
   test("incremental novelty: census reconstructs the delta shard exactly") {
     import org.apache.spark.sql.functions._
     val out = CorpusStats.incrNovelty(spark, dir).collect()
