@@ -243,7 +243,14 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_ngrams"),
         sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
     perDoc
-      .groupBy(expr(s"doc_id div $bucketSize").as("bucket"))
+      // FLOOR division, not `div` (truncation): Spark's `div` rounds
+      // toward zero, so negative doc_ids −(bucketSize−1)..−1 would share
+      // bucket 0 with ids 0..bucketSize−1 — and DuckDB's `//` floors, so
+      // the two engines would disagree on any negative id. Subtracting
+      // pmod first makes the dividend an exact multiple: total over the
+      // full id domain (the same discipline as the incremental shards'
+      // pmod parity split).
+      .groupBy(expr(s"(doc_id - pmod(doc_id, $bucketSize)) div $bucketSize").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ngrams")).as("total_ngrams"),
         sum(col("n_novel")).as("novel_ngrams"),

@@ -63,6 +63,21 @@ class CorpusStatsSpec extends SparkSpec {
     cells.foreach(r => assert(r.getAs[Long]("row_total") === total))
   }
 
+  test("ngram novelty buckets use floor division: total over negative doc_ids") {
+    import org.apache.spark.sql.{SaveMode}
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-novneg").toString
+    // ids straddling zero: floor puts -60 in bucket -2, -1 in -1, 0..49
+    // in 0, 50 in 1 — truncation would wrongly merge -49..49 into one
+    Seq(-60L, -1L, 0L, 49L, 50L)
+      .map(id => (id, s"alpha beta gamma delta id$id", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val buckets = CorpusStats.ngramNovelty(spark, d).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_docs")).toMap
+    assert(buckets === Map(-2L -> 1L, -1L -> 1L, 0L -> 2L, 1L -> 1L))
+  }
+
   test("quality drift: slope matches a hand-computed OLS on one source") {
     import org.apache.spark.sql.functions._
     val out = CorpusStats.qualityDrift(spark, dir).collect()
