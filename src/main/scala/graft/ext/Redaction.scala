@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.StableStats
+
+/** PII scrubbing — the redaction pass every production training-data
+  * pipeline runs before text leaves curation (C4 strips lines by
+  * blocklist; CCNet/Dolma-style pipelines regex-replace emails, phone
+  * numbers, and IP addresses with typed placeholder tokens so the
+  * downstream model never memorizes a real identifier).
+  *
+  * The reference pipeline has no free-text PII surface (sensor floats,
+  * `etl/etl_process.py:36-166`), so this is a pure training-data
+  * extension: typed regex scrub with per-type counts and a zero-residual
+  * guarantee, expressed entirely in codegen'd per-row expressions.
+  *
+  * Pattern discipline: the regexes use only ASCII character classes,
+  * bounded quantifiers, and `\b` word boundaries — the subset on which
+  * Java's regex engine (Spark) and RE2 (DuckDB, the oracle) agree, so the
+  * scrubbed TEXT (not just the counts) is bit-identical cross-engine and
+  * the oracle pins it via an order-free md5-prefix checksum.
+  *
+  * Replacement order matters and is fixed: emails first (an email
+  * contains dots and digits an IP/phone pattern could partially claim),
+  * then IPs, then phones. The placeholders (`<EMAIL>`, `<IP>`,
+  * `<PHONE>`) contain no digits or `@`, so a second scrub is a no-op —
+  * idempotency the spec pins.
+  *
+  * Scale shape: every scrub/count is a per-row codegen'd regexp
+  * expression inside one whole-stage span — one corpus scan, zero
+  * shuffles until the final sources-sized hash-agg. At 100 TB this is a
+  * pure map pass; nothing here is corpus-size state.
+  */
+object Redaction {
+
+  /** Conservative email shape (local@domain.tld, ASCII). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — octet range checking is a later,
+    * semantic pass; the scrubber must over-redact, never under-). */
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** NANP-style 555 exchange numbers (the unambiguous phone shape that
+    * cannot collide with document numerics like "2024-01-07"). */
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Typed scrub: email → `<EMAIL>`, then IP → `<IP>`, then phone →
+    * `<PHONE>`. Order is load-bearing — see the object doc. */
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Total PII matches of any type still present in `c` (0 after
+    * [[scrub]] — the residual guarantee). */
+  def residual(c: Column): Column =
+    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(IpRe)) +
+      regexp_count(c, lit(PhoneRe))
+
+  /** The synthetic corpus carries no PII (whitespace word salad —
+    * TESTDATA.md), so the demonstration query plants deterministic,
+    * doc_id-derived identifiers first: residue class pmod(doc_id,3)
+    * picks the type (0 → email, and every 12th doc a second email in a
+    * different shape; 1 → phone; 2 → IP), making the per-type counts
+    * non-uniform and id-derived rather than a trivial thirds split. The
+    * injection is part of the QUERY (both engines build it identically);
+    * the operator under test is [[scrub]]/[[residual]], which see only a
+    * string column. */
+  private[ext] def withInjectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("aug", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(12)) === 0,
+        concat(lit(" cc admin."), col("doc_id").cast("string"),
+          lit("@mail.example.org"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 2,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit(" today"))).otherwise(lit(""))))
+
+  /** Per-source redaction ledger over the PII-injected corpus: how many
+    * identifiers of each type were found (counted on the RAW text — the
+    * audit number a privacy review asks for), the residual after scrub
+    * (pinned 0), and two order-free checksums (Σ length, Σ md5-prefix)
+    * that pin the exact scrubbed bytes cross-engine. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = withInjectedPii(Tables.documents(spark, dir))
+      .withColumn("scrubbed", scrub(col("aug")))
+    aug.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("aug"), lit(EmailRe))).as("n_emails"),
+        sum(regexp_count(col("aug"), lit(IpRe))).as("n_ips"),
+        sum(regexp_count(col("aug"), lit(PhoneRe))).as("n_phones"),
+        sum(residual(col("scrubbed"))).as("n_residual"),
+        sum(length(col("scrubbed")).cast("long")).as("scrub_len_sum"),
+        sum(expr("cast(conv(substring(md5(scrubbed), 1, 8), 16, 10) as bigint)"))
+          .as("scrub_md5_sum"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pii_redact" -> (piiRedact _))
+
+  // DuckDB notes: single-quoted literals are raw (no backslash escape
+  // layer), so the Scala-escaped "\\b" must re-emit as \b; regexp_replace
+  // needs the 'g' flag to match Spark's replace-all; ((x % 3) + 3) % 3
+  // mirrors pmod over the full id domain.
+  private val emailSql = EmailRe.replace("\\\\", "\\")
+  private val ipSql = IpRe.replace("\\\\", "\\")
+  private val phoneSql = PhoneRe.replace("\\\\", "\\")
+
+  val oracles: Map[String, String] = Map(
+    "x_pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT source,
+         |    text
+         |    || CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         ELSE '' END
+         |    || CASE WHEN ((doc_id % 12) + 12) % 12 = 0
+         |         THEN ' cc admin.' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+         |         ELSE '' END
+         |    || CASE WHEN ((doc_id % 3) + 3) % 3 = 1
+         |         THEN ' call 555-' || lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0') || ' now'
+         |         ELSE '' END
+         |    || CASE WHEN ((doc_id % 3) + 3) % 3 = 2
+         |         THEN ' from 10.' || CAST(((doc_id % 200) + 200) % 200 AS VARCHAR)
+         |              || '.0.' || CAST(((doc_id % 250) + 250) % 250 AS VARCHAR) || ' today'
+         |         ELSE '' END AS aug
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '$emailSql', '<EMAIL>', 'g'),
+         |      '$ipSql', '<IP>', 'g'),
+         |      '$phoneSql', '<PHONE>', 'g') AS scrubbed
+         |  FROM aug)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(aug, '$emailSql'))) AS BIGINT) AS n_emails,
+         |  CAST(sum(len(regexp_extract_all(aug, '$ipSql'))) AS BIGINT) AS n_ips,
+         |  CAST(sum(len(regexp_extract_all(aug, '$phoneSql'))) AS BIGINT) AS n_phones,
+         |  CAST(sum(len(regexp_extract_all(scrubbed, '$emailSql'))
+         |    + len(regexp_extract_all(scrubbed, '$ipSql'))
+         |    + len(regexp_extract_all(scrubbed, '$phoneSql'))) AS BIGINT) AS n_residual,
+         |  CAST(sum(length(scrubbed)) AS BIGINT) AS scrub_len_sum,
+         |  CAST(sum(('0x' || substr(md5(scrubbed), 1, 8))::BIGINT) AS BIGINT) AS scrub_md5_sum
+         |FROM s GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -273,6 +273,35 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Per-user event-type transition matrix — the first-order Markov view
+    * of a clickstream (what follows what), the standard input to both
+    * behavioral anomaly detection (improbable transitions) and session
+    * simulation. Each user's events order by (ts, event_id) — the id
+    * tiebreak makes equal-timestamp streams deterministic — and each
+    * adjacent (prev → curr) bigram counts once; `p` is the row-stochastic
+    * transition probability (counts normalized within each `prev`).
+    *
+    * Scale shape: one shuffle on user_id for the lag window (user
+    * streams are the natural partition unit — no user's history crosses
+    * executors), then a transition-matrix-sized hash-agg (|event_types|²
+    * groups — a constant, not corpus-sized) with the normalizing sum as
+    * a window over that tiny frame. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("curr"))
+      .withColumn("prev", lag(col("curr"), 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("curr"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", StableStats.ratio(col("n"),
+        sum(col("n")).over(Window.partitionBy(col("prev")))))
+      .orderBy("prev", "curr")
+  }
+
   /** S9: catalog/structure introspection — schema of every test table as
     * data (reference `dagster/assets.py:250-394`). Driver-side metadata,
     * not SQL-expressible over the tables themselves → no oracle entry
@@ -440,6 +469,7 @@ object Analytics {
     "o3_export_order"  -> (exportOrder _),
     "j4_concat_axis"   -> (concatAxis _),
     "x_sessionize"     -> (sessionize _),
+    "x_event_transitions" -> (eventTransitions _),
     "x_interval_overlap" -> (intervalOverlap _),
     "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
     "x_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
@@ -517,6 +547,17 @@ object Analytics {
          |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
          |FROM g WHERE gap_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_event_transitions" ->
+      s"""WITH bi AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         |    event_type AS curr
+         |  FROM events),
+         |c AS (
+         |  SELECT prev, curr, CAST(count(*) AS BIGINT) AS n
+         |  FROM bi WHERE prev IS NOT NULL GROUP BY prev, curr)
+         |SELECT prev, curr, n,
+         |  ${StableStats.ratioSql("n", "sum(n) OVER (PARTITION BY prev)")} AS p
+         |FROM c ORDER BY prev, curr""".stripMargin,
     "a_sliding_window" ->
       s"""SELECT win_start, count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value
          |FROM (

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RedactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub replaces every typed identifier with its placeholder, exactly") {
+    val got = Seq(
+      ("write to alice.b+spam@sub.example.co.uk today",
+        "write to <EMAIL> today"),
+      ("node 10.0.3.17 and 192.168.001.254 answered",
+        "node <IP> and <IP> answered"),
+      ("call 555-0199 or 555-0042.", "call <PHONE> or <PHONE>."),
+      ("mixed a@b.io then 1.2.3.4 then 555-1234",
+        "mixed <EMAIL> then <IP> then <PHONE>"),
+      // negatives: version numbers, dates, bare 555 — untouched
+      ("v1.2.3 on 2024-01-07 ext 555 and a@b (no tld)",
+        "v1.2.3 on 2024-01-07 ext 555 and a@b (no tld)"),
+      ("", "")
+    ).toDF("raw", "expect")
+      .select(col("expect"), Redaction.scrub(col("raw")).as("scrubbed"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0)))
+  }
+
+  test("scrub is idempotent and leaves zero residual") {
+    val df = Seq("a@b.io 1.2.3.4 555-0000 plain").toDF("raw")
+      .withColumn("s1", Redaction.scrub(col("raw")))
+      .withColumn("s2", Redaction.scrub(col("s1")))
+    val r = df.select(col("s1"), col("s2"),
+      Redaction.residual(col("s1")).as("res")).head()
+    assert(r.getString(0) === r.getString(1), "second scrub must be a no-op")
+    assert(r.getInt(2) === 0)
+  }
+
+  test("ip boundaries: a 5-octet run is not silently half-claimed as PII text") {
+    // \b-delimited quads: "1.2.3.4.5" matches on its first four octets —
+    // over-redaction is the designed failure direction (never under-).
+    val s = Seq("chain 1.2.3.4.5 end").toDF("raw")
+      .select(Redaction.scrub(col("raw"))).as[String].head()
+    assert(s.contains("<IP>") && !s.contains("1.2.3.4"))
+  }
+
+  test("pii ledger on the synthetic corpus: counts partition by residue, residual 0") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Redaction.piiRedact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = docs.filter(_._2 == src).map(_._1)
+      val emails = ids.count(i => math.floorMod(i, 3) == 0) +
+        ids.count(i => math.floorMod(i, 12) == 0)
+      assert(r.getAs[Long]("n_docs") === ids.length.toLong)
+      assert(r.getAs[Long]("n_emails") === emails.toLong, s"emails for $src")
+      assert(r.getAs[Long]("n_phones") === ids.count(i => math.floorMod(i, 3) == 1).toLong)
+      assert(r.getAs[Long]("n_ips") === ids.count(i => math.floorMod(i, 3) == 2).toLong)
+      assert(r.getAs[Long]("n_residual") === 0L, s"residual for $src")
+    }
+  }
+
+  test("pii ledger on an empty corpus slice is empty, not a crash") {
+    val n = Redaction.withInjectedPii(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001").where(lit(false)))
+      .select(Redaction.scrub(col("aug"))).count()
+    assert(n === 0L)
+  }
+}

@@ -25,6 +25,28 @@ class AnalyticsSpec extends SparkSpec {
     d
   }
 
+  test("event transitions: adjacent bigrams per user, row-stochastic p") {
+    val r = Analytics.eventTransitions(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("p"))).toMap
+    // user 1 is click→view→click; user 2 has a single event (no bigram)
+    assert(r === Map(("click", "view") -> (1L, 1.0), ("view", "click") -> (1L, 1.0)))
+  }
+
+  test("event transitions: equal timestamps break ties by event_id, deterministically") {
+    val d = Files.createTempDirectory("graft-ties").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (10L, ts, 7L, "signup", 0.0, "{}"),
+      (11L, ts, 7L, "click", 0.0, "{}"),
+      (12L, ts, 7L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val got = Analytics.eventTransitions(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === Set(("signup", "click"), ("click", "purchase")))
+  }
+
   test("sessionize: 30-min gap splits sessions; stats per session") {
     val r = Analytics.sessionize(spark, dir).collect()
       .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_id")) ->
