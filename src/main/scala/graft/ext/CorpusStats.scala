@@ -322,7 +322,98 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Distributed BPE merge learning — the first `steps` merge decisions
+    * of a byte-pair-encoding tokenizer (Sennrich et al., arXiv:1508.07909
+    * §3.2), the vocabulary-induction step every subword tokenizer
+    * (BPE/WordPiece-family) trains before a model ever sees the corpus.
+    * Output is the merge ledger itself: (step, winning symbol pair,
+    * weighted frequency) — the artifact a tokenizer ships.
+    *
+    * The algorithm is inherently iterative (each merge changes the next
+    * round's pair counts), so this is a driver loop of `steps` tiny jobs
+    * — but over the WORD VOCABULARY, not the corpus: the corpus is
+    * scanned once into (word, count), Heaps'-law sublinear in corpus
+    * size, and every subsequent pair count and merge rewrite runs on
+    * that vocab frame weighted by word counts. Per step the driver
+    * collects exactly one row (the argmax pair — `orderBy.limit(1)`
+    * plans as TakeOrderedAndProject, no global sort).
+    *
+    * The merge rewrite is the doubled-space trick so plain LTR substring
+    * replace (codegen'd, no regex) implements BPE's standard greedy
+    * left-to-right non-overlapping merge: with separators doubled, a
+    * match consumes one space from each side and leaves the neighbor's
+    * boundary intact ('a a a' merging "a a" yields "aa a", not "a aa"),
+    * then the leftover double spaces collapse back. Both engines'
+    * `replace` are LTR non-overlapping, so the oracle reproduces the
+    * rewrite bit-identically. Ties in pair frequency break by pair
+    * string order — a total order both engines share. */
+  def bpeMerges(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("c"))
+      .persist()
+    var syms = vocab
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (step <- 1 to steps) {
+      val top = syms
+        .select(col("c"), split(col("s"), " ").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(slice(a, 1, size(a) - 1), (x, i) -> concat(x, ' ', a[i + 1]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) { // a fully-merged (or empty) vocab just stops early
+        val pair = top(0).getString(0)
+        learned += ((step, pair, top(0).getLong(1)))
+        syms = syms.select(
+          trim(replace(replace(
+            concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " ")),
+            lit("  "), lit(" "))).as("s"),
+          col("c"))
+      }
+    }
+    vocab.unpersist()
+    learned.toSeq.toDF("step", "pair", "n").orderBy("step")
+  }
+
+  /** DuckDB twin of [[bpeMerges]]: the iteration unrolls into one CTE
+    * chain per step (count pairs → top-1 → rewrite), same doubled-space
+    * replace and same (n DESC, pair ASC) tie order. */
+  private def bpeOracle(steps: Int): String = {
+    val sb = new StringBuilder(
+      """WITH vocab AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s, c FROM vocab)""".stripMargin)
+    for (k <- 1 to steps) {
+      val prev = s"s${k - 1}"
+      sb.append(s""",
+        |e$k AS (SELECT a, c, unnest(generate_series(1, len(a) - 1)) AS i
+        |  FROM (SELECT string_split(s, ' ') AS a, c FROM $prev) WHERE len(a) >= 2),
+        |p$k AS (SELECT a[i] || ' ' || a[i + 1] AS pair, CAST(sum(c) AS BIGINT) AS n
+        |  FROM e$k GROUP BY 1),
+        |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+        |s$k AS (SELECT trim(replace(replace(
+        |    ' ' || replace($prev.s, ' ', '  ') || ' ',
+        |    ' ' || replace(t$k.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(t$k.pair, ' ', '') || ' '), '  ', ' ')) AS s, c
+        |  FROM $prev, t$k)""".stripMargin)
+    }
+    sb.append((1 to steps)
+      .map(k => s"\nSELECT $k AS step, pair, n FROM t$k").mkString(" UNION ALL"))
+    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "x_quality_drift" -> (qualityDrift _),
     "x_incr_novelty" -> (incrNovelty _),
     "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
@@ -334,6 +425,7 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_bpe_merges" -> bpeOracle(3),
     "x_quality_drift" ->
       s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
          |j AS (SELECT q.doc_id, q.quality_score, d.source

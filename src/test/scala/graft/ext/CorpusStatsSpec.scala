@@ -8,6 +8,47 @@ class CorpusStatsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("bpe merges: the textbook low/lower fixture learns (l o), (lo w), (e r)") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // vocab: low×2, lower×1, plus a single-char word that must contribute
+    // no pairs. Hand-traced: pairs {l o:3, o w:3, w e:1, e r:1} — tie at 3
+    // breaks to 'l o'; then 'lo w':3 wins; then tie at 1 breaks to 'e r'.
+    Seq((0L, "low low a", "en", "s0", 9L), (1L, "lower a", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val got = CorpusStats.bpeMerges(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "l o", 3L), (2, "lo w", 3L), (3, "e r", 1L)))
+  }
+
+  test("bpe merges: greedy LTR on overlapping runs — 'a a a' merges left first") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-bpe2").toString
+    Seq((0L, "aaa aaa", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val got = CorpusStats.bpeMerges(spark, d, steps = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // word 'aaa' (count 2) holds TWO 'a a' adjacencies → n = 2·2 = 4;
+    // step 1 merges the LEFT 'a a' (greedy LTR) leaving 'aa a', so step 2
+    // sees pair 'aa a' (not 'a aa') at the word count 2
+    assert(got.toSeq === Seq((1, "a a", 4L), (2, "aa a", 2L)))
+  }
+
+  test("bpe merges: a fully-merged vocab stops early instead of looping") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-bpe3").toString
+    Seq((0L, "ab ab", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val got = CorpusStats.bpeMerges(spark, d, steps = 5).collect()
+    assert(got.length === 1, "only one pair exists; steps 2-5 must emit nothing")
+  }
+
   test("kmv estimate lands within the theoretical error envelope at k=64") {
     // bottom-k relative error concentrates around 1/√(k−2) ≈ 12.7%;
     // 4 standard deviations is a generous, non-flaky bound
