@@ -382,10 +382,52 @@ object CorpusStats {
     learned.toSeq.toDF("step", "pair", "n").orderBy("step")
   }
 
+  /** Apply side of [[bpeMerges]] — tokenize the corpus with the learned
+    * merges and report the per-source segmentation ledger: word count,
+    * resulting subword-token count, character count, and the
+    * chars-per-token compression ratio (the number a tokenizer's
+    * vocabulary is judged by; context budgeting at training time divides
+    * by exactly this). Merges are learned GLOBALLY (one vocabulary, as a
+    * real tokenizer ships) and applied to each source's weighted word
+    * vocab — so a source whose spelling diverges from the global
+    * distribution shows a worse ratio, the drift signal.
+    *
+    * Scale shape: the learn loop is [[bpeMerges]] (vocab-sized); the
+    * apply side is `steps` static codegen'd rewrites folded over the
+    * per-(source, word) vocab — still Heaps'-sublinear — then one
+    * sources-sized agg. The corpus itself is scanned twice (learn +
+    * apply vocab), never per-step. */
+  def bpeSegment(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import graft.ops.StableStats
+    val merges = bpeMerges(spark, dir, steps).collect()
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("source"), col("c"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+    val segmented = merges.foldLeft(perSource) { (df, row) =>
+      val pair = row.getString(1)
+      df.withColumn("s", trim(replace(replace(
+        concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " ")),
+        lit("  "), lit(" "))))
+    }
+    segmented.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(size(split(col("s"), " ")).cast("long") * col("c")).as("n_subwords"),
+        sum(length(replace(col("s"), lit(" "), lit(""))).cast("long") * col("c"))
+          .as("n_chars"))
+      .withColumn("chars_per_token",
+        StableStats.ratio(col("n_chars"), col("n_subwords")))
+      .orderBy("source")
+  }
+
   /** DuckDB twin of [[bpeMerges]]: the iteration unrolls into one CTE
     * chain per step (count pairs → top-1 → rewrite), same doubled-space
     * replace and same (n DESC, pair ASC) tie order. */
-  private def bpeOracle(steps: Int): String = {
+  private def bpeLearnCtes(steps: Int): String = {
     val sb = new StringBuilder(
       """WITH vocab AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -406,14 +448,52 @@ object CorpusStats {
         |    ' ' || replace(t$k.pair, ' ', '') || ' '), '  ', ' ')) AS s, c
         |  FROM $prev, t$k)""".stripMargin)
     }
-    sb.append((1 to steps)
-      .map(k => s"\nSELECT $k AS step, pair, n FROM t$k").mkString(" UNION ALL"))
-    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
+  private def bpeOracle(steps: Int): String =
+    bpeLearnCtes(steps) +
+      (1 to steps).map(k => s"\nSELECT $k AS step, pair, n FROM t$k")
+        .mkString(" UNION ALL") +
+      "\nORDER BY step"
+
+  /** DuckDB twin of [[bpeSegment]]: learn chain as [[bpeOracle]], then
+    * the merges fold over the per-source vocab. A LEFT JOIN ON TRUE +
+    * chr(1) sentinel makes an early-stopped (empty) merge step a no-op
+    * rewrite, matching the Scala fold over a short ledger. */
+  private def bpeSegmentOracle(steps: Int): String = {
+    val sb = new StringBuilder(bpeLearnCtes(steps))
+    sb.append(
+      """,
+        |psrc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY source, w),
+        |a0 AS (SELECT source, c, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s FROM psrc)""".stripMargin)
+    for (k <- 1 to steps) {
+      val prev = s"a${k - 1}"
+      val sentinel = s"coalesce(t$k.pair, chr(1) || ' ' || chr(1))"
+      sb.append(s""",
+        |a$k AS (SELECT source, c, trim(replace(replace(
+        |    ' ' || replace($prev.s, ' ', '  ') || ' ',
+        |    ' ' || replace($sentinel, ' ', '  ') || ' ',
+        |    ' ' || replace($sentinel, ' ', '') || ' '), '  ', ' ')) AS s
+        |  FROM $prev LEFT JOIN t$k ON TRUE)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+      |  CAST(sum(len(string_split(s, ' ')) * c) AS BIGINT) AS n_subwords,
+      |  CAST(sum(length(replace(s, ' ', '')) * c) AS BIGINT) AS n_chars,
+      |  ${graft.ops.StableStats.ratioSql(
+           "sum(length(replace(s, ' ', '')) * c)",
+           "sum(len(string_split(s, ' ')) * c)")} AS chars_per_token
+      |FROM a$steps GROUP BY source ORDER BY source""".stripMargin)
     sb.toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "x_bpe_segment" -> ((s, d) => bpeSegment(s, d)),
     "x_quality_drift" -> (qualityDrift _),
     "x_incr_novelty" -> (incrNovelty _),
     "x_cms_topk"     -> ((s, d) => cmsTopTerms(s, d)),
@@ -426,6 +506,7 @@ object CorpusStats {
 
   val oracles: Map[String, String] = Map(
     "x_bpe_merges" -> bpeOracle(3),
+    "x_bpe_segment" -> bpeSegmentOracle(3),
     "x_quality_drift" ->
       s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
          |j AS (SELECT q.doc_id, q.quality_score, d.source

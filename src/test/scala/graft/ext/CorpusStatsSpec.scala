@@ -38,6 +38,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a a", 4L), (2, "aa a", 2L)))
   }
 
+  test("bpe segment: low/lower after 3 merges tokenizes to low / low+er / a") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-bpeseg").toString
+    Seq((0L, "low low a", "en", "s0", 9L), (1L, "lower a", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val got = CorpusStats.bpeSegment(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_subwords"), r.getAs[Long]("n_chars"))).toMap
+    // merges (global): (l o), (lo w), (e r).
+    // s0 = {low×2 → [low], a×1 → [a]}: 3 words, 2·1+1 = 3 subwords, 7 chars
+    // s1 = {lower×1 → [low, er], a×1 → [a]}: 2 words, 3 subwords, 6 chars
+    assert(got === Map("s0" -> (3L, 3L, 7L), "s1" -> (2L, 3L, 6L)))
+  }
+
   test("bpe merges: a fully-merged vocab stops early instead of looping") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
