@@ -113,9 +113,58 @@ object Incremental {
       .orderBy("user_id", "version")
   }
 
+  /** Incremental transition-matrix maintenance — the mergeable twin of
+    * [[Analytics.eventTransitions]]. A transition count is NOT purely
+    * additive across time shards: the bigram straddling a shard boundary
+    * (a user's last event before the cut → first event after it) exists
+    * in neither shard's own window. The mergeable state is therefore
+    * per-shard transition counts PLUS an O(users) boundary frame (each
+    * user's first/last event per shard, as min/max of a (ts, event_id,
+    * type) struct — an algebraic aggregate); merging = count addition +
+    * one boundary join. So day N+1 ingests by scanning ONLY day N+1:
+    * history contributes its saved counts and boundary rows, never a
+    * rescan — while a naive per-shard union would silently drop every
+    * cross-boundary transition ([[IncrementalSpec]] pins both the parity
+    * and that the boundary term is non-empty).
+    *
+    * The oracle is the direct full-scan formulation: merging must be
+    * indistinguishable from never having sharded at all. */
+  def incrTransitions(spark: SparkSession, dir: String,
+      splitDay: String = "2024-01-16"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    def shardCounts(df: DataFrame): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      df.withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+    }
+    def shardBounds(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id")).agg(
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+    val cut = to_timestamp(lit(splitDay))
+    val (a, b) = (ev.where(col("ts") < cut), ev.where(col("ts") >= cut))
+    val boundary = shardBounds(a)
+      .select(col("user_id"), col("last.event_type").as("prev"))
+      .join(shardBounds(b)
+        .select(col("user_id"), col("first.event_type").as("curr")), "user_id")
+      .groupBy(col("prev"), col("curr")).agg(count(lit(1)).as("n"))
+    val merged = shardCounts(a).union(shardCounts(b)).union(boundary)
+      .groupBy(col("prev"), col("curr")).agg(sum(col("n")).as("n"))
+    merged
+      .withColumn("p", StableStats.ratio(col("n"),
+        sum(col("n")).over(Window.partitionBy(col("prev")))))
+      .orderBy("prev", "curr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_incr_merged_stats" -> (mergedStats _),
-    "x_incr_scd2"         -> (scd2Intervals _)
+    "x_incr_scd2"         -> (scd2Intervals _),
+    "x_incr_transitions"  -> ((s, d) => incrTransitions(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,6 +175,17 @@ object Incremental {
          |  ${StableStats.centsMeanSql("value")} AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_incr_transitions" ->
+      s"""WITH bi AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         |    event_type AS curr
+         |  FROM events),
+         |c AS (
+         |  SELECT prev, curr, CAST(count(*) AS BIGINT) AS n
+         |  FROM bi WHERE prev IS NOT NULL GROUP BY prev, curr)
+         |SELECT prev, curr, n,
+         |  ${StableStats.ratioSql("n", "sum(n) OVER (PARTITION BY prev)")} AS p
+         |FROM c ORDER BY prev, curr""".stripMargin,
     "x_incr_scd2" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, event_type AS state,

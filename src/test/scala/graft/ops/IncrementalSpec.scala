@@ -12,6 +12,29 @@ class IncrementalSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).toSeq
 
+  test("incremental transitions == single-pass transition matrix (bit-equal)") {
+    assert(rows(Incremental.incrTransitions(spark, dir))
+      === rows(Analytics.eventTransitions(spark, dir)))
+  }
+
+  test("incremental transitions: the cross-shard boundary bigram is not lost") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-incrtrans").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 7's only two events straddle the 2024-01-16 cut: a naive
+    // per-shard union sees NO bigram at all; the boundary join must
+    // recover exactly (signup -> purchase)
+    Seq(
+      (0L, ts("2024-01-10 00:00:00"), 7L, "signup", 1.0, "{}"),
+      (1L, ts("2024-01-20 00:00:00"), 7L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val got = Incremental.incrTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+    assert(got.toSeq === Seq(("signup", "purchase", 1L)))
+  }
+
   test("merged partials == direct aggregate (bit-equal)") {
     import org.apache.spark.sql.functions._
     val direct = graft.Tables.events(spark, dir)
