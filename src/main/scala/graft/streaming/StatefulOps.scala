@@ -140,6 +140,48 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** A typed event on the transition stream. */
+  case class TypedEvt(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  /** One observed (prev → curr) transition for a user. */
+  case class Transition(user_id: Long, prev: String, curr: String)
+
+  /** Per-user last-seen event kept in GroupState. */
+  case class LastEvt(tsUs: Long, eventId: Long, eventType: String)
+
+  /** Streaming twin of [[graft.ops.Analytics.eventTransitions]] /
+    * [[graft.ops.Incremental.incrTransitions]]: emit each user's
+    * adjacent event-type bigram as it happens, keeping only the LAST
+    * event per user as state — O(users) and constant per user, the
+    * minimal mergeable state the incremental batch op derived. Events
+    * within a batch sort by (ts, event_id) — the same total order as the
+    * batch window — and the bigram straddling two batches comes from the
+    * saved state, mirroring the batch boundary join.
+    *
+    * Contract: per-user event-time order must hold ACROSS batches (each
+    * batch carries events newer than the last — the replay/ingest shape;
+    * [[StreamBatchParitySpec]] replays the real corpus this way). A
+    * source with cross-batch disorder needs a watermark reorder buffer
+    * upstream; an in-batch disorder is handled by the sort. */
+  def transitions(events: Dataset[TypedEvt]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvt, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvt], state: GroupState[LastEvt]) =>
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.eventType, e.event_type))
+            last = Some(LastEvt(us(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each conversion to the same
     * user's click that happened within `window` BEFORE it. Both sides are
     * watermarked and the join condition bounds conversion time inside

@@ -33,6 +33,40 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.exceptAll(batchClosed).isEmpty && batchClosed.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming transitions over 3 ordered batches == batch transition matrix") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    implicit val ctx = spark.sqlContext
+    // replay the real events table in event-time order, split into 3
+    // batches — the ingest shape the operator contracts on; the bigrams
+    // straddling the two batch cuts must come from kept state
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      .sortBy(e => (e._3.getTime, e._2))
+      .map(e => StatefulOps.TypedEvt(e._1, e._2, e._3, e._4))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.TypedEvt]
+    val q = StatefulOps.transitions(stream.toDS())
+      .toDF().writeStream.format("memory").queryName("trans_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped((evs.length + 2) / 3).foreach { batch =>
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("trans_parity")
+      .groupBy("prev", "curr").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batch = graft.ops.Analytics.eventTransitions(spark, dir)
+      .select("prev", "curr", "n").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(batch.nonEmpty && streamed === batch,
+      s"stream/batch transition divergence: " +
+        s"extra=${(streamed.toSet -- batch.toSet).take(3)} missing=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming near-dup pairs == batch simhashPairs on the real documents table") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
