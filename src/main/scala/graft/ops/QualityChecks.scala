@@ -140,10 +140,42 @@ object QualityChecks {
       .orderBy("digit")
   }
 
+  /** Per-column data profile of the fact table — the census a lake
+    * operator runs before trusting a new drop: row count, null count,
+    * and exact distinct cardinality for every column, one row per
+    * column. All columns profile in ONE scan: Spark plans the
+    * multi-column count-distinct as a single Expand + two-level agg (no
+    * per-column pass), and the stack() reshape is free. At 100 TB swap
+    * exact distincts for approx_count_distinct per column — same plan
+    * shape minus the Expand (noted, not done: the oracle pins exact). */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(when(col("event_id").isNull, 1L).otherwise(0L)), lit(0L)).as("nn_event_id"),
+      countDistinct(col("event_id")).as("nd_event_id"),
+      coalesce(sum(when(col("ts").isNull, 1L).otherwise(0L)), lit(0L)).as("nn_ts"),
+      countDistinct(col("ts")).as("nd_ts"),
+      coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)), lit(0L)).as("nn_user_id"),
+      countDistinct(col("user_id")).as("nd_user_id"),
+      coalesce(sum(when(col("event_type").isNull, 1L).otherwise(0L)), lit(0L)).as("nn_event_type"),
+      countDistinct(col("event_type")).as("nd_event_type"),
+      coalesce(sum(when(col("value").isNull, 1L).otherwise(0L)), lit(0L)).as("nn_value"),
+      countDistinct(col("value")).as("nd_value"))
+      .selectExpr(
+        """stack(5,
+          |  'event_id', n_rows, nn_event_id, nd_event_id,
+          |  'event_type', n_rows, nn_event_type, nd_event_type,
+          |  'ts', n_rows, nn_ts, nd_ts,
+          |  'user_id', n_rows, nn_user_id, nd_user_id,
+          |  'value', n_rows, nn_value, nd_value
+          |) as (column_name, n_rows, n_nulls, n_distinct)""".stripMargin)
+      .orderBy("column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_quality_checks"  -> (report _),
     "x_observe_metrics" -> (observedMetrics _),
-    "x_benford"         -> (benfordPrices _)
+    "x_benford"         -> (benfordPrices _),
+    "x_data_profile"    -> (dataProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +200,14 @@ object QualityChecks {
         |  SELECT 'documents_n_chars_consistent', count(*), count(*) = 0 FROM documents
         |    WHERE length(text) <> n_chars)
         |ORDER BY check_name""".stripMargin,
+    "x_data_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM events""".stripMargin
+      Seq("event_id", "event_type", "ts", "user_id", "value")
+        .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "x_observe_metrics" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_ts,
