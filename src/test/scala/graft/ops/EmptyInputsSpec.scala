@@ -111,4 +111,19 @@ class EmptyInputsSpec extends SparkSpec {
     assert(Analytics.bootstrapCi(spark, dir).count() === 0)
     assert(Analytics.quantileSketch(spark, dir).count() === 0)
   }
+
+  test("redaction, transitions, bpe, and profile on empty inputs") {
+    assert(graft.ext.Redaction.piiRedact(spark, dir).count() === 0)
+    assert(Analytics.eventTransitions(spark, dir).count() === 0)
+    assert(Incremental.incrTransitions(spark, dir).count() === 0)
+    // no pairs in an empty vocab → the merge loop stops at step 0
+    assert(graft.ext.CorpusStats.bpeMerges(spark, dir).count() === 0)
+    assert(graft.ext.CorpusStats.bpeSegment(spark, dir).count() === 0)
+    // profile keeps its 5-rows-per-column shape with zero observations
+    val prof = QualityChecks.dataProfile(spark, dir).collect()
+    assert(prof.length === 5)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === 0L && r.getAs[Long]("n_distinct") === 0L)
+    }
+  }
 }

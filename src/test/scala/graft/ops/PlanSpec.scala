@@ -136,7 +136,10 @@ class PlanSpec extends SparkSpec {
       // sides scale with users, the weighted sample and bootstrap carry
       // no corpus-scaled join at all
       "x_ngram_novelty", "x_incr_novelty", "x_snapshot_diff",
-      "x_interval_overlap", "x_weighted_sample", "x_bootstrap_ci")
+      "x_interval_overlap", "x_weighted_sample", "x_bootstrap_ci",
+      // transition family: the incremental merge's boundary join is
+      // users × users — both sides corpus-scaled, must shuffle
+      "x_event_transitions", "x_incr_transitions")
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -152,6 +155,36 @@ class PlanSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("redaction, profile, transitions, bpe-segment: map-pass / join-free posture") {
+    // x_pii_redact is a pure map pass: ONE corpus scan, regex work inside
+    // the scan's codegen span, no join anywhere — at 100 TB the scrub
+    // costs exactly one read
+    val pii = planOf(graft.ext.Redaction.piiRedact(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(pii).size === 1 && !pii.contains("Join"),
+      s"pii scrub must be a single-scan map pass:\n$pii")
+    // x_data_profile: all five columns profile through ONE scan and ONE
+    // Expand (the multi-distinct plan) — N columns must not mean N passes
+    val prof = planOf(QualityChecks.dataProfile(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(prof).size === 1
+      && "Expand".r.findAllIn(prof).size === 1 && !prof.contains("Join"),
+      s"profile must be one scan + one Expand:\n$prof")
+    // x_event_transitions: join-free — one user_id window then a
+    // |types|²-group agg; nothing here can broadcast or nest
+    val tr = planOf(Analytics.eventTransitions(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(tr.contains("Window") && !tr.contains("Join"),
+      s"transition matrix must be window + agg, join-free:\n$tr")
+    // x_bpe_segment: learned merges fold in as LITERALS — the apply side
+    // is scan → vocab agg → rewrites → agg, never a join against the
+    // merge table
+    val seg = planOf(graft.ext.CorpusStats.bpeSegment(spark, dir))
+      .split("== Initial Plan ==")(0)
+    assert(!seg.contains("Join"),
+      s"bpe apply side must fold merges as literals, not join them:\n$seg")
   }
 
   test("100TB simulation: bounded-frame forces stay at their audited ceilings") {
