@@ -424,7 +424,110 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR'98)
+    * diverse top-k — the selection rule that trades relevance against
+    * redundancy: each step takes argmax of `0.7·rel − 0.3·max_sim`,
+    * where max_sim is the candidate's highest similarity to anything
+    * already selected. The training-data use: picking exemplars that
+    * COVER a topic rather than k near-copies of its centroid (the same
+    * failure SemDeDup prunes after the fact, prevented at selection
+    * time).
+    *
+    * Two-phase shape, the production rerank discipline: the corpus-sized
+    * work — scoring every vector against the query (TakeOrdered top-m
+    * pool, no global sort) and the pool's m² pairwise similarities — runs
+    * distributed through the codegen `cosine_sim` expression; the greedy
+    * loop itself is inherently sequential, so it runs on the collected
+    * O(m) pool (m = 12 here), never on the corpus. All comparisons use
+    * the 6-dp-rounded similarities both engines agree on, and the MMR
+    * arithmetic is the fixed-literal `0.7·rel − 0.3·max_sim` IEEE
+    * sequence with floor-rounding, so the oracle's unrolled-CTE greedy
+    * reproduces every selection bit-for-bit. */
+  def mmrSelect(spark: SparkSession, dir: String, m: Int = 12,
+      k: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = emb.where(col("vec_id") === 0).select(col("emb").as("qemb"))
+    val pool = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine("emb", "qemb"), 6).as("rel"),
+        col("emb"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(m)
+      .persist()
+    val sims = pool.select(col("vec_id").as("va"), col("emb").as("ea"))
+      .crossJoin(pool.select(col("vec_id").as("vb"), col("emb").as("eb")))
+      .where(col("va") < col("vb"))
+      .select(col("va"), col("vb"), round(cosine("ea", "eb"), 6).as("sim"))
+      .collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+    val cands = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    pool.unpersist()
+    var selected = Vector.empty[Long]
+    val out = Seq.newBuilder[(Int, Long, Double, Double, Double)]
+    for (step <- 1 to math.min(k, cands.length)) {
+      val scored = cands.filterNot(c => selected.contains(c._1)).map {
+        case (id, rel) =>
+          val maxSim =
+            if (selected.isEmpty) 0.0 else selected.map(s => sims((id, s))).max
+          // fixed literals 0.7/0.3 (not 1 - lam): both engines must parse
+          // the SAME doubles for the IEEE sequence to match bit-for-bit
+          val mmr = math.floor((0.7 * rel - 0.3 * maxSim) * 1e6 + 0.5) / 1e6
+          (id, rel, maxSim, mmr)
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      out += ((step, best._1, best._2, best._3, best._4))
+      selected :+= best._1
+    }
+    out.result().toDF("step", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy("step")
+  }
+
+  /** DuckDB twin of [[mmrSelect]]: the greedy loop unrolls into one CTE
+    * per step (remaining candidates × selected-so-far → max_sim → argmax
+    * by (mmr DESC, vec_id)), same rounded sims, same floor-rounded MMR
+    * formula. */
+  private def mmrOracle(m: Int, k: Int): String = {
+    import graft.ops.StableStats.stableRoundSql
+    val mmrExpr = stableRoundSql("0.7 * rel - 0.3 * max_sim", 6)
+    val sb = new StringBuilder(
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT emb.vec_id, round(list_cosine_similarity(emb.e, q.qe), 6) AS rel, emb.e
+         |  FROM emb, q WHERE emb.vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT $m),
+         |ps AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |c1 AS (SELECT vec_id, rel, 0.0 AS max_sim FROM pool),
+         |s1 AS (SELECT 1 AS step, vec_id, rel, max_sim, $mmrExpr AS mmr
+         |  FROM c1 ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      sb.append(s""",
+        |c$i AS (SELECT p.vec_id, p.rel, max(ps.sim) AS max_sim
+        |  FROM pool p JOIN ps ON ps.va = p.vec_id AND ps.vb IN ($sel)
+        |  WHERE p.vec_id NOT IN ($sel)
+        |  GROUP BY p.vec_id, p.rel),
+        |s$i AS (SELECT $i AS step, vec_id, rel, max_sim, $mmrExpr AS mmr
+        |  FROM c$i ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.append((1 to k)
+      .map(i => s"\nSELECT step, vec_id, rel, max_sim, mmr FROM s$i")
+      .mkString(" UNION ALL"))
+    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_mmr"        -> ((s, d) => mmrSelect(s, d)),
     "x_embed_norm"     -> (embedNorm _),
     "x_rrf_hybrid"     -> (rrfHybrid _),
     "x_pq_search"      -> (pqSearch _),
@@ -438,6 +541,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_sim_mmr" -> mmrOracle(12, 4),
     "x_embed_norm" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v,

@@ -8,6 +8,30 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
+
+  test("mmr: the redundant twin loses to the diverse candidate") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    // q=v0; v1 and v2 are near-twins (sim ≈ 0.995), v3 is less relevant
+    // but orthogonal in the twins' redundant direction. Plain top-2 is
+    // (v1, v2); MMR must pick (v1, v3): v2's mmr = 0.7·0.792 − 0.3·0.995
+    // ≈ 0.256 < v3's 0.7·0.75 − 0.3·0.6 = 0.345.
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0L),
+      (1L, Seq(0.8f, 0.6f, 0f, 0f), 0L),
+      (2L, Seq(0.79f, 0.6f, 0.1f, 0f), 0L),
+      (3L, Seq(0.75f, 0f, 0f, 0.661437f), 0L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val got = Similarity.mmrSelect(spark, d, m = 12, k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Double]("max_sim")))
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((1, 1L), (2, 3L)),
+      s"expected v1 then v3, got ${got.toSeq}")
+    assert(got(0)._3 === 0.0, "first selection has nothing to be similar to")
+    assert(got(1)._3 > 0.5 && got(1)._3 < 0.7, "v3's max_sim is its v1 cosine")
+  }
+
   import spark.implicits._
 
   test("cosine: identity, orthogonality, known angle (native expr == HOF)") {
