@@ -302,6 +302,44 @@ object Analytics {
       .orderBy("prev", "curr")
   }
 
+  /** Seasonal forecastability report (MASE, Hyndman & Koehler 2006):
+    * per event type, the mean absolute error of the 24-hour seasonal
+    * naive forecast scaled by the one-step naive baseline over the
+    * hourly count series. MASE < 1 means daily seasonality predicts the
+    * stream better than persistence — the load-shape signal capacity
+    * planning reads. Lags step over OBSERVED hours (an empty hour is
+    * absent, not zero — the sparse-series convention; both engines
+    * window identically over it).
+    *
+    * Every number is born integer (hourly counts, |diffs|, their sums),
+    * so the means and the MASE cross-multiplication are exact-integer
+    * ratios under the StableStats discipline — zero float drift.
+    *
+    * Scale shape: one hash-agg to the hours × types frame (bounded by
+    * the calendar, not the corpus), one window over it, one tiny agg. */
+  def seasonalMase(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hourly
+      .withColumn("e1", abs(col("c") - lag(col("c"), 1).over(w)))
+      .withColumn("e24", abs(col("c") - lag(col("c"), 24).over(w)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        coalesce(sum(col("e1")), lit(0L)).as("s1"),
+        count(col("e1")).as("c1"),
+        coalesce(sum(col("e24")), lit(0L)).as("s24"),
+        count(col("e24")).as("c24"))
+      .select(col("event_type"), col("n_hours"),
+        StableStats.ratio(col("s1"), col("c1")).as("mae_naive"),
+        StableStats.ratio(col("s24"), col("c24")).as("mae_seasonal"),
+        StableStats.ratio(col("s24") * col("c1"), col("c24") * col("s1"))
+          .as("mase"))
+      .orderBy("event_type")
+  }
+
   /** S9: catalog/structure introspection — schema of every test table as
     * data (reference `dagster/assets.py:250-394`). Driver-side metadata,
     * not SQL-expressible over the tables themselves → no oracle entry
@@ -470,6 +508,7 @@ object Analytics {
     "j4_concat_axis"   -> (concatAxis _),
     "x_sessionize"     -> (sessionize _),
     "x_event_transitions" -> (eventTransitions _),
+    "x_seasonal_mase"  -> (seasonalMase _),
     "x_interval_overlap" -> (intervalOverlap _),
     "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
     "x_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
@@ -558,6 +597,25 @@ object Analytics {
          |SELECT prev, curr, n,
          |  ${StableStats.ratioSql("n", "sum(n) OVER (PARTITION BY prev)")} AS p
          |FROM c ORDER BY prev, curr""".stripMargin,
+    "x_seasonal_mase" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, c,
+         |    abs(c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY h)) AS e1,
+         |    abs(c - lag(c, 24) OVER (PARTITION BY event_type ORDER BY h)) AS e24
+         |  FROM hourly),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(coalesce(sum(e1), 0) AS BIGINT) AS s1, CAST(count(e1) AS BIGINT) AS c1,
+         |    CAST(coalesce(sum(e24), 0) AS BIGINT) AS s24, CAST(count(e24) AS BIGINT) AS c24
+         |  FROM l GROUP BY event_type)
+         |SELECT event_type, n_hours,
+         |  ${StableStats.ratioSql("s1", "c1")} AS mae_naive,
+         |  ${StableStats.ratioSql("s24", "c24")} AS mae_seasonal,
+         |  ${StableStats.ratioSql("s24 * c1", "c24 * s1")} AS mase
+         |FROM agg ORDER BY event_type""".stripMargin,
     "a_sliding_window" ->
       s"""SELECT win_start, count(*) AS n, ${StableStats.centsMeanSql("value")} AS avg_value
          |FROM (

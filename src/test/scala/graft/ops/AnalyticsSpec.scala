@@ -47,6 +47,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Set(("signup", "click"), ("click", "purchase")))
   }
 
+  test("seasonal mase: a perfectly daily-periodic series scores 0") {
+    val d = Files.createTempDirectory("graft-mase").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00").getTime
+    // 48 hourly buckets, count 3 at hour 0 of each day, else 1 — day 2
+    // repeats day 1 exactly, so every 24-lag error is 0 while the naive
+    // 1-lag error is not
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h % 24 == 0) 3 else 1
+      (0 until n).map(j => (h.toLong * 10 + j,
+        new java.sql.Timestamp(base + h * 3600L * 1000), 1L, "click",
+        1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val r = Analytics.seasonalMase(spark, d).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_hours") === 48L)
+    assert(r(0).getAs[Double]("mae_naive") > 0.0)
+    assert(r(0).getAs[Double]("mae_seasonal") === 0.0)
+    assert(r(0).getAs[Double]("mase") === 0.0)
+  }
+
   test("sessionize: 30-min gap splits sessions; stats per session") {
     val r = Analytics.sessionize(spark, dir).collect()
       .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_id")) ->
