@@ -96,9 +96,53 @@ object Skew {
         StableStats.centsMean(col("l_extendedprice")).as("avg_price"))
       .orderBy("o_orderpriority")
 
+  /** Pre-flight join-size forecast — the check a 100 TB operator runs
+    * BEFORE launching a join that might explode: |A ⋈_k B| is exactly
+    * Σ_k cnt_A(k)·cnt_B(k), computable from the two per-key count
+    * tables (each a vocabulary-sized hash-agg) joined on the key —
+    * cost O(scan + |keys|), never the join itself. The report carries
+    * the exact predicted output rows, both inputs' sizes, the expansion
+    * factor vs the larger input (expansion ≫ 1 flags a fan-out join),
+    * and the single hottest key's contribution share — the number that
+    * decides between a plain shuffle join and [[saltedJoin]].
+    *
+    * Demo pairs: orders⋈lineitem on orderkey (the benign 1:N), and
+    * events⋈events on user_id (the self-join that quietly goes
+    * quadratic per hot user — exactly the shape sessionization bugs
+    * ship). */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def forecast(pair: String, a: DataFrame, ka: Column,
+        b: DataFrame, kb: Column): DataFrame = {
+      val ca = a.groupBy(ka.as("k")).agg(count(lit(1)).as("na"))
+      val cb = b.groupBy(kb.as("k")).agg(count(lit(1)).as("nb"))
+      ca.join(cb, "k")
+        .select(col("k"), (col("na") * col("nb")).as("prod"))
+        .agg(
+          coalesce(sum(col("prod")), lit(0L)).as("predicted_rows"),
+          coalesce(max(col("prod")), lit(0L)).as("hottest_key_rows"))
+        .crossJoin(broadcast(a.agg(count(lit(1)).as("rows_a"))))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("rows_b"))))
+        .select(
+          lit(pair).as("pair"),
+          col("rows_a"), col("rows_b"), col("predicted_rows"),
+          StableStats.ratio(col("predicted_rows"),
+            greatest(col("rows_a"), col("rows_b"))).as("expansion"),
+          StableStats.ratio(col("hottest_key_rows"),
+            greatest(col("predicted_rows"), lit(1L))).as("hottest_share"))
+    }
+    val events = Tables.events(spark, dir)
+    forecast("orders_lineitem",
+        Tables.orders(spark, dir), col("o_orderkey"),
+        Tables.lineitem(spark, dir), col("l_orderkey"))
+      .unionByName(forecast("events_self_user",
+        events, col("user_id"), events, col("user_id")))
+      .orderBy("pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_salted_agg"  -> (saltedEventStats _),
-    "j_salted_join" -> (saltedJoinStats _)
+    "j_salted_join" -> (saltedJoinStats _),
+    "x_join_cardinality" -> (joinCardinality _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +156,24 @@ object Skew {
          |  round(sum(l_quantity), 2) AS sum_qty,
          |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_join_cardinality" -> {
+      def forecast(pair: String, ta: String, ka: String, tb: String, kb: String) =
+        s"""SELECT '$pair' AS pair, rows_a, rows_b, predicted_rows,
+           |  ${StableStats.ratioSql("predicted_rows", "greatest(rows_a, rows_b)")} AS expansion,
+           |  ${StableStats.ratioSql("hottest_key_rows", "greatest(predicted_rows, 1)")} AS hottest_share
+           |FROM (
+           |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS predicted_rows,
+           |    CAST(coalesce(max(na * nb), 0) AS BIGINT) AS hottest_key_rows
+           |  FROM (SELECT $ka AS k, CAST(count(*) AS BIGINT) AS na FROM $ta GROUP BY 1) a
+           |  JOIN (SELECT $kb AS k, CAST(count(*) AS BIGINT) AS nb FROM $tb GROUP BY 1) b
+           |  USING (k)),
+           |  (SELECT CAST(count(*) AS BIGINT) AS rows_a FROM $ta),
+           |  (SELECT CAST(count(*) AS BIGINT) AS rows_b FROM $tb)""".stripMargin
+      forecast("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey") +
+        "\nUNION ALL\n" +
+        forecast("events_self_user", "events", "user_id", "events", "user_id") +
+        "\nORDER BY pair"
+    }
   )
 }
