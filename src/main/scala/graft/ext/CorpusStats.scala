@@ -491,7 +491,45 @@ object CorpusStats {
     sb.toString
   }
 
+  /** Per-source corpus datasheet — the one-row-per-source summary a
+    * dataset card ships ("Datasheets for Datasets", arXiv:1803.09010):
+    * volume (docs/tokens/chars), exact-duplicate rate (distinct md5 over
+    * docs), token density, and language concentration (modal lang + its
+    * share, ties broken lexicographically). The numbers a consumer
+    * checks before mixing a source into a training run, assembled in
+    * one query.
+    *
+    * Scale shape: one corpus scan feeding a sources-sized hash-agg
+    * (count-distinct of the md5 plans as a two-level agg on the hash,
+    * not a row shuffle) plus a (source × lang)-sized mode window; the
+    * final join is catalog-sized on both sides. */
+  def datasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.ratio
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+    val langMode = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("nl").desc, col("lang").asc)))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("nl"))
+    base.join(langMode, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        ratio(col("n_unique"), col("n_docs")).as("uniq_rate"),
+        ratio(col("n_tokens"), col("n_docs")).as("mean_tokens"),
+        col("top_lang"),
+        ratio(col("nl"), col("n_docs")).as("top_lang_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_corpus_datasheet" -> (datasheet _),
     "x_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "x_bpe_segment" -> ((s, d) => bpeSegment(s, d)),
     "x_quality_drift" -> (qualityDrift _),
@@ -505,6 +543,31 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_corpus_datasheet" -> {
+      import graft.ops.StableStats.ratioSql
+      s"""WITH d AS (
+         |  SELECT source, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         |  FROM d GROUP BY source),
+         |l AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+         |  FROM d GROUP BY source, lang),
+         |top AS (SELECT source, lang AS top_lang, nl FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY source ORDER BY nl DESC, lang) AS rn FROM l)
+         |  WHERE rn = 1)
+         |SELECT source, n_docs, n_tokens, n_chars,
+         |  ${ratioSql("n_unique", "n_docs")} AS uniq_rate,
+         |  ${ratioSql("n_tokens", "n_docs")} AS mean_tokens,
+         |  top_lang,
+         |  ${ratioSql("nl", "n_docs")} AS top_lang_share
+         |FROM base JOIN top USING (source) ORDER BY source""".stripMargin
+    },
     "x_bpe_merges" -> bpeOracle(3),
     "x_bpe_segment" -> bpeSegmentOracle(3),
     "x_quality_drift" ->

@@ -54,6 +54,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Map("s0" -> (3L, 3L, 7L), "s1" -> (2L, 3L, 6L)))
   }
 
+  test("datasheet: duplicate docs and lang mode are counted per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-ds").toString
+    Seq(
+      (0L, "alpha beta", "en", "sA", 10L),
+      (1L, "alpha beta", "en", "sA", 10L), // exact dup of doc 0
+      (2L, "gamma", "de", "sA", 5L),
+      (3L, "delta", "de", "sB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = CorpusStats.datasheet(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("sA")
+    assert(a.getAs[Long]("n_docs") === 3L && a.getAs[Long]("n_tokens") === 5L)
+    assert(a.getAs[Double]("uniq_rate") === 0.6667, "2 unique texts / 3 docs")
+    assert(a.getAs[String]("top_lang") === "en", "en=2 beats de=1")
+    assert(a.getAs[Double]("top_lang_share") === 0.6667)
+    val b = r("sB")
+    assert(b.getAs[Long]("n_docs") === 1L
+      && b.getAs[String]("top_lang") === "de"
+      && b.getAs[Double]("uniq_rate") === 1.0)
+  }
+
   test("bpe merges: a fully-merged vocab stops early instead of looping") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode

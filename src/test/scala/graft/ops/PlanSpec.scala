@@ -157,6 +157,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rank-filter top-N prunes map-side via WindowGroupLimit (both levels)") {
+    // rank() <= N over a window must NOT ship every group row to the
+    // window's reducer: Spark's WindowGroupLimit inserts a partial
+    // (pre-shuffle) and final top-N prune, so each group ships ≤ N rows
+    // no matter how large the group — the difference between a bounded
+    // and an unbounded shuffle at 100 TB
+    val plan = planOf(Relational.rankTopN(spark, dir)).split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"rank filter must prune map-side AND reduce-side:\n$plan")
+  }
+
   test("redaction, profile, transitions, bpe-segment: map-pass / join-free posture") {
     // x_pii_redact is a pure map pass: ONE corpus scan, regex work inside
     // the scan's codegen span, no join anywhere — at 100 TB the scrub
