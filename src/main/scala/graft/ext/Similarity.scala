@@ -424,6 +424,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding-space class-separation audit (silhouette-style, on
+    * centroids): per label, the mean cosine of its members to their own
+    * centroid vs to the BEST other-label centroid, and the margin
+    * between the two. Margin ≈ 0 means two labels share a region — the
+    * signal that a classifier trained on these embeddings will confuse
+    * them, or that the labels themselves are noisy; the audit a
+    * training-data pipeline runs before trusting `label` as a
+    * stratification key.
+    *
+    * Numeric discipline (the [[kmeansStep]] pattern): centroid
+    * components snap member floats to integer 10⁻⁶ units BEFORE the sum
+    * (order-free), and the per-vector cosines — already 6-dp-rounded —
+    * re-snap to integer units so the per-label means are exact-integer
+    * ratios. Zero cross-engine drift by construction.
+    *
+    * Scale shape: one posexplode hash-agg to the (labels × dims)
+    * centroid frame (bounded), centroids broadcast back over one corpus
+    * pass, then a labels-sized agg. */
+  def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val e = emb(spark, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(stableRound(
+        sum(round(col("x") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / lit(1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cemb"))
+    val scored = e
+      .crossJoin(broadcast(cent.select(col("label").as("clabel"), col("cemb"))))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosine("emb", "cemb"), 6).as("cos"))
+    scored
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(when(col("label") === col("clabel"),
+          round(col("cos") * 1e6).cast("long"))).as("own_u"),
+        max(when(col("label") =!= col("clabel"),
+          round(col("cos") * 1e6).cast("long"))).as("other_u"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        stableRound(sum(col("own_u")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("mean_own"),
+        stableRound(sum(col("other_u")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("mean_other"),
+        stableRound((sum(col("own_u")) - sum(col("other_u"))).cast("double")
+          / count(lit(1)) / lit(1e6), 6).as("mean_margin"))
+      .orderBy("label")
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR'98)
     * diverse top-k — the selection rule that trades relevance against
     * redundancy: each step takes argmax of `0.7·rel − 0.3·max_sim`,
@@ -528,6 +581,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_mmr"        -> ((s, d) => mmrSelect(s, d)),
+    "x_embed_silhouette" -> (embedSilhouette _),
     "x_embed_norm"     -> (embedNorm _),
     "x_rrf_hybrid"     -> (rrfHybrid _),
     "x_pq_search"      -> (pqSearch _),
@@ -542,6 +596,33 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "x_sim_mmr" -> mmrOracle(12, 4),
+    "x_embed_silhouette" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |px AS (SELECT label, unnest(emb) AS x,
+         |    unnest(generate_series(1, len(emb))) AS pos FROM e),
+         |c1 AS (SELECT label, pos,
+         |    ${stableRoundSql(
+              "CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6", 6)} AS c
+         |  FROM px GROUP BY label, pos),
+         |cent AS (SELECT label AS clabel, list(c ORDER BY pos) AS cemb
+         |  FROM c1 GROUP BY label),
+         |scored AS (SELECT e.vec_id, e.label, cent.clabel,
+         |    round(list_cosine_similarity(e.emb, cent.cemb), 6) AS cos
+         |  FROM e CROSS JOIN cent),
+         |per AS (SELECT vec_id, label,
+         |    CAST(sum(CASE WHEN label = clabel
+         |      THEN CAST(round(cos * 1e6) AS BIGINT) END) AS BIGINT) AS own_u,
+         |    CAST(max(CASE WHEN label <> clabel
+         |      THEN CAST(round(cos * 1e6) AS BIGINT) END) AS BIGINT) AS other_u
+         |  FROM scored GROUP BY vec_id, label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  ${stableRoundSql("CAST(sum(own_u) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_own,
+         |  ${stableRoundSql("CAST(sum(other_u) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_other,
+         |  ${stableRoundSql(
+              "CAST(sum(own_u) - sum(other_u) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_margin
+         |FROM per GROUP BY label ORDER BY label""".stripMargin
+    },
     "x_embed_norm" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH e AS (SELECT vec_id, unnest(embedding) AS v,

@@ -9,6 +9,38 @@ import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
 
+  test("silhouette: separated clusters score a wide positive margin") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    // label 0 hugs e1, label 1 hugs e2 — own-centroid cosine ≈ 1, the
+    // other centroid is near-orthogonal → margin close to 1
+    Seq(
+      (0L, Seq(1f, 0.05f, 0f, 0f), 0L), (1L, Seq(0.98f, -0.05f, 0f, 0f), 0L),
+      (2L, Seq(0.05f, 1f, 0f, 0f), 1L), (3L, Seq(-0.04f, 0.99f, 0f, 0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val r = Similarity.embedSilhouette(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    Seq(0L, 1L).foreach { l =>
+      assert(r(l).getAs[Long]("n_vecs") === 2L)
+      assert(r(l).getAs[Double]("mean_own") > 0.99)
+      assert(r(l).getAs[Double]("mean_other") < 0.1)
+      assert(r(l).getAs[Double]("mean_margin") > 0.9)
+    }
+  }
+
+  test("silhouette: a single-label corpus has no other-centroid columns") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sil1").toString
+    Seq((0L, Seq(1f, 0f), 5L), (1L, Seq(0.9f, 0.1f), 5L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val r = Similarity.embedSilhouette(spark, d).collect()
+    assert(r.length === 1 && r(0).getAs[Double]("mean_own") > 0.99)
+    assert(r(0).isNullAt(r(0).fieldIndex("mean_other")),
+      "no other label exists — the column must be NULL, not fabricated")
+  }
+
   test("mmr: the redundant twin loses to the diverse candidate") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
