@@ -528,7 +528,42 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage / OOV-rate report — the sizing analysis behind
+    * "how big must the vocab be": with the global top-`k` tokens as the
+    * in-vocabulary set (ties broken lexicographically), each source
+    * reports its token volume, the share of occurrences falling OUTSIDE
+    * the vocab (OOV rate — what a fixed-vocab tokenizer would shatter
+    * into subwords), and its distinct-type counts. A source with an
+    * outlier OOV rate speaks a different register than the corpus the
+    * vocab was fit on.
+    *
+    * Scale shape: one explode feeding a vocab-sized global count, the
+    * top-k via TakeOrdered (no global sort), broadcast of the k-row
+    * vocab back over the per-source token stream, one sources-sized
+    * agg. Exact integer counts end-to-end. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.ops.StableStats.ratio
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        coalesce(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"),
+        countDistinct(col("tok")).as("n_types"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("n_oov_types"))
+      .withColumn("oov_rate", ratio(col("n_oov"), col("n_occurrences")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "x_corpus_datasheet" -> (datasheet _),
     "x_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "x_bpe_segment" -> ((s, d) => bpeSegment(s, d)),
@@ -543,6 +578,26 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_vocab_coverage" -> {
+      import graft.ops.StableStats.ratioSql
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |t AS (SELECT source, tok FROM toks WHERE length(tok) > 0),
+         |vocab AS (
+         |  SELECT tok, 1 AS in_vocab FROM (
+         |    SELECT tok, count(*) AS freq FROM t GROUP BY tok
+         |    ORDER BY freq DESC, tok ASC LIMIT 20)),
+         |j AS (SELECT t.source, t.tok, vocab.in_vocab
+         |  FROM t LEFT JOIN vocab USING (tok))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(coalesce(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         |  CAST(count(DISTINCT CASE WHEN in_vocab IS NULL THEN tok END) AS BIGINT) AS n_oov_types,
+         |  ${ratioSql("coalesce(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END), 0)",
+                       "count(*)")} AS oov_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
     "x_corpus_datasheet" -> {
       import graft.ops.StableStats.ratioSql
       s"""WITH d AS (

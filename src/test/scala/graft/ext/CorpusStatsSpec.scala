@@ -54,6 +54,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Map("s0" -> (3L, 3L, 7L), "s1" -> (2L, 3L, 6L)))
   }
 
+  test("vocab coverage: occurrences outside the top-k vocab count as OOV") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    // top-2 vocab is {aa, bb} (freq 3, 2); cc/dd are OOV
+    Seq(
+      (0L, "aa aa bb cc", "en", "sA", 11L),
+      (1L, "aa bb dd", "en", "sB", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = CorpusStats.vocabCoverage(spark, d, k = 2).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("sA").getAs[Long]("n_occurrences") === 4L)
+    assert(r("sA").getAs[Long]("n_oov") === 1L)      // cc
+    assert(r("sA").getAs[Long]("n_oov_types") === 1L)
+    assert(r("sA").getAs[Double]("oov_rate") === 0.25)
+    assert(r("sB").getAs[Long]("n_oov") === 1L)      // dd
+    assert(r("sB").getAs[Long]("n_types") === 3L)
+  }
+
   test("datasheet: duplicate docs and lang mode are counted per source") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
