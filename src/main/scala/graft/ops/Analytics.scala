@@ -302,6 +302,47 @@ object Analytics {
       .orderBy("prev", "curr")
   }
 
+  /** Rolling z-score anomaly detection over the hourly event-count
+    * series — the stream-health monitor: each observed hour scores
+    * against the trailing 24 observed hours' mean and variance, and the
+    * top anomalies (|z| ≥ 2, capped at 10) surface with their window
+    * context. An hour that triples its trailing baseline is a
+    * bot/outage/backfill signature long before a daily rollup sees it.
+    *
+    * Cross-engine discipline: the rolling moments come from integer
+    * window sums (Σx, Σx², both exact) through the explicit two-pass
+    * variance identity — NOT the engines' stddev builtins, whose
+    * accumulation orders differ — so the z-score is one fixed IEEE
+    * sequence both engines evaluate identically before the 4-dp round.
+    *
+    * Scale shape: one calendar-bounded hash-agg, one window over it,
+    * TakeOrdered for the anomaly cap. */
+  def countAnomalies(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("n_win", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .where(col("n_win") === 24) // a full trailing day, nothing partial
+      .withColumn("mean", col("s1").cast("double") / col("n_win"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_win"))
+          / (col("n_win") - lit(1)))
+      .where(col("variance") > 0)
+      .withColumn("z",
+        StableStats.stableRound(
+          (col("c").cast("double") - col("mean")) / sqrt(col("variance")), 4))
+      .where(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("h"), col("c"),
+        StableStats.stableRound(col("mean"), 4).as("win_mean"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_type").asc, col("h").asc)
+      .limit(k)
+  }
+
   /** Seasonal forecastability report (MASE, Hyndman & Koehler 2006):
     * per event type, the mean absolute error of the 24-hour seasonal
     * naive forecast scaled by the one-step naive baseline over the
@@ -509,6 +550,7 @@ object Analytics {
     "x_sessionize"     -> (sessionize _),
     "x_event_transitions" -> (eventTransitions _),
     "x_seasonal_mase"  -> (seasonalMase _),
+    "x_count_anomaly"  -> ((s, d) => countAnomalies(s, d)),
     "x_interval_overlap" -> (intervalOverlap _),
     "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
     "x_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
@@ -597,6 +639,29 @@ object Analytics {
          |SELECT prev, curr, n,
          |  ${StableStats.ratioSql("n", "sum(n) OVER (PARTITION BY prev)")} AS p
          |FROM c ORDER BY prev, curr""".stripMargin,
+    "x_count_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, h, c,
+         |    count(c) OVER w AS n_win, sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |scored AS (
+         |  SELECT event_type, h, c,
+         |    CAST(s1 AS DOUBLE) / n_win AS mean,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_win) / (n_win - 1) AS variance
+         |  FROM win WHERE n_win = 24),
+         |z AS (
+         |  SELECT event_type, h, c, mean,
+         |    ${StableStats.stableRoundSql("(c - mean) / sqrt(variance)", 4)} AS z
+         |  FROM scored WHERE variance > 0)
+         |SELECT event_type, h, c,
+         |  ${StableStats.stableRoundSql("mean", 4)} AS win_mean, z
+         |FROM z WHERE abs(z) >= 2.0
+         |ORDER BY abs(z) DESC, event_type, h LIMIT 10""".stripMargin,
     "x_seasonal_mase" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c

@@ -47,6 +47,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Set(("signup", "click"), ("click", "purchase")))
   }
 
+  test("count anomalies: only the spike above its trailing-24h baseline fires") {
+    val d = Files.createTempDirectory("graft-anom").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:15:00").getTime
+    // hours 0..24 alternate counts 2/4 (nonzero variance baseline);
+    // hour 25 spikes to 10 — z ≈ (10-3)/1.02 ≈ 6.9, the only |z| ≥ 2
+    val rows = (0 to 25).flatMap { h =>
+      val n = if (h == 25) 10 else if (h % 2 == 0) 2 else 4
+      (0 until n).map(j => (h.toLong * 100 + j,
+        new java.sql.Timestamp(base + h * 3600L * 1000), 1L, "click", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val r = Analytics.countAnomalies(spark, d).collect()
+    assert(r.length === 1, s"expected only the spike, got ${r.toSeq}")
+    assert(r(0).getAs[Long]("c") === 10L)
+    assert(r(0).getAs[Double]("z") > 6.0)
+    assert(r(0).getAs[Double]("win_mean") === 3.0)
+  }
+
   test("seasonal mase: a perfectly daily-periodic series scores 0") {
     val d = Files.createTempDirectory("graft-mase").toString
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00").getTime
