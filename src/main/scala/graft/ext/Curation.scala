@@ -637,6 +637,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Neyman-optimal stratified sampling allocation (Neyman 1934): with a
+    * fixed label/QA budget of `b` documents, sample each source in
+    * proportion to N_h·S_h — its size TIMES its internal spread — rather
+    * than size alone. A big homogeneous source needs few samples to
+    * estimate well; a small erratic one needs many. This is the sampling
+    * plan behind any budgeted audit of a 100 TB corpus (human evals,
+    * expensive-model scoring), reported next to the proportional
+    * allocation it beats.
+    *
+    * Numeric discipline: per-source variance of doc length comes from
+    * exact integer Σx/Σx² through the two-pass identity; the allocation
+    * weight N_h·S_h snaps to integer 10⁻⁶ units BEFORE the global sum,
+    * and both allocations are exact integer `div` arithmetic — no float
+    * crosses an aggregation boundary.
+    *
+    * Scale shape: one sources-sized hash-agg, a 1-row total broadcast,
+    * per-row arithmetic. */
+  def neymanAllocation(spark: SparkSession, dir: String, b: Int = 1000): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    val stats = Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("s1"),
+        sum(col("len") * col("len")).as("s2"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_docs"))
+          / greatest(col("n_docs") - lit(1), lit(1)))
+      .withColumn("w_units",
+        floor(col("n_docs") * sqrt(col("variance")) * lit(1e6) + lit(0.5)).cast("long"))
+    val totals = stats.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w_units")).as("w_total"))
+    stats.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        stableRound(col("s1").cast("double") / col("n_docs"), 4).as("mean_len"),
+        round(sqrt(col("variance")), 4).as("sd_len"),
+        expr(s"($b * w_units) div w_total").as("alloc_neyman"),
+        expr(s"($b * n_docs) div n_total").as("alloc_proportional"))
+      .orderBy("source")
+  }
+
   /** Temperature-flattened sampling mix (XLM arXiv:1901.07291 §3.1; the
     * multilingual `p^α` scheme mT5/XLM-R train with): q_s ∝ p_s^α with
     * α = 0.3 up-weights small sources and down-weights dominant ones.
@@ -1094,6 +1135,7 @@ object Curation {
     "x_pagerank_sim"      -> (pagerankSim _),
     "x_dedup_spans"       -> (spanDedup _),
     "x_domain_mix"        -> (domainMix _),
+    "x_neyman_alloc"      -> ((s: SparkSession, d: String) => neymanAllocation(s, d)),
     "x_mix_temperature"   -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "x_mix_temp_sample"   -> (temperatureSample _),
     "x_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
@@ -1116,6 +1158,31 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_neyman_alloc" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH stats AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(length(text)) AS BIGINT) AS s1,
+         |    CAST(sum(length(text) * length(text)) AS BIGINT) AS s2
+         |  FROM documents GROUP BY source),
+         |v AS (
+         |  SELECT source, n_docs, s1,
+         |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_docs)
+         |      / greatest(n_docs - 1, 1) AS variance
+         |  FROM stats),
+         |w AS (
+         |  SELECT source, n_docs, s1, variance,
+         |    CAST(floor(n_docs * sqrt(variance) * 1e6 + 5e-1) AS BIGINT) AS w_units
+         |  FROM v),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |    CAST(sum(w_units) AS BIGINT) AS w_total FROM w)
+         |SELECT source, n_docs,
+         |  ${stableRoundSql("CAST(s1 AS DOUBLE) / n_docs", 4)} AS mean_len,
+         |  round(sqrt(variance), 4) AS sd_len,
+         |  CAST((1000 * w_units) // w_total AS BIGINT) AS alloc_neyman,
+         |  CAST((1000 * n_docs) // n_total AS BIGINT) AS alloc_proportional
+         |FROM w, t ORDER BY source""".stripMargin
+    },
     "x_weighted_sample" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH u AS (SELECT source, doc_id, n_chars,

@@ -26,6 +26,27 @@ class CurationSpec extends SparkSpec {
     d
   }
 
+  test("neyman allocation: spread, not size, wins the sampling budget") {
+    val d = Files.createTempDirectory("graft-neyman").toString
+    // sA: 6 identical docs (zero variance) — proportionally dominant but
+    // informationally saturated; sB: 2 wildly different docs
+    val docs = (0 until 6).map(i =>
+      (i.toLong, "aaaaaaaaaa", "en", "sA", 10L)) ++ Seq(
+      (6L, "bbbbb", "en", "sB", 5L),
+      (7L, "b" * 50, "en", "sB", 50L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = Curation.neymanAllocation(spark, d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("sA").getAs[Long]("alloc_proportional") === 750L, "6 of 8 docs")
+    assert(r("sA").getAs[Long]("alloc_neyman") === 0L,
+      "zero variance needs zero samples under Neyman")
+    assert(r("sA").getAs[Double]("sd_len") === 0.0)
+    assert(r("sB").getAs[Long]("alloc_neyman") === 1000L,
+      "the erratic source takes the whole budget")
+    assert(r("sB").getAs[Long]("alloc_proportional") === 250L)
+  }
+
   test("MAD outliers flag what the sigma-inflated z-score misses") {
     val mad = Curation.madOutliers(spark, dir).collect()
       .map(_.getAs[Long]("event_id")).toSet
