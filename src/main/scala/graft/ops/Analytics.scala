@@ -302,6 +302,48 @@ object Analytics {
       .orderBy("prev", "curr")
   }
 
+  /** Out-of-orderness (lateness) histogram over the ingest stream — THE
+    * measurement behind choosing a streaming watermark: for each event,
+    * how far behind the maximum event-time already ingested (arrival
+    * order = event_id) did it arrive? The bucketed distribution tells
+    * you directly what `withWatermark` bound drops what fraction of
+    * late data.
+    *
+    * A naive running max is a single global ordered window — one reducer
+    * owns the whole stream. This implements the standard two-level
+    * prefix-scan decomposition instead: within-block strictly-prior max
+    * (parallel per 1024-id block), block-level maxes (one tiny frame),
+    * prefix max over blocks, combine. Identical semantics
+    * ([[AnalyticsSpec]] pins bit-equality against the direct window),
+    * but the only serial structure is the blocks frame, 1024× smaller —
+    * recurse levels as the stream grows. */
+  def latenessHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("blk", expr("event_id div 1024"))
+    val inBlk = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkMax = ev.groupBy(col("blk")).agg(max(col("us")).as("bmax"))
+      .withColumn("prior_max", max(col("bmax")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("blk"), col("prior_max"))
+    ev.withColumn("in_max", max(col("us")).over(inBlk))
+      .join(broadcast(blkMax), Seq("blk"))
+      // greatest() skips NULLs in Spark, returning NULL only when both
+      // miss (the stream's very first event) — coalesce that to on-time
+      .withColumn("lat",
+        greatest(lit(0L),
+          coalesce(greatest(col("in_max"), col("prior_max")) - col("us"), lit(0L))))
+      .withColumn("bucket",
+        when(col("lat") <= 0, "a_ontime")
+          .when(col("lat") <= 60L * 1000000, "b_le_1min")
+          .when(col("lat") <= 600L * 1000000, "c_le_10min")
+          .when(col("lat") <= 3600L * 1000000, "d_le_1h")
+          .otherwise("e_gt_1h"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Rolling z-score anomaly detection over the hourly event-count
     * series — the stream-health monitor: each observed hour scores
     * against the trailing 24 observed hours' mean and variance, and the
@@ -551,6 +593,7 @@ object Analytics {
     "x_event_transitions" -> (eventTransitions _),
     "x_seasonal_mase"  -> (seasonalMase _),
     "x_count_anomaly"  -> ((s, d) => countAnomalies(s, d)),
+    "x_lateness_hist"  -> (latenessHistogram _),
     "x_interval_overlap" -> (intervalOverlap _),
     "x_bootstrap_ci"   -> ((s, d) => bootstrapCi(s, d)),
     "x_quantile_sketch" -> ((s, d) => quantileSketch(s, d)),
@@ -639,6 +682,20 @@ object Analytics {
          |SELECT prev, curr, n,
          |  ${StableStats.ratioSql("n", "sum(n) OVER (PARTITION BY prev)")} AS p
          |FROM c ORDER BY prev, curr""".stripMargin,
+    // the oracle is the DIRECT single-window formulation: the two-level
+    // prefix-scan decomposition must be indistinguishable from it
+    "x_lateness_hist" ->
+      """WITH o AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT us, max(us) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM o),
+        |l AS (SELECT greatest(0, coalesce(pm - us, 0)) AS lat FROM r)
+        |SELECT CASE WHEN lat <= 0 THEN 'a_ontime'
+        |    WHEN lat <= 60000000 THEN 'b_le_1min'
+        |    WHEN lat <= 600000000 THEN 'c_le_10min'
+        |    WHEN lat <= 3600000000 THEN 'd_le_1h'
+        |    ELSE 'e_gt_1h' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_count_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -45,6 +46,47 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.eventTransitions(spark, d).collect()
       .map(x => (x.getString(0), x.getString(1))).toSet
     assert(got === Set(("signup", "click"), ("click", "purchase")))
+  }
+
+  test("lateness histogram: disorder lands in the right buckets across blocks") {
+    val d = Files.createTempDirectory("graft-late").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // ids span multiple 1024-id blocks so the block-prefix path is live;
+    // ingest order (by id) vs event time: two late arrivals, one very late
+    Seq(
+      (0L,    ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"), // first → ontime
+      (2000L, ts("2024-01-01 10:10:00"), 1L, "a", 1.0, "{}"), // advances max
+      (3000L, ts("2024-01-01 10:05:00"), 1L, "a", 1.0, "{}"), // 5 min late
+      (4000L, ts("2024-01-01 10:09:30"), 1L, "a", 1.0, "{}"), // 30 s late
+      (5000L, ts("2024-01-01 11:30:00"), 1L, "a", 1.0, "{}"), // advances max
+      (6000L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}")) // 1.5 h late
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val got = Analytics.latenessHistogram(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a_ontime" -> 3L, "b_le_1min" -> 1L,
+      "c_le_10min" -> 1L, "e_gt_1h" -> 1L))
+  }
+
+  test("lateness histogram: block decomposition == direct global window (real events)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val direct = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pm", max(col("us")).over(Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("lat", greatest(lit(0L), coalesce(col("pm") - col("us"), lit(0L))))
+      .withColumn("bucket",
+        when(col("lat") <= 0, "a_ontime")
+          .when(col("lat") <= 60L * 1000000, "b_le_1min")
+          .when(col("lat") <= 600L * 1000000, "c_le_10min")
+          .when(col("lat") <= 3600L * 1000000, "d_le_1h")
+          .otherwise("e_gt_1h"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val decomposed = Analytics.latenessHistogram(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(decomposed === direct)
   }
 
   test("count anomalies: only the spike above its trailing-24h baseline fires") {
