@@ -171,8 +171,36 @@ object QualityChecks {
           |) as (column_name, n_rows, n_nulls, n_distinct)""".stripMargin)
       .orderBy("column_name")
 
+  /** Cross-modality coverage audit — the integrity check of a paired
+    * text+embedding corpus: which doc_ids have no embedding row (holes a
+    * similarity pass silently skips), which vec_ids dangle without a
+    * document (stale index entries), and the one-row coverage summary.
+    * Per the multimodal contract, ids pair positionally (doc_id ↔
+    * vec_id).
+    *
+    * Scale shape: one full outer join on the id — both sides shuffle on
+    * their key once; everything else is counters off that join. */
+  def modalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val d = Tables.documents(spark, dir).select(col("doc_id").as("id"), lit(1).as("has_doc"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id").as("id"), lit(1).as("has_vec"))
+    d.join(e, Seq("id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_ids"),
+        coalesce(sum(when(col("has_doc").isNotNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_paired"),
+        coalesce(sum(when(col("has_vec").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_unembedded"),
+        coalesce(sum(when(col("has_doc").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_dangling_vecs"))
+      .withColumn("coverage",
+        StableStats.ratio(col("n_paired"),
+          col("n_paired") + col("n_docs_unembedded")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_quality_checks"  -> (report _),
+    "x_modality_coverage" -> (modalityCoverage _),
     "x_observe_metrics" -> (observedMetrics _),
     "x_benford"         -> (benfordPrices _),
     "x_data_profile"    -> (dataProfile _)
@@ -200,6 +228,23 @@ object QualityChecks {
         |  SELECT 'documents_n_chars_consistent', count(*), count(*) = 0 FROM documents
         |    WHERE length(text) <> n_chars)
         |ORDER BY check_name""".stripMargin,
+    "x_modality_coverage" -> {
+      import graft.ops.StableStats.ratioSql
+      s"""WITH j AS (
+         |  SELECT d.doc_id, e.vec_id
+         |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_ids,
+         |  CAST(coalesce(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_paired,
+         |  CAST(coalesce(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_docs_unembedded,
+         |  CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_dangling_vecs,
+         |  ${ratioSql(
+            "coalesce(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)",
+            "coalesce(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END), 0)")} AS coverage
+         |FROM j""".stripMargin
+    },
     "x_data_profile" -> {
       def row(c: String) =
         s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
