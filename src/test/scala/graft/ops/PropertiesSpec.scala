@@ -191,6 +191,88 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("transitions: any split day merges to the single-pass matrix; mass conserved") {
+    val evGen = for {
+      uid <- Gen.choose(1L, 6L)
+      off <- Gen.choose(0L, 20L * 24 * 3600)
+      tpe <- Gen.oneOf("click", "view", "buy")
+    } yield (uid, off, tpe)
+    val caseGen = Gen.choose(5, 80).flatMap(n => Gen.listOfN(n, evGen))
+    for (i <- 1 to 5) {
+      val rows = caseGen.pureApply(Gen.Parameters.default, Seed(200 + i.toLong))
+      val d = java.nio.file.Files.createTempDirectory(s"graft-ptrans$i").toString
+      rows.zipWithIndex.map { case ((uid, off, tpe), id) =>
+        (id.toLong,
+          new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + off * 1000),
+          uid, tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/events.parquet")
+      val direct = Analytics.eventTransitions(spark, d).collect().map(_.toSeq).toSeq
+      // any cut day must merge back to the same matrix — including cuts
+      // where one shard is empty
+      for (day <- Seq("2024-01-01", "2024-01-08", "2024-02-15")) {
+        val inc = Incremental.incrTransitions(spark, d, day).collect().map(_.toSeq).toSeq
+        assert(inc === direct, s"case $i split $day")
+      }
+      // conservation: every user with k ≥ 1 events contributes k−1 bigrams
+      val total = direct.map(_(2).asInstanceOf[Long]).sum
+      val perUser = rows.groupBy(_._1).values.map(g => (g.size - 1).toLong.max(0L)).sum
+      assert(total === perUser, s"case $i mass")
+    }
+  }
+
+  test("pii scrub: zero residual and idempotence for any token soup") {
+    import graft.ext.Redaction
+    val segGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString),
+      Gen.choose(0, 999).map(n => s"user$n@host$n.org"),
+      Gen.choose(0, 9999).map(n => f"555-$n%04d"),
+      Gen.choose(0, 255).map(n => s"10.0.$n.$n"),
+      Gen.const("v1.2.3"), Gen.const("2024-01-07"))
+    val textGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, segGen)).map(_.mkString(" "))
+    val texts = (1 to 40).map(i =>
+      textGen.pureApply(Gen.Parameters.default, Seed(300 + i.toLong)))
+    val checked = texts.toDF("raw")
+      .select(Redaction.scrub(col("raw")).as("s1"))
+      .select(col("s1"), Redaction.scrub(col("s1")).as("s2"),
+        Redaction.residual(col("s1")).as("res"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getInt(2) === 0, s"residual in '${r.getString(0)}'")
+      assert(r.getString(0) === r.getString(1), "scrub must be idempotent")
+    }
+  }
+
+  test("bpe segmentation conserves character mass for any corpus") {
+    import graft.ext.CorpusStats
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    for (i <- 1 to 3) {
+      val docs = (0 until 6).map(j =>
+        (j.toLong, docGen.pureApply(Gen.Parameters.default, Seed(400 + i * 10 + j.toLong)),
+          "en", s"s${j % 2}", 0L))
+      val d = java.nio.file.Files.createTempDirectory(s"graft-pbpe$i").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+      val seg = CorpusStats.bpeSegment(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n_chars"), r.getAs[Long]("n_subwords"),
+          r.getAs[Long]("n_words"))).toMap
+      val raw = docs.flatMap { case (_, text, _, src, _) =>
+        text.split(" ").filter(_.nonEmpty).map(w => (src, w))
+      }.groupBy(_._1).map { case (src, ws) =>
+        src -> (ws.map(_._2.length).map(_.toLong).sum, ws.size.toLong)
+      }
+      raw.foreach { case (src, (chars, words)) =>
+        val (gotChars, gotSub, gotWords) = seg(src)
+        assert(gotChars === chars, s"case $i $src: merges must not eat characters")
+        assert(gotWords === words, s"case $i $src")
+        assert(gotSub >= gotWords && gotSub <= chars,
+          s"case $i $src: tokens bounded by words below and chars above")
+      }
+    }
+  }
+
   test("levenshtein: engine matches an independent DP; threshold form is exact-or-(-1)") {
     // the edit-distance dedup verify (ext.Dedup.editDistancePairs) leans on
     // both forms of the builtin — pin them against a from-scratch DP
