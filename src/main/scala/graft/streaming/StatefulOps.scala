@@ -182,6 +182,40 @@ object StatefulOps {
       }
   }
 
+  /** [[transitions]] in the transformWithState API — the same O(1)
+    * last-event-per-user state through the explicit-state processor
+    * interface (typed ValueState handle, no timers needed: transition
+    * emission is purely input-driven). Requires the RocksDB state store
+    * provider, like every transformWithState operator. */
+  class TransitionProcessor extends StatefulProcessor[Long, TypedEvt, Transition] {
+    @transient private var last: ValueState[LastEvt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last", Encoders.product[LastEvt], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvt],
+        timerValues: TimerValues): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var cur = if (last.exists()) Some(last.get()) else None
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        cur.foreach(l => out += Transition(uid, l.eventType, e.event_type))
+        cur = Some(LastEvt(us(e.ts), e.event_id, e.event_type))
+      }
+      cur.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[transitions]] via [[TransitionProcessor]] (transformWithState). */
+  def transitionsTws(events: Dataset[TypedEvt]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream interval join: attribute each conversion to the same
     * user's click that happened within `window` BEFORE it. Both sides are
     * watermarked and the join condition bounds conversion time inside

@@ -67,6 +67,44 @@ class StreamBatchParitySpec extends SparkSpec {
         s"extra=${(streamed.toSet -- batch.toSet).take(3)} missing=${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("transformWithState transitions == flatMapGroupsWithState twin (3 batches)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    implicit val ctx = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      .sortBy(e => (e._3.getTime, e._2))
+      .map(e => StatefulOps.TypedEvt(e._1, e._2, e._3, e._4))
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.TypedEvt]
+    val q = StatefulOps.transitionsTws(stream.toDS())
+      .toDF().writeStream.format("memory").queryName("trans_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped((evs.length + 2) / 3).foreach { batch =>
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val tws = spark.table("trans_tws")
+      .groupBy("prev", "curr").count()
+      .as[(String, String, Long)].collect().toSet
+    val batchMatrix = graft.ops.Analytics.eventTransitions(spark, dir)
+      .select("prev", "curr", "n").as[(String, String, Long)].collect().toSet
+    assert(tws === batchMatrix)
+  }
+
   test("streaming near-dup pairs == batch simhashPairs on the real documents table") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
