@@ -149,12 +149,45 @@ object Multimodal {
         expr("transform(sequence(0, 3), i -> ascii(substring(text, i * cast(floor(length(text) / 4) as int) + 1, 1)))")
           .as("frame_sample"))
 
+  /** Frame-fingerprint duplicate families — the video-dedup shape: two
+    * media payloads whose SAMPLED FRAME signature matches are
+    * re-encodes/re-uploads of each other even when their bytes differ
+    * (different container, same content). Groups the corpus by the
+    * 4-frame signature vector and emits families of ≥ 2 with their
+    * representative (min doc_id) — the collapse ledger, exactly like
+    * the LSH hot-bucket star output. Frame "decode" is the deterministic
+    * stub ([[binaryMeta]]); a real codec swaps in per-frame perceptual
+    * hashes with the same grouping plan.
+    *
+    * Scale shape: one scan, one hash-agg on the signature — signatures
+    * are content-derived so families co-locate in the shuffle; no join,
+    * no pairwise work. */
+  def frameDupFamilies(spark: SparkSession, dir: String): DataFrame =
+    binaryMetaUnordered(spark, dir)
+      .select(col("doc_id"),
+        expr("array_join(transform(frame_sample, x -> cast(x as string)), ',')")
+          .as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("sig").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_binary_meta" -> (binaryMeta _),
-    "x_mm_frame_agg"   -> (frameAgg _)
+    "x_mm_frame_agg"   -> (frameAgg _),
+    "x_mm_frame_dups"  -> (frameDupFamilies _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x_mm_frame_dups" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, array_to_string(list_transform(generate_series(0, 3),
+        |      i -> ascii(substr(text, i * CAST(length(text) // 4 AS INTEGER) + 1, 1))), ',') AS sig
+        |  FROM documents)
+        |SELECT sig, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_doc
+        |FROM sigs GROUP BY sig HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, sig ASC""".stripMargin,
     "x_mm_frame_agg" ->
       s"""WITH meta AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

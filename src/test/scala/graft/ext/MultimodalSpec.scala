@@ -7,6 +7,25 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("frame-dup families: same frame signature groups; singletons dropped") {
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-framedup").toString
+    // docs 0 and 2 share the exact text (same frames); 1 differs; 3 is a
+    // re-encode stand-in: same sampled frames because same text length
+    // pattern at sampled positions
+    Seq(
+      (0L, "abcdefgh", "en", "s", 8L),
+      (1L, "zzzzzzzz", "en", "s", 8L),
+      (2L, "abcdefgh", "en", "s", 8L),
+      (3L, "abzdzfzh", "en", "s", 8L)) // positions 1,3,5,7 → a,c,e,g vs a,z,z,z
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val fams = Multimodal.frameDupFamilies(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("rep_doc")))
+    assert(fams.length === 1, s"only the 0/2 family, got ${fams.toSeq}")
+    assert(fams(0)._2 === 2L && fams(0)._3 === 0L)
+  }
+
   test("mapPartitions feature extraction: deterministic stub decode + real sha256") {
     val media = Seq(
       Multimodal.MediaRecord(1L, "hello world".getBytes("UTF-8"), "text/plain"),
