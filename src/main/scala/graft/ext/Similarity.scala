@@ -162,6 +162,48 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Label-noise detection by LSH-bucket neighbor voting (the kNN
+    * label-cleaning shape behind Confident Learning-style curation): a
+    * vector whose bucket-mates overwhelmingly carry a DIFFERENT label is
+    * a mislabel suspect. Votes are the bucket's per-label counts with
+    * the vector's own vote removed; a suspect needs the adjusted
+    * majority to (a) disagree with its label and (b) have ≥ 2 agreeing
+    * neighbors — and ties go to the vector's own label, so a 1-vs-1
+    * bucket never accuses anyone.
+    *
+    * Scale shape: signatures via the broadcast hyperplane pass (as
+    * [[lshTopK]]), then ONE hash-agg to the (bucket × label) vote frame
+    * — bounded by 2^PLANES · |labels|, not the corpus — broadcast back
+    * over the labeled signatures. No pairwise neighbor join at all. */
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = emb(spark, dir)
+    val planes = spark.range(PLANES).select(col("id").cast("int").as("p"),
+      expr(s"transform(sequence(0, ${DIMS - 1}), d -> " +
+        "(cast(conv(substring(md5(concat(id, '_', d)), 1, 8), 16, 10) as bigint) % 2001) / 1000.0D - 1.0D)")
+        .as("arr"))
+    val bits = e.crossJoin(broadcast(planes))
+      .withColumn("bit", when(cosine("emb", "arr") >= 0, "1").otherwise("0"))
+    val sigAggs = (0 until PLANES).map(i => max(when(col("p") === i, col("bit"))).as(s"b$i"))
+    val labeled = bits.groupBy(col("vec_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("vec_id"), concat((0 until PLANES).map(i => col(s"b$i")): _*).as("bucket"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val votes = labeled.groupBy(col("bucket"), col("label").as("blabel"))
+      .agg(count(lit(1)).as("n"))
+    val ownFirst = when(col("blabel") === col("label"), 0).otherwise(1)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("adj").desc, ownFirst.asc, col("blabel").asc)
+    labeled
+      .join(broadcast(votes), "bucket")
+      .withColumn("adj",
+        col("n") - when(col("blabel") === col("label"), 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("blabel") =!= col("label") && col("adj") >= 2)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        col("blabel").as("suggested"), col("adj").as("n_agree"))
+      .orderBy(col("n_agree").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Materialized IVF index build — the deployment shape at 100 TB: the
     * expensive assignment pass (broadcast centroids, argmax cosine per
     * vector) runs ONCE and lands as a cluster-partitioned parquet lake;
@@ -582,6 +624,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_mmr"        -> ((s, d) => mmrSelect(s, d)),
     "x_embed_silhouette" -> (embedSilhouette _),
+    "x_label_noise"    -> ((s, d) => labelNoise(s, d)),
     "x_embed_norm"     -> (embedNorm _),
     "x_rrf_hybrid"     -> (rrfHybrid _),
     "x_pq_search"      -> (pqSearch _),
@@ -778,6 +821,31 @@ object Similarity {
         |  CAST(CASE WHEN e5.cand_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_exact_top5
         |FROM qr LEFT JOIN e5 ON qr.query_id = e5.query_id AND qr.cand_id = e5.cand_id
         |WHERE qr.rn <= 5 ORDER BY qr.query_id, qr.rn""".stripMargin,
+    "x_label_noise" -> {
+      val bucketConcat = (0 until PLANES)
+        .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |planes AS (SELECT p, list_transform(generate_series(0, ${DIMS - 1}),
+         |    d -> (('0x' || substr(md5(p || '_' || d), 1, 8))::BIGINT % 2001) / 1e3 - 1e0) AS arr
+         |  FROM generate_series(0, ${PLANES - 1}) t(p)),
+         |bits AS (SELECT emb.vec_id, planes.p,
+         |    CASE WHEN list_cosine_similarity(emb.e, planes.arr) >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM emb CROSS JOIN planes),
+         |sig AS (SELECT vec_id, $bucketConcat AS bucket FROM bits GROUP BY vec_id),
+         |labeled AS (SELECT sig.vec_id, sig.bucket, emb.label
+         |  FROM sig JOIN emb USING (vec_id)),
+         |votes AS (SELECT bucket, label AS blabel, CAST(count(*) AS BIGINT) AS n
+         |  FROM labeled GROUP BY bucket, label),
+         |adj AS (SELECT l.vec_id, l.label, l.bucket, v.blabel,
+         |    v.n - CASE WHEN v.blabel = l.label THEN 1 ELSE 0 END AS adj
+         |  FROM labeled l JOIN votes v USING (bucket)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY adj DESC, CASE WHEN blabel = label THEN 0 ELSE 1 END, blabel) AS rn
+         |  FROM adj)
+         |SELECT vec_id, label, bucket, blabel AS suggested, CAST(adj AS BIGINT) AS n_agree
+         |FROM r WHERE rn = 1 AND blabel <> label AND adj >= 2
+         |ORDER BY n_agree DESC, vec_id LIMIT 20""".stripMargin
+    },
     "x_sim_lsh_topk" -> {
       val bucketConcat = (0 until PLANES)
         .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")

@@ -9,6 +9,28 @@ import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
 
+  test("label noise: the planted mislabel in a coherent bucket is the only suspect") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-noise").toString
+    // four near-identical 64-dim vectors (same hyperplane signs → same
+    // bucket): labels 1,1,1,7 — the 7 must be flagged with suggested=1.
+    // Two isolated vectors with disagreeing labels land in their own
+    // bucket as a 1-vs-1 tie — ties go to the own label, nobody accused.
+    def vec(scale: Float, jitter: Float): Seq[Float] =
+      (0 until 64).map(i => scale * (1f + (i % 3) * 0.1f) + (if (i == 0) jitter else 0f))
+    val far = (0 until 64).map(i => if (i % 2 == 0) -1f else 1f)
+    val rows = Seq(
+      (0L, vec(1f, 0.00f), 1L), (1L, vec(1f, 0.01f), 1L),
+      (2L, vec(1f, 0.02f), 1L), (3L, vec(1f, 0.03f), 7L),
+      (10L, far, 2L), (11L, far.map(_ * 1.01f), 3L))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/embeddings.parquet")
+    val got = Similarity.labelNoise(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("suggested"),
+        r.getAs[Long]("n_agree")))
+    assert(got.toSeq === Seq((3L, 7L, 1L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("silhouette: separated clusters score a wide positive margin") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-sil").toString
