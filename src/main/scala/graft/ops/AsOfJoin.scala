@@ -94,12 +94,82 @@ object AsOfJoin {
       .orderBy("purchase_id")
   }
 
+  /** Multi-touch LINEAR attribution — the complement of the as-of
+    * (last-touch) model: every click by the same user in the 24 h before
+    * a purchase shares the credit equally. Credit stays in integer cents
+    * with explicit `div`/remainder (the remainder conventionally rides
+    * with the first touch), so the split is exact and the books balance:
+    * n_touches·cents_per_touch + cents_remainder = purchase cents,
+    * always.
+    *
+    * Scale shape: a user-blocked range join (equi on user_id carries the
+    * shuffle; the time predicate prunes within the block), two
+    * deterministic first/last windows, one purchases-sized agg. */
+  def multiTouch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+    val touches = purchases.join(clicks,
+      col("user_id") === col("c_user") && col("cts") <= col("ts") &&
+        unix_micros(col("ts")) - unix_micros(col("cts")) < 24L * 3600 * 1000000,
+      "left")
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val firstW = byPurchase.orderBy(col("cts").asc_nulls_last, col("cid").asc_nulls_last)
+    val lastW = byPurchase.orderBy(col("cts").desc_nulls_last, col("cid").desc_nulls_last)
+    touches
+      .withColumn("rn_first", row_number().over(firstW))
+      .withColumn("rn_last", row_number().over(lastW))
+      .groupBy(col("purchase_id"), col("user_id"), col("cents"))
+      .agg(
+        count(col("cid")).as("n_touches"),
+        max(when(col("rn_first") === 1, col("cid"))).as("first_click"),
+        max(when(col("rn_last") === 1, col("cid"))).as("last_click"))
+      .select(col("purchase_id"), col("user_id"), col("cents"), col("n_touches"),
+        col("first_click"), col("last_click"),
+        when(col("n_touches") > 0, expr("cents div n_touches")).otherwise(lit(0L))
+          .as("cents_per_touch"),
+        when(col("n_touches") > 0, expr("cents % n_touches")).otherwise(lit(0L))
+          .as("cents_remainder"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_asof_attribution" -> (attribution _),
-    "x_asof_windowed"    -> (attributionWindowed _)
+    "x_asof_windowed"    -> (attributionWindowed _),
+    "x_multitouch"       -> (multiTouch _)
   )
 
   val oracles: Map[String, String] = Map(
+    "x_multitouch" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.*, c.cts, c.cid FROM p LEFT JOIN c
+        |  ON p.user_id = c.c_user AND c.cts <= p.ts
+        |    AND epoch_us(p.ts) - epoch_us(c.cts) < 86400000000),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts ASC NULLS LAST, cid ASC NULLS LAST) AS rn_first,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts DESC NULLS LAST, cid DESC NULLS LAST) AS rn_last
+        |  FROM t)
+        |SELECT purchase_id, user_id, cents,
+        |  CAST(count(cid) AS BIGINT) AS n_touches,
+        |  max(CASE WHEN rn_first = 1 THEN cid END) AS first_click,
+        |  max(CASE WHEN rn_last = 1 THEN cid END) AS last_click,
+        |  CASE WHEN count(cid) > 0 THEN cents // count(cid) ELSE 0 END AS cents_per_touch,
+        |  CASE WHEN count(cid) > 0 THEN cents % count(cid) ELSE 0 END AS cents_remainder
+        |FROM r GROUP BY purchase_id, user_id, cents
+        |ORDER BY purchase_id""".stripMargin,
     "x_asof_attribution" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id FROM (

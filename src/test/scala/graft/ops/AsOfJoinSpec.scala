@@ -9,6 +9,35 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("multi-touch: equal split in cents, remainder to the books, window excludes stale clicks") {
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-mt").toString
+    // purchase 100 (10.00 = 1000 cents) at day 3 noon: three clicks in
+    // the prior 24 h → 333 each + 1 remainder; a 2-day-old click and a
+    // later click must not count. purchase 101: no clicks at all.
+    Seq(
+      (1L, ts("2024-01-01 12:00:00"), 7L, "click", 0.0, "{}"),    // stale
+      (10L, ts("2024-01-03 01:00:00"), 7L, "click", 0.0, "{}"),
+      (11L, ts("2024-01-03 06:00:00"), 7L, "click", 0.0, "{}"),
+      (12L, ts("2024-01-03 11:59:00"), 7L, "click", 0.0, "{}"),
+      (13L, ts("2024-01-03 13:00:00"), 7L, "click", 0.0, "{}"),   // after
+      (100L, ts("2024-01-03 12:00:00"), 7L, "purchase", 10.0, "{}"),
+      (101L, ts("2024-01-03 12:00:00"), 9L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/events.parquet")
+    val r = AsOfJoin.multiTouch(spark, d).collect()
+      .map(x => x.getAs[Long]("purchase_id") -> x).toMap
+    val p = r(100L)
+    assert(p.getAs[Long]("n_touches") === 3L)
+    assert(p.getAs[Long]("first_click") === 10L && p.getAs[Long]("last_click") === 12L)
+    assert(p.getAs[Long]("cents_per_touch") === 333L)
+    assert(p.getAs[Long]("cents_remainder") === 1L)
+    assert(3 * p.getAs[Long]("cents_per_touch") + p.getAs[Long]("cents_remainder") === 1000L)
+    val np = r(101L)
+    assert(np.getAs[Long]("n_touches") === 0L && np.isNullAt(np.fieldIndex("first_click")))
+    assert(np.getAs[Long]("cents_per_touch") === 0L)
+  }
+
   test("as-of semantics: latest right <= left.ts per key; <= includes equal ts; no match -> null") {
     val purchases = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, 9.99),
