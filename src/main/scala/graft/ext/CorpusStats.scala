@@ -491,6 +491,53 @@ object CorpusStats {
     sb.toString
   }
 
+  /** Population stability index (PSI) of the doc-length distribution,
+    * first half vs second half of ingestion (doc_id order, as
+    * [[qualityDrift]]) — THE production drift metric: PSI < 0.1 is
+    * stable, 0.1–0.25 drifting, > 0.25 a different population. Lengths
+    * bin into FIXED 64-char buckets (data-independent edges — the
+    * monitoring discipline; quantile edges would move with the drift
+    * they measure) with Laplace smoothing so an empty bucket never
+    * produces ln(0).
+    *
+    * Each bucket's (p2−p1)·ln(p2/p1) term snaps to integer 10⁻⁹ units
+    * before the per-source sum (the [[Curation.dsirWeights]] log
+    * discipline — integer sums are order-free). Scale shape: one scan to
+    * a (source × half × bucket) hash-agg, a bounded grid join, a
+    * sources-sized agg. */
+  def psiDrift(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import graft.ops.StableStats.stableRound
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        least(lit(buckets - 1), expr("length(text) div 64")).as("bucket"))
+    val mid = docs.agg(expr("max(doc_id) div 2").as("mid"))
+    val halved = docs.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("doc_id") <= col("mid"), "a").otherwise("b"))
+    val counts = halved.groupBy(col("source"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val totals = halved.groupBy(col("source"), col("half"))
+      .agg(count(lit(1)).as("nh"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(spark.range(buckets).select(col("id").as("bucket")))
+      .crossJoin(Seq("a", "b").toDF("half"))
+    val filled = grid
+      .join(counts, Seq("source", "half", "bucket"), "left")
+      .join(totals, Seq("source", "half"), "left")
+      .select(col("source"), col("half"), col("bucket"),
+        ((coalesce(col("n"), lit(0L)) + lit(1)).cast("double")
+          / (coalesce(col("nh"), lit(0L)) + lit(buckets))).as("p"))
+    filled.groupBy(col("source"), col("bucket"))
+      .agg(max(when(col("half") === "a", col("p"))).as("p1"),
+        max(when(col("half") === "b", col("p"))).as("p2"))
+      .withColumn("units",
+        floor((col("p2") - col("p1")) * log(col("p2") / col("p1")) * lit(1e9)
+          + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      .agg(stableRound(sum(col("units")).cast("double") / lit(1e9), 6).as("psi"))
+      .orderBy("source")
+  }
+
   /** Per-source corpus datasheet — the one-row-per-source summary a
     * dataset card ships ("Datasheets for Datasets", arXiv:1803.09010):
     * volume (docs/tokens/chars), exact-duplicate rate (distinct md5 over
@@ -564,6 +611,7 @@ object CorpusStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
+    "x_psi_drift" -> ((s, d) => psiDrift(s, d)),
     "x_corpus_datasheet" -> (datasheet _),
     "x_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "x_bpe_segment" -> ((s, d) => bpeSegment(s, d)),
@@ -578,6 +626,39 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_psi_drift" -> {
+      import graft.ops.StableStats.stableRoundSql
+      s"""WITH docs AS (
+         |  SELECT source, doc_id, least(9, length(text) // 64) AS bucket FROM documents),
+         |mid AS (SELECT max(doc_id) // 2 AS mid FROM docs),
+         |halved AS (SELECT source, bucket,
+         |    CASE WHEN doc_id <= mid THEN 'a' ELSE 'b' END AS half FROM docs, mid),
+         |counts AS (SELECT source, half, bucket, CAST(count(*) AS BIGINT) AS n
+         |  FROM halved GROUP BY 1, 2, 3),
+         |totals AS (SELECT source, half, CAST(count(*) AS BIGINT) AS nh
+         |  FROM halved GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT DISTINCT d.source, b.bucket, h.half
+         |  FROM docs d,
+         |    (SELECT unnest(generate_series(0, 9)) AS bucket) b,
+         |    (SELECT unnest(['a', 'b']) AS half) h),
+         |filled AS (
+         |  SELECT g.source, g.half, g.bucket,
+         |    (coalesce(n, 0) + 1)::DOUBLE / (coalesce(nh, 0) + 10) AS p
+         |  FROM grid g
+         |  LEFT JOIN counts USING (source, half, bucket)
+         |  LEFT JOIN totals USING (source, half)),
+         |piv AS (
+         |  SELECT source, bucket,
+         |    max(CASE WHEN half = 'a' THEN p END) AS p1,
+         |    max(CASE WHEN half = 'b' THEN p END) AS p2
+         |  FROM filled GROUP BY 1, 2),
+         |u AS (SELECT source,
+         |    CAST(floor((p2 - p1) * ln(p2 / p1) * 1e9 + 5e-1) AS BIGINT) AS units
+         |  FROM piv)
+         |SELECT source, ${stableRoundSql("CAST(sum(units) AS DOUBLE) / 1e9", 6)} AS psi
+         |FROM u GROUP BY source ORDER BY source""".stripMargin
+    },
     "x_vocab_coverage" -> {
       import graft.ops.StableStats.ratioSql
       s"""WITH toks AS (

@@ -54,6 +54,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Map("s0" -> (3L, 3L, 7L), "s1" -> (2L, 3L, 6L)))
   }
 
+  test("psi drift: identical halves score ~0, a length shift scores high") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val d = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    // the half split is at the GLOBAL mid id (99 div 2 = 49), so each
+    // source needs ids on both sides. sStable keeps the same length mix
+    // in both halves; sShift moves every doc from 50 to 500 chars.
+    val rows = (0 until 10).map(i => (i.toLong, "x" * (50 + (i % 2) * 100), "en", "sStable", 0L)) ++
+      (90 until 100).map(i => (i.toLong, "x" * (50 + (i % 2) * 100), "en", "sStable", 0L)) ++
+      (10 until 20).map(i => (i.toLong, "x" * 50, "en", "sShift", 0L)) ++
+      (80 until 90).map(i => (i.toLong, "x" * 500, "en", "sShift", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = CorpusStats.psiDrift(spark, d).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("psi")).toMap
+    assert(r("sStable") < 0.01, s"stable source drifted: ${r("sStable")}")
+    assert(r("sShift") > 1.0, s"shifted source must alarm: ${r("sShift")}")
+  }
+
   test("vocab coverage: occurrences outside the top-k vocab count as OOV") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
