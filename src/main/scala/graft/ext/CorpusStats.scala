@@ -518,9 +518,11 @@ object CorpusStats {
       .agg(count(lit(1)).as("n"))
     val totals = halved.groupBy(col("source"), col("half"))
       .agg(count(lit(1)).as("nh"))
+    // bucket/half axes are constants and the source list is a catalog —
+    // all three grid factors are fixed-cardinality broadcasts at any SF
     val grid = docs.select(col("source")).distinct()
-      .crossJoin(spark.range(buckets).select(col("id").as("bucket")))
-      .crossJoin(Seq("a", "b").toDF("half"))
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").as("bucket"))))
+      .crossJoin(broadcast(Seq("a", "b").toDF("half")))
     val filled = grid
       .join(counts, Seq("source", "half", "bucket"), "left")
       .join(totals, Seq("source", "half"), "left")

@@ -327,8 +327,11 @@ object Analytics {
       .withColumn("prior_max", max(col("bmax")).over(
         Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("blk"), col("prior_max"))
+    // no broadcast hint: the blocks frame is corpus/1024 — small enough
+    // for auto-broadcast at test scale, but at 10^12 events it is 10^9
+    // rows and must be allowed to degrade to a shuffle join on blk
     ev.withColumn("in_max", max(col("us")).over(inBlk))
-      .join(broadcast(blkMax), Seq("blk"))
+      .join(blkMax, Seq("blk"))
       // greatest() skips NULLs in Spark, returning NULL only when both
       // miss (the stream's very first event) — coalesce that to on-time
       .withColumn("lat",

@@ -139,7 +139,11 @@ class PlanSpec extends SparkSpec {
       "x_interval_overlap", "x_weighted_sample", "x_bootstrap_ci",
       // transition family: the incremental merge's boundary join is
       // users × users — both sides corpus-scaled, must shuffle
-      "x_event_transitions", "x_incr_transitions")
+      "x_event_transitions", "x_incr_transitions",
+      // multitouch's range join blocks on user_id (corpus-scaled both
+      // sides); lateness's block-max frame is corpus/1024 and must
+      // degrade to a shuffle join; mase/anomaly are join-free
+      "x_multitouch", "x_lateness_hist", "x_seasonal_mase", "x_count_anomaly")
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -225,6 +229,8 @@ class PlanSpec extends SparkSpec {
       "x_mix_temperature" -> ((1, 1)), // 1-row (total, q_total) aggregate
       "x_mix_temp_sample" -> ((3, 2)), // quota × 2 sites, each with its 1-row stats
       "x_dsir_weights"    -> ((2, 1)), // 1024-bucket scores + 1-row totals
+      "x_label_noise"     -> ((3, 2)), // hyperplanes (×2: votes+final branches) + votes
+      "x_psi_drift"       -> ((4, 4)), // 1-row mid (×2: counts+totals branches) + grid axes
       "x_bm25_topk"       -> ((2, 1)), // query-token DF + 1-row stats
       "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
       "x_ppl_buckets"     -> ((1, 1)), // 1-row corpus total
