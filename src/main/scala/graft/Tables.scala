@@ -24,6 +24,7 @@ object Tables {
     // is the session-level installation point for the engine's native
     // optimizations. Both registrations are idempotent and O(1).
     graft.functions.Md5ConvRewrite.register(spark)
+    graft.functions.BloomFilter.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

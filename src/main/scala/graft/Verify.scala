@@ -57,6 +57,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry manifest (ADVICE r9): the driver's correctness report only
+    // has rows for queries whose parquet landed, so a query that crashed
+    // AND whose error line got lost would vanish without trace. This file
+    // lists every registered query with its disposition — diffing it
+    // against the correctness artifact makes any absence loud.
+    val registry = SparkEntry.queries.keys.toSeq.sorted.map { k =>
+      val disposition =
+        if (failures.contains(k)) "error"
+        else if (only.nonEmpty && !only(k)) "skipped"
+        else if (SparkEntry.oracleSql.contains(k)) "dumped"
+        else "dumped_no_oracle"
+      s"${q(k)}: ${q(disposition)}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_registry.json"), registry)
     // Always written (empty object when clean) so its ABSENCE is itself a
     // signal that the dump crashed before finishing.
     val errJson = failures

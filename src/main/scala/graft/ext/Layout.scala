@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Z-order (Morton-curve) data layout planning — multi-dimensional file
+  * skipping for an event lake.
+  *
+  * A 100 TB event lake partitioned by day answers time-range scans with
+  * partition pruning, but a query that ALSO filters on a second dimension
+  * (user cohort, device, tenant) still reads every file of each matching
+  * day. Interleaving the bits of both dimensions into one Morton key and
+  * range-clustering files by that key gives every file a tight
+  * min/max RECTANGLE in (time, user) space, so the scan planner can skip
+  * on both dimensions at once from footer stats alone — this is the
+  * published Z-order clustering design (Morton 1966; the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`), expressed here with nothing but
+  * codegen'd builtin bit arithmetic (no UDF, no custom expression
+  * needed — `shiftleft`/`&`/`|` compose inside whole-stage codegen).
+  *
+  * Two oracle-gated reports:
+  *  - `x_zorder_layout`: the planned file manifest — per-file row count
+  *    and (day, user) bounding box. Tight boxes ARE the index.
+  *  - `x_zorder_prune`: skipping effectiveness for a 2-D predicate —
+  *    rows a z-clustered layout must read (files whose box intersects
+  *    the query rectangle) vs a pure time-partitioned layout (whole
+  *    matching days) vs the exact answer. The gap between the first two
+  *    is the read amplification Z-ordering removes.
+  *
+  * Scale shape: bucketing is one broadcast of a 3-value stats row into a
+  * scan-local projection; the manifest is a single hash-agg on the file
+  * key (≤ 256 groups). No window, no sort, no corpus-sized exchange —
+  * the actual clustered WRITE is [[clusterByZ]] (range partition + local
+  * sort, the standard Spark write-ordering idiom).
+  */
+object Layout {
+
+  /** Events bucketed to 5-bit (day, user) coordinates. Day buckets are
+    * relative to the corpus min timestamp (clamped to 31 — the demo
+    * corpus spans 30 days); user buckets scale the id range onto 0..31
+    * with pure integer arithmetic so the oracle replicates bit-for-bit. */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val stats = ev.agg(min(col("us")).as("t0"),
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
+    ev.crossJoin(broadcast(stats))
+      .select(
+        least(lit(31L), expr("(us - t0) div 86400000000")).as("db"),
+        expr("((user_id - u0) * 32) div (u1 - u0 + 1)").as("ub"))
+  }
+
+  /** 10-bit Morton interleave of two 5-bit coordinates: bit i of `a`
+    * lands at 2i, bit i of `b` at 2i+1. Plain builtin arithmetic —
+    * `(a & 2^i) << i` already places the masked bit, no extract/re-shift
+    * round trip — so the whole key stays inside whole-stage codegen. */
+  def morton5(a: Column, b: Column): Column = {
+    val evens = (0 until 5).map(i => shiftleft(a.bitwiseAND(lit(1L << i)), i))
+    val odds  = (0 until 5).map(i => shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    (evens ++ odds).reduce(_ bitwiseOR _)
+  }
+
+  /** The clustered-write idiom this layout feeds: range-partition by the
+    * Morton key (each output file = one contiguous key range => one tight
+    * bounding box) and sort within partitions so parquet row groups get
+    * monotone min/max stats. `LayoutSpec` pins disjoint per-file ranges. */
+  def clusterByZ(df: DataFrame, z: Column, numFiles: Int): DataFrame =
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+
+  private def withFiles(spark: SparkSession, dir: String): DataFrame =
+    bucketed(spark, dir)
+      .withColumn("zv", morton5(col("db"), col("ub")))
+      // 4 Morton cells per planned file => ≤ 256 files over the 10-bit key
+      .withColumn("file_id", shiftright(col("zv"), 2))
+
+  /** Planned file manifest: per-file row count + (day, user) bounding box. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    withFiles(spark, dir)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"))
+      .orderBy("file_id")
+
+  /** Skipping effectiveness for the rectangle db∈[10,12] × ub∈[8,11]:
+    * rows read under z-clustering (sum over files whose box intersects)
+    * vs a time-only layout (all rows of days 10..12) vs the exact match. */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val z = withFiles(spark, dir).persist()
+    val files = z.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"))
+    val zCand = files
+      .where(col("max_db") >= 10 && col("min_db") <= 12 &&
+        col("max_ub") >= 8 && col("min_ub") <= 11)
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("z_candidate_rows"))
+    val tot = z.agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("db").between(10, 12), 1L).otherwise(0L)).as("naive_candidate_rows"),
+      sum(when(col("db").between(10, 12) && col("ub").between(8, 11), 1L)
+        .otherwise(0L)).as("exact_rows"))
+    tot.crossJoin(zCand)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder_layout" -> (zorderLayout _),
+    "x_zorder_prune" -> (zorderPrune _)
+  )
+
+  private val bucketCte =
+    """stats AS (
+      |  SELECT min(epoch_us(ts)) AS t0, min(user_id) AS u0, max(user_id) AS u1
+      |  FROM events),
+      |b AS (
+      |  SELECT least(31, (epoch_us(ts) - t0) // 86400000000) AS db,
+      |         ((user_id - u0) * 32) // (u1 - u0 + 1) AS ub
+      |  FROM events, stats),
+      |z AS (
+      |  SELECT db, ub,
+      |    ((db & 1)) | ((ub & 1) << 1) | ((db & 2) << 1) | ((ub & 2) << 2) |
+      |    ((db & 4) << 2) | ((ub & 4) << 3) | ((db & 8) << 3) | ((ub & 8) << 4) |
+      |    ((db & 16) << 4) | ((ub & 16) << 5) AS zv
+      |  FROM b),
+      |f AS (SELECT zv >> 2 AS file_id, db, ub FROM z)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x_zorder_layout" ->
+      s"""WITH $bucketCte
+         |SELECT file_id, count(*) AS n_rows,
+         |  min(db) AS min_db, max(db) AS max_db,
+         |  min(ub) AS min_ub, max(ub) AS max_ub
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_zorder_prune" ->
+      s"""WITH $bucketCte,
+         |files AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |    min(db) AS min_db, max(db) AS max_db,
+         |    min(ub) AS min_ub, max(ub) AS max_ub
+         |  FROM f GROUP BY 1),
+         |zc AS (
+         |  SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS z_candidate_rows
+         |  FROM files
+         |  WHERE max_db >= 10 AND min_db <= 12 AND max_ub >= 8 AND min_ub <= 11),
+         |tot AS (
+         |  SELECT count(*) AS total_rows,
+         |    CAST(sum(CASE WHEN db BETWEEN 10 AND 12 THEN 1 ELSE 0 END) AS BIGINT) AS naive_candidate_rows,
+         |    CAST(sum(CASE WHEN db BETWEEN 10 AND 12 AND ub BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+         |  FROM f)
+         |SELECT total_rows, naive_candidate_rows, exact_rows, z_candidate_rows
+         |FROM tot, zc""".stripMargin
+  )
+}

@@ -31,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "md5_slice64 expects exactly 3 arguments")
         Md5Slice64(args.head, args(1), args(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_might_contain expects (hash, bits, k)")
+        require(args(1).foldable && args(2).foldable,
+          "bloom bits and k must be foldable literals")
+        val bits = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        BloomMightContain(args.head, bits,
+          args(2).eval().asInstanceOf[Number].intValue())
+      }))
     // canonical HOF cosine chains collapse to the fused native expression
     ext.injectOptimizerRule(_ => CosineHofRewrite)
     // single-slice md5 prefix-hash chains collapse to Md5Slice64

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the Morton interleave bit math, the skipping-effectiveness
+  * invariants on the real corpus, and the clustered-write idiom
+  * (range partitioning => disjoint per-file key ranges). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference interleave in plain Scala: bit i of a → 2i, of b → 2i+1. */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 5).foldLeft(0L) { (z, i) =>
+      z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("morton5 matches the reference interleave on all 5-bit pairs") {
+    val pairs = for (a <- 0L to 31L; b <- 0L to 31L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.morton5(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === mortonRef(a, b), s"interleave($a,$b)")
+    }
+  }
+
+  test("z-curve locality: each 4-cell file spans a 2x2 coordinate box") {
+    // zv >> 2 constant => the 4 cells differ only in (db bit0, ub bit0),
+    // so every planned file's bounding box is at most 2 wide per dim.
+    val files = Layout.zorderLayout(spark, sf).collect()
+    assert(files.nonEmpty)
+    files.foreach { r =>
+      assert(r.getAs[Long]("max_db") - r.getAs[Long]("min_db") <= 1L)
+      assert(r.getAs[Long]("max_ub") - r.getAs[Long]("min_ub") <= 1L)
+    }
+  }
+
+  test("2-D predicate: z-clustered read amplification beats time-only layout") {
+    val r = Layout.zorderPrune(spark, sf).collect().head
+    val total = r.getAs[Long]("total_rows")
+    val naive = r.getAs[Long]("naive_candidate_rows")
+    val zRows = r.getAs[Long]("z_candidate_rows")
+    val exact = r.getAs[Long]("exact_rows")
+    assert(exact <= zRows, "candidate files must cover every matching row")
+    assert(exact <= naive)
+    assert(zRows <= naive, "z layout must not read more than whole matching days")
+    assert(naive <= total)
+    // The point of the exercise: two-dimensional skipping is a real cut,
+    // not a rounding error (32 user buckets, query touches 4).
+    assert(zRows < naive / 2,
+      s"z-cluster read $zRows rows vs time-only $naive — expected >2x cut")
+  }
+
+  test("clusterByZ range-partitions: per-partition z ranges are disjoint") {
+    val df = (0 until 1024).map(i => (i.toLong * 2654435761L % 1024, i.toLong))
+      .toDF("z", "payload")
+    val clustered = Layout.clusterByZ(df, col("z"), numFiles = 8)
+    assert(clustered.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+    val ranges = clustered
+      .select(spark_partition_id().as("pid"), col("z"))
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping file ranges")
+      case _ =>
+    }
+  }
+}

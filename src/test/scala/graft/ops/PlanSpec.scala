@@ -375,6 +375,38 @@ class PlanSpec extends SparkSpec {
     assert(shuffles === 1, s"expected the one global-agg exchange:\n$plan")
   }
 
+  test("bloom prefilter runs inside a codegen stage, upstream of the verify join") {
+    val df = graft.ext.BloomPrune.decontaminateBloom(spark, dir)
+    val plan = planOf(df)
+    // the probe predicate survives optimization as a Filter BELOW the
+    // verify join (filter text appears after the join header in the
+    // top-down plan print): the join consumes an already-filtered stream
+    assert(plan.contains("Filter bloom_might_contain"), plan)
+    val joinAt = plan.indexOf("HashJoin")
+    val bloomAt = plan.indexOf("bloom_might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter must be on the join's input side:\n$plan")
+    // codegen participation, asserted on a plain non-AQE frame (the AQE
+    // plan above prints without stage markers until final): same pattern
+    // as the cosine pin below
+    graft.functions.BloomFilter.register(spark)
+    val probe = spark.range(100).toDF("h")
+      .where(graft.functions.BloomFilter.mightContain(Array(-1L, -1L), org.apache.spark.sql.functions.col("h")))
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.matches("(?s).*\\*\\(\\d+\\) Filter bloom_might_contain.*"),
+      s"bloom probe must join a whole-stage-codegen span:\n$probePlan")
+  }
+
+  test("z-order layout: single scan posture, stats broadcast, no sort-merge join") {
+    val plan = planOf(graft.ext.Layout.zorderLayout(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 3-value stats row must broadcast, not shuffle the events side:\n$plan")
+    // one agg exchange (file_id) + the output sort — nothing corpus-shaped
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).size
+    assert(shuffles <= 2, s"expected ≤2 exchanges (file agg + sort):\n$plan")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     graft.functions.CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
