@@ -63,9 +63,24 @@ object BloomFilter {
     */
   def build(keys: DataFrame, hashCol: String, mBits: Int = 1 << 20, k: Int = 5): Array[Long] = {
     val nWords = words(mBits)
+    val out = new Array[Long](nWords)
+    wordFrame(keys, hashCol, mBits, k)
+      .collect().foreach { r => out(r.getInt(0)) = r.getLong(1) }
+    out
+  }
+
+  /** The distributed stage of [[build]] as a frame of set words —
+    * `(w: int, bits: long)`, one row per NONZERO 64-bit word. This is the
+    * persistable shape: OR-merging two word frames (union + `bit_or` per
+    * word) equals the OR-merge of the dense arrays, so a streaming
+    * maintainer can fold per-batch frames into a stored table without
+    * ever materializing the dense filter except to probe
+    * ([[graft.streaming.BloomMaintenance]]). */
+  def wordFrame(keys: DataFrame, hashCol: String, mBits: Int, k: Int): DataFrame = {
+    words(mBits) // validate the power-of-two shape
     val mask = (mBits - 1).toLong
     // h2 | 1 keeps the stride odd => full-period over the power-of-two table
-    val positions = keys
+    keys
       .select(col(hashCol).cast(LongType).as("h"))
       .select(col("h").as("h1"),
         expr("shiftrightunsigned(h, 32) | 1L").as("h2"),
@@ -74,9 +89,6 @@ object BloomFilter {
       .select(expr("cast(shiftrightunsigned(pos, 6) as int)").as("w"),
         expr("shiftleft(1L, cast(pos & 63L as int))").as("m"))
       .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
-    val out = new Array[Long](nWords)
-    positions.collect().foreach { r => out(r.getInt(0)) = r.getLong(1) }
-    out
   }
 
   /** OR-merge of two same-shape filters: `bloom(A ∪ B)`. */
