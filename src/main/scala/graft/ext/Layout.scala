@@ -69,6 +69,40 @@ object Layout {
   def clusterByZ(df: DataFrame, z: Column, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
 
+  /** Hilbert-curve distance of a 5-bit 2-D coordinate (order-5 curve over
+    * the 32×32 grid, d ∈ [0, 1023]).
+    *
+    * Why offer it next to [[morton5]]: the Z-curve takes long diagonal
+    * jumps at power-of-two boundaries, so a key-range file there covers
+    * two distant rectangles; the Hilbert curve moves one grid step per
+    * unit of d (adjacency, spec-pinned exhaustively), so contiguous key
+    * ranges are contiguous REGIONS and bounding boxes stay tighter on
+    * average — why Hilbert ordering is the locality upgrade in published
+    * layout-clustering designs (Hilbert 1891; the curve behind
+    * space-filling-curve clustering in modern lakehouse engines).
+    *
+    * Shape: the standard xy2d bit-descent (5 unrolled levels of mask /
+    * reflect / swap), expressed as pure builtin integer arithmetic —
+    * the same staged formula the DuckDB oracle runs, and exhaustively
+    * pinned against a plain-Scala reference in `LayoutSpec`. */
+  def hilbert5(a: Column, b: Column): Column = {
+    var x = a
+    var y = b
+    var d: Column = lit(0L)
+    for (s <- Seq(16L, 8L, 4L, 2L, 1L)) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // rotate the frame: reflect when rx=1, then swap — evaluated
+      // against the PRE-update x/y, so compute both before rebinding
+      val nx = when(ry === 0, when(rx === 1, lit(31L) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0, when(rx === 1, lit(31L) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+    }
+    d
+  }
+
   private def withFiles(spark: SparkSession, dir: String): DataFrame =
     bucketed(spark, dir)
       .withColumn("zv", morton5(col("db"), col("ub")))
@@ -105,9 +139,35 @@ object Layout {
     tot.crossJoin(zCand)
   }
 
+  /** Head-to-head skipping comparison on the same rectangle as
+    * [[zorderPrune]]: rows read under Hilbert vs Morton clustering (4
+    * curve cells per file for both, so the comparison is purely about
+    * curve LOCALITY, not file count). Same all-hash-agg scale shape. */
+  def hilbertPrune(spark: SparkSession, dir: String): DataFrame = {
+    val b = bucketed(spark, dir)
+      .withColumn("zf", shiftright(morton5(col("db"), col("ub")), 2))
+      .withColumn("hf", shiftright(hilbert5(col("db"), col("ub")), 2))
+      .persist()
+    def candidateRows(fileCol: String, outName: String): DataFrame = b
+      .groupBy(col(fileCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"))
+      .where(col("max_db") >= 10 && col("min_db") <= 12 &&
+        col("max_ub") >= 8 && col("min_ub") <= 11)
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as(outName))
+    val tot = b.agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("db").between(10, 12) && col("ub").between(8, 11), 1L)
+        .otherwise(0L)).as("exact_rows"))
+    tot.crossJoin(candidateRows("zf", "morton_candidate_rows"))
+      .crossJoin(candidateRows("hf", "hilbert_candidate_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout" -> (zorderLayout _),
-    "x_zorder_prune" -> (zorderPrune _)
+    "x_zorder_prune" -> (zorderPrune _),
+    "x_hilbert_prune" -> (hilbertPrune _)
   )
 
   private val bucketCte =
@@ -125,6 +185,26 @@ object Layout {
       |    ((db & 16) << 4) | ((ub & 16) << 5) AS zv
       |  FROM b),
       |f AS (SELECT zv >> 2 AS file_id, db, ub FROM z)""".stripMargin
+
+  /** The 5 unrolled xy2d levels as chained CTE stages (generated, so the
+    * Spark and DuckDB formulations can't drift apart by a typo). */
+  private val hilbertCtes: String = {
+    val stages = Seq(16, 8, 4, 2, 1).foldLeft(("h0", Seq(
+      "h0 AS (SELECT db, ub, db AS hx, ub AS hy, CAST(0 AS BIGINT) AS hd FROM b)"))) {
+      case ((prev, acc), s) =>
+        val name = s"h$s"
+        val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+        val stage =
+          s"""$name AS (SELECT db, ub,
+             |  CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0 THEN 31 - hy ELSE hy END) ELSE hx END AS hx,
+             |  CASE WHEN (hy & $s) = 0 THEN (CASE WHEN (hx & $s) > 0 THEN 31 - hx ELSE hx END) ELSE hy END AS hy,
+             |  hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+             |FROM $prev)""".stripMargin
+        (name, acc :+ stage)
+    }
+    stages._2.mkString(",\n")
+  }
 
   val oracles: Map[String, String] = Map(
     "x_zorder_layout" ->
@@ -150,6 +230,33 @@ object Layout {
          |    CAST(sum(CASE WHEN db BETWEEN 10 AND 12 AND ub BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
          |  FROM f)
          |SELECT total_rows, naive_candidate_rows, exact_rows, z_candidate_rows
-         |FROM tot, zc""".stripMargin
+         |FROM tot, zc""".stripMargin,
+    "x_hilbert_prune" ->
+      s"""WITH $bucketCte,
+         |$hilbertCtes,
+         |hfiles AS (
+         |  SELECT hd >> 2 AS hf, count(*) AS n_rows,
+         |    min(db) AS min_db, max(db) AS max_db,
+         |    min(ub) AS min_ub, max(ub) AS max_ub
+         |  FROM h1 GROUP BY 1),
+         |mfiles AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |    min(db) AS min_db, max(db) AS max_db,
+         |    min(ub) AS min_ub, max(ub) AS max_ub
+         |  FROM f GROUP BY 1),
+         |hc AS (
+         |  SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS hilbert_candidate_rows
+         |  FROM hfiles
+         |  WHERE max_db >= 10 AND min_db <= 12 AND max_ub >= 8 AND min_ub <= 11),
+         |mc AS (
+         |  SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS morton_candidate_rows
+         |  FROM mfiles
+         |  WHERE max_db >= 10 AND min_db <= 12 AND max_ub >= 8 AND min_ub <= 11),
+         |tot AS (
+         |  SELECT count(*) AS total_rows,
+         |    CAST(sum(CASE WHEN db BETWEEN 10 AND 12 AND ub BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+         |  FROM f)
+         |SELECT total_rows, exact_rows, morton_candidate_rows, hilbert_candidate_rows
+         |FROM tot, mc, hc""".stripMargin
   )
 }

@@ -55,6 +55,57 @@ class LayoutSpec extends SparkSpec {
       s"z-cluster read $zRows rows vs time-only $naive — expected >2x cut")
   }
 
+  /** Reference xy2d (order-5): canonical mask/reflect/swap bit descent. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 16L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 31 - x; y = 31 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert5 matches the reference xy2d on all 5-bit pairs, bijectively") {
+    val pairs = for (a <- 0L to 31L; b <- 0L to 31L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.hilbert5(col("a"), col("b")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === hilbertRef(a, b), s"hilbert($a,$b)")
+    }
+    assert(got.values.toSet === (0L until 1024L).toSet, "must be a bijection")
+  }
+
+  test("hilbert adjacency: consecutive curve positions are grid neighbors") {
+    // THE locality property Morton lacks: every +1 step of d moves exactly
+    // one grid step, so contiguous key ranges are contiguous regions
+    val byD = (for (a <- 0L to 31L; b <- 0L to 31L) yield (hilbertRef(a, b), (a, b)))
+      .toMap
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byD(d)
+      val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"d=$d: ($x1,$y1) -> ($x2,$y2) is not one grid step")
+    }
+  }
+
+  test("hilbert vs morton prune report is internally consistent") {
+    val r = Layout.hilbertPrune(spark, sf).collect().head
+    val total = r.getAs[Long]("total_rows")
+    val exact = r.getAs[Long]("exact_rows")
+    val morton = r.getAs[Long]("morton_candidate_rows")
+    val hilbert = r.getAs[Long]("hilbert_candidate_rows")
+    assert(exact <= morton && morton <= total)
+    assert(exact <= hilbert && hilbert <= total)
+  }
+
   test("clusterByZ range-partitions: per-partition z ranges are disjoint") {
     val df = (0 until 1024).map(i => (i.toLong * 2654435761L % 1024, i.toLong))
       .toDF("z", "payload")
