@@ -136,7 +136,9 @@ object Layout {
       sum(when(col("db").between(10, 12), 1L).otherwise(0L)).as("naive_candidate_rows"),
       sum(when(col("db").between(10, 12) && col("ub").between(8, 11), 1L)
         .otherwise(0L)).as("exact_rows"))
-    tot.crossJoin(zCand)
+    // broadcast the 1-row report column: without the hint an auto-off
+    // planner falls back to CartesianProduct (audited in PlanSpec)
+    tot.crossJoin(broadcast(zCand))
   }
 
   /** Head-to-head skipping comparison on the same rectangle as
@@ -160,14 +162,81 @@ object Layout {
       count(lit(1)).as("total_rows"),
       sum(when(col("db").between(10, 12) && col("ub").between(8, 11), 1L)
         .otherwise(0L)).as("exact_rows"))
-    tot.crossJoin(candidateRows("zf", "morton_candidate_rows"))
-      .crossJoin(candidateRows("hf", "hilbert_candidate_rows"))
+    // 1-row report columns broadcast (see zorderPrune)
+    tot.crossJoin(broadcast(candidateRows("zf", "morton_candidate_rows")))
+      .crossJoin(broadcast(candidateRows("hf", "hilbert_candidate_rows")))
+  }
+
+  /** Incremental layout maintenance: when a batch arrives, which planned
+    * files must rewrite, and at what amplification?
+    *
+    * The 90% split (event_id ≢ 0 mod 10) is the clustered base; the 10%
+    * arrivals bucket with the BASE's stats (clamped to the grid — new
+    * users/days land on the border cells) and each arrival cell OWNS
+    * exactly one Morton file id, so affected files come from a plain
+    * equi-join of arrival cells against the manifest — no range join.
+    * Cells whose file id is absent from the manifest open NEW files and
+    * rewrite nothing. The one-row report carries rewrite amplification
+    * (rows rewritten per 1000 arrival rows, integer-scaled): the number
+    * an operator watches to decide between eager re-cluster and an
+    * unsorted delta + merge-on-read. Scale shape: two scans (base agg,
+    * arrivals agg) + a manifest-sized join — never a corpus exchange. */
+  def zorderIncr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val arrivals = ev.where(pmod(col("event_id"), lit(10)) === 0)
+    val stats = base.agg(min(col("us")).as("t0"),
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
+    def cells(df: DataFrame): DataFrame = df.crossJoin(broadcast(stats))
+      .select(
+        least(lit(31L), greatest(lit(0L), expr("(us - t0) div 86400000000"))).as("db"),
+        least(lit(31L), greatest(lit(0L),
+          expr("((user_id - u0) * 32) div (u1 - u0 + 1)"))).as("ub"))
+      .select(shiftright(morton5(col("db"), col("ub")), 2).as("file_id"))
+    val manifest = cells(base).groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows")).persist()
+    val arrCells = cells(arrivals)
+      .groupBy(col("file_id")).agg(count(lit(1)).as("n_arr")).persist()
+    val joined = arrCells.join(manifest, Seq("file_id"), "left")
+    val report = joined.agg(
+      sum(col("n_arr")).as("n_arrivals"),
+      count(lit(1)).as("n_arrival_files"),
+      sum(when(col("n_rows").isNotNull, 1L).otherwise(0L)).as("n_affected_files"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("rows_rewritten"),
+      sum(when(col("n_rows").isNull, 1L).otherwise(0L)).as("n_new_files"))
+    report.select(col("*"),
+      expr("rows_rewritten * 1000 div n_arrivals").as("rewrite_amp_x1000"))
+  }
+
+  /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
+    * packing of curve-adjacent files into ~`target`-row output groups —
+    * merging only neighbors on the curve preserves every group's tight
+    * bounding box. The window runs over the MANIFEST (file count), not the
+    * corpus; at lake scale partition the window by a z prefix. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 512L
+    val manifest = zorderLayout(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("pre_rows", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"pre_rows div $target"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"),
+        min(col("min_db")).as("min_db"), max(col("max_db")).as("max_db"),
+        min(col("min_ub")).as("min_ub"), max(col("max_ub")).as("max_ub"))
+      .orderBy("group_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout" -> (zorderLayout _),
     "x_zorder_prune" -> (zorderPrune _),
-    "x_hilbert_prune" -> (hilbertPrune _)
+    "x_hilbert_prune" -> (hilbertPrune _),
+    "x_zorder_incr" -> (zorderIncr _),
+    "x_compaction_plan" -> (compactionPlan _)
   )
 
   private val bucketCte =
@@ -185,6 +254,12 @@ object Layout {
       |    ((db & 16) << 4) | ((ub & 16) << 5) AS zv
       |  FROM b),
       |f AS (SELECT zv >> 2 AS file_id, db, ub FROM z)""".stripMargin
+
+  /** Generated Morton interleave formula over two SQL column names —
+    * identical bit placement to [[morton5]]. */
+  private def mortonSql(a: String, b: String): String =
+    (0 until 5).map(i =>
+      s"((($a & ${1 << i}) << $i) | (($b & ${1 << i}) << ${i + 1}))").mkString(" | ")
 
   /** The 5 unrolled xy2d levels as chained CTE stages (generated, so the
     * Spark and DuckDB formulations can't drift apart by a typo). */
@@ -257,6 +332,49 @@ object Layout {
          |    CAST(sum(CASE WHEN db BETWEEN 10 AND 12 AND ub BETWEEN 8 AND 11 THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
          |  FROM f)
          |SELECT total_rows, exact_rows, morton_candidate_rows, hilbert_candidate_rows
-         |FROM tot, mc, hc""".stripMargin
+         |FROM tot, mc, hc""".stripMargin,
+    "x_zorder_incr" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |arr AS (SELECT * FROM ev WHERE event_id % 10 = 0),
+         |stats AS (SELECT min(us) AS t0, min(user_id) AS u0, max(user_id) AS u1 FROM base),
+         |bcell AS (
+         |  SELECT least(31, greatest(0, (us - t0) // 86400000000)) AS db,
+         |         least(31, greatest(0, ((user_id - u0) * 32) // (u1 - u0 + 1))) AS ub
+         |  FROM base, stats),
+         |bfile AS (SELECT (${mortonSql("db", "ub")}) >> 2 AS file_id FROM bcell),
+         |manifest AS (SELECT file_id, count(*) AS n_rows FROM bfile GROUP BY 1),
+         |acell AS (
+         |  SELECT least(31, greatest(0, (us - t0) // 86400000000)) AS db,
+         |         least(31, greatest(0, ((user_id - u0) * 32) // (u1 - u0 + 1))) AS ub
+         |  FROM arr, stats),
+         |afile AS (SELECT (${mortonSql("db", "ub")}) >> 2 AS file_id FROM acell),
+         |ac AS (SELECT file_id, count(*) AS n_arr FROM afile GROUP BY 1),
+         |j AS (SELECT ac.file_id, ac.n_arr, m.n_rows
+         |      FROM ac LEFT JOIN manifest m USING (file_id)),
+         |r AS (SELECT CAST(sum(n_arr) AS BIGINT) AS n_arrivals,
+         |  count(*) AS n_arrival_files,
+         |  CAST(sum(CASE WHEN n_rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected_files,
+         |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_rewritten,
+         |  CAST(sum(CASE WHEN n_rows IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_files
+         |  FROM j)
+         |SELECT r.*, rows_rewritten * 1000 // n_arrivals AS rewrite_amp_x1000 FROM r""".stripMargin,
+    "x_compaction_plan" ->
+      s"""WITH $bucketCte,
+         |manifest AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |    min(db) AS min_db, max(db) AS max_db,
+         |    min(ub) AS min_ub, max(ub) AS max_ub
+         |  FROM f GROUP BY 1),
+         |p AS (
+         |  SELECT *, CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre_rows
+         |  FROM manifest)
+         |SELECT pre_rows // 512 AS group_id, count(*) AS n_files,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  min(file_id) AS first_file, max(file_id) AS last_file,
+         |  min(min_db) AS min_db, max(max_db) AS max_db,
+         |  min(min_ub) AS min_ub, max(max_ub) AS max_ub
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

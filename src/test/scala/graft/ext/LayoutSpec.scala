@@ -106,6 +106,36 @@ class LayoutSpec extends SparkSpec {
     assert(exact <= hilbert && hilbert <= total)
   }
 
+  test("incremental maintenance report partitions arrival cells exactly") {
+    val r = Layout.zorderIncr(spark, sf).collect().head
+    val arrivalFiles = r.getAs[Long]("n_arrival_files")
+    val affected = r.getAs[Long]("n_affected_files")
+    val fresh = r.getAs[Long]("n_new_files")
+    assert(affected + fresh === arrivalFiles,
+      "every arrival file id is either an existing file or a new one")
+    assert(r.getAs[Long]("n_arrivals") > 0L)
+    assert(r.getAs[Long]("rows_rewritten") >= affected,
+      "each affected file holds at least one base row")
+  }
+
+  test("compaction plan: curve-adjacent groups, disjoint ordered file ranges") {
+    val groups = Layout.compactionPlan(spark, sf).collect()
+    assert(groups.nonEmpty)
+    val manifest = Layout.zorderLayout(spark, sf).collect()
+    assert(groups.map(_.getAs[Long]("n_files")).sum === manifest.length.toLong,
+      "every manifest file lands in exactly one group")
+    assert(groups.map(_.getAs[Long]("n_rows")).sum ===
+      manifest.map(_.getAs[Long]("n_rows")).sum)
+    val ranges = groups.map(g =>
+      (g.getAs[Long]("first_file"), g.getAs[Long]("last_file"))).sortBy(_._1)
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, "groups must not interleave on the curve")
+      case _ =>
+    }
+  }
+
   test("clusterByZ range-partitions: per-partition z ranges are disjoint") {
     val df = (0 until 1024).map(i => (i.toLong * 2654435761L % 1024, i.toLong))
       .toDF("z", "payload")

@@ -235,7 +235,16 @@ class PlanSpec extends SparkSpec {
       "x_lm_logprob"      -> ((1, 1)), // 1-row corpus total
       "x_ppl_buckets"     -> ((1, 1)), // 1-row corpus total
       "x_embed_norm"      -> ((1, 0)), // d-row dimension stats (d fixed)
-      "x_quantile_sketch" -> ((2, 0))) // per-event-type stats × 2 sites
+      "x_quantile_sketch" -> ((2, 0)), // per-event-type stats × 2 sites
+      // bloom decon: the filter rides as a plan constant (no exchange);
+      // with auto-broadcast off the survivor-stream verify join correctly
+      // degrades to a shuffle join — ZERO forced broadcasts anywhere
+      "x_decontaminate_bloom" -> ((0, 0)),
+      "x_zorder_layout"   -> ((1, 1)), // 1-row (t0,u0,u1) stats cross join
+      "x_zorder_prune"    -> ((2, 3)), // stats + 1-row report column
+      "x_hilbert_prune"   -> ((3, 4)), // stats + per-curve 1-row candidates
+      "x_zorder_incr"     -> ((2, 2)), // base/arrival bucketing stats rows
+      "x_compaction_plan" -> ((1, 1))) // 1-row bucketing stats cross join
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
