@@ -40,7 +40,16 @@ def build(k: int) -> None:
         f"text || ' salt{i}' AS text, lang, source, n_chars "
         f"FROM '{SRC}/documents.parquet'" for i in range(k))
     c.execute(f"COPY ({d}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
-    for t in ("region", "nation", "customer", "supplier", "part", "events",
+    # events replicate along the USER axis (shifted user_id, same time
+    # range) — the realistic growth direction for the layout/session
+    # operators: more tenants on the same calendar, not a longer calendar
+    e = " UNION ALL ".join(
+        f"SELECT event_id + CAST({i} AS BIGINT)*1000000000 AS event_id, "
+        f"ts, user_id + CAST({i} AS BIGINT)*2000 AS user_id, "
+        "event_type, value, props "
+        f"FROM '{SRC}/events.parquet'" for i in range(k))
+    c.execute(f"COPY ({e}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part",
               "embeddings"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
