@@ -112,6 +112,21 @@ class EmptyInputsSpec extends SparkSpec {
     assert(Analytics.quantileSketch(spark, dir).count() === 0)
   }
 
+  test("bloom and layout families on empty inputs") {
+    assert(graft.ext.BloomPrune.decontaminateBloom(spark, dir).count() === 0)
+    // an empty key set builds an all-zero filter that rejects everything
+    import spark.implicits._
+    val bits = graft.functions.BloomFilter.build(
+      Seq.empty[Long].toDF("h"), "h", mBits = 1 << 10, k = 3)
+    assert(bits.forall(_ === 0L))
+    assert(graft.ext.Layout.zorderLayout(spark, dir).count() === 0)
+    assert(graft.ext.Layout.compactionPlan(spark, dir).count() === 0)
+    // one-row report shapes stay schema-stable without throwing
+    assert(graft.ext.Layout.zorderPrune(spark, dir).count() === 1)
+    assert(graft.ext.Layout.hilbertPrune(spark, dir).count() === 1)
+    assert(graft.ext.Layout.zorderIncr(spark, dir).count() === 1)
+  }
+
   test("redaction, transitions, bpe, and profile on empty inputs") {
     assert(graft.ext.Redaction.piiRedact(spark, dir).count() === 0)
     assert(Analytics.eventTransitions(spark, dir).count() === 0)
