@@ -621,7 +621,62 @@ object Similarity {
     sb.toString
   }
 
+  /** Bucket count for the alignment blocking pass — coarser than
+    * [[PLANES]] so bucket-mates are plentiful enough for mutual-NN. */
+  private val ALIGN_PLANES = 4
+
+  /** Margin-based mutual-nearest-neighbor alignment between two corpus
+    * slices (label 0 = "source", label 1 = "target") — the bitext-mining
+    * shape of CCMatrix / the Artetxe-Schwenk margin criterion
+    * (arXiv:1811.01136): a candidate pair survives only if each side is
+    * the other's rank-1 neighbor, and its score is the cosine MARGINED
+    * against both sides' local neighborhood density
+    * (`2·cos − avg(top-4 NN of a) − avg(top-4 NN of b)`), which kills
+    * hub vectors that are everyone's nearest neighbor.
+    *
+    * Scale shape: candidates come from a sign-LSH bucket equi-join
+    * ([[lshTopK]]'s md5-portable hyperplanes, coarsened to 4 planes), so
+    * the bipartite stage is |bucket|-blocked, never |A|×|B|; ranks and
+    * neighborhood averages are windows partitioned by vector id over the
+    * candidate set. Ties break on the ROUNDED cosine then id, so the
+    * cross-engine cut is deterministic. */
+  def alignMutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val planes = spark.range(ALIGN_PLANES).select(col("id").cast("int").as("p"),
+      expr(s"transform(sequence(0, ${DIMS - 1}), d -> " +
+        "(cast(conv(substring(md5(concat(id, '_', d)), 1, 8), 16, 10) as bigint) % 2001) / 1000.0D - 1.0D)")
+        .as("arr"))
+    val bits = e.crossJoin(broadcast(planes))
+      .withColumn("bit", when(cosine("emb", "arr") >= 0, "1").otherwise("0"))
+    val sigAggs = (0 until ALIGN_PLANES).map(i => max(when(col("p") === i, col("bit"))).as(s"b$i"))
+    val sig = bits.groupBy(col("vec_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("vec_id"), concat((0 until ALIGN_PLANES).map(i => col(s"b$i")): _*).as("bucket"))
+      .join(e, "vec_id")
+    val a = sig.where(col("label") === 0)
+      .select(col("vec_id").as("a_id"), col("bucket"), col("emb").as("aemb"))
+    val b = sig.where(col("label") === 1)
+      .select(col("vec_id").as("b_id"), col("bucket"), col("emb").as("bemb"))
+    val wa = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id")).orderBy(col("cos_sim").desc, col("a_id").asc)
+    val scored = a.join(b, "bucket")
+      .withColumn("cos_sim", round(cosine("aemb", "bemb"), 6))
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .persist()
+    val aTop = scored.where(col("ra") <= 4).groupBy(col("a_id"))
+      .agg(round(avg(col("cos_sim")), 6).as("a_nn_avg"))
+    val bTop = scored.where(col("rb") <= 4).groupBy(col("b_id"))
+      .agg(round(avg(col("cos_sim")), 6).as("b_nn_avg"))
+    scored.where(col("ra") === 1 && col("rb") === 1)
+      .join(aTop, "a_id").join(bTop, "b_id")
+      .withColumn("margin",
+        round(lit(2.0) * col("cos_sim") - col("a_nn_avg") - col("b_nn_avg"), 4))
+      .select(col("a_id"), col("b_id"), col("cos_sim"), col("margin"))
+      .orderBy("a_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_align_mutual_nn" -> (alignMutualNn _),
     "x_sim_mmr"        -> ((s, d) => mmrSelect(s, d)),
     "x_embed_silhouette" -> (embedSilhouette _),
     "x_label_noise"    -> ((s, d) => labelNoise(s, d)),
@@ -638,6 +693,33 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_align_mutual_nn" -> {
+      val bucketConcat = (0 until ALIGN_PLANES)
+        .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+         |planes AS (SELECT p, list_transform(generate_series(0, ${DIMS - 1}),
+         |    d -> (('0x' || substr(md5(p || '_' || d), 1, 8))::BIGINT % 2001) / 1e3 - 1e0) AS arr
+         |  FROM generate_series(0, ${ALIGN_PLANES - 1}) t(p)),
+         |bits AS (SELECT emb.vec_id, planes.p,
+         |    CASE WHEN list_cosine_similarity(emb.e, planes.arr) >= 0 THEN '1' ELSE '0' END AS bit
+         |  FROM emb CROSS JOIN planes),
+         |sig AS (SELECT vec_id, $bucketConcat AS bucket FROM bits GROUP BY vec_id),
+         |se AS (SELECT sig.vec_id, sig.bucket, emb.e, emb.label FROM sig JOIN emb USING (vec_id)),
+         |a AS (SELECT vec_id AS a_id, bucket, e AS ae FROM se WHERE label = 0),
+         |b AS (SELECT vec_id AS b_id, bucket, e AS be FROM se WHERE label = 1),
+         |scored AS (SELECT a_id, b_id, round(list_cosine_similarity(ae, be), 6) AS cos_sim
+         |  FROM a JOIN b USING (bucket)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS ra,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY cos_sim DESC, a_id) AS rb
+         |  FROM scored),
+         |atop AS (SELECT a_id, round(avg(cos_sim), 6) AS a_nn_avg FROM r WHERE ra <= 4 GROUP BY 1),
+         |btop AS (SELECT b_id, round(avg(cos_sim), 6) AS b_nn_avg FROM r WHERE rb <= 4 GROUP BY 1)
+         |SELECT r.a_id, r.b_id, r.cos_sim,
+         |  round(2 * r.cos_sim - a_nn_avg - b_nn_avg, 4) AS margin
+         |FROM r JOIN atop USING (a_id) JOIN btop USING (b_id)
+         |WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin
+    },
     "x_sim_mmr" -> mmrOracle(12, 4),
     "x_embed_silhouette" -> {
       import graft.ops.StableStats.stableRoundSql

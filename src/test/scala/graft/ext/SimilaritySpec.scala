@@ -31,6 +31,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 7L, 1L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("mutual-NN alignment matches an independent plain-Scala model") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.alignMutualNn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+
+    // Model: same md5 planes, buckets, rounded cosines, ranks, margins —
+    // recomputed with plain collections, no Spark.
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val planes = (0 until 4).map(p => (0 until 64).map(d =>
+      (java.lang.Long.parseLong(md5hex(s"${p}_$d").take(8), 16) % 2001) / 1000.0 - 1.0).toArray)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(e: Array[Double]): String =
+      planes.map(p => if (cos(e, p) >= 0) "1" else "0").mkString
+    val a = rows.filter(_._3 == 0).map(r => (r._1, bucket(r._2), r._2))
+    val b = rows.filter(_._3 == 1).map(r => (r._1, bucket(r._2), r._2))
+    val cands = for ((ai, ab, ae) <- a; (bi, bb, be) <- b if ab == bb)
+      yield (ai, bi, r6(cos(ae, be)))
+    def ranks(key: ((Long, Long, Double)) => Long, tie: ((Long, Long, Double)) => Long) =
+      cands.groupBy(key).map { case (k, cs) =>
+        k -> cs.sortBy(c => (-c._3, tie(c))).zipWithIndex
+          .map { case (c, i) => (c._1, c._2) -> (i + 1) }.toMap
+      }
+    val ra = ranks(_._1, _._2)
+    val rb = ranks(_._2, _._1)
+    val aAvg = ra.map { case (k, byPair) =>
+      val tops = cands.filter(c => c._1 == k && byPair((c._1, c._2)) <= 4).map(_._3)
+      k -> r6(tops.sum / tops.size)
+    }
+    val bAvg = rb.map { case (k, byPair) =>
+      val tops = cands.filter(c => c._2 == k && byPair((c._1, c._2)) <= 4).map(_._3)
+      k -> r6(tops.sum / tops.size)
+    }
+    val expected = cands
+      .filter(c => ra(c._1)((c._1, c._2)) == 1 && rb(c._2)((c._1, c._2)) == 1)
+      .map(c => (c._1, c._2, c._3, r4(2 * c._3 - aAvg(c._1) - bAvg(c._2))))
+      .sortBy(_._1)
+    assert(got.nonEmpty, "the real corpus must yield some mutual pairs")
+    assert(got === expected)
+    // a mutual-NN set is a partial matching: each side appears at most once
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
   test("silhouette: separated clusters score a wide positive margin") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-sil").toString
