@@ -244,7 +244,8 @@ class PlanSpec extends SparkSpec {
       "x_zorder_prune"    -> ((2, 3)), // stats + 1-row report column
       "x_hilbert_prune"   -> ((3, 4)), // stats + per-curve 1-row candidates
       "x_zorder_incr"     -> ((2, 2)), // base/arrival bucketing stats rows
-      "x_compaction_plan" -> ((1, 1))) // 1-row bucketing stats cross join
+      "x_compaction_plan" -> ((1, 1)), // 1-row bucketing stats cross join
+      "x_align_mutual_nn" -> ((1, 1))) // 4-row hyperplane table
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
