@@ -20,7 +20,16 @@ import graft.Tables
   * codegen'd builtin bit arithmetic (no UDF, no custom expression
   * needed — `shiftleft`/`&`/`|` compose inside whole-stage codegen).
   *
-  * Two oracle-gated reports:
+  * Division of labor: [[graft.sources.PartitionedSink.writeZOrdered]] is
+  * the generic n-dimensional WRITE path (affine quantization, Morton
+  * key, range partition, sort, write — spec-measured file skipping);
+  * this module is the PLANNING and OBSERVABILITY layer over the same
+  * curve — oracle-gated manifests, skipping-effectiveness reports,
+  * Hilbert comparison, incremental-maintenance and compaction plans —
+  * everything an operator reads BEFORE and AFTER committing to a
+  * clustered rewrite.
+  *
+  * Oracle-gated reports:
   *  - `x_zorder_layout`: the planned file manifest — per-file row count
   *    and (day, user) bounding box. Tight boxes ARE the index.
   *  - `x_zorder_prune`: skipping effectiveness for a 2-D predicate —
