@@ -61,6 +61,41 @@ class BloomMaintenanceSpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("checkpoint restart: a NEW query resuming the same checkpoint converges") {
+    // not just in-query replay: stop the stream entirely, start a fresh
+    // query against the SAME checkpoint dir, deliver more data — the
+    // recovered stream must fold the new batch onto the recovered state
+    // and land bit-identical to the one-shot build. A FILE source is used
+    // because its offsets (file names) survive restart; MemoryStream's
+    // do not, so it cannot exercise real checkpoint recovery.
+    val base = Files.createTempDirectory("graft-bloom-restart")
+    val (inDir, tableDir, ckpt) = (s"$base/in", s"$base/table", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/stage-$name"
+      rows.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) }
+        .toDF().coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+    def docStream = spark.readStream
+      .schema(Seq.empty[Doc].toDS().schema).parquet(inDir).as[Doc]
+    deliver("b1", b1)
+    val q1 = BloomMaintenance.start(docStream, tableDir, ckpt, M, K)
+    try q1.processAllAvailable() finally q1.stop()
+    deliver("b2", b2)
+    val q2 = BloomMaintenance.start(docStream, tableDir, ckpt, M, K)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = BloomMaintenance.bits(spark, tableDir, M)
+    val expected = BloomFilter.build(
+      (b1 ++ b2).toDF("doc_id", "text")
+        .select(BloomMaintenance.contentHash.as("h")), "h", M, K)
+    assert(got.sameElements(expected),
+      "state recovered across a full query restart must match the one-shot build")
+  }
+
   test("admission screen: every ingested doc flags, fresh docs pass clean") {
     val tableDir = Files.createTempDirectory("graft-bloom-screen").toString
     runBatches(tableDir, Seq(b1, b2))
