@@ -621,9 +621,35 @@ object Similarity {
     sb.toString
   }
 
-  /** Bucket count for the alignment blocking pass — coarser than
-    * [[PLANES]] so bucket-mates are plentiful enough for mutual-NN. */
-  private val ALIGN_PLANES = 4
+  /** Plane count for the alignment blocking pass, derived from corpus
+    * size: the smallest p (floored at 4 so small fixtures keep enough
+    * bucket-mates for mutual-NN) with `2^p ≥ n/64`, i.e. expected bucket
+    * occupancy ≈ 64 rows per side. A FIXED plane count is a
+    * constant-factor reduction of the cross join — |A|·|B|/2^p pairs is
+    * still quadratic in corpus size; growing p with log₂(n) pins the
+    * expected per-bucket population (and therefore total candidate pairs
+    * ≈ n·64, LINEAR in n) at any scale. Pure integer arithmetic — no
+    * floating log₂ whose ulp could flip the count at a power-of-two
+    * boundary; the DuckDB twin's `ceil(log2(...))` only ever evaluates
+    * log₂ at arguments far from representation boundaries or exactly on
+    * powers of two, where IEEE log2 is exact. */
+  private[graft] def alignPlanes(n: Long): Int = {
+    val m = (n + 63) / 64 // ceil(n / 64) target bucket count
+    math.max(4, if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+  }
+
+  /** Hot-bucket cap for the alignment equi-join: each (bucket, side)
+    * cohort keeps at most this many members, chosen by a deterministic
+    * md5 order both engines reproduce. Sign-LSH hubs (near-zero vectors,
+    * boilerplate embeddings) otherwise produce one degenerate bucket
+    * whose a⋈b blow-up is |B|² no matter how many planes are used —
+    * the same failure mode [[Dedup.MaxBucket]] star-routing guards in the
+    * MinHash path. Capping (rather than star-routing) is the right
+    * discipline HERE because mutual-NN needs actual pair scores, not mere
+    * connectivity: a capped bucket degrades to a bounded uniform sample
+    * of an (by construction) near-duplicate family, the standard ANN
+    * search-budget truncation. */
+  private[graft] val AlignMaxBucket = 1024
 
   /** Margin-based mutual-nearest-neighbor alignment between two corpus
     * slices (label 0 = "source", label 1 = "target") — the bitext-mining
@@ -635,42 +661,79 @@ object Similarity {
     * hub vectors that are everyone's nearest neighbor.
     *
     * Scale shape: candidates come from a sign-LSH bucket equi-join
-    * ([[lshTopK]]'s md5-portable hyperplanes, coarsened to 4 planes), so
-    * the bipartite stage is |bucket|-blocked, never |A|×|B|; ranks and
-    * neighborhood averages are windows partitioned by vector id over the
-    * candidate set. Ties break on the ROUNDED cosine then id, so the
-    * cross-engine cut is deterministic. */
+    * ([[lshTopK]]'s md5-portable hyperplanes) with [[alignPlanes]]
+    * growing the bucket count with log₂(n) and [[AlignMaxBucket]]
+    * bounding any single cohort, so the bipartite stage emits O(n·64)
+    * candidate pairs — never |A|×|B|. Ranks and neighborhood averages
+    * are windows partitioned by vector id over the candidate set. All
+    * rounding goes through [[graft.ops.StableStats]] (floor-based
+    * half-up + exact integer micro-unit sums for the neighborhood
+    * averages) so ties and 6th-digit boundaries cut identically in both
+    * engines. The corpus count that sizes the plane table is one
+    * metadata-cheap `count()` job — an index-build-time decision, same
+    * as IVF's codebook sizing. */
   def alignMutualNn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val planes = spark.range(ALIGN_PLANES).select(col("id").cast("int").as("p"),
+    alignMutualNnOf(e, alignPlanes(e.count()), AlignMaxBucket)
+  }
+
+  /** The alignment candidate stage alone: sign-LSH bucketing over
+    * `nPlanes` hyperplanes, per-(bucket, side) md5-order cap at
+    * `maxBucket`, then the bipartite bucket equi-join. Exposed so the
+    * degenerate-bucket spec can pin the cardinality contract — one
+    * all-identical bucket emits at most `maxBucket²` pairs no matter how
+    * many members it has. */
+  private[graft] def alignCandidates(e: DataFrame, nPlanes: Int, maxBucket: Int): DataFrame = {
+    val spark = e.sparkSession
+    val planes = spark.range(nPlanes).select(col("id").cast("int").as("p"),
       expr(s"transform(sequence(0, ${DIMS - 1}), d -> " +
         "(cast(conv(substring(md5(concat(id, '_', d)), 1, 8), 16, 10) as bigint) % 2001) / 1000.0D - 1.0D)")
         .as("arr"))
+    // bucket id = Σ_p sign-bit(p)·2^p — an integer signature that works
+    // for ANY plane count (the old fixed-width bit-string concat could
+    // not grow with n)
     val bits = e.crossJoin(broadcast(planes))
-      .withColumn("bit", when(cosine("emb", "arr") >= 0, "1").otherwise("0"))
-    val sigAggs = (0 until ALIGN_PLANES).map(i => max(when(col("p") === i, col("bit"))).as(s"b$i"))
-    val sig = bits.groupBy(col("vec_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      .select(col("vec_id"), concat((0 until ALIGN_PLANES).map(i => col(s"b$i")): _*).as("bucket"))
+      .withColumn("b",
+        when(cosine("emb", "arr") >= 0, expr("shiftleft(1L, p)")).otherwise(lit(0L)))
+    val sig = bits.groupBy(col("vec_id")).agg(sum(col("b")).as("bucket"))
       .join(e, "vec_id")
-    val a = sig.where(col("label") === 0)
+    // deterministic engine-portable cap order: md5 of the decimal id
+    // (binary string compare in both engines), id tie-break
+    val wcap = Window.partitionBy(col("bucket"), col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = sig.withColumn("rcap", row_number().over(wcap))
+      .where(col("rcap") <= maxBucket)
+    val a = capped.where(col("label") === 0)
       .select(col("vec_id").as("a_id"), col("bucket"), col("emb").as("aemb"))
-    val b = sig.where(col("label") === 1)
+    val b = capped.where(col("label") === 1)
       .select(col("vec_id").as("b_id"), col("bucket"), col("emb").as("bemb"))
+    a.join(b, "bucket")
+  }
+
+  /** [[alignMutualNn]] with explicit plane count and bucket cap — the
+    * testable core (degenerate-bucket and plane-scaling specs drive it
+    * directly). */
+  private[graft] def alignMutualNnOf(e: DataFrame, nPlanes: Int, maxBucket: Int): DataFrame = {
+    import graft.ops.StableStats.stableRound
     val wa = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id").asc)
     val wb = Window.partitionBy(col("b_id")).orderBy(col("cos_sim").desc, col("a_id").asc)
-    val scored = a.join(b, "bucket")
-      .withColumn("cos_sim", round(cosine("aemb", "bemb"), 6))
+    val scored = alignCandidates(e, nPlanes, maxBucket)
+      .withColumn("cos_sim", stableRound(cosine("aemb", "bemb"), 6))
       .withColumn("ra", row_number().over(wa))
       .withColumn("rb", row_number().over(wb))
       .persist()
-    val aTop = scored.where(col("ra") <= 4).groupBy(col("a_id"))
-      .agg(round(avg(col("cos_sim")), 6).as("a_nn_avg"))
-    val bTop = scored.where(col("rb") <= 4).groupBy(col("b_id"))
-      .agg(round(avg(col("cos_sim")), 6).as("b_nn_avg"))
+    // neighborhood averages in exact 10⁻⁶ integer units: summing ≤4
+    // rounded doubles directly would expose cross-engine addition-order
+    // drift; integer sums are order-free and the final ÷ is one IEEE op
+    def nnAvg = stableRound(
+      sum(round(col("cos_sim") * 1e6).cast("long")).cast("double")
+        / count(lit(1)) / 1e6, 6)
+    val aTop = scored.where(col("ra") <= 4).groupBy(col("a_id")).agg(nnAvg.as("a_nn_avg"))
+    val bTop = scored.where(col("rb") <= 4).groupBy(col("b_id")).agg(nnAvg.as("b_nn_avg"))
     scored.where(col("ra") === 1 && col("rb") === 1)
       .join(aTop, "a_id").join(bTop, "b_id")
       .withColumn("margin",
-        round(lit(2.0) * col("cos_sim") - col("a_nn_avg") - col("b_nn_avg"), 4))
+        stableRound(lit(2.0) * col("cos_sim") - col("a_nn_avg") - col("b_nn_avg"), 4))
       .select(col("a_id"), col("b_id"), col("cos_sim"), col("margin"))
       .orderBy("a_id")
   }
@@ -694,29 +757,42 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "x_align_mutual_nn" -> {
-      val bucketConcat = (0 until ALIGN_PLANES)
-        .map(i => s"max(CASE WHEN p = $i THEN bit END)").mkString(" || ")
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
-         |planes AS (SELECT p, list_transform(generate_series(0, ${DIMS - 1}),
+      import graft.ops.StableStats.stableRoundSql
+      // same adaptive plane count as alignPlanes (ceil-log2 over ceil(n/64),
+      // floored at 4), same integer bucket id, same md5 cap order, same
+      // stable floor-based rounding with integer micro-unit nn averages
+      val nnAvgSql = stableRoundSql(
+        "CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6", 6)
+      s"""WITH np AS (SELECT GREATEST(4,
+         |    CAST(ceil(log2(CAST((count(*) + 63) // 64 AS DOUBLE))) AS INT)) AS np
+         |  FROM embeddings),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+         |planes AS (SELECT unnest(generate_series(0, np - 1)) AS p FROM np),
+         |parr AS (SELECT p, list_transform(generate_series(0, ${DIMS - 1}),
          |    d -> (('0x' || substr(md5(p || '_' || d), 1, 8))::BIGINT % 2001) / 1e3 - 1e0) AS arr
-         |  FROM generate_series(0, ${ALIGN_PLANES - 1}) t(p)),
-         |bits AS (SELECT emb.vec_id, planes.p,
-         |    CASE WHEN list_cosine_similarity(emb.e, planes.arr) >= 0 THEN '1' ELSE '0' END AS bit
-         |  FROM emb CROSS JOIN planes),
-         |sig AS (SELECT vec_id, $bucketConcat AS bucket FROM bits GROUP BY vec_id),
+         |  FROM planes),
+         |sig AS (SELECT emb.vec_id,
+         |    sum(CASE WHEN list_cosine_similarity(emb.e, parr.arr) >= 0
+         |      THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         |  FROM emb CROSS JOIN parr GROUP BY emb.vec_id),
          |se AS (SELECT sig.vec_id, sig.bucket, emb.e, emb.label FROM sig JOIN emb USING (vec_id)),
-         |a AS (SELECT vec_id AS a_id, bucket, e AS ae FROM se WHERE label = 0),
-         |b AS (SELECT vec_id AS b_id, bucket, e AS be FROM se WHERE label = 1),
-         |scored AS (SELECT a_id, b_id, round(list_cosine_similarity(ae, be), 6) AS cos_sim
+         |capped AS (SELECT vec_id, bucket, e, label FROM (
+         |    SELECT se.*, row_number() OVER (PARTITION BY bucket, label
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rcap FROM se)
+         |  WHERE rcap <= ${AlignMaxBucket}),
+         |a AS (SELECT vec_id AS a_id, bucket, e AS ae FROM capped WHERE label = 0),
+         |b AS (SELECT vec_id AS b_id, bucket, e AS be FROM capped WHERE label = 1),
+         |scored AS (SELECT a_id, b_id,
+         |    ${stableRoundSql("list_cosine_similarity(ae, be)", 6)} AS cos_sim
          |  FROM a JOIN b USING (bucket)),
          |r AS (SELECT *,
          |    row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS ra,
          |    row_number() OVER (PARTITION BY b_id ORDER BY cos_sim DESC, a_id) AS rb
          |  FROM scored),
-         |atop AS (SELECT a_id, round(avg(cos_sim), 6) AS a_nn_avg FROM r WHERE ra <= 4 GROUP BY 1),
-         |btop AS (SELECT b_id, round(avg(cos_sim), 6) AS b_nn_avg FROM r WHERE rb <= 4 GROUP BY 1)
+         |atop AS (SELECT a_id, $nnAvgSql AS a_nn_avg FROM r WHERE ra <= 4 GROUP BY 1),
+         |btop AS (SELECT b_id, $nnAvgSql AS b_nn_avg FROM r WHERE rb <= 4 GROUP BY 1)
          |SELECT r.a_id, r.b_id, r.cos_sim,
-         |  round(2 * r.cos_sim - a_nn_avg - b_nn_avg, 4) AS margin
+         |  ${stableRoundSql("2 * r.cos_sim - a_nn_avg - b_nn_avg", 4)} AS margin
          |FROM r JOIN atop USING (a_id) JOIN btop USING (b_id)
          |WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin
     },

@@ -79,11 +79,19 @@ object BloomFilter {
   def wordFrame(keys: DataFrame, hashCol: String, mBits: Int, k: Int): DataFrame = {
     words(mBits) // validate the power-of-two shape
     val mask = (mBits - 1).toLong
-    // h2 | 1 keeps the stride odd => full-period over the power-of-two table
+    // h2 | 1 keeps the stride odd => full-period over the power-of-two table.
+    // Mask BEFORE the add/multiply: the low bits of a sum/product depend only
+    // on the low bits of the operands, so ((h1&mask) + i*(h2&mask)) & mask is
+    // bit-identical to the probe side's wrapping (h1 + i*h2) & mask — but it
+    // can never overflow, which matters because Spark 4 runs with
+    // spark.sql.ansi.enabled=true where an unguarded h1 + i*h2 near
+    // Long.MaxValue throws ARITHMETIC_OVERFLOW at build time while the Java
+    // probe side would have wrapped silently. (mask has bit 0 set, so
+    // h2 & mask stays odd => full period is preserved.)
     keys
       .select(col(hashCol).cast(LongType).as("h"))
-      .select(col("h").as("h1"),
-        expr("shiftrightunsigned(h, 32) | 1L").as("h2"),
+      .select(col("h").bitwiseAND(lit(mask)).as("h1"),
+        expr(s"(shiftrightunsigned(h, 32) | 1L) & ${mask}L").as("h2"),
         expr(s"explode(sequence(0, ${k - 1}))").as("i"))
       .select(((col("h1") + col("i").cast(LongType) * col("h2")).bitwiseAND(lit(mask))).as("pos"))
       .select(expr("cast(shiftrightunsigned(pos, 6) as int)").as("w"),

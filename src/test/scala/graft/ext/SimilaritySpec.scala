@@ -52,8 +52,11 @@ class SimilaritySpec extends SparkSpec {
       while (i < x.length) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
       dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator's StableStats discipline: pure-IEEE floor-based
+    // half-up, NOT BigDecimal-of-shortest-repr — the two differ exactly
+    // at the representation boundaries the stable form exists to pin
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
     def bucket(e: Array[Double]): String =
       planes.map(p => if (cos(e, p) >= 0) "1" else "0").mkString
     val a = rows.filter(_._3 == 0).map(r => (r._1, bucket(r._2), r._2))
@@ -67,13 +70,15 @@ class SimilaritySpec extends SparkSpec {
       }
     val ra = ranks(_._1, _._2)
     val rb = ranks(_._2, _._1)
+    // neighborhood averages in exact 10⁻⁶ integer units, mirroring the
+    // operator (order-free integer sum, one IEEE division chain, r6)
+    def uAvg(tops: Seq[Double]): Double =
+      r6(tops.map(v => math.round(v * 1e6)).sum.toDouble / tops.size / 1e6)
     val aAvg = ra.map { case (k, byPair) =>
-      val tops = cands.filter(c => c._1 == k && byPair((c._1, c._2)) <= 4).map(_._3)
-      k -> r6(tops.sum / tops.size)
+      k -> uAvg(cands.filter(c => c._1 == k && byPair((c._1, c._2)) <= 4).map(_._3))
     }
     val bAvg = rb.map { case (k, byPair) =>
-      val tops = cands.filter(c => c._2 == k && byPair((c._1, c._2)) <= 4).map(_._3)
-      k -> r6(tops.sum / tops.size)
+      k -> uAvg(cands.filter(c => c._2 == k && byPair((c._1, c._2)) <= 4).map(_._3))
     }
     val expected = cands
       .filter(c => ra(c._1)((c._1, c._2)) == 1 && rb(c._2)((c._1, c._2)) == 1)
@@ -84,6 +89,44 @@ class SimilaritySpec extends SparkSpec {
     // a mutual-NN set is a partial matching: each side appears at most once
     assert(got.map(_._1).distinct.length === got.length)
     assert(got.map(_._2).distinct.length === got.length)
+  }
+
+  test("alignment planes grow with log2(corpus) and floor at 4") {
+    // floor: tiny corpora keep 4 planes so bucket-mates exist
+    assert(Similarity.alignPlanes(1L) === 4)
+    assert(Similarity.alignPlanes(500L) === 4)   // the sf0.01 oracle fixture
+    assert(Similarity.alignPlanes(1024L) === 4)  // 1024/64 = 16 = 2^4 exactly
+    // growth: expected bucket occupancy pinned at ~64 per side
+    assert(Similarity.alignPlanes(1025L) === 5)  // ceil(1025/64)=17 -> 5 bits
+    assert(Similarity.alignPlanes(2000L) === 5)  // the sf0.1 corpus
+    assert(Similarity.alignPlanes(1L << 20) === 14)
+    assert(Similarity.alignPlanes(1L << 30) === 24) // ~1B rows -> 16M buckets
+  }
+
+  test("alignment hot-bucket cap: one degenerate bucket emits O(cap²) pairs, not |A|·|B|") {
+    import spark.implicits._
+    // 200 a-side + 200 b-side near-identical vectors — every one lands in
+    // the SAME sign-LSH bucket (jitter far below any hyperplane margin).
+    // Uncapped, the bipartite join would emit 200·200 = 40,000 pairs; with
+    // cap=8 it must emit exactly 8·8 = 64 — bounded by the cap alone, not
+    // the bucket population (the Dedup.MaxBucket discipline, search-budget
+    // flavored).
+    def vec(j: Int): Seq[Double] = (0 until 64).map(i => 1.0 + (i % 5) * 0.1 + j * 1e-9)
+    val rows = (0 until 200).map(j => (j.toLong, vec(j), 0)) ++
+      (0 until 200).map(j => (1000L + j, vec(j), 1))
+    val e = rows.toDF("vec_id", "emb", "label")
+    graft.functions.CosineSimilarity.register(spark)
+    val capped = Similarity.alignCandidates(e, nPlanes = 4, maxBucket = 8)
+    assert(capped.count() === 64L)
+    // ...and the full operator still runs to a sane, deterministic answer
+    // over the capped candidates: a partial matching within the cap
+    val out = Similarity.alignMutualNnOf(e, nPlanes = 4, maxBucket = 8).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // uncapped control: the same frame with the default cap (1024 > 200)
+    // really is the quadratic bucket this guard exists for
+    val uncapped = Similarity.alignCandidates(e, nPlanes = 4, maxBucket = 1024)
+    assert(uncapped.count() === 40000L)
   }
 
   test("silhouette: separated clusters score a wide positive margin") {

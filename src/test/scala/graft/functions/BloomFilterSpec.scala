@@ -70,6 +70,27 @@ class BloomFilterSpec extends SparkSpec {
     assert(whole.sameElements(merged))
   }
 
+  test("keys at the signed-long extremes build and probe (ANSI overflow guard)") {
+    // h1 + i*h2 near Long.MaxValue overflows 64-bit addition; with
+    // spark.sql.ansi.enabled=true (the Spark 4 default) an unmasked build
+    // side throws ARITHMETIC_OVERFLOW while the Java probe side wraps.
+    // wordFrame masks before adding, which is bit-identical to wrapping —
+    // pin that the extremes round-trip with zero false negatives.
+    val extremes = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue,
+      Long.MinValue + 1, -1L, 0L, 1L) ++
+      (0 until 64).map(b => (1L << b) - 1) ++ // all-ones prefixes incl. 2^63-1
+      (0 until 64).map(b => -(1L << b))       // high-bit-heavy negatives
+    val bits = BloomFilter.build(extremes.toDF("h"), "h", M, K)
+    val hits = extremes.distinct.toDF("h")
+      .where(BloomFilter.mightContain(bits, col("h"), K)).count()
+    assert(hits === extremes.distinct.size)
+    // interpreted path agrees at the extremes too
+    extremes.foreach { h =>
+      assert(BloomMightContain(Literal(h), bits, K).eval(null) === true,
+        s"false negative for $h (interpreted)")
+    }
+  }
+
   test("build rejects non-power-of-two sizes") {
     intercept[IllegalArgumentException] {
       BloomFilter.build(Seq(1L).toDF("h"), "h", mBits = 1000, k = 3)
