@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -21,13 +21,31 @@ import graft.functions.BloomFilter
   * everything ever ingested (spec-pinned), so the probe side needs no
   * special streaming variant.
   *
+  * Durability: each merge writes a NEW versioned snapshot directory
+  * (`v0`, `v1`, …) and readers resolve the highest version whose
+  * `_SUCCESS` marker landed — Spark's committer materializes that marker
+  * only after every part file is in place, so it IS the commit point. An
+  * in-place read→union→overwrite (the previous design) had a window
+  * where a crash after the old files were deleted but before the new
+  * ones committed lost EVERY previously ingested bit; since earlier
+  * batches' offsets were already committed, the recovered stream would
+  * re-OR only the latest batch and the admission screen would then
+  * return false — "provably never ingested" — for documents that WERE
+  * ingested, silently breaking the no-false-negative contract. With
+  * versioned snapshots a torn write leaves no `_SUCCESS`, readers keep
+  * serving v(n), and the replayed batch rebuilds v(n+1) from v(n); a
+  * crash between commit and checkpoint just re-ORs idempotently into
+  * v(n+2). Superseded snapshots are reclaimed best-effort, keeping one
+  * predecessor.
+  *
   * Why at 100 TB: ingest-time exact-dup admission against a corpus index
   * costs an index probe PER ARRIVING DOC. With the filter in front, the
   * definitely-new majority (no filter hit) admits with ZERO index I/O;
   * only filter hits — true dups + the ε false-positive tail — pay the
-  * exact lookup. The stored table is ≤ m/64 rows (16 KiB of longs at the
-  * default 2^20 bits) regardless of corpus size: state is
-  * FILTER-shaped, not corpus-shaped.
+  * exact lookup ([[screenedAdmission]] composes the two tiers). The
+  * stored table is ≤ m/64 rows (16 KiB of longs at the default 2^20
+  * bits) regardless of corpus size: state is FILTER-shaped, not
+  * corpus-shaped.
   */
 object BloomMaintenance {
 
@@ -50,8 +68,22 @@ object BloomMaintenance {
       }
       .start()
 
+  /** The newest COMMITTED snapshot under `tableDir`: highest `v<n>`
+    * child whose `_SUCCESS` marker exists. Directories without the
+    * marker are torn writes — invisible to readers by construction. */
+  private def latestSnapshot(fs: FileSystem, dir: Path): Option[(Long, Path)] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case n if n.startsWith("v") => n.drop(1).toLongOption.map(_ -> st.getPath)
+        case _ => None
+      })
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(-_._1).headOption
+
   /** Fold ONE batch into the stored word table — also the backfill entry
-    * point for a historical shard. */
+    * point for a historical shard. Commit protocol in the object doc. */
   private[streaming] def mergeBatch(batch: DataFrame, tableDir: String,
       mBits: Int, k: Int): Unit = {
     val spark = batch.sparkSession
@@ -59,25 +91,46 @@ object BloomMaintenance {
       batch.select(contentHash.as("h")), "h", mBits, k)
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
-        spark.read.parquet(tableDir).union(fresh)
+    val latest = latestSnapshot(fs, dir)
+    // an empty micro-batch must not churn a new (identical) snapshot
+    if (batch.isEmpty && latest.isDefined) return
+    val merged = latest match {
+      case Some((_, p)) =>
+        spark.read.parquet(p.toString).union(fresh)
           .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
-      else fresh
-    if (!merged.isEmpty)
-      // localCheckpoint cuts the lineage referencing tableDir so the
-      // overwrite is legal; a replay re-ORs idempotently (object doc)
-      merged.localCheckpoint(true)
-        .write.mode("overwrite").parquet(tableDir)
+      case None => fresh
+    }
+    if (!merged.isEmpty) {
+      val next = latest.map(_._1 + 1).getOrElse(0L)
+      // overwrite mode: a torn v(next) from a previous crash of THIS
+      // batch is replaced wholesale; _SUCCESS lands last = commit
+      merged.write.mode("overwrite").parquet(new Path(dir, s"v$next").toString)
+      // best-effort reclamation: keep the just-written snapshot and its
+      // predecessor (in-flight readers of v(next-1) finish safely on
+      // object stores / local fs; a crash mid-delete is harmless — the
+      // next merge retries)
+      try fs.listStatus(dir).toSeq.filter(_.isDirectory).foreach { st =>
+        st.getPath.getName.drop(1).toLongOption.foreach { v =>
+          if (st.getPath.getName.startsWith("v") && v + 1 < next)
+            fs.delete(st.getPath, true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** The maintained filter as a dense probe array — driver materialization
-    * bounded by m/64 words, never by the corpus. */
+    * bounded by m/64 words, never by the corpus. Reads the newest
+    * committed snapshot; an empty/absent table is an all-zero filter
+    * (screen admits everything — correct for "nothing ever ingested"). */
   def bits(spark: SparkSession, tableDir: String,
       mBits: Int = DefaultBits): Array[Long] = {
     val out = new Array[Long](mBits / 64)
-    spark.read.parquet(tableDir)
-      .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestSnapshot(fs, dir).foreach { case (_, p) =>
+      spark.read.parquet(p.toString)
+        .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+    }
     out
   }
 
@@ -92,4 +145,88 @@ object BloomMaintenance {
     candidates.withColumn("suspect_dup",
       BloomFilter.mightContain(filter, contentHash, k))
   }
+
+  /** The two-tier admission path end-to-end: Bloom [[screen]] splits the
+    * batch, non-hits admit with ZERO index I/O, and ONLY the hit tail is
+    * handed to `probe` — the exact corpus-index check (typically a
+    * left-anti join against the ingested-hash index; see
+    * [[exactHashProbe]]). Because the filter has no false negatives, the
+    * union of {screen-clean} ∪ {probe-admitted suspects} is EXACTLY the
+    * set the unscreened probe-everything path admits — the screen can
+    * only divert provably-new rows around the probe, never change the
+    * answer (spec-pinned, including probe-visibility: the spec's
+    * counting probe observes only the hit tail). */
+  def screenedAdmission(spark: SparkSession, tableDir: String,
+      batch: DataFrame, probe: DataFrame => DataFrame,
+      mBits: Int = DefaultBits, k: Int = DefaultK): DataFrame = {
+    val s = screen(spark, tableDir, batch, mBits, k)
+    val clean = s.where(!col("suspect_dup")).drop("suspect_dup")
+    val suspects = s.where(col("suspect_dup")).drop("suspect_dup")
+    clean.unionByName(probe(suspects))
+  }
+
+  /** The exact tier: admit candidates whose content hash is NOT in the
+    * ingested-hash index — a left-anti join, i.e. the check the screen
+    * exists to keep the definitely-new majority away from. `index` is a
+    * one-column (`h`) frame of previously ingested hashes. */
+  def exactHashProbe(index: DataFrame): DataFrame => DataFrame = suspects =>
+    suspects.withColumn("__h", contentHash)
+      .join(index, col("__h") === index("h"), "left_anti")
+      .drop("__h")
+
+  /** The ingested-hash index as a frame — empty (correct schema) before
+    * the first batch lands. */
+  private def hashIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.parquet(indexDir)
+    else spark.range(0).select(col("id").as("h"))
+  }
+
+  /** One micro-batch of the two-tier streaming ingest: intra-batch
+    * content dedup (first arrival by (ts, doc_id) wins), Bloom screen,
+    * exact-index probe for the hit tail only, then append the admitted
+    * docs to the corpus, their hashes to the index, and their bits to
+    * the filter. `wrapProbe` lets the spec interpose a counting probe to
+    * pin the bypass contract. */
+  private[streaming] def ingestBatch(batch: DataFrame, tableDir: String,
+      indexDir: String, admittedDir: String, mBits: Int, k: Int,
+      wrapProbe: (DataFrame => DataFrame) => (DataFrame => DataFrame) = identity): Unit = {
+    val spark = batch.sparkSession
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("ts"), col("doc_id"))
+    val firsts = batch.withColumn("__h", contentHash)
+      .withColumn("__rn", row_number().over(wFirst))
+      .where(col("__rn") === 1).drop("__h", "__rn")
+    val probe = wrapProbe(exactHashProbe(hashIndex(spark, indexDir)))
+    val admitted = screenedAdmission(spark, tableDir, firsts, probe, mBits, k)
+      .persist()
+    // materialize THROUGH the cache before appending to the index the
+    // probe's plan reads — otherwise the lazy join could re-scan the
+    // index after this batch's own hashes landed and reject everything
+    admitted.write.mode("append").parquet(admittedDir)
+    admitted.select(contentHash.as("h")).write.mode("append").parquet(indexDir)
+    mergeBatch(admitted, tableDir, mBits, k)
+    admitted.unpersist()
+  }
+
+  /** Streaming two-tier dedup ingest: every arriving document is admitted
+    * exactly once per content — the Bloom filter absorbs the
+    * definitely-new majority with zero index I/O, the hash index settles
+    * the hit tail exactly. State grows as: filter = m/64 words (fixed),
+    * index = one long per distinct ingested content (the exact tier's
+    * unavoidable floor), admitted corpus = the answer. Replay of an
+    * uncommitted batch re-admits its docs (at-least-once appends, the
+    * standard foreachBatch contract — downstream readers key on content
+    * hash, under which the re-append is a no-op). */
+  def startScreenedIngest(docs: Dataset[NearDupStream.Doc], tableDir: String,
+      indexDir: String, admittedDir: String, checkpointDir: String,
+      mBits: Int = DefaultBits, k: Int = DefaultK): StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        ingestBatch(batch.toDF(), tableDir, indexDir, admittedDir, mBits, k)
+      }
+      .start()
 }

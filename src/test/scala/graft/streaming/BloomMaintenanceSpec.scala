@@ -96,6 +96,148 @@ class BloomMaintenanceSpec extends SparkSpec {
       "state recovered across a full query restart must match the one-shot build")
   }
 
+  test("torn snapshot (crash between write and commit) is invisible and recoverable") {
+    // Simulate the mid-overwrite crash the versioned layout exists for:
+    // after two good batches, fabricate a HIGHER-versioned snapshot dir
+    // with plausible part files but NO _SUCCESS marker — exactly what a
+    // writer killed between materializing parts and committing leaves
+    // behind. Readers must keep serving the last committed version, and
+    // the replayed batch must fold onto it and converge to the same bits
+    // as an uninterrupted run.
+    val tableDir = Files.createTempDirectory("graft-bloom-torn").toString
+    runBatches(tableDir, Seq(b1))
+    val committed = BloomMaintenance.bits(spark, tableDir, M)
+    // torn write: poison content (all-ones words) so serving it would be
+    // loudly detectable, no _SUCCESS
+    val torn = new java.io.File(s"$tableDir/v99")
+    (0 until 4).toDF("w").selectExpr("w", "cast(-1 as long) as bits")
+      .coalesce(1).write.parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete(),
+      "test setup: the torn snapshot must lack its commit marker")
+    // reader ignores the torn dir entirely
+    assert(BloomMaintenance.bits(spark, tableDir, M).sameElements(committed),
+      "a snapshot without _SUCCESS must be invisible to readers")
+    // the replayed/next batch folds onto the committed version...
+    BloomMaintenance.mergeBatch(b2.toDF("doc_id", "text"), tableDir, M, K)
+    val expected = BloomFilter.build(
+      (b1 ++ b2).toDF("doc_id", "text")
+        .select(BloomMaintenance.contentHash.as("h")), "h", M, K)
+    assert(BloomMaintenance.bits(spark, tableDir, M).sameElements(expected),
+      "recovery after a torn write must converge to the one-shot build")
+    // ...and the screen still honors the no-false-negative contract for
+    // the docs whose batch the crash interrupted
+    val screened = BloomMaintenance.screen(spark, tableDir,
+      (b1 ++ b2).toDF("doc_id", "text"), M, K)
+      .where(org.apache.spark.sql.functions.col("suspect_dup")).count()
+    assert(screened === (b1 ++ b2).size.toLong)
+  }
+
+  test("snapshot reclamation keeps at most the latest snapshot and one predecessor") {
+    val tableDir = Files.createTempDirectory("graft-bloom-reclaim").toString
+    runBatches(tableDir, Seq(b1, b2, b1.map { case (i, t) => (i + 100, t + " x") }))
+    val vs = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+    assert(vs.length <= 2, s"stale snapshots must be reclaimed, found ${vs.mkString(",")}")
+    assert(vs.contains("v2"), "the newest snapshot must survive reclamation")
+  }
+
+  test("screened admission: non-hits bypass the exact probe, output == unscreened path") {
+    val tableDir = Files.createTempDirectory("graft-bloom-twotier").toString
+    runBatches(tableDir, Seq(b1, b2))
+    // corpus index: hashes of everything ingested EXCEPT doc 4 — so doc 4
+    // is a filter hit whose exact check exonerates it (the ε-tail shape:
+    // suspect but not an actual dup)
+    val index = (b1 ++ b2.take(1)).toDF("doc_id", "text")
+      .select(BloomMaintenance.contentHash.as("h"))
+    val arrivals = ((b1 ++ b2) ++ Seq(
+      (20L, "completely novel arrival number twenty"),
+      (21L, "another new document sails straight through")))
+      .toDF("doc_id", "text")
+    // counting probe: wraps the exact tier and records how many rows it
+    // was actually handed — the bypass assertion
+    var probedRows = -1L
+    val countingProbe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      suspects => {
+        val cached = suspects.cache()
+        probedRows = cached.count()
+        BloomMaintenance.exactHashProbe(index)(cached)
+      }
+    val admitted = BloomMaintenance.screenedAdmission(
+      spark, tableDir, arrivals, countingProbe, M, K)
+      .select("doc_id").as[Long].collect().sorted
+    // only the 4 ingested docs hit the filter (ε for the 2 fresh docs is
+    // ~1e-14 at this fill); the fresh majority bypassed the index
+    assert(probedRows === 4L,
+      s"exact probe must see only the Bloom-hit tail, saw $probedRows")
+    // two-tier output == the unscreened probe-everything path
+    val unscreened = BloomMaintenance.exactHashProbe(index)(arrivals)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.sameElements(unscreened),
+      "screening must never change the admitted set")
+    // and the exonerated suspect (doc 4, not in the index) was admitted
+    assert(admitted.contains(4L))
+  }
+
+  test("streaming two-tier ingest: each content admitted once, fresh batches skip the probe") {
+    val base = Files.createTempDirectory("graft-bloom-ingest")
+    val (tableDir, indexDir, admittedDir) =
+      (s"$base/filter", s"$base/index", s"$base/admitted")
+    // batch 1: three docs, one intra-batch content dup (doc 3 repeats
+    // doc 1's text and must lose to the earlier doc_id)
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox jumps over the dog"))
+    // batch 2: two cross-batch dups + two genuinely new docs
+    val batch2 = Seq(
+      (4L, "the quick brown fox jumps over the dog"),
+      (5L, "pack my box with five dozen liquor jugs"),
+      (6L, "sphinx of black quartz judge my vow now"),
+      (7L, "how vexingly quick daft zebras jump today"))
+    val ckpt = s"$base/ckpt"
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = BloomMaintenance.startScreenedIngest(
+      stream.toDS(), tableDir, indexDir, admittedDir, ckpt, M, K)
+    try {
+      Seq(batch1, batch2).foreach { b =>
+        stream.addData(b.map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // exactly one admission per distinct content, first arrival wins
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.sameElements(Array(1L, 2L, 6L, 7L)))
+    // the maintained filter now flags all four admitted contents
+    val flagged = BloomMaintenance.screen(spark, tableDir,
+      (batch1 ++ batch2).toDF("doc_id", "text"), M, K)
+      .where(org.apache.spark.sql.functions.col("suspect_dup"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(flagged.sameElements(Array(1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+    // bypass contract, driven through the same batch entry the stream
+    // uses: a THIRD batch of all-new docs must reach the probe with zero
+    // rows (total screen bypass), while a batch of known dups routes all
+    // of them to it
+    var probed = -1L
+    def counting(inner: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      suspects => { val c = suspects.cache(); probed = c.count(); inner(c) }
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => Doc(id, ts("2024-01-01 00:00:00"), t) }
+      .toDF()
+    BloomMaintenance.ingestBatch(
+      mk(Seq((8L, "entirely fresh text with novel words"),
+             (9L, "a second unprecedented document body"))),
+      tableDir, indexDir, admittedDir, M, K, counting)
+    assert(probed === 0L, "an all-new batch must bypass the exact probe entirely")
+    BloomMaintenance.ingestBatch(
+      mk(Seq((10L, "the quick brown fox jumps over the dog"))),
+      tableDir, indexDir, admittedDir, M, K, counting)
+    assert(probed === 1L, "a known dup must route to the exact probe")
+    assert(spark.read.parquet(admittedDir).count() === 6L) // +8, +9 only
+  }
+
   test("admission screen: every ingested doc flags, fresh docs pass clean") {
     val tableDir = Files.createTempDirectory("graft-bloom-screen").toString
     runBatches(tableDir, Seq(b1, b2))
