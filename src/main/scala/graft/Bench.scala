@@ -34,6 +34,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Environment snapshot (round-11 protocol pin): BENCH_ALL_r10 was
+    // uniformly 1.71x slower than r9 on identical code+data because the
+    // machine state differed between runs and the artifact carried
+    // nothing to tell a busy box from a regression. The line now records
+    // the knobs that move medians: worker threads, physical cores, heap
+    // ceiling, pass protocol, and the 1-minute load average SAMPLED
+    // BEFORE the first warm-up — load during the run is the bench
+    // itself; load before it is the contamination signal.
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -142,7 +152,15 @@ object Bench {
     val errors = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = medians.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir"}""")
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val env = String.format(java.util.Locale.ROOT,
+      """{"threads":%s,"cores":%d,"heap_gb":%.1f,"passes":%d,"max_passes":%d,"warm":%b,"load_before":%.2f,"load_after":%.2f}""",
+      cpus, Int.box(Runtime.getRuntime.availableProcessors),
+      Double.box(Runtime.getRuntime.maxMemory / 1073741824.0),
+      Int.box(passes), Int.box(maxPasses), Boolean.box(warmup),
+      Double.box(loadBefore), Double.box(loadAfter))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

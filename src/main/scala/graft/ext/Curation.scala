@@ -286,12 +286,26 @@ object Curation {
     * test. count() scans all partitions, so unlike isEmpty it cannot leave
     * a partition unmaterialized for the next round. */
   private[ext] def dupClusterLabels(pairs: DataFrame): ClusterRun = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the pair set BEFORE symmetrizing: both union branches read
+    // the same subplan, and for the LSH composites that subplan is the
+    // whole shingle→minhash→band-join→distinct pipeline — uncached it
+    // ran twice (the single largest term in the r10 profile: ~1.3 s of
+    // x_dup_clusters' 3.5 s at idle local[32]/sf0.1). Guard on the
+    // caller's own storage level so an already-persisted frame is not
+    // double-cached (incremental composites pass cached star∪new pairs).
+    val ownsPairsCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p = if (ownsPairsCache) pairs.persist() else pairs
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     // cutLineage TRUNCATES the logical plan each round (see its doc for
     // the local-vs-reliable checkpoint switch; set
-    // spark.graft.checkpointDir for executor-loss-safe multi-hour runs)
+    // spark.graft.checkpointDir for executor-loss-safe multi-hour runs).
+    // The eager cut doubles as the edge-cache materialization, and the
+    // sizing count below doubles as the convergence-loop state size —
+    // an experiment moving the cut inside the narrowed scope (sized by a
+    // separate edges.count()) measured SLOWER: the extra action costs
+    // more than the 32→4-partition width it saves round 1.
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = true)
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store
@@ -344,6 +358,7 @@ object Curation {
     }
     }
     edges.unpersist()
+    if (ownsPairsCache) p.unpersist()
     if (sys.env.get("GRAFT_DEBUG_ROUNDS").contains("1"))
       System.err.println(s"[dupClusters] rounds=$rounds jumpRounds=$jumpRounds")
     ClusterRun(
@@ -888,8 +903,12 @@ object Curation {
   /** Power iteration over (doc_a, doc_b) undirected pairs — see
     * [[pagerankSim]]; exposed for direct graph-shape testing. */
   private[ext] def pagerankEdges(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // same pre-symmetrization cache point as dupClusterLabels: without it
+    // the LSH pair pipeline feeding the union runs once per branch
+    val ownsPairsCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p = if (ownsPairsCache) pairs.persist() else pairs
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nDf = deg.agg(count(lit(1)).as("n"))
@@ -923,6 +942,10 @@ object Curation {
       prevCut = Some(ranks)
     }
     }
+    // ranks is an eager checkpoint — the returned frame never re-reads
+    // the edge cache, so both cache points can be released here
+    edges.unpersist()
+    if (ownsPairsCache) p.unpersist()
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("doc_id").asc)
   }

@@ -261,11 +261,20 @@ object Dedup {
     * band-index maintenance ([[graft.streaming.MinhashMaintenance]]):
     * one row per (doc, band), bucket = md5 over that band's K/BANDS
     * signature slots. */
-  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
-    (0 until BANDS).map { b =>
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame = {
+    // ONE scan with a BANDS-wide explode, not a union of per-band
+    // selects: the union form scanned the (cached) signature frame once
+    // per band on EVERY consumer — the band self-join has two sides, so
+    // 2·BANDS scans per candidate pass; per-row work is identical either
+    // way (BANDS bucket hashes per doc), and the explode keeps it to one
+    // stage per side
+    val buckets = (0 until BANDS).map { b =>
       val rows = (b * K / BANDS until (b + 1) * K / BANDS).map(i => col(s"m$i"))
-      sigs.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
-    }.reduce(_ union _)
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(buckets: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** SimHash: 32-bit signature from md5-derived token hashes — 32 ±1 vote
     * sums folded to the signature (bit j set iff the vote sum is strictly
