@@ -152,7 +152,7 @@ object Curation {
   /** [[clusterSplitAssign]] without the presentation sort — the
     * composition form ([[curationPipeline]] joins it mid-plan). */
   def clusterSplits(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labels
+    val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labelsUnsorted
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("anchor", coalesce(col("cluster"), col("doc_id")))
@@ -252,8 +252,16 @@ object Curation {
 
   /** Result of the label-propagation loop: final labels plus the round
     * counts the graph-shape specs pin (`jumpRounds` = rounds that paid
-    * the extra jump join). */
-  private[ext] final case class ClusterRun(labels: DataFrame, rounds: Int, jumpRounds: Int)
+    * the extra jump join). `labelsUnsorted` is the composition form —
+    * mid-plan consumers (cluster splits, star contraction, keep-best)
+    * join it immediately, so the presentation sort `labels` adds would
+    * be a range-partitioned exchange destroyed by the very next shuffle
+    * (the same unsorted-stage-form discipline as
+    * [[graft.ext.Dedup.lshCandidates]] vs `minhashLsh`). */
+  private[ext] final case class ClusterRun(labelsUnsorted: DataFrame, rounds: Int, jumpRounds: Int) {
+    /** Query-output form: totally ordered by doc_id. */
+    def labels: DataFrame = labelsUnsorted.orderBy("doc_id")
+  }
 
   /** Core loop over (doc_a, doc_b) pairs — exposed for direct graph-shape
     * testing of the round complexity.
@@ -362,7 +370,7 @@ object Curation {
     if (sys.env.get("GRAFT_DEBUG_ROUNDS").contains("1"))
       System.err.println(s"[dupClusters] rounds=$rounds jumpRounds=$jumpRounds")
     ClusterRun(
-      labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id"),
+      labels.select(col("doc_id"), col("label").as("cluster")),
       rounds, jumpRounds)
   }
 
@@ -413,7 +421,8 @@ object Curation {
     val old   = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val newer = docs.where(pmod(col("doc_id"), lit(2)) === 1)
     // stored state as of the previous ingest: labels over the old shard
-    val labels0 = dupClusterLabels(Dedup.lshCandidatesOf(old)).labels
+    // (unsorted — star contraction joins it straight away)
+    val labels0 = dupClusterLabels(Dedup.lshCandidatesOf(old)).labelsUnsorted
     val star = labels0.where(col("doc_id") =!= col("cluster"))
       .select(col("cluster").as("doc_a"), col("doc_id").as("doc_b"))
     // the shard's probe against the post-merge band index: every pair
@@ -565,6 +574,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Span widths for [[spanDecontaminate]] — geometric so each tier
+    * catches quotes the tier below under-weights (a 32-word verbatim
+    * quote yields 25 hits at width 8 but is unmistakable as ONE hit at
+    * width 32). Sized to this corpus's 10-99-word documents; a
+    * web-corpus deployment would use the literature's 50/200/1000-token
+    * tiers — the plan shape is width-count-independent. */
+  private val SpanWidths = Seq(8, 16, 32)
+
+  /** Multi-width rolling-span contamination — closes the long-verbatim
+    * gap [[decontaminate]]'s fixed 4-grams leave: shared 4-grams measure
+    * OVERLAP, but a long quotation is better characterized by the widest
+    * window it matches verbatim, which is what the decontamination
+    * literature's substring-level checks target. Every width-W window
+    * (stride 1 — ROLLING, unlike [[spanDedup]]'s non-overlapping
+    * chunks, so a quote is caught at every alignment) hashes with the
+    * same md5-prefix discipline as [[graft.ext.BloomPrune]]'s grams;
+    * corpus windows that appear anywhere in the benchmark slice count as
+    * hits per (doc, width).
+    *
+    * Scale shape: one scan with a two-level explode (widths ×
+    * positions, |widths|·n_words rows per doc, all inside whole-stage
+    * codegen — no HOF fallback, nothing doc-sized materializes), then
+    * the same broadcast-hits + tiny-distinct aggregation as
+    * [[decontaminate]]: the benchmark gram table is |benchmarks|-sized
+    * and broadcasts; nothing corpus-sized shuffles. At 100 TB the
+    * Bloom-pruned variant ([[graft.ext.BloomPrune.decontaminateBloom]])
+    * composes in front unchanged — the hash domain is identical. */
+  def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def spans(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(lit(SpanWidths.toArray)).as("width"))
+      .where(size(col("w")) >= col("width"))
+      .select(col("doc_id"), col("width"), col("w"),
+        explode(expr("sequence(1, size(w) - width + 1)")).as("i"))
+      .select(col("doc_id"), col("width"),
+        expr("cast(conv(substring(md5(concat_ws(' ', slice(w, i, width))), 1, 15), 16, 10) as bigint)")
+          .as("g"))
+    val docs = Tables.documents(spark, dir)
+    val benchSpans = spans(docs.where(col("doc_id") % 50 === 0))
+      .select(col("width"), col("g")).distinct()
+    spans(docs.where(col("doc_id") % 50 =!= 0))
+      .join(broadcast(benchSpans), Seq("width", "g"))
+      .groupBy(col("doc_id"), col("width"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy("doc_id", "width")
+  }
+
   /** End-to-end near-dup resolution: for every LSH cluster, KEEP the
     * highest-quality member (quality tie → lowest doc_id) and list the
     * dropped ones — [[dupClusters]] composed with
@@ -575,7 +632,7 @@ object Curation {
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-    dupClusters(spark, dir)
+    dupClusterLabels(Dedup.lshCandidates(spark, dir)).labelsUnsorted
       .join(TextAnalysis.qualityScore(spark, dir).select(col("doc_id"), col("quality_score")),
         "doc_id")
       .withColumn("rn", row_number().over(w))
@@ -1166,6 +1223,7 @@ object Curation {
     "x_winsorize"         -> (winsorize _),
     "x_dedup_keep_best"   -> (keepBest _),
     "x_decontaminate"     -> (decontaminate _),
+    "x_decontaminate_spans" -> (spanDecontaminate _),
     "x_decontaminate_sem" -> (semDecontaminate _),
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
@@ -1491,6 +1549,22 @@ object Curation {
         |FROM grams JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_decontaminate_spans" ->
+      s"""WITH widths AS (SELECT unnest([${SpanWidths.mkString(", ")}]) AS width),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (
+        |  SELECT doc_id, width, w,
+        |    unnest(generate_series(1, len(w) - width + 1)) AS i
+        |  FROM docs CROSS JOIN widths WHERE len(w) >= width),
+        |spans AS (
+        |  SELECT doc_id, width,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+width-1], ' ')), 1, 15))::BIGINT AS g
+        |  FROM pos),
+        |bench AS (SELECT DISTINCT width, g FROM spans WHERE doc_id % 50 = 0)
+        |SELECT doc_id, width, count(DISTINCT g) AS n_hits
+        |FROM spans JOIN bench USING (width, g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id, width ORDER BY doc_id, width""".stripMargin,
     "x_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

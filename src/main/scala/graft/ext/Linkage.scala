@@ -86,7 +86,7 @@ object Linkage {
     val nm = names(spark, dir).persist()
     val links = linkPairs(nm, maxDist, maxBlock)
     val cc = Curation.dupClusterLabels(
-      links.select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))).labels
+      links.select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))).labelsUnsorted
     val labeled = nm.join(cc, nm("name") === cc("doc_id"), "left")
       .select(col("name"), col("n"), coalesce(col("cluster"), col("name")).as("cluster"))
     val byCluster = Window.partitionBy(col("cluster"))

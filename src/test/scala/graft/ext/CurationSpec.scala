@@ -281,4 +281,32 @@ class CurationSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("n_removed") + r.getAs[Long]("n_changed") +
       r.getAs[Long]("n_unchanged")).sum === total)
   }
+
+  test("span decontamination: a 32-word verbatim quote hits every width tier exactly") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-spandecon").toString
+    // benchmark doc (doc_id 0 ≡ 0 mod 50): 40 unique words w00..w39
+    val benchWords = (0 until 40).map(i => f"w$i%02d")
+    // contaminated doc: words 5..36 of the benchmark (a 32-word verbatim
+    // quote) followed by unrelated padding — windows fully inside the
+    // quote match at every alignment, boundary-straddling ones must not
+    val quote = benchWords.slice(4, 36) // 32 words
+    val contaminated = quote ++ Seq("pad1", "pad2", "pad3", "pad4", "pad5",
+      "pad6", "pad7", "pad8")
+    // clean doc: enough words for all widths, zero overlap
+    val clean = (0 until 40).map(i => s"c$i")
+    Seq(
+      (0L, benchWords.mkString(" "), "en", "bench", 100L),
+      (1L, contaminated.mkString(" "), "en", "web", 100L),
+      (2L, clean.mkString(" "), "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val got = Curation.spanDecontaminate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a quote of Q=32 words inside a larger doc yields Q-W+1 matching
+    // windows at width W: 25 @ 8, 17 @ 16, 1 @ 32
+    assert(got === Map((1L, 8) -> 25L, (1L, 16) -> 17L, (1L, 32) -> 1L),
+      s"got $got")
+  }
 }

@@ -56,6 +56,82 @@ class ZOrderSpec extends SparkSpec {
     info(s"box query reads $zNeed/$zTotal z-ordered files vs $natNeed/$natTotal natural")
   }
 
+  /** Files a stats-pruning reader must open, decided from the REAL
+    * parquet footers (row-group column min/max) — the exact metadata
+    * Spark's parquet filter pushdown and any lakehouse file-pruning
+    * layer consult, with zero data pages read. A file is needed iff ANY
+    * of its row groups' [min,max] boxes intersects the query box;
+    * missing/empty stats count as needed (the conservative reader
+    * behavior). */
+  private def filesNeededByFooter(path: String,
+      u: (Long, Long), v: (Double, Double)): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isDirectory).flatMap(parquetFiles) ++
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val files = parquetFiles(new java.io.File(path))
+    val needed = files.count { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.exists { block =>
+        def colStats(name: String) = block.getColumns.asScala
+          .find(_.getPath.toDotString == name).map(_.getStatistics)
+        (colStats("user_id"), colStats("value")) match {
+          case (Some(su), Some(sv))
+              if !su.isEmpty && !sv.isEmpty && su.hasNonNullValue && sv.hasNonNullValue =>
+            val (uMin, uMax) = (su.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              su.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            val (vMin, vMax) = (sv.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+              sv.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+            uMin <= u._2 && uMax >= u._1 && vMin <= v._2 && vMax >= v._1
+          case _ => true // no usable stats: a pruning reader must open it
+        }
+      } finally reader.close()
+    }
+    (needed, files.size)
+  }
+
+  test("sf0.1 footer-stats skipping: z-clustered reads ≤ half the files of day-partitioned") {
+    // The write↔plan closed loop, measured on what readers actually use:
+    // the lake's default DAY layout co-locates by time, so a 2-D
+    // (user_id, value) box — the x_zorder_prune standard predicate shape
+    // — intersects every day file's stats box and prunes NOTHING; the
+    // z-clustered rewrite of the SAME rows at the SAME file count keeps
+    // the box local to a few morton ranges. Decided purely from row-group
+    // min/max in the real footers.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .withColumn("day", to_date(col("ts")))
+    val dayDir = s"$tmp/bydays"
+    val zorDir = s"$tmp/zboth"
+    ev.write.mode("overwrite").partitionBy("day").parquet(dayDir)
+    val nDayFiles = {
+      def cnt(d: java.io.File): Int = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .map(f => if (f.isDirectory) cnt(f) else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      cnt(new java.io.File(dayDir))
+    }
+    PartitionedSink.writeZOrdered(ev.drop("day"), zorDir,
+      Seq("user_id", "value"), files = nDayFiles)
+
+    val b = ev.agg(min("user_id"), max("user_id"), min("value"), max("value")).head()
+    val (uLo, uHi) = (b.getLong(0), b.getLong(1))
+    val (vLo, vHi) = (b.getDouble(2), b.getDouble(3))
+    val uBox = (uLo + (uHi - uLo) * 45 / 100, uLo + (uHi - uLo) * 55 / 100)
+    val vBox = (vLo + (vHi - vLo) * 0.45, vLo + (vHi - vLo) * 0.55)
+
+    val (dayNeed, dayTotal) = filesNeededByFooter(dayDir, uBox, vBox)
+    val (zNeed, zTotal) = filesNeededByFooter(zorDir, uBox, vBox)
+    assert(zTotal === dayTotal, "equal-file-count comparison")
+    assert(dayNeed === dayTotal,
+      s"day files all span the full (user, value) range ($dayNeed/$dayTotal)")
+    assert(zNeed * 2 <= dayNeed,
+      s"z-clustered must read at most half the files: z $zNeed/$zTotal vs day $dayNeed/$dayTotal")
+    info(s"2-D box reads $zNeed/$zTotal z-clustered files vs $dayNeed/$dayTotal day-partitioned")
+  }
+
   test("null z-column rows survive (quantized to bucket 0)") {
     import spark.implicits._
     val d = s"$tmp/nulls"
