@@ -1035,9 +1035,14 @@ object Curation {
       .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // persist: the wedge self-join references the oriented edge list on
+    // BOTH sides — uncached, its two-join degree-annotation subplan runs
+    // twice (same discipline as the symmetrization cache in
+    // dupClusterLabels/pagerankEdges)
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist()
     val wedges = oriented
       .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
         col("src") === col("src2") && col("dst") < col("dst2"))

@@ -49,8 +49,19 @@ def build(k: int) -> None:
         "event_type, value, props "
         f"FROM '{SRC}/events.parquet'" for i in range(k))
     c.execute(f"COPY ({e}) TO '{out}/events.parquet' (FORMAT PARQUET)")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "embeddings"):
+    # embeddings replicate with shifted vec_ids and deterministic
+    # per-component jitter (hash-derived, ±5e-3) — copies are near-dup
+    # vectors, not bit-identical ones, so sign-LSH buckets stay realistic
+    # for the alignment/ANN scale-up instead of collapsing to exact
+    # duplicates
+    emb = " UNION ALL ".join(
+        f"SELECT vec_id + CAST({i} AS BIGINT)*100000 AS vec_id, "
+        f"list_transform(embedding, (x, j) -> CAST(x + "
+        f"(CAST(hash(vec_id * 100 + j + {i}) % 100 AS BIGINT) - 50) * 1e-4 AS FLOAT)) AS embedding, "
+        "label "
+        f"FROM '{SRC}/embeddings.parquet'" for i in range(k))
+    c.execute(f"COPY ({emb}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{t}.parquet", dst)
