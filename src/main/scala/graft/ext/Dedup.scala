@@ -559,7 +559,10 @@ object Dedup {
     * trick as [[ngramJaccard]]). */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
-    val pairs = lshCandidates(spark, dir)
+    // persist: the pair frame anchors BOTH the intersection count and the
+    // final report join — uncached, the whole LSH band-join pipeline runs
+    // once per reference (the round-11 symmetrization-cache discipline)
+    val pairs = lshCandidates(spark, dir).persist()
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
@@ -605,7 +608,8 @@ object Dedup {
     import graft.ops.StableStats
     val docs = Tables.documents(spark, dir)
     val sigs = minhashSignaturesOf(docs).persist()
-    val pairs = lshCandidatesOfSigs(sigs)
+    // persist: referenced by the intersection subplan AND the report join
+    val pairs = lshCandidatesOfSigs(sigs).persist()
     val a = sigs.select(col("doc_id").as("doc_a") +:
       (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = sigs.select(col("doc_id").as("doc_b") +:
@@ -719,7 +723,9 @@ object Dedup {
     import graft.ops.StableStats.ratio
     val truth = jaccardPrefixJoinOf(Tables.documents(spark, dir))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val cands = lshCandidates(spark, dir).withColumn("hit", lit(1L))
+    // persist: the candidate set feeds the cost-side count AND the truth
+    // join — uncached, the LSH pipeline would run twice
+    val cands = lshCandidates(spark, dir).withColumn("hit", lit(1L)).persist()
     val nCands = cands.agg(count(lit(1)).as("n_cands"))
     truth.join(cands, Seq("doc_a", "doc_b"), "left")
       .withColumn("decile", least(floor(col("jaccard") * 10), lit(9)).cast("long"))
