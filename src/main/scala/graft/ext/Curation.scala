@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,13 +125,19 @@ object Curation {
     }
   }
 
+  /** The split-hash policy shared by [[splitAssign]], [[clusterSplits]],
+    * and [[splitLeakage]]: md5 of the anchor id → bucket 0..99. */
+  private def splitBucket(anchor: Column): Column =
+    conv(substring(md5(anchor.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  private def splitName(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** 80/10/10 train/val/test assignment by content-stable hash bucket. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitName(col("bucket")))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
@@ -156,11 +162,41 @@ object Curation {
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("anchor", coalesce(col("cluster"), col("doc_id")))
-      .withColumn("bucket",
-        expr("cast(conv(substring(md5(cast(anchor as string)), 1, 8), 16, 10) as bigint) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("bucket", splitBucket(col("anchor")))
+      .withColumn("split", splitName(col("bucket")))
       .select("doc_id", "anchor", "bucket", "split")
+  }
+
+  /** Split-leakage audit: for each split policy, the census of near-dup
+    * pairs by the (ordered) splits their endpoints landed in — the
+    * number a training pipeline checks BEFORE trusting its eval: every
+    * off-diagonal pair under a policy is a paraphrase straddling
+    * train/val/test, i.e. silent eval contamination. Two policies are
+    * audited side by side: `doc_hash` ([[splitAssign]]'s per-document
+    * bucket — the naive baseline, which leaks in expectation 1−Σpᵢ² ≈
+    * 34% of pairs) and `cluster_hash` ([[clusterSplits]] — which CANNOT
+    * leak by construction, every component hashing one anchor; its
+    * off-diagonal absence in this report is the checkable invariant,
+    * spec-pinned). Pure composition: the LSH pair frame joins each
+    * policy's assignment twice and collapses to a ≤ 2·3² census. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshCandidates(spark, dir).persist()
+    // unsorted forms: both assignments join the pair frame immediately
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitName(splitBucket(col("doc_id"))).as("split"))
+    val clustered = clusterSplits(spark, dir).select(col("doc_id"), col("split"))
+    def census(sp: DataFrame, policy: String): DataFrame =
+      pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_x"),
+          greatest(col("sa"), col("sb")).as("split_y"))
+        .groupBy(col("split_x"), col("split_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("policy", lit(policy))
+    census(naive, "doc_hash").unionByName(census(clustered, "cluster_hash"))
+      .select(col("policy"), col("split_x"), col("split_y"), col("n_pairs"))
+      .orderBy("policy", "split_x", "split_y")
   }
 
   /** End-to-end curation flagship: quality gate → canonical-copy exact
@@ -1233,6 +1269,7 @@ object Curation {
     "x_pack_shards"       -> ((s: SparkSession, d: String) => packShards(s, d)),
     "x_split_assign"      -> (splitAssign _),
     "x_cluster_split"     -> (clusterSplitAssign _),
+    "x_split_leakage"     -> (splitLeakage _),
     "x_curation_e2e"      -> (curationPipeline _),
     "x_stratified_sample" -> (stratifiedSample _),
     "x_dup_clusters"      -> (dupClusters _),
@@ -1680,7 +1717,38 @@ object Curation {
          |    ORDER BY quality_score DESC, doc_id ASC) = 1 AS INTEGER) AS keep
          |FROM clusters JOIN q USING (doc_id)
          |ORDER BY cluster, doc_id""".stripMargin
-  )
+  ) ++ Map("x_split_leakage" -> splitLeakageSql)
+
+  /** [[splitLeakage]]'s DuckDB twin — pairs and the cluster closure both
+    * reuse the shared oracle blocks; appended to the map below. */
+  private lazy val splitLeakageSql: String = {
+    val pairsSql = Dedup.oracles("x_dedup_minhash_lsh")
+      .replaceAll("ORDER BY doc_a, doc_b$", "")
+    s"""WITH cl AS ($clustersSql),
+       |p AS ($pairsSql),
+       |nsp AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+       |    FROM documents)),
+       |csp AS (SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT d.doc_id,
+       |      ('0x' || substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+       |    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)),
+       |nc AS (SELECT least(a.split, b.split) AS split_x,
+       |    greatest(a.split, b.split) AS split_y, count(*) AS n_pairs
+       |  FROM p JOIN nsp a ON p.doc_a = a.doc_id JOIN nsp b ON p.doc_b = b.doc_id
+       |  GROUP BY 1, 2),
+       |cc AS (SELECT least(a.split, b.split) AS split_x,
+       |    greatest(a.split, b.split) AS split_y, count(*) AS n_pairs
+       |  FROM p JOIN csp a ON p.doc_a = a.doc_id JOIN csp b ON p.doc_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT 'doc_hash' AS policy, split_x, split_y, n_pairs FROM nc
+       |UNION ALL
+       |SELECT 'cluster_hash' AS policy, split_x, split_y, n_pairs FROM cc
+       |ORDER BY policy, split_x, split_y""".stripMargin
+  }
 
   /** Transitive closure over the LSH pairs, min reachable = cluster —
     * shared by the cluster and keep-best oracles. */

@@ -472,6 +472,8 @@ object Dedup {
     val ex = docSh.select(col("doc_id"), size(col("ss")).cast("long").as("n"),
       explode(col("ss")).as("s"))
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // persist: the prefix frame feeds BOTH sides of the candidate
+    // self-join — uncached, its df-join + ranking window ran twice
     val prefixes = ex.join(df, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
@@ -479,6 +481,7 @@ object Dedup {
       .where(col("rk") <=
         col("n") - expr(s"(n * $TauNum + ${TauDen - 1}) div $TauDen") + 1)
       .select(col("doc_id"), col("n"), col("s"))
+      .persist()
     val cands = prefixes.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("s"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b") &&

@@ -282,6 +282,21 @@ class CurationSpec extends SparkSpec {
       r.getAs[Long]("n_unchanged")).sum === total)
   }
 
+  test("split leakage: cluster-hash policy is provably diagonal, censuses conserve pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.splitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val nPairs = graft.ext.Dedup.lshCandidates(spark, dir).count()
+    // each policy's census partitions the SAME pair set
+    Seq("doc_hash", "cluster_hash").foreach { p =>
+      assert(rows.filter(_._1 == p).map(_._4).sum === nPairs, s"$p census must conserve pairs")
+    }
+    // the invariant the operator exists to check: cluster-granular
+    // hashing CANNOT place a near-dup pair across splits
+    val offDiag = rows.filter(r => r._1 == "cluster_hash" && r._2 != r._3)
+    assert(offDiag.isEmpty, s"cluster_hash leaked: ${offDiag.mkString(", ")}")
+  }
+
   test("span decontamination: a 32-word verbatim quote hits every width tier exactly") {
     import org.apache.spark.sql.SaveMode
     import spark.implicits._
