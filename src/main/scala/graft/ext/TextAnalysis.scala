@@ -425,7 +425,30 @@ object TextAnalysis {
       .orderBy("bucket", "lang")
   }
 
+  /** Unicode-normalization census: per-document NFC form vs raw —
+    * character counts both ways, a changed flag, and the md5 of the
+    * normalized text (the content key exact dedup SHOULD group by: raw
+    * md5 treats `é` and `e`+combining-acute as different documents and
+    * double-counts the content). Runs on the native codegen
+    * [[graft.functions.UnicodeNormalize]] expression — Spark has no
+    * normalization builtin and a UDF would break whole-stage codegen;
+    * DuckDB's `nfc_normalize` makes the whole census differentially
+    * checkable. Map-side only: one scan, no shuffle but the output
+    * sort. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNormalize.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("norm", expr("unicode_normalize(text, 'NFC')"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_nfc"),
+        (col("text") =!= col("norm")).cast("int").as("changed"),
+        md5(col("norm")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_normalize"   -> (textNormalize _),
     "x_ppl_buckets"      -> (pplBuckets _),
     "x_text_entropy"     -> (charEntropy _),
     "x_bm25_topk"        -> (bm25TopK _),
@@ -484,6 +507,13 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "x_text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  CAST(text <> nfc_normalize(text) AS INT) AS changed,
+        |  md5(nfc_normalize(text)) AS nfc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_ppl_buckets" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),

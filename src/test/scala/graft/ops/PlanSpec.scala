@@ -213,6 +213,7 @@ class PlanSpec extends SparkSpec {
     val ceilings = Map(
       "x_semdedup"        -> ((1, 1)), // k centroids
       "x_decontaminate"   -> ((1, 0)), // benchmark grams
+      "x_decontaminate_spans" -> ((1, 0)), // benchmark (width, gram) set
       "x_decontaminate_sem" -> ((1, 1)), // eval vectors (BNLJ IS the scored scan)
       "x_sim_topk_brute"  -> ((1, 1)), // query set (BNLJ IS the brute force)
       "x_rrf_hybrid"      -> ((3, 1)), // query tokens + sizes + embeddings
