@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming NEAR-dup detection — the streaming twin of
   * [[graft.ext.Dedup.simhashPairs]], for the ingest-time curation a
@@ -126,50 +126,133 @@ object NearDupStream {
             if (kept.isEmpty) state.remove() else state.update(kept)
             Iterator.empty
           } else {
-            // deterministic intra-batch order: a batch's own near-dups are
-            // emitted exactly once, attributed to the later (ts, doc_id)
-            val arrived = rows.toSeq.sortBy(bd => (bd.ts.getTime, bd.doc_id))
-            var cohort = kept
-            val out = Seq.newBuilder[NearDup]
-            arrived.foreach { bd =>
-              // Re-ingest semantics (batch `distinct` parity): a doc_id
-              // already in this cohort is removed before comparing, so the
-              // bucket holds at most one entry per document and a pair can
-              // be emitted at most once per bucket. An unchanged signature
-              // is a pure re-ingest — no comparison at all; its pairs were
-              // emitted on first arrival. A CHANGED signature is new
-              // content and compares like a fresh arrival (entries the old
-              // signature left in other-chunk buckets age out with the
-              // watermark; until then the old content remains pairable,
-              // the honest reading of "a version was in the corpus").
-              val (prior, rest) = cohort.partition(_.doc_id == bd.doc_id)
-              val reingest = prior.exists(_.simhash == bd.simhash)
-              cohort = rest
-              if (!reingest) {
-                cohort.foreach { s =>
-                  val ham = java.lang.Long.bitCount(s.simhash ^ bd.simhash)
-                  // emit only from the lowest band the pair collides in —
-                  // the same pair in this bucket's higher band stays silent
-                  if (ham <= maxHamming
-                      && firstSharedBand(s.simhash, bd.simhash, bands) == key._1)
-                    out += NearDup(math.min(s.doc_id, bd.doc_id),
-                      math.max(s.doc_id, bd.doc_id), ham, bd.ts)
-                }
-              }
-              // keep the NEWEST event time across arrivals (out-of-order
-              // re-ingest must not shrink the entry's horizon lifetime)
-              cohort ::= Seen(bd.doc_id, bd.simhash,
-                (bd.ts.getTime +: prior.map(_.tsMs)).max)
-            }
-            // newest-first list: the cap drops the OLDEST entries
-            val bounded = if (cohort.lengthCompare(maxCohort) > 0)
-              cohort.take(maxCohort) else cohort
+            val (bounded, out) =
+              processArrivals(key._1, kept, rows.toSeq, maxHamming, maxCohort, bands)
             state.update(bounded)
             // let the timeout fire once the watermark passes the newest
             // entry — by then every entry is evictable
             state.setTimeoutTimestamp(bounded.map(_.tsMs).max + 1)
-            out.result().iterator
+            out.iterator
           }
       }
+  }
+
+  /** The bucket-visit core shared VERBATIM by both stateful APIs
+    * ([[nearDupSimhash]] on flatMapGroupsWithState, [[nearDupSimhashTws]]
+    * on transformWithState) — parity between the two operators holds by
+    * construction, and the parity spec then only has to witness it.
+    *
+    * Semantics (see [[nearDupSimhash]]'s doc for the full rationale):
+    * arrivals process in deterministic (ts, doc_id) order; a re-ingested
+    * unchanged signature is a no-op; a changed signature compares like a
+    * fresh arrival; pairs emit only from the lowest shared band; entries
+    * keep their NEWEST event time; the cohort cap drops oldest first. */
+  private def processArrivals(band: Int, kept: List[Seen], rows: Seq[BandDoc],
+      maxHamming: Int, maxCohort: Int, bands: Int): (List[Seen], Seq[NearDup]) = {
+    // deterministic intra-batch order: a batch's own near-dups are
+    // emitted exactly once, attributed to the later (ts, doc_id)
+    val arrived = rows.sortBy(bd => (bd.ts.getTime, bd.doc_id))
+    var cohort = kept
+    val out = Seq.newBuilder[NearDup]
+    arrived.foreach { bd =>
+      // Re-ingest semantics (batch `distinct` parity): a doc_id
+      // already in this cohort is removed before comparing, so the
+      // bucket holds at most one entry per document and a pair can
+      // be emitted at most once per bucket. An unchanged signature
+      // is a pure re-ingest — no comparison at all; its pairs were
+      // emitted on first arrival. A CHANGED signature is new
+      // content and compares like a fresh arrival (entries the old
+      // signature left in other-chunk buckets age out with the
+      // watermark; until then the old content remains pairable,
+      // the honest reading of "a version was in the corpus").
+      val (prior, rest) = cohort.partition(_.doc_id == bd.doc_id)
+      val reingest = prior.exists(_.simhash == bd.simhash)
+      cohort = rest
+      if (!reingest) {
+        cohort.foreach { s =>
+          val ham = java.lang.Long.bitCount(s.simhash ^ bd.simhash)
+          // emit only from the lowest band the pair collides in —
+          // the same pair in this bucket's higher band stays silent
+          if (ham <= maxHamming
+              && firstSharedBand(s.simhash, bd.simhash, bands) == band)
+            out += NearDup(math.min(s.doc_id, bd.doc_id),
+              math.max(s.doc_id, bd.doc_id), ham, bd.ts)
+        }
+      }
+      // keep the NEWEST event time across arrivals (out-of-order
+      // re-ingest must not shrink the entry's horizon lifetime)
+      cohort ::= Seen(bd.doc_id, bd.simhash,
+        (bd.ts.getTime +: prior.map(_.tsMs)).max)
+    }
+    // newest-first list: the cap drops the OLDEST entries
+    val bounded = if (cohort.lengthCompare(maxCohort) > 0)
+      cohort.take(maxCohort) else cohort
+    (bounded, out.result())
+  }
+
+  /** Cohort state wrapper — transformWithState value states need a
+    * product encoder. */
+  case class Cohort(entries: Seq[Seen])
+
+  /** [[nearDupSimhash]]'s bucket logic on the `transformWithState` API —
+    * the production-deployment form (named RocksDB-backed state, typed
+    * encoders, event-time timers, state-schema evolution), same pattern
+    * as [[QuotaAdmission.admitTws]]. Watermark eviction happens on every
+    * bucket visit AND on event-time timers registered past the newest
+    * entry; stale timers from earlier batches re-fire harmlessly (the
+    * eviction is idempotent). The comparison core is [[processArrivals]],
+    * shared verbatim with the fMGWS form — the parity spec pins equal
+    * output batch-for-batch. */
+  class NearDupProcessor(maxHamming: Int, maxCohort: Int, bands: Int)
+      extends StatefulProcessor[(Int, Long), BandDoc, NearDup] {
+    @transient private var cohort: ValueState[Cohort] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cohort = getHandle.getValueState[Cohort]("cohort",
+        Encoders.product[Cohort], TTLConfig.NONE)
+
+    private def keptAsOf(horizonMs: Long): List[Seen] =
+      (if (cohort.exists()) cohort.get().entries.toList else Nil)
+        .filter(_.tsMs >= horizonMs)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+        timerValues: TimerValues): Iterator[NearDup] = {
+      val kept = keptAsOf(timerValues.getCurrentWatermarkInMs())
+      val (bounded, out) =
+        processArrivals(key._1, kept, rows.toSeq, maxHamming, maxCohort, bands)
+      cohort.update(Cohort(bounded))
+      getHandle.registerTimer(bounded.map(_.tsMs).max + 1)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[NearDup] = {
+      val kept = keptAsOf(timerValues.getCurrentWatermarkInMs())
+      if (kept.isEmpty) cohort.clear() else cohort.update(Cohort(kept))
+      Iterator.empty
+    }
+  }
+
+  /** [[nearDupSimhash]] on the transformWithState API — see
+    * [[NearDupProcessor]]. Requires the RocksDB state-store provider. */
+  def nearDupSimhashTws(docs: Dataset[Doc], watermark: String = "30 minutes",
+      maxHamming: Int = 8, maxCohort: Int = 10000): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val bands = graft.ext.Dedup.HAMMING_BANDS
+    require(maxHamming <= bands - 1,
+      s"pigeonhole banding is only lossless for Hamming <= ${bands - 1}")
+    docs
+      .flatMap { d =>
+        val sig = simhash32(d.text)
+        (0 until bands).map { b =>
+          val lo = 32 * b / bands
+          val hi = 32 * (b + 1) / bands
+          BandDoc(b, (sig >> lo) & ((1L << (hi - lo)) - 1), d.doc_id, sig, d.ts)
+        }
+      }
+      .withWatermark("ts", watermark)
+      .groupByKey(bd => (bd.band, bd.chunk))
+      .transformWithState(new NearDupProcessor(maxHamming, maxCohort, bands),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

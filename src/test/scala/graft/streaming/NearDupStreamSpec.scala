@@ -36,6 +36,46 @@ class NearDupStreamSpec extends SparkSpec {
     assert(local === batch, "streaming signature must match the batch aggregate bit-for-bit")
   }
 
+  test("transformWithState twin emits the identical pair set batch-for-batch") {
+    // both APIs over the SAME batch sequence (cross-batch pairs,
+    // re-ingest no-op, intra-batch pair, far doc silent) — outputs after
+    // every batch must agree exactly. The comparison core is shared, so
+    // this witnesses the state/timer plumbing, not the pair logic.
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(Doc(1L, ts("2024-01-01 00:00:00"), textA)),
+        Seq(Doc(2L, ts("2024-01-01 00:01:00"), textB),
+          Doc(3L, ts("2024-01-01 00:02:00"), textC)),
+        Seq(Doc(1L, ts("2024-01-01 00:03:00"), textA), // re-ingest: no-op
+          Doc(4L, ts("2024-01-01 00:03:30"), textB.replace("quick", "swift"))))
+      def run(name: String,
+          op: org.apache.spark.sql.Dataset[Doc] => org.apache.spark.sql.Dataset[NearDup])
+          : Seq[Set[(Long, Long, Int)]] = {
+        val stream = MemoryStream[Doc]
+        val q = op(stream.toDS()).toDF().writeStream.format("memory")
+          .queryName(name).outputMode(OutputMode.Append()).start()
+        try batches.map { b =>
+          stream.addData(b: _*)
+          q.processAllAvailable()
+          spark.table(name).as[NearDup].collect()
+            .map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+        } finally q.stop()
+      }
+      val fmgws = run("ndp_fmgws", NearDupStream.nearDupSimhash(_, "10 minutes"))
+      val tws = run("ndp_tws", NearDupStream.nearDupSimhashTws(_, "10 minutes"))
+      assert(tws === fmgws, s"APIs diverged: tws=$tws fmgws=$fmgws")
+      // and the final set is the expected near-dup family (A~B, A~4, B~4)
+      assert(fmgws.last.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dups: close pair found across batches, far doc silent") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Doc]
