@@ -350,8 +350,12 @@ object Curation {
     // an experiment moving the cut inside the narrowed scope (sized by a
     // separate edges.count()) measured SLOWER: the extra action costs
     // more than the 32→4-partition width it saves round 1.
+    // lazy cut: the sizing count below materializes every partition of
+    // the checkpoint — one fused job, the same discipline as the
+    // per-round step cuts (an eager cut here ran a separate
+    // materialization job before the count)
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")), eager = true)
+      .withColumn("label", col("doc_id")), eager = false)
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store
     // once the next round's cut has materialized (reliable mode only)
     var prevCut = labels
