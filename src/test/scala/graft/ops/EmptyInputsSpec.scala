@@ -141,4 +141,22 @@ class EmptyInputsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_rows") === 0L && r.getAs[Long]("n_distinct") === 0L)
     }
   }
+
+  test("round-11 additions on empty inputs") {
+    // empty corpus → no spans on either side, no pairs, no census rows,
+    // and the adaptive alignment sizes its plane table from n=0 without
+    // throwing (floor at 4 planes, empty bucket join)
+    assert(graft.ext.Curation.spanDecontaminate(spark, dir).count() === 0)
+    assert(graft.ext.Curation.splitLeakage(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.textNormalize(spark, dir).count() === 0)
+    assert(graft.ext.Similarity.alignMutualNn(spark, dir).count() === 0)
+    // footer manifest: an empty-but-schema-correct parquet table yields
+    // NULL ranges (row groups exist with 0 rows or stats) or empty —
+    // either way filesToRead keeps no zero-row file
+    val m = graft.sources.FooterManifest.build(spark, s"$dir/events.parquet",
+      Seq("user_id", "value"))
+    val kept = graft.sources.FooterManifest.filesToRead(m,
+      Map("user_id" -> ((0.0, 1e18))))
+    assert(kept.count() === 0, "zero-row files must never be selected for reading")
+  }
 }
