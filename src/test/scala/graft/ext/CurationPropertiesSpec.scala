@@ -71,6 +71,39 @@ class CurationPropertiesSpec extends SparkSpec {
     } yield (t, v))
   } yield rows
 
+  test("span decontamination == sequential reference model with engineered quotes") {
+    // doc 0 is the benchmark slice (doc_id % 50 == 0); every third other
+    // doc embeds a random slice of it, the rest are random — the model
+    // recomputes every (doc, width) hit count from plain string sets
+    val rnd = new scala.util.Random(42)
+    def windows(ws: Vector[String], w: Int): Seq[String] =
+      (0 to ws.size - w).map(i => ws.slice(i, i + w).mkString(" "))
+    for (_ <- 1 to 3) {
+      val baseW = Vector.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val docs = baseW.mkString(" ") +: (1 to 12).map { i =>
+        val own = Vector.fill(rnd.nextInt(20) + 8)(vocab(rnd.nextInt(vocab.size)))
+        if (i % 3 == 0) {
+          val start = rnd.nextInt(20)
+          val len = rnd.nextInt(24) + 8
+          (own.take(4) ++ baseW.slice(start, math.min(40, start + len)) ++ own.drop(4))
+            .mkString(" ")
+        } else own.mkString(" ")
+      }.toList
+      val dir = writeDocs(docs)
+      val expected = (for {
+        (t, id) <- docs.zipWithIndex if id != 0
+        wd <- Seq(8, 16, 32)
+        bset = windows(baseW, wd).toSet
+        hits = windows(t.split(" ").toVector, wd).distinct.count(bset)
+        if hits > 0
+      } yield (id.toLong, wd, hits.toLong)).toSet
+      assert(expected.nonEmpty, "engineered quotes must produce hits")
+      val got = Curation.spanDecontaminate(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === expected)
+    }
+  }
+
   test("winsorize == sequential reference model on any events") {
     def stableRound(x: Double, n: Int): Double = {
       val p = math.pow(10, n); math.floor(x * p + 0.5) / p
