@@ -219,7 +219,15 @@ object BloomMaintenance {
     * unavoidable floor), admitted corpus = the answer. Replay of an
     * uncommitted batch re-admits its docs (at-least-once appends, the
     * standard foreachBatch contract — downstream readers key on content
-    * hash, under which the re-append is a no-op). */
+    * hash, under which the re-append is a no-op).
+    *
+    * Operational note: the index appends one small parquet file per
+    * batch, so a long-running ingest schedules periodic compaction
+    * (the [[graft.sources.PartitionedSink]] `compactDays` idiom — safe
+    * here because the index is a SET of longs: compaction is
+    * union+distinct, and the probe only ever asks membership). The Bloom
+    * tier keeps the probe volume tiny regardless, so compaction cadence
+    * is about file-count hygiene, not read latency. */
   def startScreenedIngest(docs: Dataset[NearDupStream.Doc], tableDir: String,
       indexDir: String, admittedDir: String, checkpointDir: String,
       mBits: Int = DefaultBits, k: Int = DefaultK): StreamingQuery =
