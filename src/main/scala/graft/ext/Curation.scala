@@ -180,6 +180,15 @@ object Curation {
     * spec-pinned). Pure composition: the LSH pair frame joins each
     * policy's assignment twice and collapses to a ≤ 2·3² census. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    // persist with session-scoped lifetime (unlike dupClusterLabels,
+    // which runs its actions internally and can release its caches):
+    // the RETURNED lazy frame still references this cache, so an
+    // unpersist here would silently re-run the LSH pipeline per branch.
+    // Verify/Bench clear the cache manager between queries; a library
+    // caller owns `spark.catalog.clearCache()` (or unpersisting the
+    // result's children) after its final action — the documented
+    // contract for every composition-form query that persists a shared
+    // subframe.
     val pairs = Dedup.lshCandidates(spark, dir).persist()
     // unsorted forms: both assignments join the pair frame immediately
     val naive = Tables.documents(spark, dir)
@@ -345,15 +354,13 @@ object Curation {
     // cutLineage TRUNCATES the logical plan each round (see its doc for
     // the local-vs-reliable checkpoint switch; set
     // spark.graft.checkpointDir for executor-loss-safe multi-hour runs).
-    // The eager cut doubles as the edge-cache materialization, and the
-    // sizing count below doubles as the convergence-loop state size —
-    // an experiment moving the cut inside the narrowed scope (sized by a
-    // separate edges.count()) measured SLOWER: the extra action costs
-    // more than the 32→4-partition width it saves round 1.
-    // lazy cut: the sizing count below materializes every partition of
-    // the checkpoint — one fused job, the same discipline as the
-    // per-round step cuts (an eager cut here ran a separate
-    // materialization job before the count)
+    // LAZY cut, on purpose: the sizing count below materializes every
+    // partition of the checkpoint in one fused job — the same discipline
+    // as the per-round step cuts. Both alternatives measured SLOWER: an
+    // eager cut here ran a separate materialization job before the count,
+    // and moving the cut inside the narrowed scope (sized by its own
+    // edges.count()) paid more for the extra action than the
+    // 32→4-partition width it saved in round 1.
     var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")), eager = false)
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store

@@ -564,7 +564,11 @@ object Dedup {
     import graft.ops.StableStats
     // persist: the pair frame anchors BOTH the intersection count and the
     // final report join — uncached, the whole LSH band-join pipeline runs
-    // once per reference (the round-11 symmetrization-cache discipline)
+    // once per reference (the round-11 symmetrization-cache discipline).
+    // Lifetime is session-scoped by contract: the returned lazy frame
+    // references this cache, so it cannot unpersist here — Verify/Bench
+    // clear the cache manager per query; library callers clearCache()
+    // after their final action (see Curation.splitLeakage).
     val pairs = lshCandidates(spark, dir).persist()
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))

@@ -98,9 +98,10 @@ object FooterManifest {
   }
 
   /** Files a range query must read, decided from a [[build]] manifest:
-    * a file survives pruning only if EVERY queried column's manifest
-    * range misses the query box — a NULL range keeps the file (the
-    * conservative contract). `box` maps column → [lo, hi] inclusive. */
+    * a file is pruned iff ANY queried column's manifest range provably
+    * misses the query box; it survives otherwise — and a NULL range
+    * keeps the file (the conservative contract). `box` maps column →
+    * [lo, hi] inclusive. */
   def filesToRead(manifest: DataFrame, box: Map[String, (Double, Double)]): DataFrame = {
     // per (file, column): does this column rule the file OUT?
     val prunable = box.foldLeft(lit(false)) { case (acc, (c, (lo, hi))) =>

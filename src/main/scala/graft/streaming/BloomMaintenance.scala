@@ -36,7 +36,9 @@ import graft.functions.BloomFilter
   * serving v(n), and the replayed batch rebuilds v(n+1) from v(n); a
   * crash between commit and checkpoint just re-ORs idempotently into
   * v(n+2). Superseded snapshots are reclaimed best-effort, keeping one
-  * predecessor.
+  * predecessor; torn directories at any other version — including ones
+  * ABOVE the committed head, which would otherwise linger until the
+  * counter caught up — are reclaimed on the next merge.
   *
   * Why at 100 TB: ingest-time exact-dup admission against a corpus index
   * costs an index probe PER ARRIVING DOC. With the filter in front, the
@@ -108,10 +110,16 @@ object BloomMaintenance {
       // best-effort reclamation: keep the just-written snapshot and its
       // predecessor (in-flight readers of v(next-1) finish safely on
       // object stores / local fs; a crash mid-delete is harmless — the
-      // next merge retries)
+      // next merge retries). Torn directories (no _SUCCESS) at ANY
+      // version other than the one just committed are garbage from a
+      // crashed writer — including INFLATED versions above `next`, which
+      // the superseded-version rule alone would never reach until the
+      // counter caught up (and which a future merge would otherwise
+      // overwrite-commit, silently serving poisoned content).
       try fs.listStatus(dir).toSeq.filter(_.isDirectory).foreach { st =>
         st.getPath.getName.drop(1).toLongOption.foreach { v =>
-          if (st.getPath.getName.startsWith("v") && v + 1 < next)
+          val torn = v != next && !fs.exists(new Path(st.getPath, "_SUCCESS"))
+          if (st.getPath.getName.startsWith("v") && (v + 1 < next || torn))
             fs.delete(st.getPath, true)
         }
       } catch { case scala.util.control.NonFatal(_) => () }

@@ -124,6 +124,12 @@ class BloomMaintenanceSpec extends SparkSpec {
         .select(BloomMaintenance.contentHash.as("h")), "h", M, K)
     assert(BloomMaintenance.bits(spark, tableDir, M).sameElements(expected),
       "recovery after a torn write must converge to the one-shot build")
+    // ...the recovery merge also reclaims the inflated torn dir — without
+    // this, v99 survives as permanent garbage until the version counter
+    // catches up, at which point a merge would overwrite-COMMIT a path a
+    // crashed writer once poisoned (ADVICE r11)
+    assert(!torn.exists(),
+      "a torn snapshot above the committed head must be reclaimed by the next merge")
     // ...and the screen still honors the no-false-negative contract for
     // the docs whose batch the crash interrupted
     val screened = BloomMaintenance.screen(spark, tableDir,

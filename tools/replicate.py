@@ -54,12 +54,18 @@ def build(k: int) -> None:
     # vectors, not bit-identical ones, so sign-LSH buckets stay realistic
     # for the alignment/ANN scale-up instead of collapsing to exact
     # duplicates
+    # copy 0 is the SOURCE rows verbatim (bit-identical baseline); only
+    # copies i>=1 jitter. The hash input reads src_vec_id (the renamed
+    # source column) so it can never bind to the output alias `vec_id`
+    # defined in the same SELECT — that binding is version-fragile.
     emb = " UNION ALL ".join(
-        f"SELECT vec_id + CAST({i} AS BIGINT)*100000 AS vec_id, "
+        f"SELECT * FROM '{SRC}/embeddings.parquet'" if i == 0 else
+        f"SELECT src_vec_id + CAST({i} AS BIGINT)*100000 AS vec_id, "
         f"list_transform(embedding, (x, j) -> CAST(x + "
-        f"(CAST(hash(vec_id * 100 + j + {i}) % 100 AS BIGINT) - 50) * 1e-4 AS FLOAT)) AS embedding, "
+        f"(CAST(hash(src_vec_id * 100 + j + {i}) % 100 AS BIGINT) - 50) * 1e-4 AS FLOAT)) AS embedding, "
         "label "
-        f"FROM '{SRC}/embeddings.parquet'" for i in range(k))
+        f"FROM (SELECT vec_id AS src_vec_id, embedding, label "
+        f"FROM '{SRC}/embeddings.parquet')" for i in range(k))
     c.execute(f"COPY ({emb}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
     for t in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{out}/{t}.parquet"
