@@ -36,7 +36,13 @@ import graft.Tables
   *    rows a z-clustered layout must read (files whose box intersects
   *    the query rectangle) vs a pure time-partitioned layout (whole
   *    matching days) vs the exact answer. The gap between the first two
-  *    is the read amplification Z-ordering removes.
+  *    is the read amplification Z-ordering removes. Since round 12 the
+  *    candidate set comes from REAL persisted parquet footers (the
+  *    layout is materialized and read back through
+  *    [[graft.sources.FooterManifest]]), not simulated cell stats.
+  *  - `x_footer_prune`: the same loop on raw event columns end-to-end —
+  *    z-celled write, footer manifest, file pruning, and the box answer
+  *    computed by reading ONLY the surviving files.
   *
   * Scale shape: bucketing is one broadcast of a 3-value stats row into a
   * scan-local projection; the manifest is a single hash-agg on the file
@@ -129,16 +135,30 @@ object Layout {
 
   /** Skipping effectiveness for the rectangle db∈[10,12] × ub∈[8,11]:
     * rows read under z-clustering (sum over files whose box intersects)
-    * vs a time-only layout (all rows of days 10..12) vs the exact match. */
+    * vs a time-only layout (all rows of days 10..12) vs the exact match.
+    *
+    * The candidate set comes from REAL parquet footers (round 12): the
+    * planned layout is MATERIALIZED — each Morton `file_id` becomes one
+    * physical file — then [[graft.sources.FooterManifest]] reads the
+    * persisted footer stats back and [[graft.sources.FooterManifest
+    * .filesToRead]] decides the files a reader must touch. This closes
+    * the production loop plan → write → read-back-prune inside the
+    * oracle gate itself; the oracle is UNCHANGED because INT64 footer
+    * min/max are exact, so footer stats ≡ per-file group min/max (the
+    * equivalence `FooterManifestSpec` pins file-by-file). */
   def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
     val z = withFiles(spark, dir).persist()
-    val files = z.groupBy(col("file_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("db")).as("min_db"), max(col("db")).as("max_db"),
-        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"))
-    val zCand = files
-      .where(col("max_db") >= 10 && col("min_db") <= 12 &&
-        col("max_ub") >= 8 && col("min_ub") <= 11)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_prune_" +
+      Integer.toHexString(dir.hashCode)
+    // one physical file per planned file_id: hash-repartition on the id
+    // puts each id wholly in one task, partitionBy splits ids to dirs
+    z.select(col("db"), col("ub"), col("file_id"))
+      .repartition(col("file_id"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(out)
+    val manifest = FooterManifest.build(spark, out, Seq("db", "ub"))
+    val zCand = FooterManifest
+      .filesToRead(manifest, Map("db" -> ((10.0, 12.0)), "ub" -> ((8.0, 11.0))))
       .agg(coalesce(sum(col("n_rows")), lit(0L)).as("z_candidate_rows"))
     val tot = z.agg(
       count(lit(1)).as("total_rows"),
@@ -148,6 +168,49 @@ object Layout {
     // broadcast the 1-row report column: without the hint an auto-off
     // planner falls back to CartesianProduct (audited in PlanSpec)
     tot.crossJoin(broadcast(zCand))
+  }
+
+  /** The production pruning loop end-to-end on RAW event columns: write
+    * a z-CELLED slice ([[graft.sources.PartitionedSink.writeZCelled]] —
+    * the deterministic cell-split writer, each non-empty curve cell one
+    * file), read the persisted footers back into a
+    * [[graft.sources.FooterManifest]], decide the files a 2-D box query
+    * (user_id∈[60,90] × value∈[100,200]) must read via `filesToRead`,
+    * then actually READ ONLY THOSE FILES to answer it. One row:
+    * (files_total, files_read, rows_scanned, rows_out) — read
+    * amplification and the proof no matching row was lost, both from
+    * what parquet persisted, not from planner bookkeeping.
+    *
+    * Oracle honesty at any SF: the cell-split layout is a pure function
+    * of the data (quantize → Morton → top-`cellBits` cell), so DuckDB
+    * recomputes every file's membership, bounding box and row count
+    * from the table alone and prunes with the identical ANY-column-
+    * misses rule — files_read/rows_scanned are differentially checked,
+    * not pinned constants. The kept-file list collected to the driver
+    * is bounded by 2^cellBits (=16), never by data. */
+  def footerPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val out = s"${sys.props("java.io.tmpdir")}/graft_footer_prune_" +
+      Integer.toHexString(dir.hashCode)
+    PartitionedSink.writeZCelled(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value")),
+      out, Seq("user_id", "value"), bits = 12, cellBits = 4)
+    val m = FooterManifest.build(spark, out, Seq("user_id", "value")).persist()
+    val kept = FooterManifest.filesToRead(m,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).persist()
+    val keptFiles = kept.select(col("file")).collect().map(_.getString(0)).toSeq
+    val filesTotal = m.select(col("file")).distinct()
+      .agg(count(lit(1)).as("files_total"))
+    val keptAgg = kept.agg(
+      count(lit(1)).as("files_read"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("rows_scanned"))
+    val rowsOut = (if (keptFiles.isEmpty)
+        spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value"))
+      else spark.read.parquet(keptFiles: _*))
+      .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
+      .agg(count(lit(1)).as("rows_out"))
+    // 1-row report columns broadcast (see zorderPrune)
+    filesTotal.crossJoin(broadcast(keptAgg)).crossJoin(broadcast(rowsOut))
   }
 
   /** Head-to-head skipping comparison on the same rectangle as
@@ -243,6 +306,7 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout" -> (zorderLayout _),
     "x_zorder_prune" -> (zorderPrune _),
+    "x_footer_prune" -> (footerPrune _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
     "x_compaction_plan" -> (compactionPlan _)
@@ -270,6 +334,14 @@ object Layout {
     (0 until 5).map(i =>
       s"((($a & ${1 << i}) << $i) | (($b & ${1 << i}) << ${i + 1}))").mkString(" | ")
 
+  /** 12-bit Morton twin of [[mortonSql]] — the key
+    * [[graft.sources.PartitionedSink.writeZCelled]] writes (bits=12,
+    * two columns), so the [[footerPrune]] oracle recomputes the writer's
+    * cell ids bit-for-bit. */
+  private def morton12Sql(a: String, b: String): String =
+    (0 until 12).map(i =>
+      s"((($a & ${1L << i}) << $i) | (($b & ${1L << i}) << ${i + 1}))").mkString(" | ")
+
   /** The 5 unrolled xy2d levels as chained CTE stages (generated, so the
     * Spark and DuckDB formulations can't drift apart by a typo). */
   private val hilbertCtes: String = {
@@ -291,6 +363,35 @@ object Layout {
   }
 
   val oracles: Map[String, String] = Map(
+    "x_footer_prune" ->
+      s"""WITH bounds AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM events),
+         |q AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM events, bounds),
+         |cells AS (SELECT user_id, value,
+         |    (${morton12Sql("qu", "qv")}) >> 20 AS zcell FROM q),
+         |files AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM cells GROUP BY 1),
+         |kept AS (
+         |  SELECT * FROM files WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM files),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS files_read,
+         |       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM kept),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM events
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
     "x_zorder_layout" ->
       s"""WITH $bucketCte
          |SELECT file_id, count(*) AS n_rows,

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * metadata every lakehouse pruning layer (and Spark's own row-group
   * filter pushdown) consults.
   *
-  * Why this exists: [[graft.ext.Layout]] PLANS z-ordered layouts and
-  * predicts their skipping from simulated cell stats; `writeZOrdered`
-  * writes them. The missing production piece is reading the stats BACK
-  * from what parquet actually persisted, so a reader can prune files
-  * before touching data. At 100 TB a table is 10⁵–10⁶ files: the footer
+  * Why this exists: [[graft.ext.Layout]] PLANS z-ordered layouts;
+  * `writeZOrdered`/`writeZCelled` write them. This is the production
+  * read-back piece — the stats come from what parquet actually
+  * persisted, so a reader can prune files before touching data; the
+  * registry's `x_zorder_prune` and `x_footer_prune` run the full
+  * plan → write → read-back-prune loop through it under the oracle
+  * gate. At 100 TB a table is 10⁵–10⁶ files: the footer
   * reads are distributed (`mapPartitions` over the file list — each
   * task opens only footers, ~KB per file, zero data pages), while the
   * driver holds only the file-name list, the same metadata the

@@ -58,6 +58,17 @@ object PartitionedSink {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       files: Int, bits: Int = 12): Unit = {
     require(zCols.nonEmpty && files > 0)
+    withZKey(df, zCols, bits)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** `df` + a `__z` Morton-key column over affine-quantized `zCols`
+    * (plus the `__min_/__max_` bound columns the caller drops) — the
+    * shared front half of [[writeZOrdered]] and [[writeZCelled]]. */
+  private def withZKey(df: DataFrame, zCols: Seq[String], bits: Int): DataFrame = {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__min_$c"),
         max(col(c).cast("double")).as(s"__max_$c")))
@@ -74,12 +85,38 @@ object PartitionedSink {
     val morton = (for { b <- 0 until bits; i <- 0 until n } yield
       shiftleft(shiftright(quantized(i), b).bitwiseAND(lit(1L)), b * n + i))
       .reduce(_.bitwiseOR(_))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("__z", morton)
-      .repartitionByRange(files, col("__z"))
+    df.crossJoin(broadcast(bounds)).withColumn("__z", morton)
+  }
+
+  /** Deterministic z-CELLED layout writer: same quantize + Morton key as
+    * [[writeZOrdered]], but each output file is a fixed CURVE CELL — the
+    * top `cellBits` bits of the key, written as a `zcell=<id>` partition
+    * directory — instead of a sampled key range.
+    *
+    * Why both exist: `repartitionByRange` picks file boundaries from a
+    * reservoir SAMPLE, so the resulting layout (and therefore any
+    * files-read count) is not reproducible bit-for-bit across engines or
+    * runs — fine for throughput-oriented clustering, wrong for a
+    * differentially-checked pruning report. Cell-split trades balanced
+    * file sizes for a layout that is a PURE FUNCTION of the data (the
+    * same fixed-cell grouping OPTIMIZE-style clustering jobs use for
+    * incremental maintenance, because a cell's file set is stable under
+    * appends): an oracle can recompute every file's membership, bounding
+    * box, and row count from the table alone. Non-empty cells only;
+    * skew follows the data (a hot cell makes a big file — at lake scale
+    * pick `cellBits` so cells ≈ target file size, and let row groups
+    * subdivide within the file). */
+  def writeZCelled(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 12, cellBits: Int = 4): Unit = {
+    require(zCols.nonEmpty && cellBits > 0 && cellBits <= bits * zCols.size)
+    withZKey(df, zCols, bits)
+      .withColumn("zcell", shiftright(col("__z"), bits * zCols.size - cellBits))
+      // hash-repartition on the cell key: each cell lands wholly in one
+      // task, so each zcell=<id> directory holds exactly ONE part file
+      .repartition(col("zcell"))
       .sortWithinPartitions("__z")
       .drop("__z" +: zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").partitionBy("zcell").parquet(path)
   }
 
   /** Small-file compaction for a day-partitioned lake: rewrite each

@@ -140,4 +140,47 @@ class ZOrderSpec extends SparkSpec {
     PartitionedSink.writeZOrdered(df, d, Seq("user_id", "value"), files = 2)
     assert(spark.read.parquet(d).count() === 3)
   }
+
+  test("writeZCelled: one file per non-empty cell, bit-deterministic across writes") {
+    // the property x_footer_prune's oracle rests on: the celled layout is
+    // a PURE FUNCTION of the data — two independent writes produce the
+    // same cells with the same membership (unlike writeZOrdered, whose
+    // range boundaries come from a sample)
+    val d1 = s"$tmp/celled1"
+    val d2 = s"$tmp/celled2"
+    PartitionedSink.writeZCelled(events, d1, Seq("user_id", "value"))
+    PartitionedSink.writeZCelled(events, d2, Seq("user_id", "value"))
+    def cellStats(d: String) = spark.read.parquet(d)
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"), min("user_id"), max("user_id"),
+        min("value"), max("value"))
+      .orderBy("zcell").collect().toSeq
+    assert(cellStats(d1) === cellStats(d2), "celled layout must be deterministic")
+    // rows survive exactly
+    val back = spark.read.parquet(d1).drop("zcell")
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    // exactly one part file per zcell directory (the manifest's file unit)
+    val dirs = new java.io.File(d1).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("zcell="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { cd =>
+      val parts = cd.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1, s"${cd.getName} must hold exactly one part file, got $parts")
+    }
+    // and the footer-manifest pruning loop over the celled layout loses
+    // no matching row (the filesToRead completeness contract, on THIS
+    // writer's output)
+    val m = FooterManifest.build(spark, d1, Seq("user_id", "value"))
+    val kept = FooterManifest.filesToRead(m,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val expect = events.where(col("user_id").between(60, 90) &&
+      col("value").between(100.0, 200.0)).count()
+    val got =
+      if (kept.isEmpty) 0L
+      else spark.read.parquet(kept: _*)
+        .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
+        .count()
+    assert(got === expect, "celled pruning must never drop a matching row")
+  }
 }
