@@ -221,11 +221,14 @@ object Curation {
     * SQL CTEs, so the differential covers the COMPOSITION, not just the
     * parts. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNormalize.register(spark)
     val docs = Tables.documents(spark, dir)
     val kept = TextAnalysis.gopherSignals(spark, dir)
       .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
-    // canonical copy per content hash: the lowest doc_id survives
-    val canon = docs.groupBy(md5(col("text")).as("h"))
+    // canonical copy per NFC content hash, the lowest doc_id surviving:
+    // raw-byte md5 would pass normalization-variant duplicates (é vs
+    // e+U+0301) through the exact tier — see Dedup.exactNfc
+    val canon = docs.groupBy(md5(expr("unicode_normalize(text, 'NFC')")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
       .join(canon, "doc_id")
@@ -1695,7 +1698,7 @@ object Curation {
     "x_curation_e2e" ->
       s"""WITH g AS (${TextAnalysis.gopherSignalsSql}),
          |keep AS (SELECT doc_id, n_words FROM g WHERE keep = 1),
-         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(nfc_normalize(text))),
          |cl AS ($clustersSql),
          |anch AS (SELECT d.doc_id,
          |    ('0x' || substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket

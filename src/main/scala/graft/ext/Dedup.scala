@@ -94,6 +94,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** [[exact]] on the NFC-CANONICAL content key — the fix the
+    * `x_text_normalize` census diagnoses: raw-byte md5 treats `é` and
+    * `e`+U+0301 (combining acute) as different documents, so a corpus
+    * mixing normalization forms (different scrapers, OCR, editors emit
+    * different forms of the SAME text) double-counts content and leaks
+    * byte-variant duplicates past the exact tier. Keying on
+    * `md5(unicode_normalize(text, 'NFC'))` collapses every canonical-
+    * equivalent byte sequence to one group; the normalization is the
+    * codegen [[graft.functions.UnicodeNormalize]] expression (with its
+    * `isNormalized` fast path — already-NFC text, the overwhelming
+    * majority, pays one scan and no rewrite), so the query stays one
+    * map-side hash-agg like [[exact]]. DuckDB's `nfc_normalize` is the
+    * differential twin. */
+  def exactNfc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNormalize.register(spark)
+    exactNfcOf(Tables.documents(spark, dir))
+  }
+
+  /** [[exactNfc]] over an arbitrary (doc_id, text, …) frame (the
+    * mixed-normalization fixture spec drives it directly; callers must
+    * have [[graft.functions.UnicodeNormalize]] registered). */
+  private[ext] def exactNfcOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(expr("unicode_normalize(text, 'NFC')")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
   /** Large prime > 2^32 for Kirsch-Mitzenmacher double hashing. */
   private val P = 4294967311L
 
@@ -752,6 +779,7 @@ object Dedup {
     "x_dedup_containment"   -> (containment _),
     "x_minhash_est"         -> (minhashEstQuality _),
     "x_dedup_exact"         -> (exact _),
+    "x_dedup_exact_nfc"     -> (exactNfc _),
     "x_dedup_minhash_lsh"   -> (minhashLsh _),
     "x_incr_minhash"        -> (incrementalMinhash _),
     "x_incr_lsh_pairs"      -> (incrementalLshPairs _),
@@ -938,6 +966,9 @@ object Dedup {
       },
       "x_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+      "x_dedup_exact_nfc" ->
+        """SELECT md5(nfc_normalize(text)) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
       "x_dedup_minhash_lsh" ->
         s"""$pairsSubquery

@@ -427,9 +427,10 @@ object TextAnalysis {
 
   /** Unicode-normalization census: per-document NFC form vs raw —
     * character counts both ways, a changed flag, and the md5 of the
-    * normalized text (the content key exact dedup SHOULD group by: raw
-    * md5 treats `é` and `e`+combining-acute as different documents and
-    * double-counts the content). Runs on the native codegen
+    * normalized text (the content key the exact-dedup tier groups by
+    * since round 12 — [[graft.ext.Dedup.exactNfc]] / the curation
+    * pipeline's canon step: raw md5 treats `é` and `e`+combining-acute
+    * as different documents and double-counts the content). Runs on the native codegen
     * [[graft.functions.UnicodeNormalize]] expression — Spark has no
     * normalization builtin and a UDF would break whole-stage codegen;
     * DuckDB's `nfc_normalize` makes the whole census differentially

@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") === 0L)
   }
 
+  test("NFC exact dedup collapses normalization-variant duplicates; raw md5 does not") {
+    graft.functions.UnicodeNormalize.register(spark)
+    // "café" three ways: precomposed NFC, decomposed e+U+0301, and NFC
+    // again — plus an unrelated doc. Raw-byte keying sees the decomposed
+    // form as a DIFFERENT document; the NFC key collapses all three.
+    val docs = Seq(
+      (10L, "caf\u00e9 au lait"),   // NFC (precomposed é)
+      (11L, "cafe\u0301 au lait"),  // NFD (e + combining acute)
+      (12L, "caf\u00e9 au lait"),   // byte-identical to doc 10
+      (13L, "unrelated document"))
+      .toDF("doc_id", "text")
+    val nfc = Dedup.exactNfcOf(docs).collect()
+    assert(nfc.length === 2, "NFC keying must see exactly two distinct contents")
+    val grp = nfc.find(_.getAs[Long]("n_copies") === 3L).get
+    assert(grp.getAs[Long]("keep_id") === 10L, "lowest doc_id is the canonical keeper")
+    // the raw-byte key double-counts: 3 groups, the NFD variant separate
+    val raw = docs.groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .count().count()
+    assert(raw === 3L, "raw md5 must split the NFD variant (the defect NFC fixes)")
+  }
+
   test("minhash LSH finds the exact-dup pair (identical signatures)") {
     val pairs = Dedup.minhashLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
