@@ -669,12 +669,18 @@ object Similarity {
     * rounding goes through [[graft.ops.StableStats]] (floor-based
     * half-up + exact integer micro-unit sums for the neighborhood
     * averages) so ties and 6th-digit boundaries cut identically in both
-    * engines. The corpus count that sizes the plane table is one
-    * metadata-cheap `count()` job — an index-build-time decision, same
-    * as IVF's codebook sizing. */
+    * engines. The corpus count that sizes the plane table comes from
+    * CATALOG STATISTICS — parquet footer row counts read driver-side
+    * ([[graft.sources.FooterManifest.rowCountFromFooters]]), zero Spark
+    * jobs — an index-build-time decision, same as IVF's codebook sizing
+    * (round 11 ran an `e.count()` job per invocation here; PlanSpec now
+    * pins that constructing this query schedules no job). The oracle's
+    * `count(*) FROM embeddings` sees the same n: `emb` is the bare
+    * table, and footer counts are exact. */
   def alignMutualNn(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    alignMutualNnOf(e, alignPlanes(e.count()), AlignMaxBucket)
+    val n = graft.sources.FooterManifest
+      .rowCountFromFooters(spark, s"$dir/embeddings.parquet")
+    alignMutualNnOf(emb(spark, dir), alignPlanes(n), AlignMaxBucket)
   }
 
   /** The alignment candidate stage alone: sign-LSH bucketing over

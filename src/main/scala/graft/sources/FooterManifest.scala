@@ -99,6 +99,28 @@ object FooterManifest {
       }.toDF()
   }
 
+  /** Total row count of the parquet file(s) under `path`, from footer
+    * metadata alone — the catalog-statistics answer to "how big is this
+    * table", with NO Spark job (a `df.count()`, even metadata-optimized,
+    * schedules a job per invocation). Driver-side sequential footer
+    * reads: right for the sizing decisions this serves (e.g.
+    * [[graft.ext.Similarity]]'s LSH plane count — an index-build-time
+    * constant), where the input is one table's worth of footers; a
+    * 10⁵-file lake table should go through the distributed [[build]]
+    * and aggregate `n_rows` instead. */
+  def rowCountFromFooters(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    listParquet(spark, path).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally reader.close()
+    }.sum
+  }
+
   /** Files a range query must read, decided from a [[build]] manifest:
     * a file is pruned iff ANY queried column's manifest range provably
     * misses the query box; it survives otherwise — and a NULL range

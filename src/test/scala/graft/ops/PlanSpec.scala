@@ -418,6 +418,37 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected ≤2 exchanges (file agg + sort):\n$plan")
   }
 
+  test("alignment plane sizing reads catalog stats: query construction runs no job") {
+    // round-11 defect: alignMutualNn sized its plane table with
+    // e.count() — a full Spark job per INVOCATION for an index-build
+    // constant. It now reads the parquet footer row counts driver-side,
+    // so CONSTRUCTING the query frame must schedule zero jobs. Detection
+    // uses the status tracker (fed by the FIFO listener bus): run one
+    // sentinel action after construction — once its job is visible,
+    // every job started before it is too.
+    val sc = spark.sparkContext
+    sc.setJobGroup("plan-pin-align-construct", "construction must be job-free", false)
+    try graft.ext.Similarity.queries("x_align_mutual_nn")(spark, dir) // construct only
+    finally sc.clearJobGroup()
+    sc.setJobGroup("plan-pin-align-sentinel", "flush marker", false)
+    try spark.range(1).count()
+    finally sc.clearJobGroup()
+    var sentinelSeen = sc.statusTracker.getJobIdsForGroup("plan-pin-align-sentinel")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (sentinelSeen.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      sentinelSeen = sc.statusTracker.getJobIdsForGroup("plan-pin-align-sentinel")
+    }
+    assert(sentinelSeen.nonEmpty, "sentinel job must become visible")
+    // spark.read.parquet legitimately runs ONE metadata job (file listing
+    // / schema inference at Tables.table) — what must be gone is the
+    // e.count() DATA job that sized the planes in round 11
+    val constructionJobs = sc.statusTracker.getJobIdsForGroup("plan-pin-align-construct")
+    assert(constructionJobs.length <= 1,
+      s"constructing x_align_mutual_nn may run at most the parquet metadata job, " +
+        s"saw ${constructionJobs.length} (an extra job means a count() crept back in)")
+  }
+
   test("native cosine participates in whole-stage codegen") {
     graft.functions.CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
