@@ -192,15 +192,34 @@ object BloomMaintenance {
     else spark.range(0).select(col("id").as("h"))
   }
 
+  /** Per-batch admission counters — the evidence for the screen's
+    * zero-index-I/O claim, written one row per micro-batch. `n_bypassed`
+    * docs admitted with NO index probe (screen-clean), `n_probed` hit
+    * the filter and paid the exact check, `n_probe_admitted` of those
+    * were exonerated (ε false positives). Reconciliation invariants
+    * (spec-pinned): `n_bypassed + n_probed = n_unique` and
+    * `n_admitted = n_bypassed + n_probe_admitted`. */
+  case class IngestMetrics(batch_id: Long, n_arrived: Long, n_unique: Long,
+      n_bypassed: Long, n_probed: Long, n_probe_admitted: Long, n_admitted: Long)
+
   /** One micro-batch of the two-tier streaming ingest: intra-batch
     * content dedup (first arrival by (ts, doc_id) wins), Bloom screen,
     * exact-index probe for the hit tail only, then append the admitted
     * docs to the corpus, their hashes to the index, and their bits to
     * the filter. `wrapProbe` lets the spec interpose a counting probe to
-    * pin the bypass contract. */
+    * pin the bypass contract.
+    *
+    * With `metricsDir` set, an [[IngestMetrics]] row lands per batch.
+    * The admitted-side counters ride the corpus write itself via
+    * `Dataset.observe` (the [[graft.ops.QualityChecks]] pattern — no
+    * second pass over the admitted stream); the screen-side counters are
+    * scans of the persisted screen frame, already cached for the two
+    * admission branches, so the marginal cost is cache-local counting of
+    * one micro-batch — never a recompute of the screen. */
   private[streaming] def ingestBatch(batch: DataFrame, tableDir: String,
       indexDir: String, admittedDir: String, mBits: Int, k: Int,
-      wrapProbe: (DataFrame => DataFrame) => (DataFrame => DataFrame) = identity): Unit = {
+      wrapProbe: (DataFrame => DataFrame) => (DataFrame => DataFrame) = identity,
+      metricsDir: Option[String] = None, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val wFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("ts"), col("doc_id"))
@@ -208,7 +227,20 @@ object BloomMaintenance {
       .withColumn("__rn", row_number().over(wFirst))
       .where(col("__rn") === 1).drop("__h", "__rn")
     val probe = wrapProbe(exactHashProbe(hashIndex(spark, indexDir)))
-    val admitted = screenedAdmission(spark, tableDir, firsts, probe, mBits, k)
+    // inline screenedAdmission with a persisted screen frame: both
+    // admission branches read it from cache, and the metrics path can
+    // count it without re-running the screen
+    val s = screen(spark, tableDir, firsts, mBits, k).persist()
+    val clean = s.where(!col("suspect_dup")).drop("suspect_dup")
+    val suspects = s.where(col("suspect_dup")).drop("suspect_dup")
+    val probeAdmitted = probe(suspects)
+    val obs = org.apache.spark.sql.Observation(s"graft_ingest_$batchId")
+    val admitted = clean.withColumn("__via_probe", lit(0L))
+      .unionByName(probeAdmitted.withColumn("__via_probe", lit(1L)))
+      .observe(obs,
+        count(lit(1)).as("n_admitted"),
+        coalesce(sum(col("__via_probe")), lit(0L)).as("n_probe_admitted"))
+      .drop("__via_probe")
       .persist()
     // materialize THROUGH the cache before appending to the index the
     // probe's plan reads — otherwise the lazy join could re-scan the
@@ -216,6 +248,21 @@ object BloomMaintenance {
     admitted.write.mode("append").parquet(admittedDir)
     admitted.select(contentHash.as("h")).write.mode("append").parquet(indexDir)
     mergeBatch(admitted, tableDir, mBits, k)
+    metricsDir.foreach { md =>
+      // observation collected on the corpus-write job above; an empty
+      // batch prunes the CollectMetrics node (AQE empty-relation
+      // propagation) and must report zeros, not hang or crash
+      val m = obs.get
+      val nUnique = s.count()
+      val nProbed = s.where(col("suspect_dup")).count()
+      import spark.implicits._
+      Seq(IngestMetrics(batchId, batch.count(), nUnique,
+        nUnique - nProbed, nProbed,
+        m.getOrElse("n_probe_admitted", 0L).asInstanceOf[Long],
+        m.getOrElse("n_admitted", 0L).asInstanceOf[Long]))
+        .toDF().coalesce(1).write.mode("append").parquet(md)
+    }
+    s.unpersist()
     admitted.unpersist()
   }
 
@@ -238,11 +285,13 @@ object BloomMaintenance {
     * is about file-count hygiene, not read latency. */
   def startScreenedIngest(docs: Dataset[NearDupStream.Doc], tableDir: String,
       indexDir: String, admittedDir: String, checkpointDir: String,
-      mBits: Int = DefaultBits, k: Int = DefaultK): StreamingQuery =
+      mBits: Int = DefaultBits, k: Int = DefaultK,
+      metricsDir: Option[String] = None): StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        ingestBatch(batch.toDF(), tableDir, indexDir, admittedDir, mBits, k)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        ingestBatch(batch.toDF(), tableDir, indexDir, admittedDir, mBits, k,
+          metricsDir = metricsDir, batchId = id)
       }
       .start()
 }
