@@ -103,6 +103,36 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.alignPlanes(1L << 30) === 24) // ~1B rows -> 16M buckets
   }
 
+  test("alignment blocking is linear under 2x replication: planes step, candidates ~2x") {
+    import org.apache.spark.sql.functions._
+    // the measured protocol behind ARCHITECTURE.md's alignment scale-up
+    // table (graft.ext.AlignScale over tools/replicate.py dirs), pinned
+    // here at 2x with an in-memory replica: shifted ids + deterministic
+    // hash jitter (±5e-3, far above hyperplane margins' epsilon but far
+    // below the data scale) so sign-LSH buckets stay realistic instead
+    // of collapsing to exact copies
+    val e1 = Similarity.emb(spark, "/root/testdata/sf0.1")
+    val n1 = e1.count()
+    val jit = e1.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(emb, (x, i) -> x + " +
+        "(cast(conv(substring(md5(concat(vec_id, '_', i)), 1, 6), 16, 10) as bigint) " +
+        "% 100 - 50) * 1e-4)").as("emb"),
+      col("label"))
+    val e2 = e1.unionByName(jit)
+    val p1 = Similarity.alignPlanes(n1)
+    val p2 = Similarity.alignPlanes(2 * n1)
+    assert(p1 === 5 && p2 === 6, "doubling the corpus must add one plane bit")
+    val c1 = Similarity.alignCandidates(e1, p1, Similarity.AlignMaxBucket).count()
+    val c2 = Similarity.alignCandidates(e2, p2, Similarity.AlignMaxBucket).count()
+    // linear blocking: ~2x candidates (measured 2.1x). A FIXED plane
+    // count would grow the bipartite join quadratically (~4x) — the
+    // round-10 scale-killer this adaptive sizing fixed. 3x is the
+    // generous slack ceiling; the floor guards a degenerate all-pruned
+    // bucketing from passing vacuously.
+    assert(c2 <= 3 * c1, s"2x corpus must stay ~2x candidates: $c1 -> $c2")
+    assert(c2 >= c1, s"2x corpus cannot shrink the candidate set: $c1 -> $c2")
+  }
+
   test("alignment hot-bucket cap: one degenerate bucket emits O(cap²) pairs, not |A|·|B|") {
     import spark.implicits._
     // 200 a-side + 200 b-side near-identical vectors — every one lands in
