@@ -38,6 +38,35 @@ class SketchCatalogSpec extends SparkSpec {
     }
   }
 
+  test("sketch error scales with the documented ε: HLL rsd sweep + rank-exact percentile") {
+    import org.apache.spark.sql.functions.expr
+    val ev = graft.Tables.events(spark, dir)
+    // HLL++: the accuracy KNOB must deliver its contract, not just one
+    // default point — for each requested relative standard deviation the
+    // estimate must land within 4σ of the exact count (the md5/xxhash
+    // register assignment is deterministic, so none of this can flake)
+    val exactUsers = ev.agg(expr("count(distinct user_id)")).head().getLong(0)
+    for (rsd <- Seq(0.1, 0.05, 0.01)) {
+      val approx = ev.agg(expr(s"approx_count_distinct(user_id, $rsd)")).head().getLong(0)
+      val rel = math.abs(approx - exactUsers).toDouble / exactUsers
+      assert(rel <= 4 * rsd,
+        s"approx_count_distinct(rsd=$rsd): $approx vs exact $exactUsers (rel=$rel > 4σ)")
+    }
+    // approx_percentile with accuracy A guarantees rank error ≤ n/A; the
+    // sf0.001 group (n ≪ A=10000) keeps every sample, so the sketch is
+    // RANK-EXACT: its p50 must be an actual data element sitting between
+    // the two true median order statistics — a theoretical equality, not
+    // a tolerance band
+    val vals = ev.select("value").na.drop().collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    assert(n > 0 && n < 10000, s"fixture must stay under the sketch accuracy (n=$n)")
+    val ap50 = ev.agg(expr("approx_percentile(value, 0.5)")).head().getDouble(0)
+    assert(vals.contains(ap50), "rank-exact sketch p50 must be an actual data element")
+    val (lo, hi) = (vals((n - 1) / 2), vals(n / 2))
+    assert(lo <= ap50 && ap50 <= hi,
+      s"rank-exact p50 must bracket the true median order statistics: $ap50 not in [$lo, $hi]")
+  }
+
   test("s9 catalog: reports every test table with its known columns in schema order") {
     val rows = Analytics.catalogStructure(spark, dir).collect()
     val byTable = rows.groupBy(_.getAs[String]("table_name"))
