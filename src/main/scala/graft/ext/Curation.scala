@@ -364,21 +364,48 @@ object Curation {
     // and moving the cut inside the narrowed scope (sized by its own
     // edges.count()) paid more for the extra action than the
     // 32→4-partition width it saved in round 1.
-    var labels = cutLineage(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")), eager = false)
+    //
+    // ROUND 1 IS FUSED into this initial checkpoint (round 12): with
+    // identity initial labels, the first hook step reduces algebraically
+    // to ONE hash-agg over the symmetrized edge list — per src,
+    // label = least(src, min(dst)), old_label = src (every node appears
+    // as a src after symmetrization, and nbrMin is never null, so the
+    // left-join degenerates). This removes the node-universe distinct
+    // AND the first nbrMin join round — two shuffles, two driver
+    // round-trips — per invocation, which at sf0.1 was pure per-round
+    // scheduling overhead (the r11 profile's residual). The label
+    // TRAJECTORY is unchanged: the fused frame IS round 1's output, so
+    // convergence counting and the jump heuristic resume at round 2
+    // with identical state.
+    var labels = cutLineage(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mdst"))
+      .select(col("src").as("doc_id"), col("src").as("old_label"),
+        least(col("src"), col("__mdst")).as("label")), eager = false)
     // the raw cut of the PREVIOUS round, dropped from the checkpoint store
     // once the next round's cut has materialized (reliable mode only)
     var prevCut = labels
     var converged = false
-    var rounds = 0
+    var rounds = 1
     var jumpRounds = 0
     var jumping = false
-    var prevChanged = Long.MaxValue
     // hard cap: with pointer jumping the worst case is O(log diameter);
     // 64 covers any graph that fits in an address space and remains a
     // runaway guard, not a correctness bound — the loop exits on the
     // fixpoint.
-    withLoopTuning(pairs.sparkSession, labels.count()) { targetParts =>
+    // ONE fused job sizes the loop AND counts round-1 changes: the agg
+    // scans every partition (materializing the checkpoint, the same
+    // duty the old sizing count had) and returns both numbers, where
+    // separate count()s would pay two driver round-trips. changed = 0
+    // only on an empty edge set (any edge makes its larger endpoint
+    // adopt the smaller label).
+    val r1 = labels.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L)),
+        lit(0L)).as("changed")).head()
+    val (stateRows, round1Changed) = (r1.getLong(0), r1.getLong(1))
+    withLoopTuning(pairs.sparkSession, stateRows) { targetParts =>
+    var prevChanged = round1Changed
+    converged = prevChanged == 0L
+    labels = labels.select(col("doc_id"), col("label"))
     while (!converged && rounds < 64) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -470,14 +497,18 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val old   = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val newer = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    // ONE persisted signature pass over the old shard feeds BOTH the
+    // stored-state pair generation and the post-merge index (the
+    // lshCandidatesOfSigs contract; a second minhashSignaturesOf(old)
+    // persist would only re-register the same canonicalized plan)
+    val sigsOld = Dedup.minhashSignaturesOf(old).persist()
     // stored state as of the previous ingest: labels over the old shard
     // (unsorted — star contraction joins it straight away)
-    val labels0 = dupClusterLabels(Dedup.lshCandidatesOf(old)).labelsUnsorted
+    val labels0 = dupClusterLabels(Dedup.lshCandidatesOfSigs(sigsOld)).labelsUnsorted
     val star = labels0.where(col("doc_id") =!= col("cluster"))
       .select(col("cluster").as("doc_a"), col("doc_id").as("doc_b"))
     // the shard's probe against the post-merge band index: every pair
     // with at least one new endpoint (new-new and new-old)
-    val sigsOld = Dedup.minhashSignaturesOf(old).persist()
     val sigsAll = Dedup.mergeMinhashSignatures(
       sigsOld, Dedup.minhashSignaturesOf(newer)).persist()
     val bandsAll = Dedup.bandsOf(sigsAll)
