@@ -159,4 +159,18 @@ class EmptyInputsSpec extends SparkSpec {
       Map("user_id" -> ((0.0, 1e18))))
     assert(kept.count() === 0, "zero-row files must never be selected for reading")
   }
+
+  test("round-12 additions on empty inputs") {
+    // NFC exact dedup: empty corpus → no groups
+    graft.functions.UnicodeNormalize.register(spark)
+    assert(graft.ext.Dedup.exactNfc(spark, dir).count() === 0)
+    // footer-prune loop: the z-celled write of an empty table produces no
+    // files, the manifest is empty, nothing is read — and the one-row
+    // report must still come back with all-zero counters, not throw
+    val r = graft.ext.Layout.footerPrune(spark, dir).head()
+    assert(r.getAs[Long]("files_total") === 0L)
+    assert(r.getAs[Long]("files_read") === 0L)
+    assert(r.getAs[Long]("rows_scanned") === 0L)
+    assert(r.getAs[Long]("rows_out") === 0L)
+  }
 }

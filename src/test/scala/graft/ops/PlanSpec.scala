@@ -243,6 +243,7 @@ class PlanSpec extends SparkSpec {
       "x_decontaminate_bloom" -> ((0, 0)),
       "x_zorder_layout"   -> ((1, 1)), // 1-row (t0,u0,u1) stats cross join
       "x_zorder_prune"    -> ((2, 3)), // stats + 1-row report column
+      "x_footer_prune"    -> ((2, 2)), // two 1-row report columns (kept agg + rows_out)
       "x_hilbert_prune"   -> ((3, 4)), // stats + per-curve 1-row candidates
       "x_zorder_incr"     -> ((2, 2)), // base/arrival bucketing stats rows
       "x_compaction_plan" -> ((1, 1)), // 1-row bucketing stats cross join
