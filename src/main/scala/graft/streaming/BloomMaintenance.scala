@@ -182,6 +182,36 @@ object BloomMaintenance {
       .join(index, col("__h") === index("h"), "left_anti")
       .drop("__h")
 
+  /** Compact the ingested-hash index: the ingest appends one small
+    * parquet file per micro-batch, so a long-running stream accumulates
+    * thousands of files whose per-file open cost the probe join pays on
+    * every batch. The index is a SET of longs, so compaction is
+    * union + distinct + rewrite into `files` outputs — membership, the
+    * only question the probe ever asks, is invariant (spec-pinned,
+    * including across an ingest → compact → ingest sequence).
+    *
+    * Durability scope: the read-then-overwrite-same-path cycle rides an
+    * eager localCheckpoint, exactly the
+    * [[graft.sources.PartitionedSink.compactDaily]] idiom and caveat —
+    * single-node/dev lakes are safe; a multi-node cluster should swap
+    * via temp dir + rename or reliable checkpointing. Run it BETWEEN
+    * batches (the ingest is a single sequential writer; foreachBatch of
+    * a stopped/idle stream, or an external maintenance job at off-peak
+    * cadence). Losing a compaction to a crash costs nothing but the
+    * file-count hygiene: the stream re-appends from its checkpoint and
+    * membership re-converges because re-appends are set-idempotent. */
+  def compactHashIndex(spark: SparkSession, indexDir: String, files: Int = 1): Unit = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    spark.read.parquet(indexDir).distinct()
+      .repartition(files)
+      // materialize BEFORE overwriting the path being read (see
+      // PartitionedSink.compactDaily)
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
   /** The ingested-hash index as a frame — empty (correct schema) before
     * the first batch lands. */
   private def hashIndex(spark: SparkSession, indexDir: String): DataFrame = {
@@ -277,12 +307,12 @@ object BloomMaintenance {
     * hash, under which the re-append is a no-op).
     *
     * Operational note: the index appends one small parquet file per
-    * batch, so a long-running ingest schedules periodic compaction
-    * (the [[graft.sources.PartitionedSink]] `compactDays` idiom — safe
-    * here because the index is a SET of longs: compaction is
-    * union+distinct, and the probe only ever asks membership). The Bloom
-    * tier keeps the probe volume tiny regardless, so compaction cadence
-    * is about file-count hygiene, not read latency. */
+    * batch, so a long-running ingest schedules periodic
+    * [[compactHashIndex]] runs — safe because the index is a SET of
+    * longs: compaction is union+distinct, and the probe only ever asks
+    * membership. The Bloom tier keeps the probe volume tiny regardless,
+    * so compaction cadence is about file-count hygiene, not read
+    * latency. */
   def startScreenedIngest(docs: Dataset[NearDupStream.Doc], tableDir: String,
       indexDir: String, admittedDir: String, checkpointDir: String,
       mBits: Int = DefaultBits, k: Int = DefaultK,

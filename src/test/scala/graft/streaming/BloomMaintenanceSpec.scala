@@ -264,6 +264,27 @@ class BloomMaintenanceSpec extends SparkSpec {
       tableDir, indexDir, admittedDir, M, K, counting)
     assert(probed === 1L, "a known dup must route to the exact probe")
     assert(spark.read.parquet(admittedDir).count() === 6L) // +8, +9 only
+
+    // index compaction between batches: the per-batch appends (one file
+    // each) rewrite to a single file with MEMBERSHIP unchanged — and a
+    // subsequent ingest still rejects a known dup and admits a fresh doc
+    // against the compacted index (the only contract the probe needs)
+    def idxFiles() = new java.io.File(indexDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(indexDir).as[Long].collect().sorted
+    assert(idxFiles() > 1, "per-batch appends must have left multiple files")
+    BloomMaintenance.compactHashIndex(spark, indexDir)
+    assert(idxFiles() === 1, "compaction must rewrite the index to one file")
+    val after = spark.read.parquet(indexDir).as[Long].collect().sorted
+    assert(after.sameElements(before.distinct), "compaction must preserve the hash SET")
+    BloomMaintenance.ingestBatch(
+      mk(Seq((12L, "pack my box with five dozen liquor jugs"),      // known dup
+             (13L, "a post-compaction brand new document text"))),  // fresh
+      tableDir, indexDir, admittedDir, M, K, counting)
+    val admittedIds = spark.read.parquet(admittedDir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admittedIds.contains(13L) && !admittedIds.contains(12L),
+      "post-compaction ingest must keep exact-once admission semantics")
   }
 
   test("admission screen: every ingested doc flags, fresh docs pass clean") {
