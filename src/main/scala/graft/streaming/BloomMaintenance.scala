@@ -38,7 +38,12 @@ import graft.functions.BloomFilter
   * v(n+2). Superseded snapshots are reclaimed best-effort, keeping one
   * predecessor; torn directories at any other version — including ones
   * ABOVE the committed head, which would otherwise linger until the
-  * counter caught up — are reclaimed on the next merge.
+  * counter caught up — are reclaimed on the next merge. Retention
+  * scope: one predecessor covers any reader whose resolve-and-collect
+  * spans fewer than two FULL merge cycles — a ≤ m/64-row read, orders
+  * of magnitude faster than a merge; a deployment with pathologically
+  * slow readers should widen retention to an age window rather than
+  * a count.
   *
   * Why at 100 TB: ingest-time exact-dup admission against a corpus index
   * costs an index probe PER ARRIVING DOC. With the filter in front, the
