@@ -141,6 +141,35 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(d).count() === 3)
   }
 
+  test("prune-loop materialization is idempotent: unchanged data skips the rewrite") {
+    // the OPTIMIZE contract behind zorderPrune/footerPrune: a layout
+    // whose content fingerprint matches the marker is NOT rewritten
+    // (steady state pays only the footer read-back), while a stale or
+    // missing marker forces the write. Sentinel-file detection: an
+    // overwrite deletes everything in the target dir, a skip preserves
+    // the planted file.
+    val dir = "/root/testdata/sf0.001"
+    val out = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_zorder_prune_" +
+        Integer.toHexString(dir.hashCode))
+    val r1 = graft.ext.Layout.zorderPrune(spark, dir).collect().map(_.toSeq)
+    val marker = new java.io.File(out, "_graft_layout_fingerprint")
+    assert(marker.isFile, "first run must leave the fingerprint marker")
+    val fp = new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    val sentinel = new java.io.File(out, "_test_sentinel")
+    java.nio.file.Files.write(sentinel.toPath, "x".getBytes("UTF-8"))
+    val r2 = graft.ext.Layout.zorderPrune(spark, dir).collect().map(_.toSeq)
+    assert(r2 === r1, "skip path must answer identically")
+    assert(sentinel.isFile, "matching fingerprint must skip the rewrite")
+    // stale marker (e.g. code/data changed) forces the write back
+    java.nio.file.Files.write(marker.toPath, "stale".getBytes("UTF-8"))
+    val r3 = graft.ext.Layout.zorderPrune(spark, dir).collect().map(_.toSeq)
+    assert(r3 === r1)
+    assert(!sentinel.isFile, "stale fingerprint must force a rewrite")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") === fp,
+      "rewrite must refresh the marker to the content fingerprint")
+  }
+
   test("writeZCelled: one file per non-empty cell, bit-deterministic across writes") {
     // the property x_footer_prune's oracle rests on: the celled layout is
     // a PURE FUNCTION of the data — two independent writes produce the
