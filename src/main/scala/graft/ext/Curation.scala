@@ -1048,16 +1048,21 @@ object Curation {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nDf = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.crossJoin(broadcast(nDf))
-      .select(col("src").as("doc_id"), col("deg"), col("n"),
-        expr("1000000000 div n").as("r"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    // ONE action sizes the loop AND fixes the node count: n rides into
+    // the plan as a LITERAL (Catalyst folds the teleport term to a
+    // constant), replacing the former 1-row crossJoin broadcast and the
+    // separate sizing count — two fewer driver round-trips per
+    // invocation (the round-12 label-loop fusion discipline)
+    val n = deg.count()
+    var ranks = deg
+      .select(col("src").as("doc_id"), col("deg"), lit(n).as("n"),
+        lit(1000000000L / math.max(n, 1L)).as("r"))
     // previous round's cut, reclaimed once the next eager cut lands
     var prevCut: Option[DataFrame] = None
     // rank table is O(nodes) loop state — same scoped width + AQE-off
     // discipline as the label-propagation loop (see withLoopTuning)
-    withLoopTuning(pairs.sparkSession, deg.count()) { _ =>
+    withLoopTuning(pairs.sparkSession, n) { _ =>
     for (_ <- 1 to 3) {
       val contrib = edges
         .join(ranks.select(col("doc_id"), col("deg").as("sdeg"), col("r")),
@@ -1081,7 +1086,8 @@ object Curation {
     }
     }
     // ranks is an eager checkpoint — the returned frame never re-reads
-    // the edge cache, so both cache points can be released here
+    // the edge/degree caches, so all three cache points release here
+    deg.unpersist()
     edges.unpersist()
     if (ownsPairsCache) p.unpersist()
     ranks.select(col("doc_id"), col("deg"), col("r").as("rank_units"))
