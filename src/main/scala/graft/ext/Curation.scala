@@ -1055,8 +1055,12 @@ object Curation {
     // separate sizing count — two fewer driver round-trips per
     // invocation (the round-12 label-loop fusion discipline)
     val n = deg.count()
+    // n is floored at 1 INSIDE the literal: with zero nodes there are no
+    // rows to observe it, but Catalyst constant-folds the teleport
+    // division at optimization time, where a 0 literal would throw
+    // DIVIDE_BY_ZERO before execution ever starts (ANSI mode)
     var ranks = deg
-      .select(col("src").as("doc_id"), col("deg"), lit(n).as("n"),
+      .select(col("src").as("doc_id"), col("deg"), lit(math.max(n, 1L)).as("n"),
         lit(1000000000L / math.max(n, 1L)).as("r"))
     // previous round's cut, reclaimed once the next eager cut lands
     var prevCut: Option[DataFrame] = None
