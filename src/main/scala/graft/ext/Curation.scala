@@ -227,8 +227,9 @@ object Curation {
       .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
     // canonical copy per NFC content hash, the lowest doc_id surviving:
     // raw-byte md5 would pass normalization-variant duplicates (é vs
-    // e+U+0301) through the exact tier — see Dedup.exactNfc
-    val canon = docs.groupBy(md5(expr("unicode_normalize(text, 'NFC')")).as("h"))
+    // e+U+0301) through the exact tier — the KEY is Dedup.nfcContentHash,
+    // the same single definition exactNfc groups by
+    val canon = docs.groupBy(Dedup.nfcContentHash.as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
       .join(canon, "doc_id")

@@ -112,12 +112,20 @@ object Dedup {
     exactNfcOf(Tables.documents(spark, dir))
   }
 
+  /** THE NFC-canonical content key — the single definition shared by
+    * [[exactNfc]] and [[graft.ext.Curation.curationPipeline]]'s canon
+    * step, so the exact-dedup tier cannot silently fork into two
+    * different canonical forms. Callers must have
+    * [[graft.functions.UnicodeNormalize]] registered. */
+  private[ext] def nfcContentHash: org.apache.spark.sql.Column =
+    md5(expr("unicode_normalize(text, 'NFC')"))
+
   /** [[exactNfc]] over an arbitrary (doc_id, text, …) frame (the
     * mixed-normalization fixture spec drives it directly; callers must
     * have [[graft.functions.UnicodeNormalize]] registered). */
   private[ext] def exactNfcOf(docs: DataFrame): DataFrame =
     docs
-      .groupBy(md5(expr("unicode_normalize(text, 'NFC')")).as("content_hash"))
+      .groupBy(nfcContentHash.as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 

@@ -118,6 +118,31 @@ object Layout {
     d
   }
 
+  /** Order-free content fingerprint of a planned-layout frame: row-hash
+    * sum + count under a version tag. Shared by the idempotent
+    * materialization guards of [[zorderPrune]] and [[footerPrune]]. */
+  private def layoutFingerprint(tag: String, planned: DataFrame): String = {
+    val cols = planned.columns.map(col).toSeq
+    val r = planned.agg(count(lit(1)),
+      coalesce(sum(hash(cols: _*).cast("long")), lit(0L))).head()
+    s"$tag:${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  /** Run `write` only when `fingerprint` differs from the marker the
+    * last successful write left in `out` — then refresh the marker. The
+    * marker is written AFTER the (dir-truncating) write, so it is the
+    * commit point: a crash mid-write leaves no marker and the next
+    * invocation rewrites. */
+  private def materializeIfChanged(out: String, fingerprint: String)(write: => Unit): Unit = {
+    val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
+    val current = if (marker.isFile)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+    if (current != fingerprint) {
+      write
+      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+    }
+  }
+
   private def withFiles(spark: SparkSession, dir: String): DataFrame =
     bucketed(spark, dir)
       .withColumn("zv", morton5(col("db"), col("ub")))
@@ -152,28 +177,18 @@ object Layout {
     val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_prune_" +
       Integer.toHexString(dir.hashCode)
     // IDEMPOTENT materialization (the OPTIMIZE contract: an
-    // already-clustered layout is not rewritten): a content fingerprint
-    // of the planned (db, ub, file_id) rows — order-free sum of row
-    // hashes + count — is compared against the marker the last write
-    // left. Match ⇒ the persisted files already hold exactly this
-    // layout and only the footer read-back runs (the steady-state
-    // production path); mismatch or first run ⇒ write + refresh marker.
-    // Any change to the data OR the bucketing/curve formulas changes
-    // row content and forces the rewrite, so staleness is impossible.
-    val fpRow = z.agg(count(lit(1)), coalesce(sum(
-      hash(col("db"), col("ub"), col("file_id")).cast("long")), lit(0L))).head()
-    val fingerprint = s"v1:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
-    val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
-    val current = if (marker.isFile)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fingerprint) {
+    // already-clustered layout is not rewritten): the fingerprint
+    // covers the PLANNED (db, ub, file_id) rows, so any change to the
+    // data OR the bucketing/curve formulas changes it and forces the
+    // rewrite — staleness is impossible.
+    materializeIfChanged(out, layoutFingerprint("v1",
+      z.select(col("db"), col("ub"), col("file_id")))) {
       // one physical file per planned file_id: hash-repartition on the
       // id puts each id wholly in one task, partitionBy splits ids to
       // dirs
       z.select(col("db"), col("ub"), col("file_id"))
         .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(out)
-      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     }
     val manifest = FooterManifest.build(spark, out, Seq("db", "ub"))
     val zCand = FooterManifest
@@ -214,19 +229,20 @@ object Layout {
     val slice = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
     // idempotent materialization, same contract as zorderPrune: the
-    // celled layout is a pure function of (slice rows, writer params),
-    // so a data fingerprint + params tag decides rewrite vs reuse
-    val fpRow = slice.agg(count(lit(1)), coalesce(sum(
-      hash(col("event_id"), col("user_id"), col("value")).cast("long")), lit(0L))).head()
-    val fingerprint = s"v1:b12c4:${fpRow.getLong(0)}:${fpRow.getLong(1)}"
-    val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
-    val current = if (marker.isFile)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fingerprint) {
+    // fingerprint covers the PLANNED rows INCLUDING the writer's cell
+    // assignment (PartitionedSink.withZCell — the exact quantize+Morton
+    // pipeline writeZCelled runs), so a change to the curve/quantization
+    // formulas misses the fingerprint just like a data change would
+    materializeIfChanged(out, layoutFingerprint("v1",
+      PartitionedSink.withZCell(slice, Seq("user_id", "value"), 12, 4)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")))) {
       PartitionedSink.writeZCelled(slice, out, Seq("user_id", "value"),
         bits = 12, cellBits = 4)
-      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     }
+    // persists are session-scoped by contract (see Curation.splitLeakage):
+    // the returned lazy report still references both caches, Verify/Bench
+    // clear the cache manager per query, and a library caller owns
+    // clearCache() after its final action
     val m = FooterManifest.build(spark, out, Seq("user_id", "value")).persist()
     val kept = FooterManifest.filesToRead(m,
       Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).persist()
@@ -361,17 +377,12 @@ object Layout {
       |f AS (SELECT zv >> 2 AS file_id, db, ub FROM z)""".stripMargin
 
   /** Generated Morton interleave formula over two SQL column names —
-    * identical bit placement to [[morton5]]. */
-  private def mortonSql(a: String, b: String): String =
-    (0 until 5).map(i =>
-      s"((($a & ${1 << i}) << $i) | (($b & ${1 << i}) << ${i + 1}))").mkString(" | ")
-
-  /** 12-bit Morton twin of [[mortonSql]] — the key
-    * [[graft.sources.PartitionedSink.writeZCelled]] writes (bits=12,
-    * two columns), so the [[footerPrune]] oracle recomputes the writer's
-    * cell ids bit-for-bit. */
-  private def morton12Sql(a: String, b: String): String =
-    (0 until 12).map(i =>
+    * identical bit placement to [[morton5]] at bits=5, and to
+    * [[graft.sources.PartitionedSink.writeZCelled]]'s key at bits=12
+    * (one generator, so the Spark and DuckDB formulations cannot drift
+    * apart per bit width). */
+  private def mortonSql(a: String, b: String, bits: Int = 5): String =
+    (0 until bits).map(i =>
       s"((($a & ${1L << i}) << $i) | (($b & ${1L << i}) << ${i + 1}))").mkString(" | ")
 
   /** The 5 unrolled xy2d levels as chained CTE stages (generated, so the
@@ -408,7 +419,7 @@ object Layout {
          |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
          |  FROM events, bounds),
          |cells AS (SELECT user_id, value,
-         |    (${morton12Sql("qu", "qv")}) >> 20 AS zcell FROM q),
+         |    (${mortonSql("qu", "qv", 12)}) >> 20 AS zcell FROM q),
          |files AS (
          |  SELECT zcell, count(*) AS n_rows,
          |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,

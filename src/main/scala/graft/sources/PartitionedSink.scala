@@ -109,8 +109,7 @@ object PartitionedSink {
   def writeZCelled(df: DataFrame, path: String, zCols: Seq[String],
       bits: Int = 12, cellBits: Int = 4): Unit = {
     require(zCols.nonEmpty && cellBits > 0 && cellBits <= bits * zCols.size)
-    withZKey(df, zCols, bits)
-      .withColumn("zcell", shiftright(col("__z"), bits * zCols.size - cellBits))
+    withZCell(df, zCols, bits, cellBits)
       // hash-repartition on the cell key: each cell lands wholly in one
       // task, so each zcell=<id> directory holds exactly ONE part file
       .repartition(col("zcell"))
@@ -118,6 +117,16 @@ object PartitionedSink {
       .drop("__z" +: zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
       .write.mode("overwrite").partitionBy("zcell").parquet(path)
   }
+
+  /** `df` + the `zcell` id [[writeZCelled]] would assign each row (and
+    * the internal `__z`/bound columns) — exposed so consumers can
+    * fingerprint the PLANNED layout: any change to the quantization or
+    * curve formulas changes these values, which is what makes a
+    * content-fingerprint idempotence guard formula-staleness-proof. */
+  private[graft] def withZCell(df: DataFrame, zCols: Seq[String],
+      bits: Int, cellBits: Int): DataFrame =
+    withZKey(df, zCols, bits)
+      .withColumn("zcell", shiftright(col("__z"), bits * zCols.size - cellBits))
 
   /** Small-file compaction for a day-partitioned lake: rewrite each
     * partition's many micro-batch files into at most `filesPerDay` files.

@@ -256,9 +256,14 @@ object BloomMaintenance {
       wrapProbe: (DataFrame => DataFrame) => (DataFrame => DataFrame) = identity,
       metricsDir: Option[String] = None, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
+    // arrival counter rides the batch scan inside the corpus-write job
+    // (observe, not a count() — no extra source pass)
+    val obsArrived = org.apache.spark.sql.Observation(s"graft_ingest_arrived_$batchId")
+    val observedBatch = if (metricsDir.isDefined)
+      batch.observe(obsArrived, count(lit(1)).as("n_arrived")) else batch
     val wFirst = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("ts"), col("doc_id"))
-    val firsts = batch.withColumn("__h", contentHash)
+    val firsts = observedBatch.withColumn("__h", contentHash)
       .withColumn("__rn", row_number().over(wFirst))
       .where(col("__rn") === 1).drop("__h", "__rn")
     val probe = wrapProbe(exactHashProbe(hashIndex(spark, indexDir)))
@@ -288,10 +293,16 @@ object BloomMaintenance {
       // batch prunes the CollectMetrics node (AQE empty-relation
       // propagation) and must report zeros, not hang or crash
       val m = obs.get
-      val nUnique = s.count()
-      val nProbed = s.where(col("suspect_dup")).count()
+      // ONE fused cache-local agg for both screen-side counters (the
+      // label-loop sizing-fusion discipline); n_arrived came in on the
+      // observation above — the metrics path adds exactly one job
+      val sr = s.agg(count(lit(1)),
+        coalesce(sum(col("suspect_dup").cast("long")), lit(0L))).head()
+      val (nUnique, nProbed) = (sr.getLong(0), sr.getLong(1))
+      val nArrived = obsArrived.get
+        .getOrElse("n_arrived", 0L).asInstanceOf[Long]
       import spark.implicits._
-      Seq(IngestMetrics(batchId, batch.count(), nUnique,
+      Seq(IngestMetrics(batchId, nArrived, nUnique,
         nUnique - nProbed, nProbed,
         m.getOrElse("n_probe_admitted", 0L).asInstanceOf[Long],
         m.getOrElse("n_admitted", 0L).asInstanceOf[Long]))
