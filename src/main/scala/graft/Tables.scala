@@ -13,6 +13,32 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * stay bare.
   */
 object Tables {
+
+  /** Inferred-schema cache keyed by (path, mtime signature): every bare
+    * `spark.read.parquet` schedules a schema-inference job (~90 ms of
+    * driver latency), and composition queries read the same tables 4-6
+    * times PER INVOCATION — across the 195-query registry this was
+    * thousands of redundant metadata jobs per bench run. The mtime key
+    * self-invalidates when a fixture dir is rewritten (overwrite
+    * changes the directory's entries); a non-local or unstat-able path
+    * yields signature 0 and falls back to plain inference, never a
+    * stale schema. The cache holds schemas only (KBs), keyed by
+    * path — session-independent because the FILES define the schema. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** Newest lastModified among the path and (for a directory) its
+    * direct children — 0 when the path is not a stat-able local file. */
+  private def mtimeSignature(path: String): Long =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists) 0L
+      else if (f.isDirectory)
+        (f.lastModified +: Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .map(_.lastModified)).max
+      else f.lastModified
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (TESTDATA/FIXTURES): Spark has
     // no nanosecond timestamp type and rejects the column outright; read it
@@ -25,7 +51,14 @@ object Tables {
     // optimizations. Both registrations are idempotent and O(1).
     graft.functions.Md5ConvRewrite.register(spark)
     graft.functions.BloomFilter.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sig = mtimeSignature(path)
+    if (sig == 0L) spark.read.parquet(path)
+    else {
+      val schema = schemaCache.computeIfAbsent((path, sig),
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
