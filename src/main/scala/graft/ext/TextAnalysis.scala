@@ -448,7 +448,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Feature-hash slot count for [[qualityClassifier]] (2¹² — fastText's
+    * default bucket order of magnitude, scaled to this corpus). */
+  private[ext] val ClassifierBuckets = 4096
+
+  /** [[qualityClassifier]] keep threshold, in LOGIT space: keeping
+    * `sigmoid(s) ≥ τ` is exactly `s ≥ logit(τ)`, so the sigmoid itself
+    * never needs evaluating — `exp()` is the one step two engines won't
+    * reproduce bit-for-bit, and the monotone reparameterization makes
+    * the decision IEEE-exact on both sides. */
+  private[ext] val ClassifierThreshold = 0.02
+
+  /** FastText-style hashed-feature linear classifier INFERENCE (Joulin et
+    * al. 2016, arXiv:1607.01759) — the model-based quality-filter tier of
+    * a web-scale curation stack (the learned complement to the heuristic
+    * [[qualityScore]] / [[gopherRules]] tiers): features are word
+    * unigrams + bigrams, the hashing trick maps each gram to one of
+    * [[ClassifierBuckets]] weight slots (no vocabulary, no dictionary
+    * join — the property that makes linear text models work at corpus
+    * scale), and a document's score is its mean slot weight, thresholded
+    * in logit space per [[ClassifierThreshold]].
+    *
+    * The weight vector is synthetic — slot b carries the hash-derived
+    * integer milli-weight `md5_64("w#" + b) mod 2001 − 1000` ∈ [−1000,
+    * 1000] (the seeded-stand-in doctrine of
+    * [[graft.sources.SynthGenerator]]: no trained model ships with this
+    * repo). What the engine exercises is the inference SHAPE: per-document
+    * margin = exact BIGINT sum of integer milli-weights (StableStats
+    * doctrine — no float summation-order drift), ONE double division at
+    * the end. A real model swaps the hash-derived slot weight for
+    * `w[bucket]` over a broadcast D-entry array; the plan is identical.
+    *
+    * Scale: ZERO data shuffles — gram construction and the weight lookup
+    * are higher-order functions inside one codegen projection (the md5
+    * prefix chains fuse to [[graft.functions.Md5Slice64]] via
+    * Md5ConvRewrite), so at 100 TB this scores at scan speed with no
+    * exchange, no weight-table join, and nothing driver-side; only the
+    * presentation sort ranges. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    val grams = "concat(w, zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))"
+    val bucket = s"pmod(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint), $ClassifierBuckets)"
+    val milli = "pmod(cast(conv(substring(md5(concat('w#', cast(" + bucket +
+      " as string))), 1, 8), 16, 10) as bigint), 2001) - 1000"
+    Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr(s"cast(size($grams) as bigint)").as("n_feats"),
+        expr(s"aggregate($grams, cast(0 as bigint), (acc, g) -> acc + ($milli))").as("milli_sum"))
+      .withColumn("score_logit", StableStats.ratio(col("milli_sum"), col("n_feats") * 1000))
+      .withColumn("keep", (col("score_logit") >= ClassifierThreshold).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quality_classifier" -> (qualityClassifier _),
     "x_text_normalize"   -> (textNormalize _),
     "x_ppl_buckets"      -> (pplBuckets _),
     "x_text_entropy"     -> (charEntropy _),
@@ -508,6 +563,23 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "x_quality_classifier" -> {
+      val bucket = s"(('0x' || substr(md5(g), 1, 8))::BIGINT % $ClassifierBuckets)"
+      val milli = s"((('0x' || substr(md5('w#' || CAST($bucket AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
+      val score = graft.ops.StableStats.ratioSql("milli_sum", "n_feats * 1000")
+      s"""WITH lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(w) AS g FROM lists
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+         |  FROM lists),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum($milli) AS BIGINT) AS milli_sum
+         |  FROM grams GROUP BY doc_id)
+         |SELECT doc_id, n_feats, milli_sum, $score AS score_logit,
+         |  CAST($score >= $ClassifierThreshold AS INTEGER) AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
     "x_text_normalize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_raw,

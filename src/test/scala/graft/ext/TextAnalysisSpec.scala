@@ -163,4 +163,45 @@ class TextAnalysisSpec extends SparkSpec {
     // the×2 contributes both of its pairs at weight 2
     assert(r.toMap.get("th") === Some(2L) && r.toMap.get("he") === Some(2L))
   }
+
+  test("quality classifier: matches a driver-side reference model exactly") {
+    import graft.functions.Md5Slice64
+    // independent reference implementation of the hashed-linear inference
+    // (direct digest arithmetic — no Spark expressions, no SQL chain)
+    def milliOf(gram: String): Long = {
+      val b = Md5Slice64.compute(gram.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
+      Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+    }
+    def reference(text: String): (Long, Long) = {
+      val w = text.split(" ", -1).toSeq
+      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      (grams.size.toLong, grams.map(milliOf).sum)
+    }
+    val fixture = Map(
+      0L -> "the cat and the hat",
+      1L -> "der hund und die katze ist da",
+      2L -> "zebra zebra zebra unique")
+    val r = TextAnalysis.qualityClassifier(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === fixture.keySet)
+    fixture.foreach { case (id, text) =>
+      val (nFeats, milliSum) = reference(text)
+      assert(r(id).getAs[Long]("n_feats") === nFeats, s"doc $id n_feats")
+      assert(r(id).getAs[Long]("milli_sum") === milliSum, s"doc $id milli_sum")
+      // the decision is a pure function of the ROUNDED margin
+      val score = r(id).getAs[Double]("score_logit")
+      assert(score === math.floor(milliSum.toDouble / (nFeats * 1000) * 1e4 + 0.5) / 1e4)
+      assert((r(id).getAs[Int]("keep") == 1) === (score >= TextAnalysis.ClassifierThreshold))
+    }
+  }
+
+  test("quality classifier: inference is one scan — no data shuffle in the plan") {
+    val plan = TextAnalysis.qualityClassifier(spark, dir)
+      .queryExecution.executedPlan.toString
+    // zero hash exchanges: grams, hashing, and the weight lookup all live
+    // in one projection; only the presentation sort may range-partition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier must not shuffle data:\n$plan")
+    assert(!plan.contains("ShuffleExchange hashpartitioning"))
+  }
 }

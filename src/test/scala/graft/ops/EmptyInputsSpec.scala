@@ -172,5 +172,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(r.getAs[Long]("files_read") === 0L)
     assert(r.getAs[Long]("rows_scanned") === 0L)
     assert(r.getAs[Long]("rows_out") === 0L)
+    // hashed-linear classifier: empty corpus → no scored rows
+    assert(graft.ext.TextAnalysis.qualityClassifier(spark, dir).count() === 0)
   }
 }
