@@ -208,15 +208,21 @@ object Curation {
       .orderBy("policy", "split_x", "split_y")
   }
 
-  /** End-to-end curation flagship: quality gate → canonical-copy exact
-    * dedup → leakage-safe cluster split → per-(split, lang) census. This
-    * is the shape a training-data pipeline actually ships — the point is
+  /** End-to-end curation flagship: heuristic quality gate ∧ learned
+    * quality gate → canonical-copy exact dedup → leakage-safe cluster
+    * split → per-(split, lang) census. This
+    * is the shape a training-data pipeline actually ships (rule battery
+    * AND model-based filter, the Gopher + fastText-classifier stack) —
+    * the point is
     * that the suite's operators COMPOSE: everything except the label
     * loop's inherent checkpoints fuses into one declarative plan (the
     * unsorted stage forms keep wasted mid-plan sorts out), Catalyst
     * prunes every column the census doesn't need, and each stage keeps
-    * the scale discipline it was built with (the quality battery is
-    * map-side, the dedup is one hash-agg, the split's loop is O(paired
+    * the scale discipline it was built with (the quality battery AND the
+    * hashed-linear classifier are map-side — their conjunction is one
+    * scan, no join of two scored frames needed, but the pipeline joins
+    * deliberately to prove filter frames compose as relations too — the
+    * dedup is one hash-agg, the split's loop is O(paired
     * docs), the census a tiny agg). The oracle chains the same stages as
     * SQL CTEs, so the differential covers the COMPOSITION, not just the
     * parts. */
@@ -225,6 +231,8 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     val kept = TextAnalysis.gopherSignals(spark, dir)
       .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
+    val learned = TextAnalysis.qualityClassifierOf(docs)
+      .where(col("keep") === 1).select(col("doc_id"))
     // canonical copy per NFC content hash, the lowest doc_id surviving:
     // raw-byte md5 would pass normalization-variant duplicates (é vs
     // e+U+0301) through the exact tier — the KEY is Dedup.nfcContentHash,
@@ -232,6 +240,7 @@ object Curation {
     val canon = docs.groupBy(Dedup.nfcContentHash.as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
+      .join(learned, "doc_id")
       .join(canon, "doc_id")
       .join(clusterSplits(spark, dir).select(col("doc_id"), col("split")), "doc_id")
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
@@ -1740,6 +1749,8 @@ object Curation {
     "x_curation_e2e" ->
       s"""WITH g AS (${TextAnalysis.gopherSignalsSql}),
          |keep AS (SELECT doc_id, n_words FROM g WHERE keep = 1),
+         |lc AS (${TextAnalysis.classifierSql}),
+         |lkeep AS (SELECT doc_id FROM lc WHERE keep = 1),
          |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(nfc_normalize(text))),
          |cl AS ($clustersSql),
          |anch AS (SELECT d.doc_id,
@@ -1751,6 +1762,7 @@ object Curation {
          |SELECT sp.split, d.lang, count(*) AS n_docs,
          |  CAST(sum(keep.n_words) AS BIGINT) AS sum_words
          |FROM keep
+         |JOIN lkeep USING (doc_id)
          |JOIN canon USING (doc_id)
          |JOIN sp USING (doc_id)
          |JOIN documents d USING (doc_id)

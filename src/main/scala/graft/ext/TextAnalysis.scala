@@ -485,13 +485,21 @@ object TextAnalysis {
     * Md5ConvRewrite), so at 100 TB this scores at scan speed with no
     * exchange, no weight-table join, and nothing driver-side; only the
     * presentation sort ranges. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[qualityClassifier]] without the presentation sort — the
+    * composition form (same pattern as [[qualityScoreOf]] /
+    * [[gopherSignalsOf]]) mid-plan consumers like
+    * [[graft.ext.Curation.curationPipeline]]'s learned-filter tier embed
+    * without planning a wasted range exchange. */
+  def qualityClassifierOf(docs: DataFrame): DataFrame = {
     import graft.ops.StableStats
     val grams = "concat(w, zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))"
     val bucket = s"pmod(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint), $ClassifierBuckets)"
     val milli = "pmod(cast(conv(substring(md5(concat('w#', cast(" + bucket +
       " as string))), 1, 8), 16, 10) as bigint), 2001) - 1000"
-    Tables.documents(spark, dir)
+    docs
       .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -499,7 +507,6 @@ object TextAnalysis {
         expr(s"aggregate($grams, cast(0 as bigint), (acc, g) -> acc + ($milli))").as("milli_sum"))
       .withColumn("score_logit", StableStats.ratio(col("milli_sum"), col("n_feats") * 1000))
       .withColumn("keep", (col("score_logit") >= ClassifierThreshold).cast("int"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,24 +569,32 @@ object TextAnalysis {
        |FROM s""".stripMargin
   }
 
+  /** Hashed-linear classifier SQL (DuckDB): SELECTs the full per-doc
+    * inference row set (doc_id, n_feats, milli_sum, score_logit, keep),
+    * no ordering — shared by the x_quality_classifier oracle and
+    * composing pipeline oracles (same pattern as [[gopherSignalsSql]]). */
+  private[ext] val classifierSql: String = {
+    val bucket = s"(('0x' || substr(md5(g), 1, 8))::BIGINT % $ClassifierBuckets)"
+    val milli = s"((('0x' || substr(md5('w#' || CAST($bucket AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
+    val score = graft.ops.StableStats.ratioSql("milli_sum", "n_feats * 1000")
+    s"""WITH lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(w) AS g FROM lists
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+       |  FROM lists),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum($milli) AS BIGINT) AS milli_sum
+       |  FROM grams GROUP BY doc_id)
+       |SELECT doc_id, n_feats, milli_sum, $score AS score_logit,
+       |  CAST($score >= $ClassifierThreshold AS INTEGER) AS keep
+       |FROM agg""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "x_quality_classifier" -> {
-      val bucket = s"(('0x' || substr(md5(g), 1, 8))::BIGINT % $ClassifierBuckets)"
-      val milli = s"((('0x' || substr(md5('w#' || CAST($bucket AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
-      val score = graft.ops.StableStats.ratioSql("milli_sum", "n_feats * 1000")
-      s"""WITH lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |grams AS (
-         |  SELECT doc_id, unnest(w) AS g FROM lists
-         |  UNION ALL
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
-         |  FROM lists),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |    CAST(sum($milli) AS BIGINT) AS milli_sum
-         |  FROM grams GROUP BY doc_id)
-         |SELECT doc_id, n_feats, milli_sum, $score AS score_logit,
-         |  CAST($score >= $ClassifierThreshold AS INTEGER) AS keep
-         |FROM agg ORDER BY doc_id""".stripMargin
-    },
+    "x_quality_classifier" ->
+      s"""$classifierSql
+         |ORDER BY doc_id""".stripMargin,
     "x_text_normalize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_raw,

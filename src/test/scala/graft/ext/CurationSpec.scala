@@ -194,12 +194,14 @@ class CurationSpec extends SparkSpec {
     val kept = TextAnalysis.gopherRules(spark, corpus).collect()
       .filter(_.getAs[Int]("keep") == 1)
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_words")).toMap
+    val learned = TextAnalysis.qualityClassifier(spark, corpus).collect()
+      .filter(_.getAs[Int]("keep") == 1).map(_.getAs[Long]("doc_id")).toSet
     val canon = Dedup.exact(spark, corpus).collect().map(_.getAs[Long]("keep_id")).toSet
     val split = Curation.clusterSplitAssign(spark, corpus).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
     val lang = graft.Tables.documents(spark, corpus).select("doc_id", "lang").collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
-    val expect = kept.keySet.intersect(canon)
+    val expect = kept.keySet.intersect(learned).intersect(canon)
       .groupBy(d => (split(d), lang(d)))
       .map { case (k, ds) => k -> ((ds.size.toLong, ds.toSeq.map(kept).sum)) }
     val got = Curation.curationPipeline(spark, corpus).collect()
