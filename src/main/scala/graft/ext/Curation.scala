@@ -219,20 +219,23 @@ object Curation {
     * unsorted stage forms keep wasted mid-plan sorts out), Catalyst
     * prunes every column the census doesn't need, and each stage keeps
     * the scale discipline it was built with (the quality battery AND the
-    * hashed-linear classifier are map-side — their conjunction is one
-    * scan, no join of two scored frames needed, but the pipeline joins
-    * deliberately to prove filter frames compose as relations too — the
+    * hashed-linear classifier are map-side, so their conjunction FUSES
+    * into one scan: the learned decision embeds as a scan-stage filter
+    * predicate via [[graft.ext.TextAnalysis.classifierKeep]] and the rule
+    * battery projects over the survivors — no second documents scan, no
+    * join of two scored frames — the
     * dedup is one hash-agg, the split's loop is O(paired
     * docs), the census a tiny agg). The oracle chains the same stages as
-    * SQL CTEs, so the differential covers the COMPOSITION, not just the
+    * SQL CTEs (there the learned tier IS a joined CTE — relational
+    * equivalence of the fused plan is exactly what the differential
+    * proves), so it covers the COMPOSITION, not just the
     * parts. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.UnicodeNormalize.register(spark)
     val docs = Tables.documents(spark, dir)
-    val kept = TextAnalysis.gopherSignals(spark, dir)
+    val kept = TextAnalysis
+      .gopherSignalsOf(docs.where(TextAnalysis.classifierKeep(col("text"))))
       .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
-    val learned = TextAnalysis.qualityClassifierOf(docs)
-      .where(col("keep") === 1).select(col("doc_id"))
     // canonical copy per NFC content hash, the lowest doc_id surviving:
     // raw-byte md5 would pass normalization-variant duplicates (é vs
     // e+U+0301) through the exact tier — the KEY is Dedup.nfcContentHash,
@@ -240,7 +243,6 @@ object Curation {
     val canon = docs.groupBy(Dedup.nfcContentHash.as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
-      .join(learned, "doc_id")
       .join(canon, "doc_id")
       .join(clusterSplits(spark, dir).select(col("doc_id"), col("split")), "doc_id")
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")

@@ -488,23 +488,52 @@ object TextAnalysis {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Unigram + bigram feature grams of a text Column — the single
+    * definition of the classifier's feature map. */
+  private def classifierGrams(text: Column): Column = {
+    val w = split(text, " ")
+    concat(w, zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** md5-prefix hash (first 8 hex digits as a long) — the portable chain
+    * Md5ConvRewrite fuses to [[graft.functions.Md5Slice64]]. */
+  private def md5Slice8(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Integer milli-weight of one gram: slot = hash(gram) mod buckets,
+    * weight = hash("w#" + slot) mod 2001 − 1000 ∈ [−1000, 1000]. */
+  private def milliWeight(g: Column): Column =
+    pmod(md5Slice8(concat(lit("w#"),
+      pmod(md5Slice8(g), lit(ClassifierBuckets)).cast("string"))), lit(2001)) - lit(1000L)
+
+  /** The classifier's keep DECISION as one Boolean Column over `text` —
+    * the scan-stage filter form: a consumer embeds it in a `.where(...)`
+    * and the whole inference (grams, hashing, exact integer margin,
+    * rounded logit threshold) evaluates inside the scan's filter
+    * predicate, costing zero extra stages. Decision-identical to
+    * [[qualityClassifierOf]]'s `keep` column: both compare the SAME
+    * rounded margin against [[ClassifierThreshold]]. */
+  def classifierKeep(text: Column): Column = {
+    import graft.ops.StableStats
+    val grams = classifierGrams(text)
+    val milliSum = aggregate(grams, lit(0L), (acc, g) => acc + milliWeight(g))
+    StableStats.ratio(milliSum, size(grams).cast("long") * 1000) >= ClassifierThreshold
+  }
+
   /** [[qualityClassifier]] without the presentation sort — the
     * composition form (same pattern as [[qualityScoreOf]] /
-    * [[gopherSignalsOf]]) mid-plan consumers like
-    * [[graft.ext.Curation.curationPipeline]]'s learned-filter tier embed
-    * without planning a wasted range exchange. */
+    * [[gopherSignalsOf]]). */
   def qualityClassifierOf(docs: DataFrame): DataFrame = {
     import graft.ops.StableStats
-    val grams = "concat(w, zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b)))"
-    val bucket = s"pmod(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint), $ClassifierBuckets)"
-    val milli = "pmod(cast(conv(substring(md5(concat('w#', cast(" + bucket +
-      " as string))), 1, 8), 16, 10) as bigint), 2001) - 1000"
+    val grams = classifierGrams(col("text"))
     docs
-      .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
-        expr(s"cast(size($grams) as bigint)").as("n_feats"),
-        expr(s"aggregate($grams, cast(0 as bigint), (acc, g) -> acc + ($milli))").as("milli_sum"))
+        size(grams).cast("long").as("n_feats"),
+        aggregate(grams, lit(0L), (acc, g) => acc + milliWeight(g)).as("milli_sum"))
       .withColumn("score_logit", StableStats.ratio(col("milli_sum"), col("n_feats") * 1000))
       .withColumn("keep", (col("score_logit") >= ClassifierThreshold).cast("int"))
   }

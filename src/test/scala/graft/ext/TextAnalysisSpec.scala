@@ -195,6 +195,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("classifier filter form: scan-stage keep decision ≡ the reported keep column") {
+    import org.apache.spark.sql.functions.col
+    val corpus = "/root/testdata/sf0.001"
+    val reported = TextAnalysis.qualityClassifier(spark, corpus).collect()
+      .filter(_.getAs[Int]("keep") == 1).map(_.getAs[Long]("doc_id")).toSet
+    val filtered = graft.Tables.documents(spark, corpus)
+      .where(TextAnalysis.classifierKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(filtered === reported, "the two forms must keep identical documents")
+    // fixture sanity: the threshold actually splits the corpus
+    assert(reported.nonEmpty && filtered.size < 500)
+  }
+
   test("quality classifier: inference is one scan — no data shuffle in the plan") {
     val plan = TextAnalysis.qualityClassifier(spark, dir)
       .queryExecution.executedPlan.toString
