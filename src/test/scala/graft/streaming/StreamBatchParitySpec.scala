@@ -161,4 +161,34 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "ingest-time gate must score exactly like the batch battery")
   }
+
+  test("streaming fused quality gate (classifier ∧ gopher) == batch conjunction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // the curation pipeline's whole front tier — learned filter embedded
+    // in the scan predicate, rule battery over survivors — is stateless,
+    // so it applies unchanged as an ingest-time gate
+    val q = graft.ext.TextAnalysis.gopherSignalsOf(
+        stream.toDS().toDF("doc_id", "text")
+          .where(graft.ext.TextAnalysis.classifierKeep(col("text"))))
+      .where(col("keep") === 1).select("doc_id")
+      .writeStream.format("memory").queryName("fused_gate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(200).foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("fused_gate_stream").as[Long].collect().toSet
+    val batch = graft.ext.TextAnalysis.gopherSignalsOf(
+        Tables.documents(spark, dir)
+          .where(graft.ext.TextAnalysis.classifierKeep(col("text"))))
+      .where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty, "fixture sanity: some docs must pass both gates")
+    assert(streamed === batch,
+      "ingest-time fused gate must admit exactly the batch conjunction's survivors")
+  }
 }
