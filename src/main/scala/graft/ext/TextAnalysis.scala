@@ -523,6 +523,50 @@ object TextAnalysis {
     StableStats.ratio(milliSum, size(grams).cast("long") * 1000) >= ClassifierThreshold
   }
 
+  /** One distributed training step of a linear probe over the hashed
+    * feature space — the learning-side counterpart of
+    * [[qualityClassifier]], in the same "one step, distributed" framing
+    * as [[bpeMergeStep]]: against integer labels y = (lang = 'en'), the
+    * squared-loss gradient of the UNNORMALIZED margin is
+    *
+    * {{{ grad[b] = Σ_docs Σ_{grams g: slot(g)=b} (milli_sum − y·1000·n_feats) }}}
+    *
+    * — every term an exact integer (the margin is the exact BIGINT the
+    * inference computes; the label is scaled to the same milli-units),
+    * so the whole step is summation-order-free and cross-engine
+    * bit-exact. Squared loss on the margin rather than logistic loss on
+    * the probability is deliberate: the logistic residual needs
+    * `sigmoid(margin)` per document, and `exp()` is the one primitive
+    * two engines won't reproduce bit-for-bit — a linear probe keeps the
+    * entire training step in integer arithmetic. Returns the top-20
+    * slots by |grad| with the descent direction −sign(grad).
+    *
+    * Scale shape: per-doc margin and labels are map-side in the SAME
+    * projection that explodes the grams, so one scan feeds a hash-agg
+    * keyed on [[ClassifierBuckets]] slots — map-side partial agg
+    * collapses every partition to ≤4096 rows before the only shuffle,
+    * and the top-20 plans as TakeOrderedAndProject. Overflow headroom:
+    * per-gram residual ≲ 10⁶, grams-per-slot at 100 TB ≈ 10¹⁰ →
+    * |grad| ≲ 10¹⁶ < 2⁶³. */
+  def classifierGradStep(spark: SparkSession, dir: String): DataFrame = {
+    val grams = classifierGrams(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        (col("lang") === "en").cast("long").as("y"),
+        grams.as("grams"))
+      .select(
+        col("grams"),
+        (aggregate(col("grams"), lit(0L), (acc, g) => acc + milliWeight(g)) -
+          col("y") * lit(1000L) * size(col("grams")).cast("long")).as("residual"))
+      .select(col("residual"), explode(col("grams")).as("g"))
+      .select(pmod(md5Slice8(col("g")), lit(ClassifierBuckets)).as("slot"), col("residual"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("n_grams"), sum(col("residual")).as("grad"))
+      .withColumn("dir", (-signum(col("grad").cast("double"))).cast("int"))
+      .orderBy(abs(col("grad")).desc, col("slot").asc)
+      .limit(20)
+  }
+
   /** [[qualityClassifier]] without the presentation sort — the
     * composition form (same pattern as [[qualityScoreOf]] /
     * [[gopherSignalsOf]]). */
@@ -539,6 +583,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_classifier_grad"  -> (classifierGradStep _),
     "x_quality_classifier" -> (qualityClassifier _),
     "x_text_normalize"   -> (textNormalize _),
     "x_ppl_buckets"      -> (pplBuckets _),
@@ -598,22 +643,35 @@ object TextAnalysis {
        |FROM s""".stripMargin
   }
 
+  /** Unigram+bigram gram CTEs (DuckDB) — the SQL twin of
+    * [[classifierGrams]]: defines `lists` and `grams(doc_id, g)`. */
+  private[ext] val classifierGramsSql: String =
+    """lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(w) AS g FROM lists
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+      |  FROM lists)""".stripMargin
+
+  /** Feature-slot id of gram expression `g` (DuckDB) — twin of the
+    * bucket step in [[milliWeight]]. */
+  private[ext] val classifierSlotSql: String =
+    s"(('0x' || substr(md5(g), 1, 8))::BIGINT % $ClassifierBuckets)"
+
+  /** Integer milli-weight of gram expression `g` (DuckDB) — twin of
+    * [[milliWeight]]. */
+  private[ext] val classifierMilliSql: String =
+    s"((('0x' || substr(md5('w#' || CAST($classifierSlotSql AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
+
   /** Hashed-linear classifier SQL (DuckDB): SELECTs the full per-doc
     * inference row set (doc_id, n_feats, milli_sum, score_logit, keep),
     * no ordering — shared by the x_quality_classifier oracle and
     * composing pipeline oracles (same pattern as [[gopherSignalsSql]]). */
   private[ext] val classifierSql: String = {
-    val bucket = s"(('0x' || substr(md5(g), 1, 8))::BIGINT % $ClassifierBuckets)"
-    val milli = s"((('0x' || substr(md5('w#' || CAST($bucket AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000)"
     val score = graft.ops.StableStats.ratioSql("milli_sum", "n_feats * 1000")
-    s"""WITH lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |grams AS (
-       |  SELECT doc_id, unnest(w) AS g FROM lists
-       |  UNION ALL
-       |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
-       |  FROM lists),
+    s"""WITH $classifierGramsSql,
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       |    CAST(sum($milli) AS BIGINT) AS milli_sum
+       |    CAST(sum($classifierMilliSql) AS BIGINT) AS milli_sum
        |  FROM grams GROUP BY doc_id)
        |SELECT doc_id, n_feats, milli_sum, $score AS score_logit,
        |  CAST($score >= $ClassifierThreshold AS INTEGER) AS keep
@@ -624,6 +682,21 @@ object TextAnalysis {
     "x_quality_classifier" ->
       s"""$classifierSql
          |ORDER BY doc_id""".stripMargin,
+    "x_classifier_grad" ->
+      s"""WITH $classifierGramsSql,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum($classifierMilliSql) AS BIGINT) AS milli_sum
+         |  FROM grams GROUP BY doc_id),
+         |resid AS (SELECT agg.doc_id,
+         |    milli_sum - CAST(d.lang = 'en' AS BIGINT) * 1000 * n_feats AS residual
+         |  FROM agg JOIN documents d ON d.doc_id = agg.doc_id),
+         |slots AS (SELECT $classifierSlotSql AS slot, residual
+         |  FROM grams JOIN resid ON resid.doc_id = grams.doc_id)
+         |SELECT slot, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(residual) AS BIGINT) AS grad,
+         |  CAST(-sign(sum(residual)) AS INTEGER) AS dir
+         |FROM slots GROUP BY slot
+         |ORDER BY abs(grad) DESC, slot ASC LIMIT 20""".stripMargin,
     "x_text_normalize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_raw,

@@ -195,6 +195,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("classifier gradient step: matches a sequential reference on the fixture") {
+    import graft.functions.Md5Slice64
+    def slotOf(g: String): Long =
+      Md5Slice64.compute(g.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
+    def milliOf(g: String): Long =
+      Md5Slice64.compute(s"w#${slotOf(g)}".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+    // labels: y = (lang == en) → docs 0 and 2 positive, doc 1 negative
+    val fixture = Seq(
+      ("the cat and the hat", 1L),
+      ("der hund und die katze ist da", 0L),
+      ("zebra zebra zebra unique", 1L))
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    fixture.foreach { case (t, y) =>
+      val w = t.split(" ", -1).toSeq
+      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      val residual = grams.map(milliOf).sum - y * 1000 * grams.size
+      grams.foreach { g =>
+        val s = slotOf(g); val (n, sum) = acc(s); acc(s) = (n + 1, sum + residual)
+      }
+    }
+    val expect = acc.toSeq
+      .map { case (s, (n, grad)) => (s, n, grad, -java.lang.Long.signum(grad)) }
+      .sortBy { case (s, _, grad, _) => (-math.abs(grad), s) }.take(20)
+    val got = TextAnalysis.classifierGradStep(spark, dir).collect()
+      .map(x => (x.getAs[Long]("slot"), x.getAs[Long]("n_grams"),
+        x.getAs[Long]("grad"), x.getAs[Int]("dir"))).toSeq
+    assert(got === expect, "distributed gradient must equal the straight-line accumulation")
+  }
+
   test("classifier filter form: scan-stage keep decision ≡ the reported keep column") {
     import org.apache.spark.sql.functions.col
     val corpus = "/root/testdata/sf0.001"

@@ -172,7 +172,9 @@ class EmptyInputsSpec extends SparkSpec {
     assert(r.getAs[Long]("files_read") === 0L)
     assert(r.getAs[Long]("rows_scanned") === 0L)
     assert(r.getAs[Long]("rows_out") === 0L)
-    // hashed-linear classifier: empty corpus → no scored rows
+    // hashed-linear classifier: empty corpus → no scored rows, and a
+    // training step over nothing → no gradient rows
     assert(graft.ext.TextAnalysis.qualityClassifier(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.classifierGradStep(spark, dir).count() === 0)
   }
 }
