@@ -246,4 +246,16 @@ class TextAnalysisSpec extends SparkSpec {
       s"classifier must not shuffle data:\n$plan")
     assert(!plan.contains("ShuffleExchange hashpartitioning"))
   }
+
+  test("classifier gradient step: one slot-keyed shuffle, top-k as TakeOrdered") {
+    val plan = TextAnalysis.classifierGradStep(spark, dir)
+      .queryExecution.executedPlan.toString
+    // margins are map-side in the exploding projection, so the ONLY data
+    // shuffle is the ≤4096-key slot agg (map-side partial combine ahead
+    // of it), and the top-20 must not plan a global sort
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected exactly the slot-agg shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject, not a global sort:\n$plan")
+  }
 }
