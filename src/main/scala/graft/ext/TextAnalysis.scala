@@ -567,6 +567,39 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Filter-bias audit of the learned quality gate — the monitoring
+    * counterpart every production filter ships with: a model-based
+    * filter silently reshapes the DOMAIN MIX of what survives (the
+    * classic failure mode of web-scale quality classifiers), so this
+    * reports, per source, the kept fraction against the corpus-wide
+    * rate and flags sources whose rounded deviation exceeds 0.1.
+    *
+    * Scale shape: the keep decision evaluates map-side in the scan
+    * projection ([[classifierKeep]]'s expression), the per-source agg is
+    * one hash-agg over O(sources) keys, and the corpus totals come from
+    * an empty-frame window over THAT tiny frame — never a second
+    * documents scan and never a self-join that would recompute the
+    * inference. All rates divide exact BIGINT counts, so the report is
+    * cross-engine bit-exact. */
+  def classifierBias(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats.{ratio, stableRound}
+    // empty partition spec + no orderBy → whole-frame window (the frame
+    // here is the already-aggregated O(sources) rows, not the corpus)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val delta =
+      stableRound(col("n_keep").cast("double") / col("n_docs") -
+        sum(col("n_keep")).over(w).cast("double") / sum(col("n_docs")).over(w), 4)
+    Tables.documents(spark, dir)
+      .select(col("source"), classifierKeep(col("text")).cast("long").as("k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        ratio(col("n_keep"), col("n_docs")).as("keep_rate"),
+        delta.as("rate_delta"))
+      .withColumn("skewed", (abs(col("rate_delta")) > 0.1).cast("int"))
+      .orderBy("source")
+  }
+
   /** [[qualityClassifier]] without the presentation sort — the
     * composition form (same pattern as [[qualityScoreOf]] /
     * [[gopherSignalsOf]]). */
@@ -584,6 +617,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_classifier_grad"  -> (classifierGradStep _),
+    "x_classifier_bias"  -> (classifierBias _),
     "x_quality_classifier" -> (qualityClassifier _),
     "x_text_normalize"   -> (textNormalize _),
     "x_ppl_buckets"      -> (pplBuckets _),
@@ -682,6 +716,22 @@ object TextAnalysis {
     "x_quality_classifier" ->
       s"""$classifierSql
          |ORDER BY doc_id""".stripMargin,
+    "x_classifier_bias" -> {
+      import graft.ops.StableStats.{ratioSql, stableRoundSql}
+      val deltaSql = stableRoundSql(
+        "CAST(n_keep AS DOUBLE) / n_docs" +
+          " - CAST(sum(n_keep) OVER () AS DOUBLE) / sum(n_docs) OVER ()", 4)
+      s"""WITH lc AS ($classifierSql),
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(lc.keep) AS BIGINT) AS n_keep
+         |  FROM documents d JOIN lc ON lc.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_keep,
+         |  ${ratioSql("n_keep", "n_docs")} AS keep_rate,
+         |  $deltaSql AS rate_delta,
+         |  CAST(abs($deltaSql) > 1e-1 AS INTEGER) AS skewed
+         |FROM per ORDER BY source""".stripMargin
+    },
     "x_classifier_grad" ->
       s"""WITH $classifierGramsSql,
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,

@@ -195,6 +195,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("classifier bias audit: per-source keep rates vs the corpus rate") {
+    import graft.functions.Md5Slice64
+    def keepOf(t: String): Long = {
+      val w = t.split(" ", -1).toSeq
+      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      val ms = grams.map { g =>
+        val b = Md5Slice64.compute(g.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
+        Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+      }.sum
+      val score = math.floor(ms.toDouble / (grams.size * 1000) * 1e4 + 0.5) / 1e4
+      if (score >= TextAnalysis.ClassifierThreshold) 1L else 0L
+    }
+    val bySource = Map(
+      "s0" -> Seq("the cat and the hat", "der hund und die katze ist da"),
+      "s1" -> Seq("zebra zebra zebra unique"))
+    val keeps = bySource.map { case (s, ts) => s -> ((ts.size.toLong, ts.map(keepOf).sum)) }
+    val tDocs = keeps.values.map(_._1).sum
+    val tKeep = keeps.values.map(_._2).sum
+    val r = TextAnalysis.classifierBias(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.keySet === keeps.keySet)
+    keeps.foreach { case (s, (n, k)) =>
+      assert(r(s).getAs[Long]("n_docs") === n, s"source $s n_docs")
+      assert(r(s).getAs[Long]("n_keep") === k, s"source $s n_keep")
+      val delta = math.floor((k.toDouble / n - tKeep.toDouble / tDocs) * 1e4 + 0.5) / 1e4
+      assert(r(s).getAs[Double]("rate_delta") === delta, s"source $s rate_delta")
+      assert((r(s).getAs[Int]("skewed") == 1) === (math.abs(delta) > 0.1), s"source $s skewed")
+    }
+  }
+
   test("classifier gradient step: matches a sequential reference on the fixture") {
     import graft.functions.Md5Slice64
     def slotOf(g: String): Long =

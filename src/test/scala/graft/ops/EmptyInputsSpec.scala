@@ -176,5 +176,6 @@ class EmptyInputsSpec extends SparkSpec {
     // training step over nothing → no gradient rows
     assert(graft.ext.TextAnalysis.qualityClassifier(spark, dir).count() === 0)
     assert(graft.ext.TextAnalysis.classifierGradStep(spark, dir).count() === 0)
+    assert(graft.ext.TextAnalysis.classifierBias(spark, dir).count() === 0)
   }
 }
