@@ -546,8 +546,13 @@ object TextAnalysis {
     * keyed on [[ClassifierBuckets]] slots — map-side partial agg
     * collapses every partition to ≤4096 rows before the only shuffle,
     * and the top-20 plans as TakeOrderedAndProject. Overflow headroom:
-    * per-gram residual ≲ 10⁶, grams-per-slot at 100 TB ≈ 10¹⁰ →
-    * |grad| ≲ 10¹⁶ < 2⁶³. */
+    * the per-gram residual is bounded by 2000·n_feats of its OWN
+    * document (≈ 2·10⁶ for a typical 10³-gram web document), so at
+    * 10¹⁰ grams per slot (100 TB) |grad| ≲ 2·10¹⁶ ≪ 2⁶³; the bound is
+    * length-weighted, so a corpus of pathological 10⁶-gram documents
+    * needs the standard upstream length cap (the [[chunks]] splitter /
+    * Gopher word-count gate this suite already composes ahead of
+    * training) to keep the slot sums in range. */
   def classifierGradStep(spark: SparkSession, dir: String): DataFrame = {
     val grams = classifierGrams(col("text"))
     Tables.documents(spark, dir)

@@ -193,11 +193,7 @@ class CurationPropertiesSpec extends SparkSpec {
   }
 
   test("hashed-linear classifier == sequential reference model on any corpus") {
-    import graft.functions.Md5Slice64
-    def milliOf(g: String): Long = {
-      val b = Md5Slice64.compute(g.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
-      Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
-    }
+    import ClassifierReference.{gramsOf, milliOf}
     for (docs <- cases) {
       val dir = writeDocs(docs)
       val got = TextAnalysis.qualityClassifier(spark, dir).collect()
@@ -206,10 +202,9 @@ class CurationPropertiesSpec extends SparkSpec {
             x.getAs[Double]("score_logit"), x.getAs[Int]("keep")))).toMap
       assert(got.size === docs.size)
       docs.zipWithIndex.foreach { case (t, i) =>
-        val w = t.split(" ", -1).toSeq
-        val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+        val grams = gramsOf(t)
         val ms = grams.map(milliOf).sum
-        val score = math.floor(ms.toDouble / (grams.size * 1000) * 1e4 + 0.5) / 1e4
+        val score = ClassifierReference.score(ms, grams.size.toLong)
         val keep = if (score >= TextAnalysis.ClassifierThreshold) 1 else 0
         assert(got(i.toLong) === ((grams.size.toLong, ms, score, keep)),
           s"doc $i diverged from the straight-line model: '$t'")

@@ -165,16 +165,11 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("quality classifier: matches a driver-side reference model exactly") {
-    import graft.functions.Md5Slice64
     // independent reference implementation of the hashed-linear inference
     // (direct digest arithmetic — no Spark expressions, no SQL chain)
-    def milliOf(gram: String): Long = {
-      val b = Md5Slice64.compute(gram.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
-      Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
-    }
+    import ClassifierReference.{gramsOf, milliOf}
     def reference(text: String): (Long, Long) = {
-      val w = text.split(" ", -1).toSeq
-      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      val grams = gramsOf(text)
       (grams.size.toLong, grams.map(milliOf).sum)
     }
     val fixture = Map(
@@ -190,23 +185,13 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r(id).getAs[Long]("milli_sum") === milliSum, s"doc $id milli_sum")
       // the decision is a pure function of the ROUNDED margin
       val score = r(id).getAs[Double]("score_logit")
-      assert(score === math.floor(milliSum.toDouble / (nFeats * 1000) * 1e4 + 0.5) / 1e4)
+      assert(score === ClassifierReference.score(milliSum, nFeats))
       assert((r(id).getAs[Int]("keep") == 1) === (score >= TextAnalysis.ClassifierThreshold))
     }
   }
 
   test("classifier bias audit: per-source keep rates vs the corpus rate") {
-    import graft.functions.Md5Slice64
-    def keepOf(t: String): Long = {
-      val w = t.split(" ", -1).toSeq
-      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
-      val ms = grams.map { g =>
-        val b = Md5Slice64.compute(g.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
-        Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
-      }.sum
-      val score = math.floor(ms.toDouble / (grams.size * 1000) * 1e4 + 0.5) / 1e4
-      if (score >= TextAnalysis.ClassifierThreshold) 1L else 0L
-    }
+    def keepOf(t: String): Long = if (ClassifierReference.keep(t)) 1L else 0L
     val bySource = Map(
       "s0" -> Seq("the cat and the hat", "der hund und die katze ist da"),
       "s1" -> Seq("zebra zebra zebra unique"))
@@ -226,11 +211,7 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("classifier gradient step: matches a sequential reference on the fixture") {
-    import graft.functions.Md5Slice64
-    def slotOf(g: String): Long =
-      Md5Slice64.compute(g.getBytes("UTF-8"), 1, 8) % TextAnalysis.ClassifierBuckets
-    def milliOf(g: String): Long =
-      Md5Slice64.compute(s"w#${slotOf(g)}".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+    import ClassifierReference.{gramsOf, milliOf, slotOf}
     // labels: y = (lang == en) → docs 0 and 2 positive, doc 1 negative
     val fixture = Seq(
       ("the cat and the hat", 1L),
@@ -238,8 +219,7 @@ class TextAnalysisSpec extends SparkSpec {
       ("zebra zebra zebra unique", 1L))
     val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
     fixture.foreach { case (t, y) =>
-      val w = t.split(" ", -1).toSeq
-      val grams = w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      val grams = gramsOf(t)
       val residual = grams.map(milliOf).sum - y * 1000 * grams.size
       grams.foreach { g =>
         val s = slotOf(g); val (n, sum) = acc(s); acc(s) = (n + 1, sum + residual)
