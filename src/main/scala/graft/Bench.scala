@@ -29,7 +29,8 @@ object Bench {
     "a1_window_agg", "a_session_window", "x_sessionize",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_sim_topk_brute",
     "x_text_tfidf", "x_dup_clusters", "x_decontaminate",
-    "x_boilerplate_ngrams", "x_dedup_spans", "x_sim_quantized")
+    "x_boilerplate_ngrams", "x_dedup_spans", "x_sim_quantized",
+    "x_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
