@@ -43,8 +43,32 @@ object Bench {
     // ceiling, pass protocol, and the 1-minute load average SAMPLED
     // BEFORE the first warm-up — load during the run is the bench
     // itself; load before it is the contamination signal.
-    val loadBefore = java.lang.management.ManagementFactory
+    def load1(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadInitial = load1()
+    // Idle-gate (round-13 protocol pin): two consecutive DRIVER-run
+    // headline artifacts arrived contaminated (load_before 5.15 / 6.60
+    // against the protocol's ~2 ceiling) — the bench recorded the
+    // contamination signal but did nothing about it. Now it DEFENDS:
+    // bounded idle-wait (poll the 1-min load until it drops under the
+    // gate or the wait budget runs out — load decays slowly on this box
+    // after a previous JVM exits, so waiting is usually enough), and
+    // when the gate still fails, escalation below widens every query to
+    // maxPasses and the line carries per-query minima alongside the
+    // medians (a min is robust against load spikes in a way a 3-sample
+    // median is not).
+    val gateLoad = 2.0
+    val waitBudget = sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT")
+      .flatMap(_.toIntOption).getOrElse(180)
+    val waitStart = System.nanoTime()
+    var loadBefore = loadInitial
+    while (loadBefore >= gateLoad &&
+        (System.nanoTime() - waitStart) / 1e9 < waitBudget) {
+      Thread.sleep(5000)
+      loadBefore = load1()
+    }
+    val waitedSecs = (System.nanoTime() - waitStart) / 1e9
+    val gateMet = loadBefore < gateLoad
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,10 +145,12 @@ object Bench {
     // Adaptive extra rounds (round-7 behavior, kept): queries whose passes
     // disagree by >2x get additional round-robin rounds up to maxPasses so
     // the median rests on a stable core instead of a 3-sample coin flip.
+    // When the idle gate failed, EVERY query escalates (the whole run is
+    // suspect, not just the entries that happened to spread >2x).
     for (_ <- passes until maxPasses) {
       val noisy = timed.filter { case (name, _) =>
         !failed(name) && acc(name).size >= 2 &&
-          acc(name).max / acc(name).min.max(1e-9) > 2.0
+          (!gateMet || acc(name).max / acc(name).min.max(1e-9) > 2.0)
       }
       noisy.foreach { case (name, fn) => onePass(name, fn) }
     }
@@ -156,12 +182,21 @@ object Bench {
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val env = String.format(java.util.Locale.ROOT,
-      """{"threads":%s,"cores":%d,"heap_gb":%.1f,"passes":%d,"max_passes":%d,"warm":%b,"load_before":%.2f,"load_after":%.2f}""",
+      """{"threads":%s,"cores":%d,"heap_gb":%.1f,"passes":%d,"max_passes":%d,"warm":%b,"load_initial":%.2f,"load_before":%.2f,"load_after":%.2f,"waited_secs":%.0f,"gate_met":%b}""",
       cpus, Int.box(Runtime.getRuntime.availableProcessors),
       Double.box(Runtime.getRuntime.maxMemory / 1073741824.0),
       Int.box(passes), Int.box(maxPasses), Boolean.box(warmup),
-      Double.box(loadBefore), Double.box(loadAfter))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"sf":"$sfDir","env":$env}""")
+      Double.box(loadInitial), Double.box(loadBefore), Double.box(loadAfter),
+      Double.box(waitedSecs), Boolean.box(gateMet))
+    // Gate-failed runs carry per-query minima next to the medians: a
+    // contaminated box inflates medians but the min of maxPasses
+    // interleaved passes usually still touches a quiet window. Absent
+    // on gate-met runs to keep the driver's bounded-tail parse safe.
+    val qmin = if (gateMet) "" else
+      ","+"\"qmin\":" + results.map { case (k, ts) =>
+        s"\"" + k + "\":" + r3(if (ts.isEmpty) -1.0 else ts.min)
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors$qmin,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

@@ -25,19 +25,30 @@ object Tables {
     * stale schema. The cache holds schemas only (KBs), keyed by
     * path — session-independent because the FILES define the schema. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
-  /** Newest lastModified among the path and (for a directory) its
-    * direct children — 0 when the path is not a stat-able local file. */
-  private def mtimeSignature(path: String): Long =
+  /** Change signature of the path: newest lastModified among the path
+    * and (for a directory) its direct children, PLUS the child count and
+    * total child byte size — mtime alone has 1-second granularity on
+    * some filesystems, so a fixture rewritten within the same second
+    * with a changed schema could be served the stale cached schema; a
+    * rewrite that changes any file's size or the file census misses the
+    * cache regardless of timestamps. (Nested partition dirs are covered
+    * at the direct level: rewriting files INSIDE a subdirectory updates
+    * that subdirectory's own mtime entry.) Empty string when the path
+    * is not a stat-able local file. */
+  private def mtimeSignature(path: String): String =
     try {
       val f = new java.io.File(path)
-      if (!f.exists) 0L
-      else if (f.isDirectory)
-        (f.lastModified +: Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-          .map(_.lastModified)).max
-      else f.lastModified
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+      if (!f.exists) ""
+      else {
+        val children =
+          if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          else Nil
+        val maxM = (f.lastModified +: children.map(_.lastModified)).max
+        s"$maxM:${children.size}:${children.map(_.length).sum + f.length}"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "" }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (TESTDATA/FIXTURES): Spark has
@@ -53,7 +64,7 @@ object Tables {
     graft.functions.BloomFilter.register(spark)
     val path = s"$dir/$name.parquet"
     val sig = mtimeSignature(path)
-    if (sig == 0L) spark.read.parquet(path)
+    if (sig.isEmpty) spark.read.parquet(path)
     else {
       val schema = schemaCache.computeIfAbsent((path, sig),
         _ => spark.read.parquet(path).schema)

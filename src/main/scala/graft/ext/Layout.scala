@@ -128,20 +128,46 @@ object Layout {
     s"$tag:${r.getLong(0)}:${r.getLong(1)}"
   }
 
+  /** Scratch directory for a materialized layout: keyed by the FULL md5
+    * of the data-dir string (hashCode alone let two dirs collide on 32
+    * bits) plus the user name (a world-shared /tmp path caused
+    * permission clashes between users on a shared host). */
+  private[graft] def scratchDir(kind: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${user}_$digest"
+  }
+
   /** Run `write` only when `fingerprint` differs from the marker the
     * last successful write left in `out` — then refresh the marker. The
     * marker is written AFTER the (dir-truncating) write, so it is the
     * commit point: a crash mid-write leaves no marker and the next
-    * invocation rewrites. */
-  private def materializeIfChanged(out: String, fingerprint: String)(write: => Unit): Unit = {
-    val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
-    val current = if (marker.isFile)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fingerprint) {
-      write
-      java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+    * invocation rewrites. Guarded by an OS file lock on `<out>.lock`
+    * (NEXT TO the dir — the overwrite deletes everything inside it), so
+    * two JVMs sharing the scratch path (a bench run racing `sbt test`
+    * on the same fixture) serialize instead of one reading a
+    * half-written layout; the JVM-level monitor covers same-process
+    * reentry, where a second FileChannel.lock would throw
+    * OverlappingFileLockException instead of blocking. */
+  private def materializeIfChanged(out: String, fingerprint: String)(write: => Unit): Unit =
+    Layout.synchronized {
+      val lockPath = java.nio.file.Paths.get(s"$out.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
+          val current = if (marker.isFile)
+            new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
+          if (current != fingerprint) {
+            write
+            java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
-  }
 
   private def withFiles(spark: SparkSession, dir: String): DataFrame =
     bucketed(spark, dir)
@@ -174,8 +200,7 @@ object Layout {
   def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.FooterManifest
     val z = withFiles(spark, dir).persist()
-    val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_prune_" +
-      Integer.toHexString(dir.hashCode)
+    val out = scratchDir("zorder_prune", dir)
     // IDEMPOTENT materialization (the OPTIMIZE contract: an
     // already-clustered layout is not rewritten): the fingerprint
     // covers the PLANNED (db, ub, file_id) rows, so any change to the
@@ -224,8 +249,7 @@ object Layout {
     * is bounded by 2^cellBits (=16), never by data. */
   def footerPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{FooterManifest, PartitionedSink}
-    val out = s"${sys.props("java.io.tmpdir")}/graft_footer_prune_" +
-      Integer.toHexString(dir.hashCode)
+    val out = scratchDir("footer_prune", dir)
     val slice = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
     // idempotent materialization, same contract as zorderPrune: the
@@ -259,6 +283,66 @@ object Layout {
       .agg(count(lit(1)).as("rows_out"))
     // 1-row report columns broadcast (see zorderPrune)
     filesTotal.crossJoin(broadcast(keptAgg)).crossJoin(broadcast(rowsOut))
+  }
+
+  /** STRING-column file pruning end-to-end (round 13): the footer loop
+    * of [[footerPrune]] driven by the columns an LLM-corpus query
+    * actually filters on — a `source` dimension (string) × a length
+    * band (numeric). The layout groups documents into one physical file
+    * per (source, n_chars div 128) cell — a pure function of the data,
+    * so DuckDB recomputes every file's membership and bounds — then the
+    * [[graft.sources.FooterManifest]] read-back supplies UTF8 string
+    * min/max next to the numeric range, `filesToRead` prunes on BOTH at
+    * once, and the box answer (source ∈ [src12, src17] × n_chars ∈
+    * [150, 400]) is computed by reading ONLY the surviving files.
+    *
+    * No session-scoped persist (the round-13 release discipline): the
+    * manifest is files×columns rows — it collects once to the driver
+    * (the same metadata scale a FileIndex already materializes) and
+    * every report input but the final read-back count is settled there;
+    * the returned frame holds literals plus the lazy rows_out agg, and
+    * NOTHING stays pinned in the cache manager. */
+  def footerPruneStr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
+    val out = scratchDir("footer_prune_str", dir)
+    val slice = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val planned = slice
+      .withColumn("src_part", col("source"))
+      .withColumn("lb", expr("n_chars div 128"))
+    materializeIfChanged(out, layoutFingerprint("v1",
+      planned.select(col("doc_id"), col("source"), col("n_chars"), col("lb")))) {
+      // each (src_part, lb) group lands wholly in one task, and
+      // partitionBy splits directories per key → exactly one file per
+      // cell; `source`/`n_chars` stay DATA columns (a partitionBy-only
+      // column never gets footer stats), the dir keys are duplicates
+      planned
+        .repartition(col("src_part"), col("lb"))
+        .write.mode("overwrite").partitionBy("src_part", "lb").parquet(out)
+    }
+    val m = FooterManifest.build(spark, out, Seq("source", "n_chars"))
+    // one footer pass; everything below works off the collected manifest
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val kept = FooterManifest.filesToRead(local,
+      Map("n_chars" -> ((150.0, 400.0))),
+      Map("source" -> (("src12", "src17")))).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val rowsScanned = kept.map(_.getLong(1)).sum
+    val keptDf = if (keptFiles.isEmpty)
+        spark.range(0).select(col("id").cast("string").as("source"),
+          col("id").as("n_chars"))
+      else spark.read.parquet(keptFiles: _*)
+    val rowsOut = keptDf
+      .where(col("source").between("src12", "src17") &&
+        col("n_chars").between(150, 400))
+      .agg(count(lit(1)).as("rows_out"))
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read"),
+        lit(rowsScanned).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
   }
 
   /** Head-to-head skipping comparison on the same rectangle as
@@ -329,6 +413,91 @@ object Layout {
       expr("rows_rewritten * 1000 div n_arrivals").as("rewrite_amp_x1000"))
   }
 
+  /** MERGE-ON-READ over the incremental layout — the read path that
+    * makes [[zorderIncr]]'s eager-vs-delta decision actually takable
+    * (round 13; before this the engine only implemented the eager
+    * side). The 90% split (event_id ≢ 0 mod 10) is the clustered BASE,
+    * written z-celled and pruned through real parquet footers exactly
+    * like [[footerPrune]]; the arrivals are an UNSORTED DELTA — the 10%
+    * inserts plus a corrected newer version of every event_id ≡ 1 mod
+    * 100 row (value + 150, so updates genuinely move rows across the
+    * query box in both directions). A reader answers the standard 2-D
+    * box (user_id∈[60,90] × value∈[100,200]) by:
+    *
+    *   1. manifest-pruning the base (footer stats, ANY-column-misses),
+    *   2. fully scanning the (small) delta,
+    *   3. resolving key collisions NEWEST-WINS — a base row is dropped
+    *      whenever its event_id appears in the delta (one broadcast
+    *      left_anti join against the delta keys; the delta is small BY
+    *      DEFINITION or the operator should have re-clustered eagerly,
+    *      which is precisely the number zorderIncr reports),
+    *   4. filtering the box AFTER the merge — an update may move a row
+    *      INTO the box whose base version was in a pruned file, which
+    *      is exactly why the delta is never pruned.
+    *
+    * Pruning stays correct under updates: a pruned base file provably
+    * holds no box-matching BASE rows, and any of its keys that changed
+    * are answered by the delta scan — so prune(base) ∪ delta ≡
+    * full-scan merge (spec-pinned as set equality on event_ids).
+    *
+    * One differential row: (files_total, files_read_base,
+    * rows_scanned_base, rows_delta, rows_scanned, rows_out). Oracle
+    * honesty as in [[footerPrune]]: the z-celled base layout is a pure
+    * function of the base subset, so DuckDB recomputes file membership
+    * and pruning from the table alone; the delta row count rides the
+    * footer metadata (zero Spark jobs). No session-scoped persist: the
+    * manifest collects once (bounded by 2^cellBits = 16 files) and the
+    * returned frame is literals + the lazy merged count. */
+  def deltaRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val outBase = scratchDir("delta_base", dir)
+    val outDelta = scratchDir("delta_arrivals", dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    materializeIfChanged(outBase, layoutFingerprint("v1",
+      PartitionedSink.withZCell(base, Seq("user_id", "value"), 12, 4)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")))) {
+      PartitionedSink.writeZCelled(base, outBase, Seq("user_id", "value"),
+        bits = 12, cellBits = 4)
+    }
+    materializeIfChanged(outDelta, layoutFingerprint("v1",
+      delta.select(col("event_id"), col("user_id"), col("value")))) {
+      // the delta is deliberately ONE unsorted file — the state an
+      // operator is in between arrivals and the next re-cluster
+      delta.coalesce(1).write.mode("overwrite").parquet(outDelta)
+    }
+    val m = FooterManifest.build(spark, outBase, Seq("user_id", "value"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val kept = FooterManifest.filesToRead(local,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val rowsScannedBase = kept.map(_.getLong(1)).sum
+    val rowsDelta = FooterManifest.rowCountFromFooters(spark, outDelta)
+    val deltaDf = spark.read.parquet(outDelta)
+    val baseKept = if (keptFiles.isEmpty)
+        spark.range(0).select(col("id").as("event_id"),
+          col("id").as("user_id"), col("id").cast("double").as("value"))
+      else spark.read.parquet(keptFiles: _*)
+    val survivors = baseKept.join(
+      broadcast(deltaDf.select(col("event_id"))), Seq("event_id"), "left_anti")
+    val rowsOut = survivors.unionByName(deltaDf)
+      .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
+      .agg(count(lit(1)).as("rows_out"))
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read_base"),
+        lit(rowsScannedBase).as("rows_scanned_base"),
+        lit(rowsDelta).as("rows_delta"),
+        lit(rowsScannedBase + rowsDelta).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
+  }
+
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
     * packing of curve-adjacent files into ~`target`-row output groups —
     * merging only neighbors on the curve preserves every group's tight
@@ -355,6 +524,8 @@ object Layout {
     "x_zorder_layout" -> (zorderLayout _),
     "x_zorder_prune" -> (zorderPrune _),
     "x_footer_prune" -> (footerPrune _),
+    "x_footer_prune_str" -> (footerPruneStr _),
+    "x_delta_read" -> (deltaRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
     "x_compaction_plan" -> (compactionPlan _)
@@ -434,6 +605,64 @@ object Layout {
          |       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM kept),
          |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM events
          |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
+    "x_delta_read" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |delta AS (
+         |  SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE event_id % 100 = 1),
+         |bounds AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM base),
+         |q AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM base, bounds),
+         |cells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 20 AS zcell FROM q),
+         |files AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM cells GROUP BY 1),
+         |kept AS (
+         |  SELECT * FROM files WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM files),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS files_read_base,
+         |       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned_base FROM kept),
+         |dr AS (SELECT CAST(count(*) AS BIGINT) AS rows_delta FROM delta),
+         |merged AS (
+         |  SELECT * FROM delta
+         |  UNION ALL
+         |  SELECT b.* FROM base b ANTI JOIN delta d ON d.event_id = b.event_id),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT files_total, files_read_base, rows_scanned_base, rows_delta,
+         |  rows_scanned_base + rows_delta AS rows_scanned, rows_out
+         |FROM ft, ka, dr, ro""".stripMargin,
+    "x_footer_prune_str" ->
+      s"""WITH files AS (
+         |  SELECT source, n_chars // 128 AS lb, count(*) AS n_rows,
+         |    min(source) AS min_s, max(source) AS max_s,
+         |    min(n_chars) AS min_n, max(n_chars) AS max_n
+         |  FROM documents GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT * FROM files WHERE NOT (
+         |    (min_s IS NOT NULL AND (max_s < 'src12' OR min_s > 'src17')) OR
+         |    (min_n IS NOT NULL AND (max_n < 150 OR min_n > 400)))),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM files),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS files_read,
+         |       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM kept),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM documents
+         |       WHERE source BETWEEN 'src12' AND 'src17' AND n_chars BETWEEN 150 AND 400)
          |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
     "x_zorder_layout" ->
       s"""WITH $bucketCte

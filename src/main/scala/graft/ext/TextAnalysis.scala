@@ -489,9 +489,14 @@ object TextAnalysis {
     qualityClassifierOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** Unigram + bigram feature grams of a text Column — the single
-    * definition of the classifier's feature map. */
+    * definition of the classifier's feature map. NULL text coalesces to
+    * '' (one empty-string unigram) so a NULL-text document scores like
+    * an empty one on BOTH engines — without it, Spark's split(NULL)
+    * yields a NULL gram array (NULL metrics row, NULL keep) while the
+    * DuckDB twins' unnest(NULL) drops the doc entirely: a latent
+    * differential the SQL twin mirrors with the same coalesce. */
   private def classifierGrams(text: Column): Column = {
-    val w = split(text, " ")
+    val w = split(coalesce(text, lit("")), " ")
     concat(w, zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
@@ -572,6 +577,112 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Number of sign-SGD steps [[classifierTrain]] runs, and the integer
+    * milli-weight step size. Sign updates rather than scaled-gradient
+    * updates keep the ENTIRE recurrence in bounded integer arithmetic:
+    * sign(exact BIGINT) is cross-engine exact, while a scaled step
+    * would need a division whose rounding both engines must agree on
+    * AND would let weight magnitudes grow with corpus size. */
+  private[ext] val TrainSteps = 3
+  private[ext] val TrainStepMillis = 100L
+
+  /** ITERATED training of the linear probe — the completion of
+    * [[classifierGradStep]]'s one-step story (round 13): k sign-SGD
+    * steps against labels y = (lang = 'en'), the ≤[[ClassifierBuckets]]
+    * -slot weight table MATERIALIZED on the driver between steps, and
+    * every scoring pass evaluating `w[bucket]` through a broadcast
+    * array literal (`element_at` over a [[ClassifierBuckets]]-entry
+    * array inside the same codegen projection) — exactly the swap the
+    * [[qualityClassifier]] doc promises for a real model: the
+    * hash-DERIVED weights are only step 0's initialization.
+    *
+    * Per materialized step t the report carries (step, n_docs,
+    * sum_abs_residual, n_keep): the L1 training loss in exact
+    * milli-units — monotonically DECREASING on this corpus (spec- and
+    * oracle-pinned trajectory) — and the keep-set size under the
+    * CURRENT weights, the two numbers an operator watches to see
+    * learning move the gate. L1 rather than the squared objective in
+    * the report because it is the SCALE-SAFE exact integer: |residual|
+    * ≤ ~2300·n_feats (weights drift ≤ k·100), so the BIGINT sum holds
+    * headroom past 10¹² typical kilogram documents, where a sum of
+    * SQUARES (~4·10¹² per such doc) would overflow 2⁶³ at mere
+    * millions of documents.
+    * Update rule: w'[b] = w[b] − 100·sign(Σ residual over slot-b grams)
+    * (untouched slots keep their weight; sign(0) = 0), every term an
+    * exact BIGINT, so DuckDB replays the identical recurrence as k
+    * unrolled CTE stages and the report is cross-engine bit-exact.
+    *
+    * Scale shape: ONE documents scan per step — the gradient pass
+    * explodes grams into the ≤4096-slot hash-agg (map-side partials,
+    * same as [[classifierGradStep]]) while the per-step report counters
+    * ride that same scan via `Dataset.observe` (the sizing-fusion
+    * discipline — no second pass); only the final step pays a plain
+    * report-only aggregation. The weight state is 4096 longs on the
+    * driver — model-shaped, never corpus-shaped; at 100 TB each step is
+    * one epoch-scan exactly like production linear-probe training. */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StableStats
+    // SYMMETRIC targets ỹ ∈ {−1, +1} (ỹ = 2·[lang='en'] − 1), unlike
+    // classifierGradStep's {0, 1} demo: with 0/1 targets the majority
+    // class's 1000-unit residuals dominate every slot's gradient in one
+    // direction, ALL weights drift that way and the L1 loss RISES (seen
+    // empirically); ±1 targets make the classes pull weights apart —
+    // the least-squares classification setup — so sum|residual| falls
+    // monotonically and the gate actually separates.
+    val docs = Tables.documents(spark, dir).select(
+      ((col("lang") === "en").cast("long") * 2 - 1).as("y"),
+      classifierGrams(col("text")).as("grams"))
+    // step-0 weights: the same hash-derived milli-weights the synthetic
+    // inference uses, computed with the same Md5Slice64 primitive the
+    // codegen expression evaluates
+    val w = Array.tabulate(ClassifierBuckets) { b =>
+      graft.functions.Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+    }
+    def scoredUnder(warr: Column): DataFrame = docs.select(
+      col("grams"),
+      size(col("grams")).cast("long").as("n_feats"),
+      aggregate(col("grams"), lit(0L), (acc, g) =>
+        acc + element_at(warr,
+          (pmod(md5Slice8(g), lit(ClassifierBuckets)) + 1).cast("int"))).as("milli_sum"),
+      col("y"))
+      .withColumn("residual",
+        col("milli_sum") - col("y") * lit(1000L) * col("n_feats"))
+    def reportAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(abs(col("residual"))), lit(0L)).as("sum_abs_residual"),
+      coalesce(sum((StableStats.ratio(col("milli_sum"), col("n_feats") * 1000) >=
+        ClassifierThreshold).cast("long")), lit(0L)).as("n_keep"))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (t <- 0 until TrainSteps) {
+      val scored = scoredUnder(typedlit(w.toSeq))
+      val obs = org.apache.spark.sql.Observation(s"graft_train_$t")
+      val grads = scored.observe(obs, reportAggs.head, reportAggs.tail: _*)
+        .select(col("residual"), explode(col("grams")).as("g"))
+        .select(pmod(md5Slice8(col("g")), lit(ClassifierBuckets)).as("slot"), col("residual"))
+        .groupBy("slot").agg(sum(col("residual")).as("grad"))
+        .collect()
+      // empty grads ⟺ empty corpus (every doc owns ≥1 gram): skip the
+      // observation, whose CollectMetrics node empty-relation
+      // propagation may have pruned (the BloomMaintenance discipline)
+      if (grads.isEmpty) reports += ((t, 0L, 0L, 0L))
+      else {
+        val m = obs.get
+        reports += ((t, m("n_docs").asInstanceOf[Long],
+          m("sum_abs_residual").asInstanceOf[Long], m("n_keep").asInstanceOf[Long]))
+      }
+      grads.foreach { r =>
+        val slot = r.getAs[Long]("slot").toInt
+        w(slot) -= TrainStepMillis * java.lang.Long.signum(r.getAs[Long]("grad"))
+      }
+    }
+    // final materialized step: report-only pass under the trained table
+    val last = scoredUnder(typedlit(w.toSeq)).agg(reportAggs.head, reportAggs.tail: _*).head()
+    reports += ((TrainSteps, last.getLong(0), last.getLong(1), last.getLong(2)))
+    import spark.implicits._
+    reports.toSeq.toDF("step", "n_docs", "sum_abs_residual", "n_keep")
+      .orderBy("step")
+  }
+
   /** Filter-bias audit of the learned quality gate — the monitoring
     * counterpart every production filter ships with: a model-based
     * filter silently reshapes the DOMAIN MIX of what survives (the
@@ -622,6 +733,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_classifier_grad"  -> (classifierGradStep _),
+    "x_classifier_train" -> (classifierTrain _),
     "x_classifier_bias"  -> (classifierBias _),
     "x_quality_classifier" -> (qualityClassifier _),
     "x_text_normalize"   -> (textNormalize _),
@@ -685,7 +797,7 @@ object TextAnalysis {
   /** Unigram+bigram gram CTEs (DuckDB) — the SQL twin of
     * [[classifierGrams]]: defines `lists` and `grams(doc_id, g)`. */
   private[ext] val classifierGramsSql: String =
-    """lists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """lists AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
       |grams AS (
       |  SELECT doc_id, unnest(w) AS g FROM lists
       |  UNION ALL
@@ -717,7 +829,45 @@ object TextAnalysis {
        |FROM agg""".stripMargin
   }
 
+  /** The sign-SGD training recurrence as [[TrainSteps]] unrolled CTE
+    * stages (DuckDB) — generated from the SAME constants the Spark loop
+    * uses, so step count, step size and threshold cannot drift apart.
+    * Stage t: margins under w_t → residuals → report row → slot grads →
+    * w_{t+1}; the final stage reports only. */
+  private[ext] val classifierTrainSql: String = {
+    val ratio = graft.ops.StableStats.ratioSql("milli_sum", "n_feats * 1000")
+    def margins(t: Int) =
+      s"""m$t AS (SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(w$t.w) AS BIGINT) AS milli_sum
+         |  FROM sg JOIN w$t USING (slot) GROUP BY sg.doc_id),
+         |r$t AS (SELECT m.doc_id, milli_sum, n_feats,
+         |    milli_sum - (CAST(d.lang = 'en' AS BIGINT) * 2 - 1) * 1000 * n_feats AS residual
+         |  FROM m$t m JOIN documents d ON d.doc_id = m.doc_id),
+         |rep$t AS (SELECT $t AS step, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(abs(residual)), 0) AS BIGINT) AS sum_abs_residual,
+         |    CAST(coalesce(sum(CASE WHEN $ratio >= $ClassifierThreshold THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep
+         |  FROM r$t)""".stripMargin
+    val stages = (0 until TrainSteps).map { t =>
+      s"""${margins(t)},
+         |g$t AS (SELECT slot, CAST(sum(residual) AS BIGINT) AS grad
+         |  FROM sg JOIN r$t USING (doc_id) GROUP BY slot),
+         |w${t + 1} AS (SELECT w.slot,
+         |    w.w - $TrainStepMillis * CAST(sign(coalesce(g.grad, 0)) AS BIGINT) AS w
+         |  FROM w$t w LEFT JOIN g$t g USING (slot))""".stripMargin
+    } :+ margins(TrainSteps)
+    val reps = (0 to TrainSteps).map(t => s"SELECT * FROM rep$t").mkString(" UNION ALL ")
+    s"""WITH $classifierGramsSql,
+       |sg AS (SELECT doc_id, $classifierSlotSql AS slot FROM grams),
+       |w0 AS (SELECT CAST(b AS BIGINT) AS slot,
+       |    ((('0x' || substr(md5('w#' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000) AS w
+       |  FROM (SELECT unnest(range(0, $ClassifierBuckets)) AS b)),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(step AS INTEGER) AS step, n_docs, sum_abs_residual, n_keep
+       |FROM ($reps) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x_classifier_train" -> classifierTrainSql,
     "x_quality_classifier" ->
       s"""$classifierSql
          |ORDER BY doc_id""".stripMargin,

@@ -24,18 +24,47 @@ import org.apache.spark.sql.functions._
   * pruning is an ordinary range predicate on it, not a planner hack.
   *
   * Column coverage: numeric and date physical types (INT32/INT64/FLOAT/
-  * DOUBLE) surface as doubles — the range-pruning use case; binary/
-  * string stats are skipped (truncation semantics differ by writer).
+  * DOUBLE) surface as doubles in `min_v`/`max_v` — the classic
+  * range-pruning case; UTF8-annotated BINARY columns surface as strings
+  * in `min_s`/`max_s` (since round 13 — source/lang ARE the columns an
+  * LLM-corpus query filters on, and leaving them unprunable forfeited
+  * file skipping exactly where a 100 TB reader needs it). String-stat
+  * honesty: parquet-mr either stores the exact chunk min/max or — when
+  * a value exceeds the writer's stats size/truncation limit — OMITS the
+  * chunk statistics entirely; it never narrows a stored bound. So a
+  * present string range is a true bound, and an oversized one already
+  * takes the conservative NULL path below. Comparisons against these
+  * bounds happen in Spark expressions, whose UTF8String ordering is
+  * unsigned-byte-wise — the SAME order parquet's UTF8 stats are
+  * computed under (and DuckDB's VARCHAR memcmp order), so pruning
+  * decisions agree across engines byte-for-byte, multi-byte code
+  * points included.
   * A row group with missing or empty stats yields a NULL range row, so
   * a pruning consumer can (and must) treat that file as always-needed —
   * the conservative reader contract, spec-pinned.
   */
 object FooterManifest {
 
-  /** One (file, column) manifest row; `min_v`/`max_v` are None when any
-    * row group lacks usable stats for the column. */
+  /** One (file, column) manifest row; `min_v`/`max_v` (numeric) and
+    * `min_s`/`max_s` (UTF8 string) are None when any row group lacks
+    * usable stats of that kind for the column. */
   case class FooterStat(file: String, n_rows: Long, column: String,
-      min_v: Option[Double], max_v: Option[Double])
+      min_v: Option[Double], max_v: Option[Double],
+      min_s: Option[String], max_s: Option[String])
+
+  /** a < b under unsigned UTF-8 byte order — the collation parquet UTF8
+    * stats, Spark's UTF8String and DuckDB's VARCHAR all compare by. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xff; val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
 
   /** Recursive parquet part-file listing (driver-side, file NAMES only). */
   private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
@@ -76,23 +105,47 @@ object FooterManifest {
             val nRows = blocks.map(_.getRowCount).sum
             colList.map { c =>
               // fold row-group ranges; any group without usable stats
-              // poisons the column to NULL (conservative)
-              val ranges = blocks.map { b =>
-                b.getColumns.asScala.find(_.getPath.toDotString == c)
-                  .map(_.getStatistics)
-                  .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-                  .flatMap { s =>
-                    (s.genericGetMin, s.genericGetMax) match {
-                      case (mn: Number, mx: Number) =>
-                        Some((mn.doubleValue, mx.doubleValue))
-                      case _ => None // binary/string stats: not range-pruned
+              // poisons the column to NULL (conservative). Left = numeric
+              // range, Right = UTF8-string range (see object doc).
+              val ranges: Seq[Option[Either[(Double, Double), (String, String)]]] =
+                blocks.map { b =>
+                  b.getColumns.asScala.find(_.getPath.toDotString == c)
+                    .map(_.getStatistics)
+                    .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+                    .flatMap { s =>
+                      val isUtf8 = s.`type`().getLogicalTypeAnnotation ==
+                        org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+                      (s.genericGetMin, s.genericGetMax) match {
+                        case (mn: Number, mx: Number) =>
+                          Some(Left((mn.doubleValue, mx.doubleValue)))
+                        case (mn: org.apache.parquet.io.api.Binary,
+                              mx: org.apache.parquet.io.api.Binary) if isUtf8 =>
+                          Some(Right((mn.toStringUsingUTF8, mx.toStringUsingUTF8)))
+                        case _ => None // non-UTF8 binary: not range-pruned
+                      }
                     }
-                  }
-              }
-              val folded =
-                if (blocks.isEmpty || ranges.exists(_.isEmpty)) None
-                else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
-              FooterStat(f, nRows, c, folded.map(_._1), folded.map(_._2))
+                }
+              val flat = ranges.flatten
+              val num =
+                if (blocks.isEmpty || ranges.exists(_.isEmpty) || !flat.forall(_.isLeft)) None
+                else {
+                  val ns = flat.collect { case Left(r) => r }
+                  Some((ns.map(_._1).min, ns.map(_._2).max))
+                }
+              val str =
+                if (blocks.isEmpty || ranges.exists(_.isEmpty) || !flat.forall(_.isRight)) None
+                else {
+                  // fold under UNSIGNED-BYTE order (what parquet computed
+                  // the per-group bounds under, and what Spark/DuckDB
+                  // compare strings by) — Scala's String min/max is
+                  // UTF-16-code-unit order, which flips for astral-plane
+                  // code points
+                  val ss = flat.collect { case Right(r) => r }
+                  Some((ss.map(_._1).reduce((a, b) => if (utf8Lt(a, b)) a else b),
+                    ss.map(_._2).reduce((a, b) => if (utf8Lt(a, b)) b else a)))
+                }
+              FooterStat(f, nRows, c, num.map(_._1), num.map(_._2),
+                str.map(_._1), str.map(_._2))
             }
           } finally reader.close()
         }
@@ -124,13 +177,21 @@ object FooterManifest {
   /** Files a range query must read, decided from a [[build]] manifest:
     * a file is pruned iff ANY queried column's manifest range provably
     * misses the query box; it survives otherwise — and a NULL range
-    * keeps the file (the conservative contract). `box` maps column →
-    * [lo, hi] inclusive. */
-  def filesToRead(manifest: DataFrame, box: Map[String, (Double, Double)]): DataFrame = {
+    * keeps the file (the conservative contract). `box` maps a numeric
+    * column → [lo, hi] inclusive; `strBox` maps a string column →
+    * [lo, hi] inclusive under unsigned-byte (UTF-8) order — the order
+    * the stats were folded under, so the same Column comparison decides
+    * both kinds. */
+  def filesToRead(manifest: DataFrame, box: Map[String, (Double, Double)],
+      strBox: Map[String, (String, String)] = Map.empty): DataFrame = {
     // per (file, column): does this column rule the file OUT?
-    val prunable = box.foldLeft(lit(false)) { case (acc, (c, (lo, hi))) =>
+    val prunableNum = box.foldLeft(lit(false)) { case (acc, (c, (lo, hi))) =>
       acc || (col("column") === c && col("min_v").isNotNull &&
         (col("max_v") < lo || col("min_v") > hi))
+    }
+    val prunable = strBox.foldLeft(prunableNum) { case (acc, (c, (lo, hi))) =>
+      acc || (col("column") === c && col("min_s").isNotNull &&
+        (col("max_s") < lo || col("min_s") > hi))
     }
     manifest
       .groupBy(col("file"))

@@ -289,24 +289,34 @@ object BloomMaintenance {
     admitted.select(contentHash.as("h")).write.mode("append").parquet(indexDir)
     mergeBatch(admitted, tableDir, mBits, k)
     metricsDir.foreach { md =>
-      // observation collected on the corpus-write job above; an empty
-      // batch prunes the CollectMetrics node (AQE empty-relation
-      // propagation) and must report zeros, not hang or crash
-      val m = obs.get
       // ONE fused cache-local agg for both screen-side counters (the
-      // label-loop sizing-fusion discipline); n_arrived came in on the
-      // observation above — the metrics path adds exactly one job
+      // label-loop sizing-fusion discipline) — and it runs FIRST because
+      // it cannot hang: when the micro-batch is empty, empty-relation
+      // propagation can prune the CollectMetrics nodes entirely, in
+      // which case `Observation.get` would block forever waiting for a
+      // metrics row that is never delivered (the getOrElse only guards
+      // a missing KEY after get() returns). nUnique = 0 ⟺ empty batch
+      // (every arriving row has a first-arrival survivor), so the
+      // observations are consulted only when the screen frame proves a
+      // row flowed through the observed plans.
       val sr = s.agg(count(lit(1)),
         coalesce(sum(col("suspect_dup").cast("long")), lit(0L))).head()
       val (nUnique, nProbed) = (sr.getLong(0), sr.getLong(1))
-      val nArrived = obsArrived.get
-        .getOrElse("n_arrived", 0L).asInstanceOf[Long]
+      val row = if (nUnique == 0L)
+        IngestMetrics(batchId, 0L, 0L, 0L, 0L, 0L, 0L)
+      else {
+        // observations collected on the corpus-write job above; safe to
+        // block on now — the batch was provably non-empty
+        val m = obs.get
+        val nArrived = obsArrived.get
+          .getOrElse("n_arrived", 0L).asInstanceOf[Long]
+        IngestMetrics(batchId, nArrived, nUnique,
+          nUnique - nProbed, nProbed,
+          m.getOrElse("n_probe_admitted", 0L).asInstanceOf[Long],
+          m.getOrElse("n_admitted", 0L).asInstanceOf[Long])
+      }
       import spark.implicits._
-      Seq(IngestMetrics(batchId, nArrived, nUnique,
-        nUnique - nProbed, nProbed,
-        m.getOrElse("n_probe_admitted", 0L).asInstanceOf[Long],
-        m.getOrElse("n_admitted", 0L).asInstanceOf[Long]))
-        .toDF().coalesce(1).write.mode("append").parquet(md)
+      Seq(row).toDF().coalesce(1).write.mode("append").parquet(md)
     }
     s.unpersist()
     admitted.unpersist()

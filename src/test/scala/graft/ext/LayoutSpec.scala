@@ -152,4 +152,52 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("merge-on-read: base-prune ∪ delta ≡ full-scan merge, newest wins") {
+    import graft.sources.FooterManifest
+    val box = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+    // run the report once — materializes both layout dirs idempotently
+    val r = Layout.deltaRead(spark, sf).head()
+    val baseAll = spark.read.parquet(Layout.scratchDir("delta_base", sf))
+      .select("event_id", "user_id", "value")
+    val delta = spark.read.parquet(Layout.scratchDir("delta_arrivals", sf))
+    // the un-pruned reference: full base scan, newest-wins merge
+    val mergedFull = baseAll
+      .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta)
+    val fullIds = mergedFull.where(box)
+      .select("event_id").as[Long].collect().sorted
+    assert(r.getAs[Long]("rows_out") === fullIds.length.toLong,
+      "pruned merge-on-read must answer exactly the full-scan merge")
+    // replicate the pruned read path and compare the ID SET, not counts
+    val m = FooterManifest.build(spark, Layout.scratchDir("delta_base", sf),
+      Seq("user_id", "value"))
+    val keptFiles = FooterManifest.filesToRead(m,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))))
+      .select("file").as[String].collect().toSeq
+    val prunedIds = (if (keptFiles.isEmpty) delta
+      else spark.read.parquet(keptFiles: _*)
+        .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+        .unionByName(delta))
+      .where(box).select("event_id").as[Long].collect().sorted
+    assert(prunedIds.sameElements(fullIds),
+      "base-prune ∪ delta must yield the identical row set")
+    // newest-wins semantics: every updated key answers with the delta
+    // version (value + 150), exactly once
+    val dupKeys = mergedFull.groupBy("event_id").count()
+      .where(col("count") > 1).count()
+    assert(dupKeys === 0L, "merge must resolve each key to one version")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("value").as("orig"))
+    val upd = mergedFull.where(pmod(col("event_id"), lit(100)) === 1)
+      .join(ev, "event_id")
+    assert(upd.count() > 0L)
+    assert(upd.where(col("value") =!= col("orig") + lit(150.0)).count() === 0L,
+      "updated keys must serve the newer delta value")
+    // report self-consistency + the point of the exercise: pruning reads
+    // strictly fewer base files than the layout holds
+    assert(r.getAs[Long]("rows_scanned") ===
+      r.getAs[Long]("rows_scanned_base") + r.getAs[Long]("rows_delta"))
+    assert(r.getAs[Long]("files_read_base") < r.getAs[Long]("files_total"))
+  }
 }

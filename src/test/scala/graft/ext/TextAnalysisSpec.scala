@@ -190,6 +190,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("classifier: NULL text scores as empty text, never a NULL/dropped row") {
+    // NULL text must neither drop the doc (the DuckDB-twin failure mode:
+    // unnest(NULL) yields 0 rows, so the doc_id never reaches the agg)
+    // nor emit NULL metrics (Spark split(NULL)) — both sides coalesce to
+    // '' and score its single empty-string unigram
+    val d = Files.createTempDirectory("graft-text-null").toString
+    Seq((0L, Option("the cat and the hat"), "en", "s0", 19L),
+        (1L, None: Option[String], "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$d/documents.parquet")
+    val r = TextAnalysis.qualityClassifier(spark, d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(0L, 1L), "NULL-text doc must keep its row")
+    val nullRow = r(1L)
+    assert(nullRow.getAs[Long]("n_feats") === 1L)
+    assert(nullRow.getAs[Long]("milli_sum") === ClassifierReference.milliOf(""))
+    assert(!nullRow.isNullAt(nullRow.fieldIndex("keep")))
+    // the scan-filter form agrees with the reported column on NULL too
+    val viaFilter = graft.Tables.documents(spark, d)
+      .where(TextAnalysis.classifierKeep(org.apache.spark.sql.functions.col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    val viaColumn = TextAnalysis.qualityClassifier(spark, d)
+      .where(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFilter === viaColumn)
+    // and the bias audit counts the doc in its source census
+    val bias = TextAnalysis.classifierBias(spark, d).collect()
+    assert(bias.map(_.getAs[Long]("n_docs")).sum === 2L)
+  }
+
   test("classifier bias audit: per-source keep rates vs the corpus rate") {
     def keepOf(t: String): Long = if (ClassifierReference.keep(t)) 1L else 0L
     val bySource = Map(
@@ -232,6 +262,55 @@ class TextAnalysisSpec extends SparkSpec {
       .map(x => (x.getAs[Long]("slot"), x.getAs[Long]("n_grams"),
         x.getAs[Long]("grad"), x.getAs[Int]("dir"))).toSeq
     assert(got === expect, "distributed gradient must equal the straight-line accumulation")
+  }
+
+  test("classifier training: matches a sequential reference; loss falls, gate moves") {
+    import ClassifierReference.{gramsOf, milliOf, slotOf, score}
+    // sequential replay of the whole recurrence on the 3-doc fixture:
+    // driver-side weight array, ±1 targets, sign steps of 100
+    val fixture = Seq(
+      (0L, "the cat and the hat", "en"),
+      (1L, "der hund und die katze ist da", "de"),
+      (2L, "zebra zebra zebra unique", "en"))
+    val B = TextAnalysis.ClassifierBuckets
+    val w = Array.tabulate(B) { b =>
+      graft.functions.Md5Slice64.compute(s"w#$b".getBytes("UTF-8"), 1, 8) % 2001 - 1000
+    }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (t <- 0 to 3) {
+      var sAbs = 0L; var nKeep = 0L
+      val grad = scala.collection.mutable.Map.empty[Long, Long]
+      fixture.foreach { case (_, text, lang) =>
+        val gs = gramsOf(text)
+        val ms = gs.map(g => w(slotOf(g).toInt)).sum
+        val nf = gs.size.toLong
+        val res = ms - (if (lang == "en") 1L else -1L) * 1000L * nf
+        sAbs += math.abs(res)
+        if (score(ms, nf) >= TextAnalysis.ClassifierThreshold) nKeep += 1
+        if (t < 3) gs.foreach { g =>
+          val s = slotOf(g); grad(s) = grad.getOrElse(s, 0L) + res
+        }
+      }
+      expected += ((t, fixture.size.toLong, sAbs, nKeep))
+      grad.foreach { case (s, g) => w(s.toInt) -= 100L * java.lang.Long.signum(g) }
+    }
+    val got = TextAnalysis.classifierTrain(spark, dir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_abs_residual"), r.getAs[Long]("n_keep")))
+    assert(got.toSeq === expected.toSeq)
+    // on the real sf0.001 corpus: loss strictly decreases every
+    // materialized step, and the TRAINED gate's keep set differs from
+    // the synthetic (step-0) gate's — the point of training at all
+    val real = TextAnalysis.classifierTrain(spark, "/root/testdata/sf0.001")
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("sum_abs_residual"), r.getAs[Long]("n_keep")))
+    real.sliding(2).foreach {
+      case Array((l1, _), (l2, _)) =>
+        assert(l2 < l1, s"training loss must decrease: $l1 -> $l2")
+      case _ =>
+    }
+    assert(real.head._2 !== real.last._2,
+      "trained gate must admit a different keep set than the synthetic gate")
   }
 
   test("classifier filter form: scan-stage keep decision ≡ the reported keep column") {

@@ -178,4 +178,25 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.TextAnalysis.classifierGradStep(spark, dir).count() === 0)
     assert(graft.ext.TextAnalysis.classifierBias(spark, dir).count() === 0)
   }
+
+  test("round-13 additions on empty inputs") {
+    // string-pruning loop: no files, all-zero one-row report
+    val s = graft.ext.Layout.footerPruneStr(spark, dir).head()
+    Seq("files_total", "files_read", "rows_scanned", "rows_out")
+      .foreach(c => assert(s.getAs[Long](c) === 0L, s"footerPruneStr.$c"))
+    // merge-on-read: empty base AND empty delta still answer the box
+    val d = graft.ext.Layout.deltaRead(spark, dir).head()
+    Seq("files_total", "files_read_base", "rows_scanned_base",
+      "rows_delta", "rows_scanned", "rows_out")
+      .foreach(c => assert(d.getAs[Long](c) === 0L, s"deltaRead.$c"))
+    // iterated training over nothing: schema-stable per-step rows, all
+    // counters zero (and no Observation hang on the pruned metrics node)
+    val t = graft.ext.TextAnalysis.classifierTrain(spark, dir).collect()
+    assert(t.length === 4)
+    t.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 0L)
+      assert(r.getAs[Long]("sum_abs_residual") === 0L)
+      assert(r.getAs[Long]("n_keep") === 0L)
+    }
+  }
 }

@@ -91,7 +91,30 @@ class FooterManifestSpec extends SparkSpec {
 
   test("empty directory yields an empty manifest with the right schema") {
     val m = FooterManifest.build(spark, s"$tmp/absent", Seq("x"))
-    assert(m.columns.toSeq === Seq("file", "n_rows", "column", "min_v", "max_v"))
+    assert(m.columns.toSeq ===
+      Seq("file", "n_rows", "column", "min_v", "max_v", "min_s", "max_s"))
     assert(m.isEmpty)
+  }
+
+  test("string columns carry UTF8 footer ranges; numeric columns leave them NULL") {
+    import spark.implicits._
+    val dir = s"$tmp/strstats"
+    Seq((1L, "alpha"), (2L, "Ωmega"), (50L, "zulu"), (51L, "日本語"))
+      .toDF("k", "s")
+      .repartitionByRange(2, col("k")).write.mode("overwrite").parquet(dir)
+    val m = FooterManifest.build(spark, dir, Seq("k", "s")).cache()
+    // string rows: real per-file extrema under byte order, numeric NULL
+    m.where(col("column") === "s").collect().foreach { r =>
+      val d = spark.read.parquet(r.getString(0)).agg(min("s"), max("s")).head()
+      assert(r.getString(5) === d.getString(0) && r.getString(6) === d.getString(1),
+        s"string range mismatch in ${r.getString(0)}")
+      assert(r.isNullAt(3) && r.isNullAt(4), "string column must not fake a numeric range")
+    }
+    // numeric rows: the mirror image
+    m.where(col("column") === "k").collect().foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4))
+      assert(r.isNullAt(5) && r.isNullAt(6), "numeric column must not fake a string range")
+    }
+    m.unpersist()
   }
 }

@@ -97,4 +97,67 @@ class PrunePropertiesSpec extends SparkSpec {
       m.unpersist()
     }
   }
+
+  /** Unsigned UTF-8 byte comparison — the collation parquet UTF8 stats,
+    * Spark's UTF8String and DuckDB VARCHAR all order by. The reference
+    * for the string-box properties below must use it too: Java
+    * String.compareTo is UTF-16-code-unit order, which DISAGREES for
+    * astral-plane code points (the 𝒜 entries exist to catch a reference
+    * or manifest fold that slips back to String ordering). */
+  private def u8cmp(a: String, b: String): Int = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  test("string-column pruning is complete and sound, multi-byte strings included") {
+    // pool spans 1-byte ASCII, 2-byte (é, Ω), 3-byte CJK, and 4-byte
+    // astral-plane UTF-8 — plus values straddling their sort boundaries
+    val pool = Vector("abc", "azz", "eclair", "éclair", "Ωmega", "zzz",
+      "日本語", "中文", "𝒜𝓁𝓅𝒽𝒶", "𝔅old", "mix日ed", "MIXED")
+    val sGen = Gen.frequency(
+      9 -> Gen.oneOf(pool),
+      1 -> Gen.const(null.asInstanceOf[String]))
+    for (seed <- 1 to 5) {
+      val rows = Gen.listOfN(40, Gen.zip(sGen, Gen.choose(-100, 400).map(_ / 2.0)))
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      val d = Files.createTempDirectory(s"graft-prunestr$seed").toString
+      rows.toDF("id", "s", "v")
+        .repartition(4, col("s"))
+        .write.mode(SaveMode.Overwrite).parquet(d)
+      val m = FooterManifest.build(spark, d, Seq("s", "v")).cache()
+      val allFiles = m.select("file").distinct().as[String].collect().toSet
+      val sorted = pool.sortWith(u8cmp(_, _) < 0)
+      val boxes = for (i <- 0 until pool.size; j <- i until pool.size by 3)
+        yield (sorted(i), sorted(j))
+      for ((lo, hi) <- boxes) {
+        val kept = FooterManifest.filesToRead(m, Map.empty,
+          Map("s" -> ((lo, hi)))).select("file").as[String].collect().toSet
+        def matches(r: (Long, String, Double)): Boolean =
+          r._2 != null && u8cmp(r._2, lo) >= 0 && u8cmp(r._2, hi) <= 0
+        val expect = rows.count(matches).toLong
+        val got =
+          if (kept.isEmpty) 0L
+          else spark.read.parquet(kept.toSeq: _*)
+            .where(col("s").between(lo, hi)).count()
+        assert(got === expect,
+          s"seed=$seed box=[$lo,$hi]: string pruning dropped matching rows")
+        val pruned = allFiles -- kept
+        if (pruned.nonEmpty) {
+          val leaked = spark.read.parquet(pruned.toSeq: _*)
+            .where(col("s").between(lo, hi)).count()
+          assert(leaked === 0L,
+            s"seed=$seed box=[$lo,$hi]: pruned a file with matching strings")
+        }
+      }
+      m.unpersist()
+    }
+  }
 }

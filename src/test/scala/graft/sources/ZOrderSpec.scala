@@ -149,9 +149,7 @@ class ZOrderSpec extends SparkSpec {
     // overwrite deletes everything in the target dir, a skip preserves
     // the planted file.
     val dir = "/root/testdata/sf0.001"
-    val out = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_zorder_prune_" +
-        Integer.toHexString(dir.hashCode))
+    val out = new java.io.File(graft.ext.Layout.scratchDir("zorder_prune", dir))
     val r1 = graft.ext.Layout.zorderPrune(spark, dir).collect().map(_.toSeq)
     val marker = new java.io.File(out, "_graft_layout_fingerprint")
     assert(marker.isFile, "first run must leave the fingerprint marker")

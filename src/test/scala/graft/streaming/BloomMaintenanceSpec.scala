@@ -287,6 +287,35 @@ class BloomMaintenanceSpec extends SparkSpec {
       "post-compaction ingest must keep exact-once admission semantics")
   }
 
+  test("ingest metrics: an empty micro-batch writes a zeros row instead of hanging") {
+    val base = Files.createTempDirectory("graft-bloom-empty")
+    val (tableDir, indexDir, admittedDir, metricsDir) =
+      (s"$base/filter", s"$base/index", s"$base/admitted", s"$base/metrics")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(ts("2024-01-01 00:00:00")))
+      .select("doc_id", "ts", "text")
+    // empty-relation propagation prunes the CollectMetrics nodes, so a
+    // blocking Observation.get here would never return — the guard must
+    // settle the row from the screen frame alone; failAfter turns a
+    // regression into a failure instead of a hung suite
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: org.scalatest.concurrent.Signaler =
+      org.scalatest.concurrent.ThreadSignaler
+    failAfter(Span(120, Seconds)) {
+      BloomMaintenance.ingestBatch(empty, tableDir, indexDir, admittedDir,
+        M, K, metricsDir = Some(metricsDir), batchId = 7L)
+    }
+    val m = spark.read.parquet(metricsDir).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getAs[Long]("batch_id") === 7L)
+    Seq("n_arrived", "n_unique", "n_bypassed", "n_probed",
+      "n_probe_admitted", "n_admitted").foreach { c =>
+      assert(r.getAs[Long](c) === 0L, s"$c must be 0 for an empty batch")
+    }
+  }
+
   test("admission screen: every ingested doc flags, fresh docs pass clean") {
     val tableDir = Files.createTempDirectory("graft-bloom-screen").toString
     runBatches(tableDir, Seq(b1, b2))
