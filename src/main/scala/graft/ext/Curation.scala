@@ -157,8 +157,16 @@ object Curation {
 
   /** [[clusterSplitAssign]] without the presentation sort — the
     * composition form ([[curationPipeline]] joins it mid-plan). */
-  def clusterSplits(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labelsUnsorted
+  def clusterSplits(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitsOf(spark, dir, Dedup.lshCandidates(spark, dir))
+
+  /** [[clusterSplits]] over a caller-supplied candidate-pair frame —
+    * lets a composite that already holds (and cached) the pairs feed
+    * them to the label loop explicitly instead of relying on
+    * canonicalized-plan cache matching ([[splitLeakage]]). */
+  private[ext] def clusterSplitsOf(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = dupClusterLabels(pairs).labelsUnsorted
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("anchor", coalesce(col("cluster"), col("doc_id")))
@@ -180,20 +188,19 @@ object Curation {
     * spec-pinned). Pure composition: the LSH pair frame joins each
     * policy's assignment twice and collapses to a ≤ 2·3² census. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    // persist with session-scoped lifetime (unlike dupClusterLabels,
-    // which runs its actions internally and can release its caches):
-    // the RETURNED lazy frame still references this cache, so an
-    // unpersist here would silently re-run the LSH pipeline per branch.
-    // Verify/Bench clear the cache manager between queries; a library
-    // caller owns `spark.catalog.clearCache()` (or unpersisting the
-    // result's children) after its final action — the documented
-    // contract for every composition-form query that persists a shared
-    // subframe.
+    // The pair cache is RELEASED before returning (round-13 discipline,
+    // replacing the old session-scoped-persist contract): the census is
+    // ≤ 2·3² rows, so the result materializes HERE — one collect of a
+    // bounded frame — the cache serves every branch (both policy
+    // censuses AND the label loop, which receives THIS frame via
+    // clusterSplitsOf instead of rebuilding the pair plan), and the
+    // caller gets a local relation with nothing left pinned in the
+    // cache manager (CacheReleaseSpec).
     val pairs = Dedup.lshCandidates(spark, dir).persist()
     // unsorted forms: both assignments join the pair frame immediately
     val naive = Tables.documents(spark, dir)
       .select(col("doc_id"), splitName(splitBucket(col("doc_id"))).as("split"))
-    val clustered = clusterSplits(spark, dir).select(col("doc_id"), col("split"))
+    val clustered = clusterSplitsOf(spark, dir, pairs).select(col("doc_id"), col("split"))
     def census(sp: DataFrame, policy: String): DataFrame =
       pairs
         .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
@@ -203,8 +210,11 @@ object Curation {
         .groupBy(col("split_x"), col("split_y"))
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("policy", lit(policy))
-    census(naive, "doc_hash").unionByName(census(clustered, "cluster_hash"))
+    val out = census(naive, "doc_hash").unionByName(census(clustered, "cluster_hash"))
       .select(col("policy"), col("split_x"), col("split_y"), col("n_pairs"))
+    val rows = out.collect()
+    pairs.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       .orderBy("policy", "split_x", "split_y")
   }
 

@@ -241,6 +241,20 @@ object Dedup {
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesOf(Tables.documents(spark, dir))
 
+  /** Eager LOCAL lineage cut for a shared subframe (round-13 release
+    * discipline): materializes once into block-manager storage OUTSIDE
+    * the cache manager — the returned lazy frame keeps reading the
+    * blocks, the caller owes no clearCache(), and the context cleaner
+    * reclaims them when the frame drops. Deliberately NOT
+    * [[Curation.cutLineage]]: reliable-checkpoint mode
+    * (`spark.graft.checkpointDir`) is reserved for LOOP state, whose
+    * mid-iteration loss would forfeit hours — a shared subframe inside
+    * ONE query only risks that query (an executor loss fails it and the
+    * caller retries, the same blast radius a persist's recompute was
+    * protecting against far more cheaply than files-per-query in the
+    * checkpoint dir that nothing ever reclaims). */
+  private def cutShared(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Hot-bucket cap for LSH candidate generation: a (band, bucket) cohort
     * larger than this emits STAR edges (bucket-min representative → each
     * member) instead of all pairs. An uncapped band self-join is the last
@@ -259,10 +273,15 @@ object Dedup {
   /** [[lshCandidates]] over an arbitrary (doc_id, text, …) frame. */
   private[graft] def lshCandidatesOf(docs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame =
-    // persist: the signature frame (one row per doc) feeds both band
-    // projections AND both sides of the bucket self-join — without the
-    // cache point the full shingle+hash subplan runs four times
-    lshCandidatesOfSigs(minhashSignaturesOf(docs).persist(), maxBucket)
+    // EAGER LINEAGE CUT, not persist (round-13 release discipline): the
+    // signature frame (one row per doc) feeds both band projections AND
+    // both sides of the bucket self-join — uncut, the full shingle+hash
+    // subplan runs four times. A persist() here leaked a plan-keyed
+    // cache entry out of EVERY consumer query (no caller could release
+    // what it never saw, short of clearCache()); checkpoint blocks live
+    // outside the cache manager and the context cleaner reclaims them
+    // once the pair frame is dropped.
+    lshCandidatesOfSigs(cutShared(minhashSignaturesOf(docs)), maxBucket)
 
   /** [[lshCandidatesOf]] when the caller already holds (and has cached)
     * the signature frame — lets composites that need BOTH the candidates
@@ -597,21 +616,25 @@ object Dedup {
     * trick as [[ngramJaccard]]). */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
-    // persist: the pair frame anchors BOTH the intersection count and the
-    // final report join — uncached, the whole LSH band-join pipeline runs
-    // once per reference (the round-11 symmetrization-cache discipline).
-    // Lifetime is session-scoped by contract: the returned lazy frame
-    // references this cache, so it cannot unpersist here — Verify/Bench
-    // clear the cache manager per query; library callers clearCache()
-    // after their final action (see Curation.splitLeakage).
-    val pairs = lshCandidates(spark, dir).persist()
-    val sh = Tables.documents(spark, dir)
+    // EAGER LINEAGE CUTS, not persists (round-13 release discipline): the
+    // pair frame anchors BOTH the intersection count and the final
+    // report join, and the shingle frame both the sizes and the
+    // intersection — uncached, the whole LSH band-join pipeline ran once
+    // per reference (the round-11 symmetrization-cache discipline). The
+    // result here is O(candidate pairs) — corpus-scaled, so the
+    // splitLeakage collect-a-bounded-census move does not apply; instead
+    // both shared frames materialize through [[cutShared]] (eager local
+    // checkpoint), whose blocks live OUTSIDE the cache manager: the returned lazy
+    // frame keeps reading them, clearCache() is never required of the
+    // caller, and the context cleaner reclaims the blocks when the frame
+    // is dropped.
+    val pairs = cutShared(lshCandidates(spark, dir))
+    val sh = cutShared(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr(hashedShingleExpr))
-          .as("s"))
-      .persist()
+          .as("s")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))
@@ -649,9 +672,11 @@ object Dedup {
   def minhashEstQuality(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
     val docs = Tables.documents(spark, dir)
-    val sigs = minhashSignaturesOf(docs).persist()
-    // persist: referenced by the intersection subplan AND the report join
-    val pairs = lshCandidatesOfSigs(sigs).persist()
+    // eager lineage cuts, not persists — shared subframes referenced by
+    // the returned lazy frame, same release discipline (and rationale)
+    // as [[containment]]
+    val sigs = cutShared(minhashSignaturesOf(docs))
+    val pairs = cutShared(lshCandidatesOfSigs(sigs))
     val a = sigs.select(col("doc_id").as("doc_a") +:
       (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = sigs.select(col("doc_id").as("doc_b") +:
@@ -659,11 +684,10 @@ object Dedup {
     val slotMatches = (0 until K)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val sh = docs
+    val sh = cutShared(docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(hashedShingleExpr)).as("s"))
-      .persist()
+      .select(col("doc_id"), explode(expr(hashedShingleExpr)).as("s")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))
@@ -765,9 +789,10 @@ object Dedup {
     import graft.ops.StableStats.ratio
     val truth = jaccardPrefixJoinOf(Tables.documents(spark, dir))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // persist: the candidate set feeds the cost-side count AND the truth
-    // join — uncached, the LSH pipeline would run twice
-    val cands = lshCandidates(spark, dir).withColumn("hit", lit(1L)).persist()
+    // eager lineage cut, not persist: the candidate set feeds the
+    // cost-side count AND the truth join — uncut, the LSH pipeline
+    // would run twice (release discipline, see [[containment]])
+    val cands = cutShared(lshCandidates(spark, dir).withColumn("hit", lit(1L)))
     val nCands = cands.agg(count(lit(1)).as("n_cands"))
     truth.join(cands, Seq("doc_a", "doc_b"), "left")
       .withColumn("decile", least(floor(col("jaccard") * 10), lit(9)).cast("long"))

@@ -263,26 +263,30 @@ object Layout {
       PartitionedSink.writeZCelled(slice, out, Seq("user_id", "value"),
         bits = 12, cellBits = 4)
     }
-    // persists are session-scoped by contract (see Curation.splitLeakage):
-    // the returned lazy report still references both caches, Verify/Bench
-    // clear the cache manager per query, and a library caller owns
-    // clearCache() after its final action
-    val m = FooterManifest.build(spark, out, Seq("user_id", "value")).persist()
-    val kept = FooterManifest.filesToRead(m,
-      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).persist()
-    val keptFiles = kept.select(col("file")).collect().map(_.getString(0)).toSeq
-    val filesTotal = m.select(col("file")).distinct()
-      .agg(count(lit(1)).as("files_total"))
-    val keptAgg = kept.agg(
-      count(lit(1)).as("files_read"),
-      coalesce(sum(col("n_rows")), lit(0L)).as("rows_scanned"))
+    // No session-scoped persist (round-13 release discipline, the
+    // footerPruneStr pattern): ONE footer pass builds the manifest,
+    // which collects to the driver — files×columns rows, the FileIndex
+    // metadata scale — and settles every report input but the lazy
+    // read-back count; nothing stays pinned in the cache manager.
+    val m = FooterManifest.build(spark, out, Seq("user_id", "value"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val kept = FooterManifest.filesToRead(local,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val rowsScanned = kept.map(_.getLong(1)).sum
     val rowsOut = (if (keptFiles.isEmpty)
         spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value"))
       else spark.read.parquet(keptFiles: _*))
       .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
       .agg(count(lit(1)).as("rows_out"))
     // 1-row report columns broadcast (see zorderPrune)
-    filesTotal.crossJoin(broadcast(keptAgg)).crossJoin(broadcast(rowsOut))
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read"),
+        lit(rowsScanned).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
   }
 
   /** STRING-column file pruning end-to-end (round 13): the footer loop

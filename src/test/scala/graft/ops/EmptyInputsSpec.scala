@@ -198,5 +198,15 @@ class EmptyInputsSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_abs_residual") === 0L)
       assert(r.getAs[Long]("n_keep") === 0L)
     }
+    // ingest replay over an empty corpus: three empty batches still
+    // land three all-zero metrics rows with the invariants holding
+    val im = graft.streaming.IngestReplay.ingestMetrics(spark, dir).collect()
+    assert(im.length === 3)
+    im.foreach { r =>
+      assert(r.getAs[Long]("n_arrived") === 0L)
+      assert(r.getAs[Long]("n_admitted") === 0L)
+      assert(r.getAs[Int]("screen_partition_ok") === 1)
+      assert(r.getAs[Int]("admission_ok") === 1)
+    }
   }
 }

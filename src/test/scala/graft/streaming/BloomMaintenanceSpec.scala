@@ -316,6 +316,27 @@ class BloomMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("ingest replay registry query: counters reconcile; replay is idempotent") {
+    val dir = "/root/testdata/sf0.001"
+    val r1 = IngestReplay.ingestMetrics(spark, dir).collect()
+    assert(r1.length === 3)
+    r1.foreach { r =>
+      assert(r.getAs[Int]("screen_partition_ok") === 1)
+      assert(r.getAs[Int]("admission_ok") === 1)
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_arrived"))
+    }
+    // the mod-3 slices cover every document, so total admissions across
+    // the replay equal the corpus's distinct contents — exact-once
+    val distinctContents = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    assert(r1.map(_.getAs[Long]("n_admitted")).sum === distinctContents)
+    // second invocation hits the fingerprint marker: same rows, no
+    // double-ingest (a replay WITHOUT the guard would re-append)
+    val r2 = IngestReplay.ingestMetrics(spark, dir).collect()
+    assert(r2.map(_.toSeq).toSeq === r1.map(_.toSeq).toSeq)
+  }
+
   test("admission screen: every ingested doc flags, fresh docs pass clean") {
     val tableDir = Files.createTempDirectory("graft-bloom-screen").toString
     runBatches(tableDir, Seq(b1, b2))
