@@ -524,12 +524,68 @@ object Layout {
       .orderBy("group_id")
   }
 
+  /** Dynamic partition pruning end-to-end: the Catalyst runtime-pruning
+    * path that makes "fact partitioned by a dimension key ⋈ selective
+    * dim" read only the matching partitions — the third leg of the file-
+    * skipping story next to footer stats ([[footerPrune]]) and curve
+    * clustering ([[zorderPrune]]), and the one Spark executes WITHOUT
+    * any manifest bookkeeping of ours: the planner injects a runtime
+    * subquery filter on the partition column ("dynamicpruning" in the
+    * plan, pinned by `LayoutSpec`), reusing the dim's broadcast, so at
+    * 100 TB a corpus laid out by `source` answers a "3 lowest-English-
+    * share sources" reprocessing query by touching 3/20 partition
+    * directories and never listing the rest.
+    *
+    * The corpus copy partitioned by source is materialized once per
+    * data dir (same idempotent-fingerprint contract as [[footerPrune]];
+    * `source` is duplicated into the `src_part` partition key so it
+    * stays a DATA column in every file). The dim is derived FROM the
+    * data at runtime — sources whose English share is under 0.35, the
+    * low-English-coverage reprocessing slice (IEEE division is
+    * correctly rounded and both engines parse the same 0.35 double, so
+    * the cut is engine-portable) — which is precisely what static
+    * pruning cannot see and DPP exists for. The dim stays a plain
+    * Filter-over-Aggregate ON PURPOSE: the pruning subquery and the
+    * join's build side then CANONICALIZE IDENTICALLY, so under the
+    * default reuse-broadcast-only mode the runtime filter rides the
+    * join's own broadcast for free (a rank-window dim breaks this — the
+    * join side optimizes its `rn <= k` into TakeOrderedAndProject, the
+    * subquery side keeps the Window, the exchanges stop matching, and
+    * DPP silently no-ops; the spec's files-read metric would catch that
+    * regression). Oracle honesty: the result is pure relational
+    * semantics over `documents` (the layout only decides what gets
+    * READ), so DuckDB replays the share cut + join + agg with no
+    * knowledge of the partitioning. */
+  def dppRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("dpp_read", dir)
+    val docs = Tables.documents(spark, dir)
+    materializeIfChanged(out, layoutFingerprint("v1",
+      docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars")))) {
+      docs.withColumn("src_part", col("source"))
+        .repartition(col("src_part"))
+        .write.mode("overwrite").partitionBy("src_part").parquet(out)
+    }
+    val fact = spark.read.parquet(out)
+    // O(sources) frame: bounded by the source cardinality (a domain
+    // dimension), never the corpus
+    val dim = docs.groupBy(col("source").as("sel_source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .where((col("n_en").cast("double") / col("n_total")) < 0.35)
+      .select(col("sel_source"))
+    fact.join(dim, fact("src_part") === dim("sel_source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout" -> (zorderLayout _),
     "x_zorder_prune" -> (zorderPrune _),
     "x_footer_prune" -> (footerPrune _),
     "x_footer_prune_str" -> (footerPruneStr _),
     "x_delta_read" -> (deltaRead _),
+    "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
     "x_compaction_plan" -> (compactionPlan _)
@@ -610,6 +666,18 @@ object Layout {
          |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM events
          |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
          |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
+    "x_dpp_read" ->
+      """WITH by_src AS (
+        |  SELECT source AS sel_source, count(*) AS n_total,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+        |  FROM documents GROUP BY 1),
+        |sel AS (
+        |  SELECT sel_source FROM by_src
+        |  WHERE CAST(n_en AS DOUBLE) / n_total < 0.35)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN sel ON d.source = sel.sel_source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_delta_read" ->
       s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
          |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),

@@ -200,4 +200,46 @@ class LayoutSpec extends SparkSpec {
       r.getAs[Long]("rows_scanned_base") + r.getAs[Long]("rows_delta"))
     assert(r.getAs[Long]("files_read_base") < r.getAs[Long]("files_total"))
   }
+
+  test("dppRead: runtime partition pruning fires and reads only the dim's partitions") {
+    val df = Layout.dppRead(spark, sf)
+    val rows = df.collect()
+    // relational twin computed with no partitioned layout at all
+    val docs = graft.Tables.documents(spark, sf)
+    val sel = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .where((col("n_en").cast("double") / col("n_total")) < 0.35)
+      .select("source").as[String].collect().toSet
+    assert(sel.nonEmpty && sel.size < 20, s"fixture must make the cut selective, got $sel")
+    assert(rows.length === sel.size)
+    val twin = docs.where(col("source").isin(sel.toSeq: _*))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSet
+    assert(rows.map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSet === twin)
+    // the planner injected a runtime pruning subquery on the partition
+    // column — the feature this query exists to exercise (adaptive
+    // wrappers unwrapped the same way as DynamicPruningSpec)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+        case qs: QueryStageExec       => qs +: allNodes(qs.plan)
+        case n                        => Seq(n)
+      }
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("dpp_read")) => s
+    }
+    assert(scans.nonEmpty, "expected a partitioned file scan over the dpp layout")
+    val scan = scans.head
+    assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
+      s"expected a runtime pruning predicate, got: ${scan.partitionFilters}")
+    // one file per source partition (repartition by src_part), so the
+    // metric proves only the selected sources' dirs were actually read
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead === sel.size.toLong,
+      s"DPP should prune to the ${sel.size} selected source partitions, read $filesRead")
+  }
 }
