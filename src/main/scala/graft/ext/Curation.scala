@@ -243,19 +243,38 @@ object Curation {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.UnicodeNormalize.register(spark)
     val docs = Tables.documents(spark, dir)
-    val kept = TextAnalysis
-      .gopherSignalsOf(docs.where(TextAnalysis.classifierKeep(col("text"))))
-      .where(col("keep") === 1).select(col("doc_id"), col("n_words"))
+    // ONE corpus text scan (round 13): the rule battery, the learned
+    // gate, the NFC content hash and the lang dimension all ride a
+    // single projection, eagerly cut to a SLIM frame (ids + flags +
+    // hash, no text — ~1% of corpus bytes at scale) that the kept /
+    // canon / lang tiers below read instead of each re-scanning the
+    // text. Before the fusion the pipeline paid three full-text passes
+    // (classifier∧gopher, NFC hash, lang join); the text columns are
+    // the corpus' mass, so this is the dominant-cost fix, the same
+    // shared-subframe discipline as Dedup.cutShared (which is exactly
+    // what cuts the branch lineage here).
+    //
+    // Semantics unchanged: gopher signals are per-doc stateless maps,
+    // so gating on (learned ∧ heuristic) AFTER one combined projection
+    // ≡ the old filter-then-project chain; the canon tier still groups
+    // ALL docs by the shared Dedup.nfcContentHash key.
+    val scanned = Dedup.cutShared(TextAnalysis.gopherSignalsOf(docs, Seq(
+      "ckeep" -> TextAnalysis.classifierKeep(col("text")),
+      "h" -> Dedup.nfcContentHash,
+      "lang" -> col("lang"))))
+    // lang rides the kept tier directly off the fused frame — one join
+    // fewer than the original docs-side lang lookup
+    val kept = scanned.where(col("ckeep") && col("keep") === 1)
+      .select(col("doc_id"), col("n_words"), col("lang"))
     // canonical copy per NFC content hash, the lowest doc_id surviving:
     // raw-byte md5 would pass normalization-variant duplicates (é vs
     // e+U+0301) through the exact tier — the KEY is Dedup.nfcContentHash,
     // the same single definition exactNfc groups by
-    val canon = docs.groupBy(Dedup.nfcContentHash.as("h"))
+    val canon = scanned.groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
       .join(canon, "doc_id")
       .join(clusterSplits(spark, dir).select(col("doc_id"), col("split")), "doc_id")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
       .orderBy("split", "lang")

@@ -253,7 +253,7 @@ object Dedup {
     * caller retries, the same blast radius a persist's recompute was
     * protecting against far more cheaply than files-per-query in the
     * checkpoint dir that nothing ever reclaims). */
-  private def cutShared(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  private[ext] def cutShared(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Hot-bucket cap for LSH candidate generation: a (band, bucket) cohort
     * larger than this emits STAR edges (bucket-min representative → each

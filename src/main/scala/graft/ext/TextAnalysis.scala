@@ -86,8 +86,15 @@ object TextAnalysis {
     * OR streaming: every signal is a stateless map-side projection, so
     * the battery applies unchanged as an INGEST-TIME quality gate on a
     * `readStream` (no watermark, no state store, scan-speed throughput;
-    * `StreamBatchParitySpec` pins stream ≡ batch on the real corpus). */
-  def gopherSignalsOf(docs: DataFrame): DataFrame = {
+    * `StreamBatchParitySpec` pins stream ≡ batch on the real corpus).
+    *
+    * `extra` columns (evaluated against the input frame, so they may
+    * read `text` or any other input column) ride the same projection —
+    * the fused-scan hook [[graft.ext.Curation.curationPipeline]] uses to
+    * compute its learned-gate flag and NFC content hash in the ONE
+    * corpus scan the battery already pays, instead of re-reading the
+    * text per tier. */
+  def gopherSignalsOf(docs: DataFrame, extra: Seq[(String, Column)] = Nil): DataFrame = {
     import graft.ops.StableStats.ratio
     val d = docs.withColumn("w", split(col("text"), " "))
     val nWords = size(col("w")).cast("long")
@@ -97,13 +104,13 @@ object TextAnalysis {
       (length(col("text")) - length(expr("replace(text, '...', '')"))) / lit(3)
     val stopHits = gopherStops.map(s => array_contains(col("w"), s).cast("int"))
       .reduce(_ + _).cast("long")
-    d.select(
+    d.select(Seq(
       col("doc_id"),
       nWords.as("n_words"),
       ratio(sumLen, nWords).as("mean_word_len"),
       ratio(nSym, nWords).as("symbol_ratio"),
       ratio(nAlpha, nWords).as("alpha_ratio"),
-      stopHits.as("stop_hits"))
+      stopHits.as("stop_hits")) ++ extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
         (col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&

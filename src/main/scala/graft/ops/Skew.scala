@@ -139,9 +139,79 @@ object Skew {
       .orderBy("pair")
   }
 
+  /** The inner join/rollup the runtime-filter demo measures, exposed so
+    * the spec can pin its executed plan under the same conf scope the
+    * registry query runs in. Lazy — the caller decides the conf window
+    * it executes under. */
+  private[ops] def runtimeBloomFrame(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        StableStats.centsMean(col("l_extendedprice")).as("avg_price"))
+  }
+
+  /** Scoped session-conf window (set → body → restore), the
+    * [[graft.ext.Curation]] withLoopTuning discipline: the optimizer
+    * reads the THREAD's session conf at action time, so the body must
+    * EXECUTE (not merely construct) its plans inside the window. */
+  private[ops] def withBloomJoinConf[T](spark: SparkSession)(body: => T): T = {
+    val wanted = Seq(
+      // force the shuffle join: at fixture scale the filtered build side
+      // broadcasts, and a broadcast join needs no runtime filter — the
+      // shape under test is the 100 TB big⋈big where NEITHER side fits
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // scan-size gates exist to skip the filter when the probe side is
+      // small; zero them so the fixture-scale probe qualifies like a
+      // lake-scale one would under the defaults
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Runtime Bloom-filter join (Catalyst `InjectRuntimeFilter`): when a
+    * big⋈big shuffle join's build side carries a selective predicate,
+    * the optimizer plants a `bloom_filter_agg` subquery over the build
+    * keys and a `might_contain` probe filter on the OTHER side's scan —
+    * non-joining probe rows die BEFORE the shuffle, the same
+    * row-reduction a semi-join pre-pass buys without a second join. At
+    * 100 TB this is the difference between shuffling the full lineitem
+    * table and shuffling only the ~20% that joins an URGENT order; at
+    * fixture scale the broadcast path would win instead, so the conf
+    * window pins the lake-scale join shape (no-broadcast + zeroed size
+    * gates) the way the salting demos pin theirs. The report executes
+    * INSIDE the window (the conf is read at action time) and returns a
+    * bounded O(priorities) local frame — nothing stays pinned.
+    * `SkewSpec` pins the injected filter in the executed plan and
+    * result-equality against the unfiltered-conf run; the DuckDB oracle
+    * is the plain filtered join rollup, blind to the filter. */
+  def runtimeBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val local = withBloomJoinConf(spark) {
+      val frame = runtimeBloomFrame(spark, dir)
+      spark.createDataFrame(
+        java.util.Arrays.asList(frame.collect(): _*), frame.schema)
+    }
+    local.orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_salted_agg"  -> (saltedEventStats _),
     "j_salted_join" -> (saltedJoinStats _),
+    "j_runtime_bloom" -> (runtimeBloomJoin _),
     "x_join_cardinality" -> (joinCardinality _)
   )
 
@@ -156,6 +226,13 @@ object Skew {
          |  round(sum(l_quantity), 2) AS sum_qty,
          |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j_runtime_bloom" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  ${StableStats.centsMeanSql("l_extendedprice")} AS avg_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_join_cardinality" -> {
       def forecast(pair: String, ta: String, ka: String, tb: String, kb: String) =

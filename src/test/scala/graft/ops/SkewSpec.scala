@@ -33,4 +33,27 @@ class SkewSpec extends SparkSpec {
     assert(r("orders_lineitem")._1 <= 1.0)
     assert(r("events_self_user")._2 > 0.0 && r("events_self_user")._2 < 1.0)
   }
+
+  test("runtime bloom filter injects under the conf window and changes nothing") {
+    // default confs: the filtered build side broadcasts, no runtime filter
+    val plain = Skew.runtimeBloomFrame(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val (windowed, plan) = Skew.withBloomJoinConf(spark) {
+      val df = Skew.runtimeBloomFrame(spark, dir)
+      val rows = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    assert(windowed === plain, "the runtime filter must be semantics-free")
+    assert(plan.contains("might_contain"),
+      s"expected an injected bloom probe filter in:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"expected the build-side bloom aggregate in:\n$plan")
+    // window restored: the registry query result is identical either way
+    val reg = Skew.runtimeBloomJoin(spark, dir).collect()
+    assert(reg.length === 1 && reg.head.getString(0) === "1-URGENT")
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") !== "0")
+  }
 }
