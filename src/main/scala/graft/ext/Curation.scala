@@ -258,10 +258,24 @@ object Curation {
     // so gating on (learned ∧ heuristic) AFTER one combined projection
     // ≡ the old filter-then-project chain; the canon tier still groups
     // ALL docs by the shared Dedup.nfcContentHash key.
-    val scanned = Dedup.cutShared(TextAnalysis.gopherSignalsOf(docs, Seq(
-      "ckeep" -> TextAnalysis.classifierKeep(col("text")),
-      "h" -> Dedup.nfcContentHash,
-      "lang" -> col("lang"))))
+    // The fused-scan materialization and the split tier (LSH candidates
+    // + label loop) are INDEPENDENT DAG branches that only meet at the
+    // final joins — so the eager cut runs on a second driver thread
+    // while the main thread works the loop, overlapping the two instead
+    // of serializing them (concurrent actions on one context are the
+    // supported multi-tenant shape; the loop's narrowed-shuffle conf
+    // window can't touch the cut, which plans no exchange). At 100 TB
+    // the overlap hides the full corpus-scan latency behind the loop's
+    // rounds.
+    val scannedF = scala.concurrent.Future {
+      Dedup.cutShared(TextAnalysis.gopherSignalsOf(docs, Seq(
+        "ckeep" -> TextAnalysis.classifierKeep(col("text")),
+        "h" -> Dedup.nfcContentHash,
+        "lang" -> col("lang"))))
+    }(scala.concurrent.ExecutionContext.global)
+    val splits = clusterSplits(spark, dir).select(col("doc_id"), col("split"))
+    val scanned = scala.concurrent.Await
+      .result(scannedF, scala.concurrent.duration.Duration.Inf)
     // lang rides the kept tier directly off the fused frame — one join
     // fewer than the original docs-side lang lookup
     val kept = scanned.where(col("ckeep") && col("keep") === 1)
@@ -274,7 +288,7 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
       .join(canon, "doc_id")
-      .join(clusterSplits(spark, dir).select(col("doc_id"), col("split")), "doc_id")
+      .join(splits, "doc_id")
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
       .orderBy("split", "lang")
