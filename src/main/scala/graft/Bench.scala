@@ -30,7 +30,13 @@ object Bench {
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_sim_topk_brute",
     "x_text_tfidf", "x_dup_clusters", "x_decontaminate",
     "x_boilerplate_ngrams", "x_dedup_spans", "x_sim_quantized",
-    "x_quality_classifier")
+    "x_quality_classifier",
+    // round-13 marquee additions: the one-scan + overlapped-branch
+    // curation flagship, runtime partition pruning, and the
+    // stream-stream join replay (steady state = fingerprint-cached
+    // read-back; the warm-up pass absorbs each one's first-invocation
+    // materialization)
+    "x_curation_e2e", "x_dpp_read", "x_stream_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

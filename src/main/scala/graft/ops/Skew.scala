@@ -160,7 +160,20 @@ object Skew {
   /** Scoped session-conf window (set → body → restore), the
     * [[graft.ext.Curation]] withLoopTuning discipline: the optimizer
     * reads the THREAD's session conf at action time, so the body must
-    * EXECUTE (not merely construct) its plans inside the window. */
+    * EXECUTE (not merely construct or merely collect) everything it
+    * wants planned under the window — including `optimizedPlan`
+    * accesses, which latch on first touch. */
+  private[ops] def withConfWindow[T](spark: SparkSession,
+      wanted: Seq[(String, String)])(body: => T): T = {
+    val saved = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private[ops] def withBloomJoinConf[T](spark: SparkSession)(body: => T): T = {
     val wanted = Seq(
       // force the shuffle join: at fixture scale the filtered build side
@@ -174,14 +187,14 @@ object Skew {
       // lake-scale one would under the defaults
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
-    val saved = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
-    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+    withConfWindow(spark, wanted)(body)
   }
+
+  /** The CBO conf window: cost-based estimation + the join-order DP. */
+  private[ops] def withCboConf[T](spark: SparkSession)(body: => T): T =
+    withConfWindow(spark, Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true"))(body)
 
   /** Runtime Bloom-filter join (Catalyst `InjectRuntimeFilter`): when a
     * big⋈big shuffle join's build side carries a selective predicate,
@@ -208,10 +221,77 @@ object Skew {
     local.orderBy("o_orderpriority")
   }
 
+  /** Register `table` (external parquet, no copy) under a dir-digest
+    * name and ANALYZE it once per session — table row counts plus
+    * column stats (NDV/min/max/null-count) for the join keys and the
+    * filter column, the catalog-statistics legs the cost-based
+    * optimizer's cardinality estimation plans from. At 100 TB this is
+    * the standing operational habit (stats maintained at write time);
+    * here it is per-session because the in-memory catalog is. */
+  private def analyzedTable(spark: SparkSession, dir: String, table: String,
+      statCols: Seq[String]): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val name = s"graft_cbo_${digest}_$table"
+    synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        spark.catalog.createTable(name, s"$dir/$table.parquet", "parquet")
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS" +
+          (if (statCols.nonEmpty) s" FOR COLUMNS ${statCols.mkString(", ")}" else ""))
+      }
+    }
+    name
+  }
+
+  /** The 3-way chain the reorder demo plans, WRITTEN in the worst order
+    * (fact ⋈ fact first, the selective dimension last) — exposed so the
+    * spec can pin the optimized join tree under both conf windows. */
+  private[ops] def cboFrame(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.table(analyzedTable(spark, dir, "lineitem",
+      Seq("l_orderkey")))
+    val ord = spark.table(analyzedTable(spark, dir, "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderpriority")))
+    val cust = spark.table(analyzedTable(spark, dir, "customer",
+      Seq("c_custkey", "c_mktsegment")))
+      .where(col("c_mktsegment") === "BUILDING")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  /** Cost-based join reorder end-to-end: with catalog row counts from
+    * `ANALYZE TABLE` and the CBO + joinReorder rules on, Catalyst's
+    * join-order DP rewrites the worst-order 3-way chain above so the
+    * SELECTIVE dimension joins first (customer-filtered ⋈ orders, then
+    * the lineitem fact) — at 100 TB the difference between shuffling
+    * the full fact⋈fact intermediate and never materializing it. The
+    * conf window scopes `spark.sql.cbo.enabled` +
+    * `cbo.joinReorder.enabled` and the report executes inside it (the
+    * optimizer reads the session conf at action time — the
+    * [[runtimeBloomJoin]] discipline), returning a bounded
+    * O(priorities) local frame. `SkewSpec` pins the reordered join tree
+    * (innermost join = orders⋈customer under CBO, the literal
+    * lineitem⋈orders without) and result equality between both
+    * windows; the DuckDB oracle is the plain rollup, blind to the
+    * order. */
+  def cboReorder(spark: SparkSession, dir: String): DataFrame = {
+    val local = withCboConf(spark) {
+      val frame = cboFrame(spark, dir)
+      spark.createDataFrame(
+        java.util.Arrays.asList(frame.collect(): _*), frame.schema)
+    }
+    local.orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a_salted_agg"  -> (saltedEventStats _),
     "j_salted_join" -> (saltedJoinStats _),
     "j_runtime_bloom" -> (runtimeBloomJoin _),
+    "j_cbo_reorder" -> (cboReorder _),
     "x_join_cardinality" -> (joinCardinality _)
   )
 
@@ -234,6 +314,14 @@ object Skew {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j_cbo_reorder" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_join_cardinality" -> {
       def forecast(pair: String, ta: String, ka: String, tb: String, kb: String) =
         s"""SELECT '$pair' AS pair, rows_a, rows_b, predicted_rows,

@@ -56,4 +56,45 @@ class SkewSpec extends SparkSpec {
     assert(reg.length === 1 && reg.head.getString(0) === "1-URGENT")
     assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") !== "0")
   }
+
+  test("CBO + catalog stats reorder the worst-order join chain; results identical") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    // the innermost Join (no Join below it) tells the story: which two
+    // relations the optimizer decided to combine FIRST
+    def innermost(p: LogicalPlan): Seq[Join] = p.collect {
+      case j: Join
+        if !j.left.exists(_.isInstanceOf[Join]) &&
+           !j.right.exists(_.isInstanceOf[Join]) => j
+    }
+    def sides(j: Join): Set[String] = {
+      def tag(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): String =
+        if (out.exists(_.name.startsWith("l_"))) "lineitem"
+        else if (out.exists(_.name.startsWith("o_"))) "orders"
+        else "customer"
+      Set(tag(j.left.output), tag(j.right.output))
+    }
+    // literal order (CBO off): the fact⋈fact join is planned first,
+    // exactly as written
+    val off = Skew.cboFrame(spark, dir)
+    val offRows = off.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val offInner = innermost(off.queryExecution.optimizedPlan)
+    assert(offInner.nonEmpty)
+    assert(offInner.map(sides).contains(Set("lineitem", "orders")),
+      s"without CBO the literal order must survive:\n${off.queryExecution.optimizedPlan}")
+    // CBO window: the DP must pull the selective dimension in first
+    val (onRows, onInner, onPlan) = Skew.withCboConf(spark) {
+      val on = Skew.cboFrame(spark, dir)
+      val rows = on.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      (rows, innermost(on.queryExecution.optimizedPlan),
+        on.queryExecution.optimizedPlan.toString)
+    }
+    assert(onInner.nonEmpty)
+    assert(onInner.map(sides).contains(Set("orders", "customer")),
+      s"CBO must join the selective dimension first:\n$onPlan")
+    assert(onRows === offRows, "join order must be semantics-free")
+    // window restored
+    assert(spark.conf.getOption("spark.sql.cbo.enabled").forall(_ == "false"))
+  }
 }
