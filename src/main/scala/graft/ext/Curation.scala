@@ -1356,7 +1356,54 @@ object Curation {
       .orderBy("source")
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): distribute a training-token budget over
+    * languages as UNIFORMLY as possible subject to a per-language
+    * epoch cap — visit languages in ascending order of available
+    * tokens; each gets `min(cap·available, remaining ÷ languages
+    * left)`, so a low-resource language takes its capped allotment and
+    * the slack re-spreads over the rest, while high-resource languages
+    * end up near-uniform. This is the budget-allocation counterpart of
+    * the [[temperatureMix]] sampling family (UniMax's published claim:
+    * it dominates every temperature setting on the same budget).
+    *
+    * The fold is SEQUENTIAL in the sorted language order (each step's
+    * quota depends on all previous allocations), so it runs driver-side
+    * over the collected O(languages) table — the bounded-collect
+    * discipline ([[graft.ext.Similarity]]'s MMR pool): languages are a
+    * domain dimension, never corpus-scaled. All integer arithmetic
+    * (floor budget, floor quotas), so DuckDB replays the recurrence
+    * exactly as a recursive CTE. Budget = ⌊total/2⌋ chars, cap = 2
+    * epochs. */
+  /** The UniMax fold itself, pure: (lang, available) → (lang, available,
+    * allocated) in ascending-availability visit order. Exposed for the
+    * property spec (cap binds ⇔ low-resource, budget conservation,
+    * uncapped-quota monotonicity). */
+  private[ext] def unimaxFold(per: Seq[(String, Long)], budget: Long,
+      cap: Long): Seq[(String, Long, Long)] = {
+    var remaining = budget
+    var left = per.length.toLong
+    per.sortBy { case (l, t) => (t, l) }.map { case (l, t) =>
+      val alloc = math.min(cap * t, remaining / left)
+      remaining -= alloc
+      left -= 1
+      (l, t, alloc)
+    }
+  }
+
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rows = unimaxFold(per, per.map(_._2).sum / 2, cap = 2L).map {
+      case (l, t, a) => (l, t, a, math.floor(a.toDouble / t * 1e4 + 0.5) / 1e4)
+    }
+    rows.toDF("lang", "toks", "alloc_chars", "epochs").orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_unimax_alloc"      -> (unimaxAlloc _),
     "x_snapshot_diff"     -> (snapshotDiff _),
     "x_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "x_curriculum"        -> (curriculumOrder _),
@@ -1391,6 +1438,31 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_unimax_alloc" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(toks) // 2 AS BIGINT) AS budget,
+        |         CAST(count(*) AS BIGINT) AS n FROM per),
+        |ord AS (
+        |  SELECT lang, toks,
+        |         CAST(row_number() OVER (ORDER BY toks ASC, lang ASC) AS BIGINT) AS rn
+        |  FROM per),
+        |alloc AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS lang,
+        |         CAST(1 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS a,
+        |         budget AS remaining, n AS langs_left
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT o.rn, o.lang, o.toks,
+        |         least(2 * o.toks, al.remaining // al.langs_left),
+        |         al.remaining - least(2 * o.toks, al.remaining // al.langs_left),
+        |         al.langs_left - 1
+        |  FROM alloc al JOIN ord o ON o.rn = al.rn + 1)
+        |SELECT lang, toks, a AS alloc_chars,
+        |  floor(CAST(a AS DOUBLE) / toks * 1e4 + 5e-1) / 1e4 AS epochs
+        |FROM alloc WHERE rn > 0 ORDER BY lang""".stripMargin,
     "x_neyman_alloc" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH stats AS (

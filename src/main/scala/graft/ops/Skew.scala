@@ -259,7 +259,9 @@ object Skew {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // exact-integer discounted sum, NOT round(sum(price*(1-disc))):
+        // the products land on .xx5 halves and flip cents cross-engine
+        StableStats.discountedSum(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
   }
 
@@ -315,13 +317,13 @@ object Skew {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "j_cbo_reorder" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+         |  ${StableStats.discountedSumSql("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_join_cardinality" -> {
       def forecast(pair: String, ta: String, ka: String, tb: String, kb: String) =
         s"""SELECT '$pair' AS pair, rows_a, rows_b, predicted_rows,

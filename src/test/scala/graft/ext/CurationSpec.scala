@@ -326,4 +326,29 @@ class CurationSpec extends SparkSpec {
     assert(got === Map((1L, 8) -> 25L, (1L, 16) -> 17L, (1L, 32) -> 1L),
       s"got $got")
   }
+
+  test("unimax fold: caps bind on low-resource langs, budget conserved, quotas level") {
+    val per = Seq("lo" -> 100L, "mid" -> 10000L, "hiA" -> 100000L, "hiB" -> 120000L)
+    val budget = 90000L
+    val out = Curation.unimaxFold(per, budget, cap = 2L)
+    // visit order is ascending availability
+    assert(out.map(_._1) === Seq("lo", "mid", "hiA", "hiB"))
+    val alloc = out.map(t => t._1 -> t._3).toMap
+    // the low-resource language takes its full 2-epoch cap (quota is ample)
+    assert(alloc("lo") === 200L)
+    assert(alloc("mid") === 20000L)
+    // every allocation respects the cap and the total respects the budget
+    out.foreach { case (_, t, a) => assert(a <= 2 * t) }
+    assert(out.map(_._3).sum <= budget)
+    // uncapped quotas are non-decreasing in visit order (slack re-spreads
+    // forward) and near-uniform at the tail
+    val uncapped = out.filter { case (_, t, a) => a < 2 * t }.map(_._3)
+    assert(uncapped === uncapped.sorted)
+    assert(uncapped.max - uncapped.min <= uncapped.length.toLong,
+      "floor drift between uncapped quotas stays bounded by the step count")
+    // degenerate: budget 0 allocates nothing; huge budget caps everyone
+    assert(Curation.unimaxFold(per, 0L, 2L).forall(_._3 === 0L))
+    assert(Curation.unimaxFold(per, 10000000L, 2L)
+      .forall { case (_, t, a) => a === 2 * t })
+  }
 }
