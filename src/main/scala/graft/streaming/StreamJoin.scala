@@ -9,17 +9,19 @@ import graft.Tables
 
 /** Watermarked stream-stream interval join — the attribution shape
   * (purchase joined to the same user's clicks in the preceding hour)
-  * run through Structured Streaming's symmetric stateful join, the one
-  * streaming primitive the suite's coverage still lacked: both sides
-  * buffer keyed state, each arriving row probes the OTHER side's
+  * run through Structured Streaming's symmetric stateful join: both
+  * sides buffer keyed state, each arriving row probes the OTHER side's
   * buffer, and the event-time bound (`c.ts ∈ [p.ts − 1h, p.ts]`) plus
   * the watermarks tell the engine exactly when a buffered row can never
   * match again and its state can be evicted — the mechanism that keeps
   * a 100 TB/day two-stream join's state at O(join-window × rate)
-  * instead of O(history). `StreamJoinSpec` pins genuine statefulness
-  * (join-state rows reported by the operator metrics), batch parity
-  * under an in-order feed with a TIGHT eviction watermark, and the
-  * replay's fingerprint idempotence.
+  * instead of O(history). The join ITSELF is
+  * [[StatefulOps.clickConversionJoin]] (one definition of the
+  * condition, so the replay and the primitive cannot drift); this
+  * module is its REGISTRY surface. `StreamJoinSpec` pins genuine
+  * statefulness (join-state rows reported by the operator metrics),
+  * batch parity under an in-order feed with a TIGHT eviction
+  * watermark, and the replay's fingerprint idempotence.
   *
   * Registry surface ([[streamJoinAttribution]], `x_stream_join`): the
   * deterministic-replay discipline of
@@ -87,17 +89,14 @@ object StreamJoin {
       val pSchema = spark.read.parquet(s"$base/in_purchases").schema
       val c = spark.readStream.schema(cSchema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in_clicks")
-        .withWatermark("ts", "40 days")
-        .select(col("click_id"), col("user_id"), col("ts").as("c_ts"))
+        .select(col("click_id"), col("user_id"), col("ts").as("click_ts"))
       val pr = spark.readStream.schema(pSchema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in_purchases")
-        .withWatermark("ts", "40 days")
-        .select(col("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-      val joined = c.join(pr,
-        col("user_id") === col("p_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
-          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("user_id"), col("ts").as("conv_ts"))
+      // c.ts ∈ [p.ts − 60 min, p.ts] ⇔ conv_ts ∈ [click_ts, click_ts + 60
+      // min] — exactly the primitive's condition
+      val joined = StatefulOps
+        .clickConversionJoin(c, pr, watermark = "40 days", window = "60 minutes")
         .select(col("user_id"), col("click_id"), col("purchase_id"))
       val q = joined.writeStream.format("parquet")
         .option("path", s"$base/out")

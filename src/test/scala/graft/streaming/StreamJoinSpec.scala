@@ -53,16 +53,10 @@ class StreamJoinSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val cStream = MemoryStream[(Long, Long, Timestamp)]
     val pStream = MemoryStream[(Long, Long, Timestamp)]
-    val c = cStream.toDF().toDF("click_id", "user_id", "ts")
-      .withWatermark("ts", "1 minute")
-      .select(col("click_id"), col("user_id"), col("ts").as("c_ts"))
-    val p = pStream.toDF().toDF("purchase_id", "p_user", "ts")
-      .withWatermark("ts", "1 minute")
-      .select(col("purchase_id"), col("p_user"), col("ts").as("p_ts"))
-    val joined = c.join(p,
-      col("user_id") === col("p_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
+    val c = cStream.toDF().toDF("click_id", "user_id", "click_ts")
+    val p = pStream.toDF().toDF("purchase_id", "user_id", "conv_ts")
+    val joined = StatefulOps
+      .clickConversionJoin(c, p, watermark = "1 minute", window = "60 minutes")
       .select(col("user_id"), col("click_id"), col("purchase_id"))
     val out = Files.createTempDirectory("graft-ssj-out").toString
     val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
