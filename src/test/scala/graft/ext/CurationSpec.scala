@@ -351,4 +351,35 @@ class CurationSpec extends SparkSpec {
     assert(Curation.unimaxFold(per, 10000000L, 2L)
       .forall { case (_, t, a) => a === 2 * t })
   }
+
+  test("unimax fold properties hold on random language tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tableGen: Gen[(List[(String, Long)], Long, Long)] = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+      budget <- Gen.choose(0L, 3L * toks.sum)
+      cap <- Gen.choose(1L, 4L)
+    } yield (toks.zipWithIndex.map { case (t, i) => (f"l$i%02d", t) }, budget, cap)
+    for (seed <- 1 to 40) {
+      val (per, budget, cap) =
+        tableGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val out = Curation.unimaxFold(per, budget, cap)
+      // per-language cap and global budget always hold
+      out.foreach { case (l, t, a) =>
+        assert(a >= 0L && a <= cap * t, s"seed $seed lang $l")
+      }
+      val spent = out.map(_._3).sum
+      assert(spent <= budget, s"seed $seed overspent")
+      // no money left on the table: either the budget is exhausted
+      // (the last visited language is uncapped and takes ALL remaining,
+      // since its quota divisor is 1) or every language hit its cap
+      assert(spent === budget || out.forall { case (_, t, a) => a === cap * t },
+        s"seed $seed left budget unspent without exhausting caps")
+      // uncapped allocations are non-decreasing in visit order (slack
+      // only ever re-spreads FORWARD)
+      val uncapped = out.filter { case (_, t, a) => a < cap * t }.map(_._3)
+      assert(uncapped === uncapped.sorted, s"seed $seed quota regression")
+    }
+  }
 }
