@@ -110,8 +110,32 @@ object Redaction {
       .orderBy("source")
   }
 
+  /** k-anonymity audit over quasi-identifiers — the OTHER privacy lens
+    * next to content scrubbing ([[piiRedact]] removes direct
+    * identifiers; this measures how re-identifiable rows remain through
+    * attribute COMBINATIONS, Sweeney's k-anonymity): equivalence
+    * classes over (lang, source, 256-char length band) → the dataset's
+    * k (smallest class), class count, and the row mass sitting in
+    * classes under the conventional k=5 disclosure threshold.
+    *
+    * Scale shape: one hash-agg to the class table (bounded by the QI
+    * domain product, never corpus-scaled), one 1-row agg over it. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val below = coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("n")).as("k_min"),
+        below.as("n_rows_below_5"),
+        StableStats.ratio(below, sum(col("n"))).as("pct_below_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_pii_redact" -> (piiRedact _))
+    "x_pii_redact" -> (piiRedact _),
+    "x_k_anonymity" -> (kAnonymity _))
 
   // DuckDB notes: single-quoted literals are raw (no backslash escape
   // layer), so the Scala-escaped "\\b" must re-emit as \b; regexp_replace
@@ -122,6 +146,18 @@ object Redaction {
   private val phoneSql = PhoneRe.replace("\\\\", "\\")
 
   val oracles: Map[String, String] = Map(
+    "x_k_anonymity" ->
+      s"""WITH cls AS (
+         |  SELECT lang, source, n_chars // 256 AS lb,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2, 3)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(min(n) AS BIGINT) AS k_min,
+         |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_rows_below_5,
+         |  ${graft.ops.StableStats.ratioSql(
+              "coalesce(sum(CASE WHEN n < 5 THEN n END), 0)", "sum(n)")} AS pct_below_5
+         |FROM cls""".stripMargin,
     "x_pii_redact" ->
       s"""WITH aug AS (
          |  SELECT source,

@@ -39,18 +39,38 @@ class SkewSpec extends SparkSpec {
     val plain = Skew.runtimeBloomFrame(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toSet
-    val (windowed, plan) = Skew.withBloomJoinConf(spark) {
+    val (windowed, plan, shuffledRows) = Skew.withBloomJoinConf(spark) {
       val df = Skew.runtimeBloomFrame(spark, dir)
       val rows = df.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
         .toSet
-      (rows, df.queryExecution.executedPlan.toString)
+      // MEASURED row reduction, not just plan shape: the might_contain
+      // Filter's output is what reaches the probe side's shuffle write
+      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+          case qs: QueryStageExec       => qs +: allNodes(qs.plan)
+          case n                        => Seq(n)
+        }
+      val probeFilter = allNodes(df.queryExecution.executedPlan).collectFirst {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }
+      (rows, df.queryExecution.executedPlan.toString,
+        probeFilter.map(_.metrics("numOutputRows").value))
     }
     assert(windowed === plain, "the runtime filter must be semantics-free")
     assert(plan.contains("might_contain"),
       s"expected an injected bloom probe filter in:\n$plan")
     assert(plan.contains("bloom_filter_agg"),
       s"expected the build-side bloom aggregate in:\n$plan")
+    // the filter genuinely reduced the shuffled probe volume: URGENT is
+    // ~1/5 of orders, so far fewer than all lineitem rows survive it
+    val totalLines = Tables.lineitem(spark, dir).count()
+    assert(shuffledRows.isDefined, "probe-side might_contain filter not found")
+    assert(shuffledRows.get > 0 && shuffledRows.get < totalLines,
+      s"bloom probe must cut shuffled rows (passed ${shuffledRows.get} of $totalLines)")
     // window restored: the registry query result is identical either way
     val reg = Skew.runtimeBloomJoin(spark, dir).collect()
     assert(reg.length === 1 && reg.head.getString(0) === "1-URGENT")
