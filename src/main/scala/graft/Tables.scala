@@ -27,26 +27,34 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
-  /** Change signature of the path: newest lastModified among the path
-    * and (for a directory) its direct children, PLUS the child count and
-    * total child byte size — mtime alone has 1-second granularity on
-    * some filesystems, so a fixture rewritten within the same second
+  /** Change signature of the path: newest lastModified among the path,
+    * its direct children, and one nested level of grandchildren (the
+    * `key=value` partition-dir layout), PLUS the file count and total
+    * byte size over the same set — mtime alone has 1-second granularity
+    * on some filesystems, so a fixture rewritten within the same second
     * with a changed schema could be served the stale cached schema; a
     * rewrite that changes any file's size or the file census misses the
-    * cache regardless of timestamps. (Nested partition dirs are covered
-    * at the direct level: rewriting files INSIDE a subdirectory updates
-    * that subdirectory's own mtime entry.) Empty string when the path
-    * is not a stat-able local file. */
+    * cache regardless of timestamps. The grandchild level matters
+    * because an IN-PLACE rewrite of a file inside a partition
+    * subdirectory touches neither the parent dir's mtime (only entry
+    * creation/deletion does) nor any direct-child size — a directory's
+    * File.length() is not its contents' size (ADVICE r13). Rewrites
+    * nested DEEPER than one partition level are out of the signature's
+    * scope; none of this repo's fixtures nest further. Empty string
+    * when the path is not a stat-able local file. */
   private def mtimeSignature(path: String): String =
     try {
       val f = new java.io.File(path)
       if (!f.exists) ""
       else {
-        val children =
-          if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        def ls(d: java.io.File): Seq[java.io.File] =
+          if (d.isDirectory) Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
           else Nil
-        val maxM = (f.lastModified +: children.map(_.lastModified)).max
-        s"$maxM:${children.size}:${children.map(_.length).sum + f.length}"
+        val children = ls(f)
+        val grand = children.flatMap(ls)
+        val all = children ++ grand
+        val maxM = (f.lastModified +: all.map(_.lastModified)).max
+        s"$maxM:${all.size}:${all.map(_.length).sum + f.length}"
       }
     } catch { case scala.util.control.NonFatal(_) => "" }
 

@@ -149,8 +149,16 @@ object Layout {
     * on the same fixture) serialize instead of one reading a
     * half-written layout; the JVM-level monitor covers same-process
     * reentry, where a second FileChannel.lock would throw
-    * OverlappingFileLockException instead of blocking. */
-  private def materializeIfChanged(out: String, fingerprint: String)(write: => Unit): Unit =
+    * OverlappingFileLockException instead of blocking.
+    *
+    * `markerName` lets the streaming replays
+    * ([[graft.streaming.IngestReplay]], [[graft.streaming.StreamJoin]])
+    * run their wipe-and-replay blocks under the SAME check/write/commit
+    * protocol and lock — before round 14 they re-implemented the marker
+    * check without the lock, so two JVMs could both see a stale marker,
+    * both wipe, and interleave replay writes into one scratch dir. */
+  private[graft] def materializeIfChanged(out: String, fingerprint: String,
+      markerName: String = "_graft_layout_fingerprint")(write: => Unit): Unit =
     Layout.synchronized {
       val lockPath = java.nio.file.Paths.get(s"$out.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -158,11 +166,12 @@ object Layout {
       try {
         val lock = ch.lock()
         try {
-          val marker = new java.io.File(s"$out/_graft_layout_fingerprint")
+          val marker = new java.io.File(s"$out/$markerName")
           val current = if (marker.isFile)
             new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
           if (current != fingerprint) {
             write
+            java.nio.file.Files.createDirectories(marker.toPath.getParent)
             java.nio.file.Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
           }
         } finally lock.release()

@@ -159,10 +159,16 @@ object Skew {
 
   /** Scoped session-conf window (set → body → restore), the
     * [[graft.ext.Curation]] withLoopTuning discipline: the optimizer
-    * reads the THREAD's session conf at action time, so the body must
-    * EXECUTE (not merely construct or merely collect) everything it
-    * wants planned under the window — including `optimizedPlan`
-    * accesses, which latch on first touch. */
+    * reads the SESSION's conf at action time — so the body must EXECUTE
+    * (not merely construct or merely collect) everything it wants
+    * planned under the window, including `optimizedPlan` accesses,
+    * which latch on first touch. SparkSession conf is session-global
+    * ACROSS THREADS (ADVICE r13): an action planned concurrently on
+    * another thread of the same session silently inherits these
+    * overrides, so a conf window must never overlap concurrent actions
+    * — every call site here runs sequentially; a caller that needs
+    * thread isolation should plan inside `spark.newSession()` (cloned
+    * session state, shared SparkContext) instead. */
   private[ops] def withConfWindow[T](spark: SparkSession,
       wanted: Seq[(String, String)])(body: => T): T = {
     val saved = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -63,10 +63,11 @@ object IngestReplay {
     val fr = planned.agg(count(lit(1)),
       coalesce(sum(hash(col("doc_id"), col("text"), col("b")).cast("long")), lit(0L))).head()
     val fp = s"v1:${fr.getLong(0)}:${fr.getLong(1)}"
-    val marker = new java.io.File(s"$base/_replay_fingerprint")
-    val current = if (marker.isFile)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fp) {
+    // check-marker / wipe / replay / commit-marker under the Layout
+    // scratch lock (ADVICE r13): without the OS file lock two JVMs on
+    // one fixture could both see a stale marker, both wipe, and
+    // interleave append-mode metrics/index writes into the same dirs
+    graft.ext.Layout.materializeIfChanged(base, fp, "_replay_fingerprint") {
       val p = new Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -75,7 +76,6 @@ object IngestReplay {
           s"$base/admitted", BloomMaintenance.DefaultBits, BloomMaintenance.DefaultK,
           metricsDir = Some(s"$base/metrics"), batchId = i.toLong)
       }
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
     }
     spark.read.parquet(s"$base/metrics")
       .select(col("batch_id"), col("n_arrived"), col("n_unique"), col("n_admitted"),

@@ -68,11 +68,14 @@ object StreamJoin {
     val fr = ev.agg(count(lit(1)),
       coalesce(sum(hash(col("event_id"), col("user_id"), col("ts"),
         col("event_type")).cast("long")), lit(0L))).head()
-    val fp = s"v1:60min:${fr.getLong(0)}:${fr.getLong(1)}"
-    val marker = new java.io.File(s"$base/_replay_fingerprint")
-    val current = if (marker.isFile)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") else ""
-    if (current != fp) {
+    // v2: the replay now also persists the join's state-store metrics
+    // (see below) — the version bump forces one re-replay over r13
+    // scratch dirs that predate the metrics table. Marker check / wipe /
+    // replay / commit now run under the Layout scratch lock (ADVICE
+    // r13): two unlocked JVMs could both see a stale marker, both wipe,
+    // and interleave sink/checkpoint writes into one scratch dir.
+    val fp = s"v2:60min:${fr.getLong(0)}:${fr.getLong(1)}"
+    graft.ext.Layout.materializeIfChanged(base, fp, "_replay_fingerprint") {
       val p = new Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -104,17 +107,76 @@ object StreamJoin {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      // persist the symmetric join's state-store metrics so eviction
+      // behavior is REGISTRY-visible, not spec-only (VERDICT r13 task
+      // 7): per micro-batch, total buffered state rows from the
+      // operator's own progress events. Under the replay's over-wide
+      // watermark NOTHING evicts, so the final/peak total must equal
+      // clicks + purchases ingested — a data-derivable number the
+      // x_stream_join_state oracle recomputes differentially.
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(pr => pr.stateOperators.toSeq.map(so =>
+          (pr.batchId, so.numRowsTotal)))
+      import spark.implicits._
+      stateRows.toDF("batch_id", "state_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/state_metrics")
     }
-    spark.read.parquet(s"$base/out")
+    // explicit schema (the batch twin's): a drained join that emitted
+    // ZERO rows leaves `out` holding only _spark_metadata, where schema
+    // inference fails — the empty frame must still return (ADVICE r13)
+    spark.read.schema(attributionBatch(spark, dir).schema)
+      .parquet(s"$base/out")
       .select(col("user_id"), col("click_id"), col("purchase_id"))
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** State-eviction observability of the [[streamJoinAttribution]]
+    * replay: the buffered-state row totals the symmetric hash join
+    * reported per micro-batch, reduced to (peak, final) next to the
+    * differentially-recomputed input sizes. The replay's watermark is
+    * over-wide ON PURPOSE (order-independence — see the object doc), so
+    * its eviction CONTRACT is "nothing evicts": peak = final = n_clicks
+    * + n_purchases, which DuckDB recomputes from the events table alone
+    * — making the engine-internal state metric itself oracle-checkable.
+    * The TIGHT-watermark path (state actually shrinking) stays pinned
+    * by `StreamJoinSpec`'s controlled MemoryStream feed, where arrival
+    * order is deterministic. */
+  def streamJoinState(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ext.Layout.scratchDir("stream_join", dir)
+    // ensure the replay (and its metrics table) exists for this fixture
+    streamJoinAttribution(spark, dir).count()
+    val m = spark.read.parquet(s"$base/state_metrics")
+      .agg(coalesce(max(col("state_rows")), lit(0L)).as("state_rows_peak"),
+        coalesce(max_by(col("state_rows"), col("batch_id")), lit(0L))
+          .as("state_rows_final"))
+    val ev = Tables.events(spark, dir)
+    val inputs = ev.agg(
+      coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)), lit(0L))
+        .as("n_clicks"),
+      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)), lit(0L))
+        .as("n_purchases"))
+    inputs.crossJoin(broadcast(m))
+      .select(col("n_clicks"), col("n_purchases"),
+        col("state_rows_peak"), col("state_rows_final"),
+        (col("state_rows_final") === col("n_clicks") + col("n_purchases"))
+          .cast("int").as("nothing_evicted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_stream_join" -> (streamJoinAttribution _))
+    "x_stream_join" -> (streamJoinAttribution _),
+    "x_stream_join_state" -> (streamJoinState _))
 
   val oracles: Map[String, String] = Map(
+    "x_stream_join_state" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT n_clicks, n_purchases,
+        |  n_clicks + n_purchases AS state_rows_peak,
+        |  n_clicks + n_purchases AS state_rows_final,
+        |  1 AS nothing_evicted
+        |FROM c, p""".stripMargin,
     "x_stream_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id

@@ -209,4 +209,16 @@ class EmptyInputsSpec extends SparkSpec {
       assert(r.getAs[Int]("admission_ok") === 1)
     }
   }
+
+  test("round-14 additions on empty inputs") {
+    // stream-join replay with zero matches: the append sink leaves only
+    // _spark_metadata, where schema inference throws — the explicit-
+    // schema read-back must return the empty frame instead (ADVICE r13;
+    // this was the one round-13 query this suite didn't cover)
+    assert(graft.streaming.StreamJoin.streamJoinAttribution(spark, dir).count() === 0)
+    val sj = graft.streaming.StreamJoin.streamJoinState(spark, dir).head()
+    assert(sj.getAs[Long]("n_clicks") === 0L)
+    assert(sj.getAs[Long]("state_rows_final") === 0L)
+    assert(sj.getAs[Int]("nothing_evicted") === 1)
+  }
 }
