@@ -206,24 +206,36 @@ object Layout {
     * oracle gate itself; the oracle is UNCHANGED because INT64 footer
     * min/max are exact, so footer stats ≡ per-file group min/max (the
     * equivalence `FooterManifestSpec` pins file-by-file). */
-  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.FooterManifest
-    val z = withFiles(spark, dir).persist()
+  /** Idempotently materialize the planned z-ordered layout (one
+    * physical file per Morton `file_id`, db/ub as data columns) and
+    * return its directory — the shared physical base of [[zorderPrune]]
+    * (which prunes it) and [[compactionExec]] (which rewrites it). The
+    * fingerprint covers the PLANNED (db, ub, file_id) rows, so any
+    * change to the data OR the bucketing/curve formulas forces the
+    * rewrite — staleness is impossible (the OPTIMIZE contract: an
+    * already-clustered layout is not rewritten). */
+  private def ensureZorderMaterialized(spark: SparkSession, dir: String,
+      plannedPre: Option[DataFrame] = None): String = {
     val out = scratchDir("zorder_prune", dir)
-    // IDEMPOTENT materialization (the OPTIMIZE contract: an
-    // already-clustered layout is not rewritten): the fingerprint
-    // covers the PLANNED (db, ub, file_id) rows, so any change to the
-    // data OR the bucketing/curve formulas changes it and forces the
-    // rewrite — staleness is impossible.
-    materializeIfChanged(out, layoutFingerprint("v1",
-      z.select(col("db"), col("ub"), col("file_id")))) {
+    // callers that already hold a persisted planned frame pass it in so
+    // the per-invocation fingerprint agg rides their cache
+    val planned = plannedPre.getOrElse(withFiles(spark, dir))
+      .select(col("db"), col("ub"), col("file_id"))
+    materializeIfChanged(out, layoutFingerprint("v1", planned)) {
       // one physical file per planned file_id: hash-repartition on the
       // id puts each id wholly in one task, partitionBy splits ids to
       // dirs
-      z.select(col("db"), col("ub"), col("file_id"))
+      planned
         .repartition(col("file_id"))
         .write.mode("overwrite").partitionBy("file_id").parquet(out)
     }
+    out
+  }
+
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
+    val z = withFiles(spark, dir).persist()
+    val out = ensureZorderMaterialized(spark, dir, Some(z))
     val manifest = FooterManifest.build(spark, out, Seq("db", "ub"))
     val zCand = FooterManifest
       .filesToRead(manifest, Map("db" -> ((10.0, 12.0)), "ub" -> ((8.0, 11.0))))
@@ -516,20 +528,109 @@ object Layout {
     * merging only neighbors on the curve preserves every group's tight
     * bounding box. The window runs over the MANIFEST (file count), not the
     * corpus; at lake scale partition the window by a z prefix. */
-  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val target = 512L
-    val manifest = zorderLayout(spark, dir)
+  private val CompactionTargetRows = 512L
+
+  /** The plan's per-file group assignment: greedy running-sum packing of
+    * curve-adjacent files into ~[[CompactionTargetRows]]-row groups.
+    * Shared by [[compactionPlan]] (the report) and [[compactionExec]]
+    * (the rewrite), so the executed grouping can never drift from the
+    * planned one. */
+  private def compactionAssign(manifest: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("file_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     manifest
       .withColumn("pre_rows", coalesce(sum(col("n_rows")).over(w), lit(0L)))
-      .withColumn("group_id", expr(s"pre_rows div $target"))
+      .withColumn("group_id", expr(s"pre_rows div $CompactionTargetRows"))
+  }
+
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionAssign(zorderLayout(spark, dir))
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
         min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"),
         min(col("min_db")).as("min_db"), max(col("max_db")).as("max_db"),
         min(col("min_ub")).as("min_ub"), max(col("max_ub")).as("max_ub"))
+      .orderBy("group_id")
+
+  /** EXECUTE the compaction plan (round 14 — before this the engine only
+    * planned): physically rewrite each planned group of curve-adjacent
+    * files from the materialized z-ordered layout into ONE file, then
+    * prove the rewrite from what parquet persisted. The loop is the real
+    * lake-maintenance cycle: read the [[ensureZorderMaterialized]] base
+    * back, join each row's `file_id` to its planned `group_id` (a
+    * broadcast of the ≤2^(2·5−2)-row assignment — manifest-scale, never
+    * corpus-scale), hash-repartition on `group_id` so each group lands
+    * wholly in one task (= one physical file per `group_id=` directory),
+    * sort within groups by the Morton key so row-group stats stay
+    * monotone, and write under the same idempotent-fingerprint contract
+    * as every other materialization here.
+    *
+    * The report row per group carries the PLANNED file count next to
+    * numbers read from the COMPACTED files' REAL footers: row count and
+    * (db, ub) bounding box, plus the physical file count of the group's
+    * directory. Oracle honesty ([[footerPrune]] discipline): the layout
+    * and the plan are pure functions of the data, so DuckDB recomputes
+    * every group's membership, row count, and box from the events table
+    * alone — equality proves each group compacted to exactly one file
+    * holding exactly the planned rows with ZERO bounding-box widening
+    * (merging only curve-NEIGHBORS is what preserves tight boxes; INT64
+    * footer min/max are exact). `n_files_out = 1` is the writer's
+    * invariant flag, the [[graft.streaming.IngestReplay]] discipline.
+    * `LayoutSpec` additionally pins content identity: the compacted
+    * table is row-for-row the same multiset as the base. */
+  def compactionExec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
+    val z = withFiles(spark, dir).persist()
+    val baseDir = ensureZorderMaterialized(spark, dir, Some(z))
+    val assign = compactionAssign(
+      z.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows")))
+      .select(col("file_id"), col("group_id"))
+    val out = scratchDir("compaction_exec", dir)
+    val plannedRows = z.select(col("db"), col("ub"), col("file_id"))
+      .join(broadcast(assign), Seq("file_id"))
+      .select(col("db"), col("ub"), col("group_id"))
+    materializeIfChanged(out, layoutFingerprint("v1", plannedRows)) {
+      // explicit schema: types the file_id partition column LONG to
+      // match the assignment's key (inference would make it INT), and
+      // keeps an EMPTY base (zero-row source → no part files, only
+      // _SUCCESS) readable instead of failing schema inference
+      val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("db", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ub", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("file_id", org.apache.spark.sql.types.LongType)))
+      spark.read.schema(baseSchema).parquet(baseDir)
+        .join(broadcast(assign), Seq("file_id"))
+        .withColumn("__z", morton5(col("db"), col("ub")))
+        .repartition(col("group_id"))
+        .sortWithinPartitions("__z")
+        .select(col("db"), col("ub"), col("group_id"))
+        .write.mode("overwrite").partitionBy("group_id").parquet(out)
+    }
+    val m = FooterManifest.build(spark, out, Seq("db", "ub"))
+    val perFile = m.groupBy(col("file")).agg(
+      first(col("n_rows")).as("n_rows"),
+      min(when(col("column") === "db", col("min_v"))).as("min_db"),
+      max(when(col("column") === "db", col("max_v"))).as("max_db"),
+      min(when(col("column") === "ub", col("min_v"))).as("min_ub"),
+      max(when(col("column") === "ub", col("max_v"))).as("max_ub"))
+    val perGroup = perFile
+      .withColumn("group_id",
+        regexp_extract(col("file"), "group_id=(\\d+)", 1).cast("long"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files_out"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_db")).cast("long").as("min_db"),
+        max(col("max_db")).cast("long").as("max_db"),
+        min(col("min_ub")).cast("long").as("min_ub"),
+        max(col("max_ub")).cast("long").as("max_ub"))
+    // planned input-file count per group: manifest-scale agg, broadcast
+    val plannedFiles = assign.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files_in"))
+    perGroup.join(broadcast(plannedFiles), Seq("group_id"))
+      .select(col("group_id"), col("n_files_in"), col("n_files_out"),
+        col("n_rows"), col("min_db"), col("max_db"),
+        col("min_ub"), col("max_ub"))
       .orderBy("group_id")
   }
 
@@ -597,7 +698,8 @@ object Layout {
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
-    "x_compaction_plan" -> (compactionPlan _)
+    "x_compaction_plan" -> (compactionPlan _),
+    "x_compaction_exec" -> (compactionExec _)
   )
 
   private val bucketCte =
@@ -822,6 +924,24 @@ object Layout {
          |  CAST(sum(CASE WHEN n_rows IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_files
          |  FROM j)
          |SELECT r.*, rows_rewritten * 1000 // n_arrivals AS rewrite_amp_x1000 FROM r""".stripMargin,
+    "x_compaction_exec" ->
+      s"""WITH $bucketCte,
+         |manifest AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |    min(db) AS min_db, max(db) AS max_db,
+         |    min(ub) AS min_ub, max(ub) AS max_ub
+         |  FROM f GROUP BY 1),
+         |p AS (
+         |  SELECT *, CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre_rows
+         |  FROM manifest)
+         |SELECT pre_rows // 512 AS group_id,
+         |  count(*) AS n_files_in,
+         |  CAST(1 AS BIGINT) AS n_files_out,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  min(min_db) AS min_db, max(max_db) AS max_db,
+         |  min(min_ub) AS min_ub, max(max_ub) AS max_ub
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_compaction_plan" ->
       s"""WITH $bucketCte,
          |manifest AS (

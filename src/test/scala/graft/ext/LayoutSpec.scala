@@ -136,6 +136,42 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction exec: one file per group, content identical, boxes exactly as planned") {
+    val exec = Layout.compactionExec(spark, sf).collect()
+    assert(exec.nonEmpty)
+    // the writer's physical invariant: each planned group became ONE file
+    assert(exec.forall(_.getAs[Long]("n_files_out") === 1L))
+    // box tightness: the compacted files' REAL footer boxes equal the
+    // PLANNED group boxes — zero widening from the rewrite
+    val plan = Layout.compactionPlan(spark, sf).collect()
+      .map(g => g.getAs[Long]("group_id") ->
+        (g.getAs[Long]("n_files"), g.getAs[Long]("n_rows"),
+          g.getAs[Long]("min_db"), g.getAs[Long]("max_db"),
+          g.getAs[Long]("min_ub"), g.getAs[Long]("max_ub"))).toMap
+    assert(exec.length === plan.size)
+    exec.foreach { g =>
+      val gid = g.getAs[Long]("group_id")
+      assert(plan(gid) === (g.getAs[Long]("n_files_in"), g.getAs[Long]("n_rows"),
+        g.getAs[Long]("min_db"), g.getAs[Long]("max_db"),
+        g.getAs[Long]("min_ub"), g.getAs[Long]("max_ub")),
+        s"group $gid: footer-read facts diverge from the plan")
+    }
+    // content identity: the compacted table is the same (db, ub) multiset
+    // as the planned layout — nothing lost, duplicated, or reassigned
+    val compacted = spark.read
+      .parquet(Layout.scratchDir("compaction_exec", sf))
+      .groupBy("db", "ub").count()
+    val source = graft.Tables.events(spark, sf)
+    assert(compacted.agg(sum("count")).head().getLong(0) === source.count())
+    val diff = compacted.join(
+      spark.read.parquet(Layout.scratchDir("zorder_prune", sf))
+        .groupBy("db", "ub").count().withColumnRenamed("count", "base_count"),
+      Seq("db", "ub"), "full_outer")
+      .where(col("count").isNull || col("base_count").isNull ||
+        col("count") =!= col("base_count"))
+    assert(diff.count() === 0, "compacted multiset must equal the base multiset")
+  }
+
   test("clusterByZ range-partitions: per-partition z ranges are disjoint") {
     val df = (0 until 1024).map(i => (i.toLong * 2654435761L % 1024, i.toLong))
       .toDF("z", "payload")

@@ -220,5 +220,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(sj.getAs[Long]("n_clicks") === 0L)
     assert(sj.getAs[Long]("state_rows_final") === 0L)
     assert(sj.getAs[Int]("nothing_evicted") === 1)
+    // compacting an empty layout: no groups, no files, no exception
+    assert(graft.ext.Layout.compactionExec(spark, dir).count() === 0)
   }
 }
