@@ -523,6 +523,71 @@ object Layout {
       .crossJoin(broadcast(rowsOut))
   }
 
+  /** FOLD the delta back into the z-celled base — the re-cluster step
+    * that closes the incremental-maintenance loop [[zorderIncr]] and
+    * [[deltaRead]] bracket (round 14; before this the engine could
+    * decide eager-vs-delta and read through the delta, but never return
+    * to the clustered optimum). The fold is newest-wins compaction:
+    * base rows whose event_id appears in the delta are dropped (the
+    * same broadcast left_anti the merge-on-read path resolves with —
+    * ONE definition of "newest wins" on both paths), the surviving base
+    * unions the delta, and the merged table is rewritten z-celled with
+    * bounds recomputed from the MERGED data (updates moved values, so
+    * re-quantizing against stale base bounds would let border cells
+    * absorb drift — a fold is precisely the moment to refresh them).
+    *
+    * The report answers the standard 2-D box (user_id∈[60,90] ×
+    * value∈[100,200]) through the folded layout's REAL footers, exactly
+    * the [[footerPrune]] loop: (files_total, files_read, rows_scanned,
+    * rows_out). Against [[deltaRead]]'s numbers this shows the read
+    * amplification the fold removes — the delta no longer full-scans,
+    * and `files_read` returns to the clustered optimum ( `LayoutSpec`
+    * pins rows_out equality with the merge-on-read answer and the
+    * strict rows_scanned drop). Oracle honesty as [[footerPrune]]: the
+    * folded layout is a pure function of the data (merge is relational,
+    * the cell split deterministic), so DuckDB recomputes every file's
+    * membership, box, and the pruning decision from the events table
+    * alone. Scale shape: one broadcast anti-join + one z-celled write
+    * sized by the MERGED table — the fold is the amortized cost
+    * zorderIncr's rewrite-amplification number exists to schedule. */
+  def deltaFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val out = scratchDir("delta_fold", dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    val folded = base.join(
+        broadcast(delta.select(col("event_id"))), Seq("event_id"), "left_anti")
+      .unionByName(delta)
+    materializeIfChanged(out, layoutFingerprint("v1",
+      PartitionedSink.withZCell(folded, Seq("user_id", "value"), 12, 4)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")))) {
+      PartitionedSink.writeZCelled(folded, out, Seq("user_id", "value"),
+        bits = 12, cellBits = 4)
+    }
+    val m = FooterManifest.build(spark, out, Seq("user_id", "value"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val kept = FooterManifest.filesToRead(local,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val rowsScanned = kept.map(_.getLong(1)).sum
+    val rowsOut = (if (keptFiles.isEmpty)
+        spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value"))
+      else spark.read.parquet(keptFiles: _*))
+      .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
+      .agg(count(lit(1)).as("rows_out"))
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read"),
+        lit(rowsScanned).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
+  }
+
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
     * packing of curve-adjacent files into ~`target`-row output groups —
     * merging only neighbors on the curve preserves every group's tight
@@ -695,6 +760,7 @@ object Layout {
     "x_footer_prune" -> (footerPrune _),
     "x_footer_prune_str" -> (footerPruneStr _),
     "x_delta_read" -> (deltaRead _),
+    "x_delta_fold" -> (deltaFold _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -831,6 +897,45 @@ object Layout {
          |SELECT files_total, files_read_base, rows_scanned_base, rows_delta,
          |  rows_scanned_base + rows_delta AS rows_scanned, rows_out
          |FROM ft, ka, dr, ro""".stripMargin,
+    "x_delta_fold" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |delta AS (
+         |  SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE event_id % 100 = 1),
+         |merged AS (
+         |  SELECT * FROM delta
+         |  UNION ALL
+         |  SELECT b.* FROM base b ANTI JOIN delta d ON d.event_id = b.event_id),
+         |bounds AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM merged),
+         |q AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM merged, bounds),
+         |cells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 20 AS zcell FROM q),
+         |files AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM cells GROUP BY 1),
+         |kept AS (
+         |  SELECT * FROM files WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM files),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS files_read,
+         |       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM kept),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
     "x_footer_prune_str" ->
       s"""WITH files AS (
          |  SELECT source, n_chars // 128 AS lb, count(*) AS n_rows,

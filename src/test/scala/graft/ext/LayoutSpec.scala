@@ -237,6 +237,34 @@ class LayoutSpec extends SparkSpec {
     assert(r.getAs[Long]("files_read_base") < r.getAs[Long]("files_total"))
   }
 
+  test("delta fold: folded layout answers the merge exactly and reads strictly less") {
+    val box = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+    // materialize both states: the split (base + delta) and the fold
+    val read = Layout.deltaRead(spark, sf).head()
+    val fold = Layout.deltaFold(spark, sf).head()
+    // fold(base, delta) ≡ deltaRead's merged answer
+    assert(fold.getAs[Long]("rows_out") === read.getAs[Long]("rows_out"),
+      "the folded layout must answer exactly what merge-on-read answered")
+    // ...as an ID SET, not just a count: folded table vs in-test merge
+    val folded = spark.read.parquet(Layout.scratchDir("delta_fold", sf))
+    val baseAll = spark.read.parquet(Layout.scratchDir("delta_base", sf))
+      .select("event_id", "user_id", "value")
+    val delta = spark.read.parquet(Layout.scratchDir("delta_arrivals", sf))
+    val mergedFull = baseAll
+      .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta)
+    assert(folded.count() === mergedFull.count())
+    val diff = folded.select("event_id", "user_id", "value")
+      .exceptAll(mergedFull.select("event_id", "user_id", "value"))
+    assert(diff.count() === 0L, "folded rows must equal the newest-wins merge")
+    assert(folded.where(box).count() === fold.getAs[Long]("rows_out"))
+    // the point of folding: the post-fold pruned read scans strictly
+    // fewer rows than merge-on-read's pruned-base + full-delta scan
+    assert(fold.getAs[Long]("rows_scanned") < read.getAs[Long]("rows_scanned"),
+      s"fold=${fold.getAs[Long]("rows_scanned")} read=${read.getAs[Long]("rows_scanned")}")
+    assert(fold.getAs[Long]("files_read") < fold.getAs[Long]("files_total"))
+  }
+
   test("dppRead: runtime partition pruning fires and reads only the dim's partitions") {
     val df = Layout.dppRead(spark, sf)
     val rows = df.collect()

@@ -222,5 +222,9 @@ class EmptyInputsSpec extends SparkSpec {
     assert(sj.getAs[Int]("nothing_evicted") === 1)
     // compacting an empty layout: no groups, no files, no exception
     assert(graft.ext.Layout.compactionExec(spark, dir).count() === 0)
+    // folding an empty delta into an empty base: all-zero one-row report
+    val f = graft.ext.Layout.deltaFold(spark, dir).head()
+    Seq("files_total", "files_read", "rows_scanned", "rows_out")
+      .foreach(c => assert(f.getAs[Long](c) === 0L, s"deltaFold.$c"))
   }
 }
