@@ -226,5 +226,8 @@ class EmptyInputsSpec extends SparkSpec {
     val f = graft.ext.Layout.deltaFold(spark, dir).head()
     Seq("files_total", "files_read", "rows_scanned", "rows_out")
       .foreach(c => assert(f.getAs[Long](c) === 0L, s"deltaFold.$c"))
+    // model trained on nothing still persists (the init weights) and
+    // applies to nothing without throwing
+    assert(graft.ext.TextAnalysis.classifierApply(spark, dir).count() === 0)
   }
 }
