@@ -133,9 +133,65 @@ object Redaction {
         StableStats.ratio(below, sum(col("n"))).as("pct_below_5"))
   }
 
+  /** Candidate length-band widths for [[kAnonEnforce]], as multipliers
+    * over the audit's 256-char base band (powers of two so coarser
+    * classes are exact unions of finer ones — the generalization
+    * lattice stays a tree). */
+  private val EnforceMultipliers = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** k-anonymity ENFORCEMENT — the acting half of [[kAnonymity]]'s
+    * audit (round 14): generalize the length-band quasi-identifier to
+    * the FINEST candidate width that brings every class to k ≥ 5, and
+    * where no width does (some (lang, source) pair is just too rare),
+    * drop the length QI entirely (multiplier 0) and SUPPRESS the
+    * residual under-k classes — Sweeney's standard
+    * generalization-then-suppression recipe, least information loss
+    * first. Branch-free and deterministic: the chosen multiplier is a
+    * 1-row agg over the per-width k table joined back in, so both
+    * engines take the same "branch" as arithmetic, never as control
+    * flow. One row: (classes_before, gen_width, classes_after,
+    * rows_suppressed, k_min_after) with k_min_after ≥ 5 whenever any
+    * row survives — the re-audited guarantee.
+    *
+    * Scale shape: ONE corpus scan to the 256-band base class table
+    * (bounded by the QI domain product, never corpus-scaled); the
+    * width sweep, choice, and re-audit all run on that bounded table
+    * (a ×|widths| explode of a tiny frame). At 100 TB this is the same
+    * one-scan-plus-metadata cost as the audit itself. */
+  def kAnonEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val base = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
+      .agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val widths = EnforceMultipliers.toDF("m")
+    // per-width k: classes at width m·256 are unions of base classes
+    val km = base.crossJoin(broadcast(widths))
+      .groupBy(col("m"), col("lang"), col("source"), expr("lb div m").as("glb"))
+      .agg(sum(col("n")).as("n"))
+      .groupBy(col("m")).agg(min(col("n")).as("kmin"))
+    // finest width reaching k everywhere; 0 = drop the length QI
+    val chosen = km.agg(
+      coalesce(min(when(col("kmin") >= k, col("m"))), lit(0L)).as("m"))
+    val fin = base.crossJoin(broadcast(chosen))
+      .groupBy(col("lang"), col("source"),
+        when(col("m") === 0, lit(0L)).otherwise(expr("lb div m")).as("glb"))
+      .agg(sum(col("n")).as("n"), first(col("m")).as("m"))
+    fin.agg(
+      coalesce(first(col("m")) * 256, lit(0L)).as("gen_width"),
+      count(lit(1)).as("n_classes_gen"),
+      coalesce(sum(when(col("n") < k, col("n"))), lit(0L)).as("rows_suppressed"),
+      coalesce(sum(when(col("n") >= k, 1L)), lit(0L)).as("classes_after"),
+      coalesce(min(when(col("n") >= k, col("n"))), lit(0L)).as("k_min_after"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("classes_before"))))
+      .select(col("classes_before"), col("gen_width"), col("n_classes_gen"),
+        col("classes_after"), col("rows_suppressed"), col("k_min_after"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pii_redact" -> (piiRedact _),
-    "x_k_anonymity" -> (kAnonymity _))
+    "x_k_anonymity" -> (kAnonymity _),
+    "x_k_anon_enforce" -> (kAnonEnforce _))
 
   // DuckDB notes: single-quoted literals are raw (no backslash escape
   // layer), so the Scala-escaped "\\b" must re-emit as \b; regexp_replace
@@ -146,6 +202,31 @@ object Redaction {
   private val phoneSql = PhoneRe.replace("\\\\", "\\")
 
   val oracles: Map[String, String] = Map(
+    "x_k_anon_enforce" ->
+      s"""WITH base AS (
+         |  SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2, 3),
+         |wd AS (SELECT unnest([${EnforceMultipliers.mkString(", ")}]) AS m),
+         |cls AS (SELECT m, lang, source, lb // m AS glb, CAST(sum(n) AS BIGINT) AS n
+         |  FROM base, wd GROUP BY 1, 2, 3, 4),
+         |km AS (SELECT m, min(n) AS kmin FROM cls GROUP BY 1),
+         |ch AS (SELECT CAST(coalesce(min(CASE WHEN kmin >= 5 THEN m END), 0) AS BIGINT) AS m
+         |       FROM km),
+         |fin AS (SELECT lang, source,
+         |    CASE WHEN c.m = 0 THEN CAST(0 AS BIGINT) ELSE lb // c.m END AS glb,
+         |    c.m AS m, CAST(sum(n) AS BIGINT) AS n
+         |  FROM base, ch c GROUP BY 1, 2, 3, 4),
+         |cb AS (SELECT CAST(count(*) AS BIGINT) AS classes_before FROM base),
+         |rep AS (SELECT
+         |    CAST(coalesce(max(m) * 256, 0) AS BIGINT) AS gen_width,
+         |    CAST(count(*) AS BIGINT) AS n_classes_gen,
+         |    CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS rows_suppressed,
+         |    CAST(coalesce(sum(CASE WHEN n >= 5 THEN 1 END), 0) AS BIGINT) AS classes_after,
+         |    CAST(coalesce(min(CASE WHEN n >= 5 THEN n END), 0) AS BIGINT) AS k_min_after
+         |  FROM fin)
+         |SELECT classes_before, gen_width, n_classes_gen, classes_after,
+         |  rows_suppressed, k_min_after
+         |FROM cb, rep""".stripMargin,
     "x_k_anonymity" ->
       s"""WITH cls AS (
          |  SELECT lang, source, n_chars // 256 AS lb,

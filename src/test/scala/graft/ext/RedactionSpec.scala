@@ -70,4 +70,40 @@ class RedactionSpec extends SparkSpec {
       .select(Redaction.scrub(col("aug"))).count()
     assert(n === 0L)
   }
+
+  test("k-anonymity enforcement re-audits clean: every kept class has k >= 5") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Redaction.kAnonEnforce(spark, sf).head()
+    val kept = r.getAs[Long]("classes_after")
+    // the enforced guarantee: survivors are k-anonymous, period
+    assert(kept === 0L || r.getAs[Long]("k_min_after") >= 5L)
+    // accounting: kept + suppressed classes = generalized classes, and
+    // kept rows + suppressed rows = corpus rows
+    val genClasses = r.getAs[Long]("n_classes_gen")
+    assert(kept <= genClasses)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // recompute kept-row mass independently at the chosen width
+    val w = r.getAs[Long]("gen_width")
+    val glb = if (w == 0) lit(0L) else expr(s"n_chars div $w")
+    val classes = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"), glb.as("glb"))
+      .agg(count(lit(1)).as("n"))
+    assert(classes.count() === genClasses)
+    val suppressed = classes.where(col("n") < 5)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(suppressed === r.getAs[Long]("rows_suppressed"))
+    assert(suppressed < nDocs, "enforcement must not suppress everything")
+    // generalization is least-loss-first: any STRICTLY finer candidate
+    // width (other than the chosen one) fails k >= 5
+    if (w > 0) {
+      val finer = Seq(256L, 512L, 1024L, 2048L, 4096L, 8192L).filter(_ < w)
+      finer.foreach { fw =>
+        val kmin = graft.Tables.documents(spark, sf)
+          .groupBy(col("lang"), col("source"), expr(s"n_chars div $fw").as("glb"))
+          .agg(count(lit(1)).as("n"))
+          .agg(min(col("n"))).head().getLong(0)
+        assert(kmin < 5L, s"width $fw would already satisfy k; chosen $w is not finest")
+      }
+    }
+  }
 }

@@ -229,5 +229,10 @@ class EmptyInputsSpec extends SparkSpec {
     // model trained on nothing still persists (the init weights) and
     // applies to nothing without throwing
     assert(graft.ext.TextAnalysis.classifierApply(spark, dir).count() === 0)
+    // enforcing k-anonymity over nothing: all-zero one-row report
+    val ka = graft.ext.Redaction.kAnonEnforce(spark, dir).head()
+    Seq("classes_before", "gen_width", "n_classes_gen", "classes_after",
+      "rows_suppressed", "k_min_after")
+      .foreach(c => assert(ka.getAs[Long](c) === 0L, s"kAnonEnforce.$c"))
   }
 }
