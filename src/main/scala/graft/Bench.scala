@@ -132,9 +132,23 @@ object Bench {
     // query's median rests on passes taken minutes apart. The JSON line
     // shape is unchanged. A query that throws mid-pass is dropped from
     // further rounds and lands in "errors" as before.
+    // Warm-up times are kept (round 14): the fingerprint family pays its
+    // one-time layout/replay materialization in whichever pass first
+    // touches a cold scratch dir — the warm-up absorbs it, and a
+    // "cold" map in the line (warm-up secs for queries whose warm-up ran
+    // >2x their timed median) makes any cold-cache head start visible
+    // instead of reading as a cross-round regression.
+    val warmSecs = scala.collection.mutable.Map.empty[String, Double]
     val timed = fns.filter { case (name, fn) =>
       spark.catalog.clearCache()
-      try { if (warmup) fn(spark, sfDir).count(); true }
+      try {
+        if (warmup) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          warmSecs(name) = (System.nanoTime() - t0) / 1e9
+        }
+        true
+      }
       catch { case _: Throwable => false }
     }
     val acc = scala.collection.mutable.LinkedHashMap(
@@ -184,6 +198,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val errors = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // only the biggest outliers — a >1 s absolute gap filters the
+    // plain first-in-JVM codegen cost every query pays a little of, and
+    // the top-5 cap keeps the line short for the bounded-tail parse
+    val cold = results.collect {
+      case (k, ts) if ts.nonEmpty && warmSecs.contains(k) &&
+          warmSecs(k) > 2.0 * median(ts) && warmSecs(k) - median(ts) > 1.0 =>
+        (k, warmSecs(k), warmSecs(k) - median(ts))
+    }.sortBy(-_._3).take(5)
+      .map { case (k, w, _) => s"\"" + k + "\":" + r3(w) }
+      .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -202,7 +226,7 @@ object Bench {
       ","+"\"qmin\":" + results.map { case (k, ts) =>
         s"\"" + k + "\":" + r3(if (ts.isEmpty) -1.0 else ts.min)
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors$qmin,"sf":"$sfDir","env":$env}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"cold":$cold$qmin,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

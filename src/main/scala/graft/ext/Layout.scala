@@ -327,8 +327,11 @@ object Layout {
     * every report input but the final read-back count is settled there;
     * the returned frame holds literals plus the lazy rows_out agg, and
     * NOTHING stays pinned in the cache manager. */
-  def footerPruneStr(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.FooterManifest
+  /** Idempotently materialize the (source, length-band) document layout
+    * — one physical file per cell, `source`/`n_chars` kept as DATA
+    * columns so both get footer stats — and return its directory.
+    * Shared by [[footerPruneStr]] and [[footerPruneMixed]]. */
+  private def ensureStrLayoutMaterialized(spark: SparkSession, dir: String): String = {
     val out = scratchDir("footer_prune_str", dir)
     val slice = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -345,6 +348,12 @@ object Layout {
         .repartition(col("src_part"), col("lb"))
         .write.mode("overwrite").partitionBy("src_part", "lb").parquet(out)
     }
+    out
+  }
+
+  def footerPruneStr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
+    val out = ensureStrLayoutMaterialized(spark, dir)
     val m = FooterManifest.build(spark, out, Seq("source", "n_chars"))
     // one footer pass; everything below works off the collected manifest
     val local = spark.createDataFrame(
@@ -367,6 +376,53 @@ object Layout {
       .select(lit(filesTotal).as("files_total"),
         lit(keptFiles.size.toLong).as("files_read"),
         lit(rowsScanned).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
+  }
+
+  /** PREDICATE-DECOMPOSED file pruning over the (source, length-band)
+    * layout (round 14 — the composition [[footerPruneStr]] reports only
+    * jointly): for the LLM-corpus reprocessing filter mix `source ∈
+    * [src12, src17] AND n_chars ∈ [150, 400]`, how many files must be
+    * read under the NUMERIC box alone, the STRING box alone, and both
+    * composed — so `files_read_num − files_read_both` is exactly the
+    * extra skipping the UTF8 string stats buy on top of the numeric
+    * ones (and vice versa), the number that justifies carrying string
+    * footer stats at all. One manifest pass decides all three candidate
+    * sets (pure driver-side set logic on the collected files×columns
+    * frame, the FileIndex metadata scale); the box answer reads ONLY
+    * the composed survivors. Oracle honesty as [[footerPruneStr]]: the
+    * cell layout is a pure function of the data, so DuckDB recomputes
+    * every candidate set from the documents table alone. */
+  def footerPruneMixed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FooterManifest
+    val out = ensureStrLayoutMaterialized(spark, dir)
+    val m = FooterManifest.build(spark, out, Seq("source", "n_chars"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val numBox = Map("n_chars" -> ((150.0, 400.0)))
+    val strBox = Map("source" -> (("src12", "src17")))
+    def keptUnder(box: Map[String, (Double, Double)],
+        sbox: Map[String, (String, String)]) =
+      FooterManifest.filesToRead(local, box, sbox).collect()
+    val keptNum = keptUnder(numBox, Map.empty)
+    val keptStr = keptUnder(Map.empty, strBox)
+    val keptBoth = keptUnder(numBox, strBox)
+    val keptFiles = keptBoth.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val keptDf = if (keptFiles.isEmpty)
+        spark.range(0).select(col("id").cast("string").as("source"),
+          col("id").as("n_chars"))
+      else spark.read.parquet(keptFiles: _*)
+    val rowsOut = keptDf
+      .where(col("source").between("src12", "src17") &&
+        col("n_chars").between(150, 400))
+      .agg(count(lit(1)).as("rows_out"))
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptNum.length.toLong).as("files_read_num"),
+        lit(keptStr.length.toLong).as("files_read_str"),
+        lit(keptBoth.length.toLong).as("files_read_both"),
+        lit(keptBoth.map(_.getLong(1)).sum).as("rows_scanned"))
       .crossJoin(broadcast(rowsOut))
   }
 
@@ -759,6 +815,7 @@ object Layout {
     "x_zorder_prune" -> (zorderPrune _),
     "x_footer_prune" -> (footerPrune _),
     "x_footer_prune_str" -> (footerPruneStr _),
+    "x_footer_prune_mixed" -> (footerPruneMixed _),
     "x_delta_read" -> (deltaRead _),
     "x_delta_fold" -> (deltaFold _),
     "x_dpp_read" -> (dppRead _),
@@ -936,6 +993,30 @@ object Layout {
          |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
          |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
          |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
+    "x_footer_prune_mixed" ->
+      s"""WITH files AS (
+         |  SELECT source, n_chars // 128 AS lb, count(*) AS n_rows,
+         |    min(source) AS min_s, max(source) AS max_s,
+         |    min(n_chars) AS min_n, max(n_chars) AS max_n
+         |  FROM documents GROUP BY 1, 2),
+         |kn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS files_read_num FROM files
+         |  WHERE NOT (min_n IS NOT NULL AND (max_n < 150 OR min_n > 400))),
+         |ks AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS files_read_str FROM files
+         |  WHERE NOT (min_s IS NOT NULL AND (max_s < 'src12' OR min_s > 'src17'))),
+         |kb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS files_read_both,
+         |         CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+         |  FROM files WHERE NOT (
+         |    (min_s IS NOT NULL AND (max_s < 'src12' OR min_s > 'src17')) OR
+         |    (min_n IS NOT NULL AND (max_n < 150 OR min_n > 400)))),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM files),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM documents
+         |       WHERE source BETWEEN 'src12' AND 'src17' AND n_chars BETWEEN 150 AND 400)
+         |SELECT files_total, files_read_num, files_read_str, files_read_both,
+         |  rows_scanned, rows_out
+         |FROM ft, kn, ks, kb, ro""".stripMargin,
     "x_footer_prune_str" ->
       s"""WITH files AS (
          |  SELECT source, n_chars // 128 AS lb, count(*) AS n_rows,
