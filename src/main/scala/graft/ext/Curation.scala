@@ -1402,7 +1402,91 @@ object Curation {
     rows.toDF("lang", "toks", "alloc_chars", "epochs").orderBy("lang")
   }
 
+  /** EXECUTE the UniMax allocation (round 14 — the acting half of
+    * [[unimaxAlloc]], same discipline as this round's compaction-exec /
+    * delta-fold: a planned budget is only useful once something selects
+    * data against it): per language, fill the allocated character
+    * budget with a deterministic hash-ordered greedy document prefix —
+    * md5(text) order is unbiased, reproducible, and engine-portable —
+    * allowing a SECOND EPOCH of the same documents, because UniMax's
+    * 2-epoch cap deliberately allocates low-resource languages MORE
+    * than their corpus (repetition is the mechanism, arXiv:2304.09151).
+    * A copy is kept iff it fits entirely (whole-document greedy
+    * prefix). One row per language: copies kept, second-epoch copies,
+    * characters filled, and the fill rate against the allocation.
+    *
+    * Scale shape: the per-language running sum uses the [[tokenBudget]]
+    * lossless shard-prune — a shard-local prefix sum cuts every copy
+    * that provably cannot be in the global prefix, so the per-language
+    * window sorts ≤ shards × alloc survivors, never the corpus. The
+    * allocation itself is the driver-side O(languages) fold shared with
+    * [[unimaxAlloc]] (one definition; the two reports cannot drift). */
+  def unimaxSample(spark: SparkSession, dir: String, shards: Int = 32): DataFrame = {
+    import spark.implicits._
+    import graft.ops.StableStats
+    val docs = Tables.documents(spark, dir)
+    val per = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val allocDf = unimaxFold(per, per.map(_._2).sum / 2, cap = 2L)
+      .map { case (l, _, a) => (l, a) }.toDF("lang", "alloc_chars")
+    val copies = docs
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("nc"), md5(col("text")).as("h"))
+      .withColumn("epoch", explode(typedlit(Seq(0, 1))))
+    def cumW(part: Column*) = Window.partitionBy(part: _*)
+      .orderBy(col("epoch"), col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pruned = copies.join(broadcast(allocDf), Seq("lang"))
+      .withColumn("shard", pmod(hash(col("doc_id"), col("epoch")), lit(shards)))
+      .withColumn("lc", sum(col("nc")).over(cumW(col("lang"), col("shard"))))
+      .where(col("lc") <= col("alloc_chars")).drop("lc", "shard")
+    val kept = pruned
+      .withColumn("cum", sum(col("nc")).over(cumW(col("lang"))))
+      .where(col("cum") <= col("alloc_chars"))
+    val agg = kept.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_copies"),
+      sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n_second_epoch"),
+      sum(col("nc")).as("chars_kept"))
+    allocDf.join(agg, Seq("lang"), "left")
+      .select(col("lang"), col("alloc_chars"),
+        coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+        coalesce(col("n_second_epoch"), lit(0L)).as("n_second_epoch"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        when(col("alloc_chars") === 0, lit(0.0)).otherwise(
+          StableStats.ratio(coalesce(col("chars_kept"), lit(0L)),
+            col("alloc_chars"))).as("fill_rate"))
+      .orderBy("lang")
+  }
+
+  /** Shared recursive-CTE prefix of the UniMax oracles (per-language
+    * totals → ascending-availability visit order → the allocation
+    * recurrence) — one definition, so the alloc and sample twins replay
+    * the identical fold. */
+  private val unimaxAllocCte: String =
+    """per AS (
+      |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(toks) // 2 AS BIGINT) AS budget,
+      |         CAST(count(*) AS BIGINT) AS n FROM per),
+      |ord AS (
+      |  SELECT lang, toks,
+      |         CAST(row_number() OVER (ORDER BY toks ASC, lang ASC) AS BIGINT) AS rn
+      |  FROM per),
+      |alloc AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS lang,
+      |         CAST(1 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS a,
+      |         budget AS remaining, n AS langs_left
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT o.rn, o.lang, o.toks,
+      |         least(2 * o.toks, al.remaining // al.langs_left),
+      |         al.remaining - least(2 * o.toks, al.remaining // al.langs_left),
+      |         al.langs_left - 1
+      |  FROM alloc al JOIN ord o ON o.rn = al.rn + 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_unimax_sample"     -> ((s: SparkSession, d: String) => unimaxSample(s, d)),
     "x_unimax_alloc"      -> (unimaxAlloc _),
     "x_snapshot_diff"     -> (snapshotDiff _),
     "x_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(s, d)),
@@ -1439,30 +1523,34 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "x_unimax_alloc" ->
-      """WITH RECURSIVE per AS (
-        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks
-        |  FROM documents GROUP BY 1),
-        |tot AS (
-        |  SELECT CAST(sum(toks) // 2 AS BIGINT) AS budget,
-        |         CAST(count(*) AS BIGINT) AS n FROM per),
-        |ord AS (
-        |  SELECT lang, toks,
-        |         CAST(row_number() OVER (ORDER BY toks ASC, lang ASC) AS BIGINT) AS rn
-        |  FROM per),
-        |alloc AS (
-        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS lang,
-        |         CAST(1 AS BIGINT) AS toks, CAST(0 AS BIGINT) AS a,
-        |         budget AS remaining, n AS langs_left
-        |  FROM tot
-        |  UNION ALL
-        |  SELECT o.rn, o.lang, o.toks,
-        |         least(2 * o.toks, al.remaining // al.langs_left),
-        |         al.remaining - least(2 * o.toks, al.remaining // al.langs_left),
-        |         al.langs_left - 1
-        |  FROM alloc al JOIN ord o ON o.rn = al.rn + 1)
-        |SELECT lang, toks, a AS alloc_chars,
-        |  floor(CAST(a AS DOUBLE) / toks * 1e4 + 5e-1) / 1e4 AS epochs
-        |FROM alloc WHERE rn > 0 ORDER BY lang""".stripMargin,
+      s"""WITH RECURSIVE $unimaxAllocCte
+         |SELECT lang, toks, a AS alloc_chars,
+         |  floor(CAST(a AS DOUBLE) / toks * 1e4 + 5e-1) / 1e4 AS epochs
+         |FROM alloc WHERE rn > 0 ORDER BY lang""".stripMargin,
+    "x_unimax_sample" ->
+      s"""WITH RECURSIVE $unimaxAllocCte,
+         |a2 AS (SELECT lang, a AS alloc_chars FROM alloc WHERE rn > 0),
+         |copies AS (
+         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS nc, md5(text) AS h, e.epoch
+         |  FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
+         |run AS (
+         |  SELECT c.lang, c.epoch, c.nc,  a2.alloc_chars,
+         |    sum(c.nc) OVER (PARTITION BY c.lang
+         |      ORDER BY c.epoch, c.h, c.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM copies c JOIN a2 USING (lang)),
+         |kept AS (SELECT * FROM run WHERE cum <= alloc_chars),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(coalesce(sum(CASE WHEN epoch = 1 THEN 1 END), 0) AS BIGINT) AS n_second_epoch,
+         |  CAST(sum(nc) AS BIGINT) AS chars_kept FROM kept GROUP BY 1)
+         |SELECT a2.lang, a2.alloc_chars,
+         |  CAST(coalesce(n_copies, 0) AS BIGINT) AS n_copies,
+         |  CAST(coalesce(n_second_epoch, 0) AS BIGINT) AS n_second_epoch,
+         |  CAST(coalesce(chars_kept, 0) AS BIGINT) AS chars_kept,
+         |  CASE WHEN a2.alloc_chars = 0 THEN 0e0
+         |    ELSE ${graft.ops.StableStats.ratioSql(
+                  "coalesce(chars_kept, 0)", "a2.alloc_chars")} END AS fill_rate
+         |FROM a2 LEFT JOIN agg USING (lang) ORDER BY lang""".stripMargin,
     "x_neyman_alloc" -> {
       import graft.ops.StableStats.stableRoundSql
       s"""WITH stats AS (

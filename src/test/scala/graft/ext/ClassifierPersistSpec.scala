@@ -53,6 +53,18 @@ class ClassifierPersistSpec extends SparkSpec {
     }
   }
 
+  test("apply plan: weights ride as a literal — one scan, no weight-table join") {
+    TextAnalysis.ensureModelMaterialized(spark, sf)
+    val plan = TextAnalysis.classifierApply(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the model is broadcast as a 4096-entry array LITERAL inside the
+    // scan projection: scoring joins nothing and shuffles only the
+    // O(sources) partial aggregates
+    assert(!plan.toLowerCase.contains("join"),
+      s"apply must not join the weight table:\n$plan")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"))
+  }
+
   test("unchanged corpus reuses the stored model without retraining") {
     val wdir = TextAnalysis.ensureModelMaterialized(spark, sf)
     val f = new java.io.File(wdir)

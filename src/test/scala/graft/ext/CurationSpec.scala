@@ -352,6 +352,39 @@ class CurationSpec extends SparkSpec {
       .forall { case (_, t, a) => a === 2 * t })
   }
 
+  test("unimax sample: second epoch fills a capped low-resource language") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed synthetic corpus: 'lo' is tiny, so its cap (2 epochs) binds
+    // and the sample must repeat its documents; 'hi' fills a partial
+    // hash-ordered prefix
+    val dir = java.nio.file.Files.createTempDirectory("graft-unimax").toString
+    val docs =
+      (0L until 4L).map(i => (i, "lo", 50L, s"lo doc $i")) ++
+      (100L until 200L).map(i => (i, "hi", 100L, s"hi doc $i body"))
+    docs.toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.unimaxSample(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // fold twin: budget = (200 + 10000)/2 = 5100; lo allocates 2*200=400
+    val lo = rows("lo")
+    assert(lo.getAs[Long]("alloc_chars") === 400L)
+    assert(lo.getAs[Long]("n_copies") === 8L, "both epochs of all 4 docs")
+    assert(lo.getAs[Long]("n_second_epoch") === 4L)
+    assert(lo.getAs[Long]("chars_kept") === 400L)
+    assert(lo.getAs[Double]("fill_rate") === 1.0)
+    // hi takes the remaining 4700 → 47 whole 100-char docs, epoch 0 only
+    val hi = rows("hi")
+    assert(hi.getAs[Long]("alloc_chars") === 4700L)
+    assert(hi.getAs[Long]("n_copies") === 47L)
+    assert(hi.getAs[Long]("n_second_epoch") === 0L)
+    assert(hi.getAs[Long]("chars_kept") === 4700L)
+    // determinism: a second run selects the identical sample
+    val again = Curation.unimaxSample(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("chars_kept")).toMap
+    assert(again("lo") === 400L && again("hi") === 4700L)
+  }
+
   test("unimax fold properties hold on random language tables") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -234,6 +234,8 @@ class EmptyInputsSpec extends SparkSpec {
     Seq("classes_before", "gen_width", "n_classes_gen", "classes_after",
       "rows_suppressed", "k_min_after")
       .foreach(c => assert(ka.getAs[Long](c) === 0L, s"kAnonEnforce.$c"))
+    // sampling against an empty allocation: no languages, no rows
+    assert(graft.ext.Curation.unimaxSample(spark, dir).count() === 0)
     // decomposed string+numeric pruning over nothing: all-zero report
     val fm = graft.ext.Layout.footerPruneMixed(spark, dir).head()
     Seq("files_total", "files_read_num", "files_read_str", "files_read_both",
