@@ -771,6 +771,68 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** INCREMENTAL training continuation — the delta-sized maintenance
+    * story of the [[graft.ops.Incremental]] family applied to the
+    * learned gate (round 14): when a fresh shard arrives (here the
+    * doc_id ≡ 0 mod 10 slice), production linear probes FINE-TUNE the
+    * deployed model on the shard rather than re-scanning the lake. One
+    * sign-SGD step continues from the STORED artifact
+    * ([[ensureModelMaterialized]] — the deployment the apply path
+    * reads), touching only the shard: margins under the stored weights,
+    * one gradient pass, the ±[[TrainStepMillis]] sign update, and a
+    * re-score of the shard under the updated table. One row, all exact
+    * BIGINT: (n_docs, loss_before, loss_after, n_slots_changed) — the
+    * shard's L1 loss must not be worsened by its own step (spec), and
+    * slots-changed is the update's footprint. The DuckDB twin replays
+    * the FULL recurrence to the stored endpoint and then the same shard
+    * step, so the report differentially proves the continuation really
+    * starts from the persisted model. Scale shape: two shard scans + a
+    * ≤[[ClassifierBuckets]]-slot hash-agg — job sized by the delta,
+    * never the lake. */
+  def classifierIncr(spark: SparkSession, dir: String): DataFrame = {
+    val wdir = ensureModelMaterialized(spark, dir)
+    val stored = spark.read.parquet(wdir).orderBy("slot").collect()
+    val w = Array.fill(ClassifierBuckets)(0L)
+    stored.foreach(r => w(r.getAs[Long]("slot").toInt) = r.getAs[Long]("w"))
+    val shard = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(((col("lang") === "en").cast("long") * 2 - 1).as("y"),
+        classifierGrams(col("text")).as("grams"))
+    def residUnder(warr: Column) = shard.select(
+      col("grams"),
+      (aggregate(col("grams"), lit(0L), (acc, g) =>
+        acc + element_at(warr,
+          (pmod(md5Slice8(g), lit(ClassifierBuckets)) + 1).cast("int"))) -
+        col("y") * lit(1000L) * size(col("grams")).cast("long")).as("residual"))
+    // before-loss counters ride the gradient scan via Observation (the
+    // trainLoop sizing-fusion discipline, with its empty-shard guard)
+    val obs = org.apache.spark.sql.Observation("graft_incr")
+    val grads = residUnder(typedlit(w.toSeq))
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(abs(col("residual"))), lit(0L)).as("l"))
+      .select(col("residual"), explode(col("grams")).as("g"))
+      .select(pmod(md5Slice8(col("g")), lit(ClassifierBuckets)).as("slot"), col("residual"))
+      .groupBy("slot").agg(sum(col("residual")).as("grad"))
+      .collect()
+    val (nDocs, lossBefore) =
+      if (grads.isEmpty) (0L, 0L)
+      else {
+        val m = obs.get
+        (m("n").asInstanceOf[Long], m("l").asInstanceOf[Long])
+      }
+    val w2 = w.clone()
+    var changed = 0L
+    grads.foreach { r =>
+      val s = java.lang.Long.signum(r.getAs[Long]("grad"))
+      if (s != 0) { changed += 1; w2(r.getAs[Long]("slot").toInt) -= TrainStepMillis * s }
+    }
+    val after = residUnder(typedlit(w2.toSeq))
+      .agg(coalesce(sum(abs(col("residual"))), lit(0L)).as("l")).head()
+    import spark.implicits._
+    Seq((nDocs, lossBefore, after.getLong(0), changed))
+      .toDF("n_docs", "loss_before", "loss_after", "n_slots_changed")
+  }
+
   /** Filter-bias audit of the learned quality gate — the monitoring
     * counterpart every production filter ships with: a model-based
     * filter silently reshapes the DOMAIN MIX of what survives (the
@@ -823,6 +885,7 @@ object TextAnalysis {
     "x_classifier_grad"  -> (classifierGradStep _),
     "x_classifier_train" -> (classifierTrain _),
     "x_classifier_apply" -> (classifierApply _),
+    "x_classifier_incr" -> (classifierIncr _),
     "x_classifier_bias"  -> (classifierBias _),
     "x_quality_classifier" -> (qualityClassifier _),
     "x_text_normalize"   -> (textNormalize _),
@@ -975,8 +1038,43 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The incremental-continuation twin: replay the full recurrence to
+    * the stored endpoint w[[TrainSteps]], then the SAME one-step shard
+    * fine-tune the Spark side runs from the persisted artifact. */
+  private[ext] val classifierIncrSql: String = {
+    val k = TrainSteps
+    s"""WITH $classifierStagesSql,
+       |dm AS (SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(w$k.w) AS BIGINT) AS milli_sum
+       |  FROM sg JOIN w$k USING (slot)
+       |  WHERE sg.doc_id % 10 = 0 GROUP BY sg.doc_id),
+       |dr AS (SELECT m.doc_id,
+       |    milli_sum - (CAST(d.lang = 'en' AS BIGINT) * 2 - 1) * 1000 * n_feats AS residual
+       |  FROM dm m JOIN documents d ON d.doc_id = m.doc_id),
+       |dg AS (SELECT slot, CAST(sum(residual) AS BIGINT) AS grad
+       |  FROM sg JOIN dr USING (doc_id) GROUP BY slot),
+       |wn AS (SELECT w.slot,
+       |    w.w - $TrainStepMillis * CAST(sign(coalesce(g.grad, 0)) AS BIGINT) AS w
+       |  FROM w$k w LEFT JOIN dg g USING (slot)),
+       |dm2 AS (SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(wn.w) AS BIGINT) AS milli_sum
+       |  FROM sg JOIN wn USING (slot)
+       |  WHERE sg.doc_id % 10 = 0 GROUP BY sg.doc_id),
+       |dr2 AS (SELECT m.doc_id,
+       |    milli_sum - (CAST(d.lang = 'en' AS BIGINT) * 2 - 1) * 1000 * n_feats AS residual
+       |  FROM dm2 m JOIN documents d ON d.doc_id = m.doc_id),
+       |ch AS (SELECT CAST(coalesce(sum(CASE WHEN sign(grad) <> 0 THEN 1 END), 0) AS BIGINT)
+       |       AS n_slots_changed FROM dg)
+       |SELECT CAST((SELECT count(*) FROM dr) AS BIGINT) AS n_docs,
+       |  CAST((SELECT coalesce(sum(abs(residual)), 0) FROM dr) AS BIGINT) AS loss_before,
+       |  CAST((SELECT coalesce(sum(abs(residual)), 0) FROM dr2) AS BIGINT) AS loss_after,
+       |  n_slots_changed
+       |FROM ch""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x_classifier_train" -> classifierTrainSql,
+    "x_classifier_incr" -> classifierIncrSql,
     "x_classifier_apply" -> classifierApplySql,
     "x_quality_classifier" ->
       s"""$classifierSql

@@ -65,6 +65,20 @@ class ClassifierPersistSpec extends SparkSpec {
     assert(plan.contains("Scan parquet") || plan.contains("FileScan"))
   }
 
+  test("incremental continuation: one shard step improves the shard, from the artifact") {
+    val r = TextAnalysis.classifierIncr(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") > 0L)
+    // sign-SGD's defining property on the batch it was computed from:
+    // the step must not worsen the shard's own L1 loss
+    assert(r.getAs[Long]("loss_after") <= r.getAs[Long]("loss_before"),
+      s"shard step worsened loss: $r")
+    assert(r.getAs[Long]("n_slots_changed") > 0L, "the step must touch slots")
+    // and it must genuinely continue from the STORED weights: replaying
+    // the same step from the in-memory endpoint gives the same report
+    val again = TextAnalysis.classifierIncr(spark, sf).head()
+    assert(again === r, "continuation must be deterministic")
+  }
+
   test("unchanged corpus reuses the stored model without retraining") {
     val wdir = TextAnalysis.ensureModelMaterialized(spark, sf)
     val f = new java.io.File(wdir)

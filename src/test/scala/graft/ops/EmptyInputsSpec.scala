@@ -229,6 +229,10 @@ class EmptyInputsSpec extends SparkSpec {
     // model trained on nothing still persists (the init weights) and
     // applies to nothing without throwing
     assert(graft.ext.TextAnalysis.classifierApply(spark, dir).count() === 0)
+    // continuing on an empty shard: all-zero report, no Observation hang
+    val ci = graft.ext.TextAnalysis.classifierIncr(spark, dir).head()
+    Seq("n_docs", "loss_before", "loss_after", "n_slots_changed")
+      .foreach(c => assert(ci.getAs[Long](c) === 0L, s"classifierIncr.$c"))
     // enforcing k-anonymity over nothing: all-zero one-row report
     val ka = graft.ext.Redaction.kAnonEnforce(spark, dir).head()
     Seq("classes_before", "gen_width", "n_classes_gen", "classes_after",
