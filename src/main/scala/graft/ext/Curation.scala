@@ -1260,6 +1260,47 @@ object Curation {
     * keeps ≤ B tokens' worth, so phase 2's per-source window sees
     * ≤ shards·B tokens per source, NOT the corpus: a hot source costs a
     * bounded second pass, never a corpus-sized single-partition sort. */
+  /** Lossless distributed STRICT-PREFIX selection: keep each row whose
+    * running `sizeCol` sum — under the ASCENDING `keyCols` order within
+    * `partCols` — fits inside the per-row `budgetCol`, where "prefix"
+    * means STOP AT THE FIRST OVERFLOW (the window-oracle semantics),
+    * not skip-over-and-continue. Two passes: a shard-local prefix sum
+    * prunes every row that provably cannot be in the global prefix
+    * (shard-local cum ≤ true cum, so an overflowing shard cum excludes
+    * the row), then the global window runs over the ≤ shards × budget
+    * survivors — never the corpus. Recomputing the cum over survivors
+    * ALONE would re-admit rows behind the first overflow (a row bigger
+    * than the remaining budget gets pruned, deflating later rows' sums
+    * — round-14 review finding), so each group also takes its earliest
+    * PRUNED sort key (an O(groups) agg) and the prefix is additionally
+    * cut there: rows before the first pruned key have survivor-cum ≡
+    * true cum (nothing before them was dropped), and every row after
+    * it is past the overflow by monotonicity. The kept set is exactly
+    * the single-window prefix, shard-assignment-independent.
+    * Survivors carry `__cum` (the exact global running sum). */
+  private[ext] def strictPrefixKeep(df: DataFrame, partCols: Seq[String],
+      keyCols: Seq[String], sizeCol: String, budgetCol: String,
+      shards: Int): DataFrame = {
+    val part = partCols.map(col)
+    val keys = keyCols.map(col)
+    def cumW(p: Seq[Column]) = Window.partitionBy(p: _*)
+      .orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val key = struct(keys: _*)
+    val marked = df
+      .withColumn("__shard", pmod(hash((partCols ++ keyCols).map(col): _*), lit(shards)))
+      .withColumn("__lc", sum(col(sizeCol)).over(cumW(part :+ col("__shard"))))
+      .withColumn("__pruned", col("__lc") > col(budgetCol))
+    val firstPruned = marked.where(col("__pruned"))
+      .groupBy(part: _*).agg(min(key).as("__first_pruned"))
+    marked.where(!col("__pruned")).drop("__shard", "__lc", "__pruned")
+      .join(broadcast(firstPruned), partCols, "left")
+      .withColumn("__cum", sum(col(sizeCol)).over(cumW(part)))
+      .where(col("__cum") <= col(budgetCol) &&
+        (col("__first_pruned").isNull || key < col("__first_pruned")))
+      .drop("__first_pruned")
+  }
+
   def tokenBudget(spark: SparkSession, dir: String, budget: Long = 800L,
       shards: Int = 32): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1267,16 +1308,14 @@ object Curation {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"),
         col("n_words").cast("long").as("n_words"), col("quality_score"))
-    def cumW(part: org.apache.spark.sql.Column*) = Window.partitionBy(part: _*)
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pruned = q
-      .withColumn("shard", pmod(hash(col("doc_id")), lit(shards)))
-      .withColumn("lc", sum(col("n_words")).over(cumW(col("source"), col("shard"))))
-      .where(col("lc") <= budget).drop("lc", "shard")
-    pruned
-      .withColumn("cum_tokens", sum(col("n_words")).over(cumW(col("source"))))
-      .where(col("cum_tokens") <= budget)
+      // quality DESC expressed as an ascending key so the strict-prefix
+      // helper's single key order serves both passes
+      .withColumn("__negq", -col("quality_score"))
+      .withColumn("__budget", lit(budget))
+    strictPrefixKeep(q, Seq("source"), Seq("__negq", "doc_id"),
+      "n_words", "__budget", shards)
+      .withColumnRenamed("__cum", "cum_tokens")
+      .drop("__negq", "__budget")
       .orderBy("doc_id")
   }
 
@@ -1415,9 +1454,10 @@ object Curation {
     * prefix). One row per language: copies kept, second-epoch copies,
     * characters filled, and the fill rate against the allocation.
     *
-    * Scale shape: the per-language running sum uses the [[tokenBudget]]
-    * lossless shard-prune — a shard-local prefix sum cuts every copy
-    * that provably cannot be in the global prefix, so the per-language
+    * Scale shape: the per-language running sum uses the
+    * [[strictPrefixKeep]] lossless shard-prune (shared with
+    * [[tokenBudget]]) — a shard-local prefix sum cuts every copy that
+    * provably cannot be in the global prefix, so the per-language
     * window sorts ≤ shards × alloc survivors, never the corpus. The
     * allocation itself is the driver-side O(languages) fold shared with
     * [[unimaxAlloc]] (one definition; the two reports cannot drift). */
@@ -1429,20 +1469,16 @@ object Curation {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val allocDf = unimaxFold(per, per.map(_._2).sum / 2, cap = 2L)
       .map { case (l, _, a) => (l, a) }.toDF("lang", "alloc_chars")
+    // NULL text coalesces to '' BEFORE hashing (the classifierGrams
+    // discipline): md5(NULL) is NULL, and the two engines order NULLs
+    // at OPPOSITE ends of an ASC sort — a latent prefix flip
     val copies = docs
       .select(col("lang"), col("doc_id"),
-        col("n_chars").cast("long").as("nc"), md5(col("text")).as("h"))
+        col("n_chars").cast("long").as("nc"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
       .withColumn("epoch", explode(typedlit(Seq(0, 1))))
-    def cumW(part: Column*) = Window.partitionBy(part: _*)
-      .orderBy(col("epoch"), col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pruned = copies.join(broadcast(allocDf), Seq("lang"))
-      .withColumn("shard", pmod(hash(col("doc_id"), col("epoch")), lit(shards)))
-      .withColumn("lc", sum(col("nc")).over(cumW(col("lang"), col("shard"))))
-      .where(col("lc") <= col("alloc_chars")).drop("lc", "shard")
-    val kept = pruned
-      .withColumn("cum", sum(col("nc")).over(cumW(col("lang"))))
-      .where(col("cum") <= col("alloc_chars"))
+    val kept = strictPrefixKeep(copies.join(broadcast(allocDf), Seq("lang")),
+      Seq("lang"), Seq("epoch", "h", "doc_id"), "nc", "alloc_chars", shards)
     val agg = kept.groupBy(col("lang")).agg(
       count(lit(1)).as("n_copies"),
       sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n_second_epoch"),
@@ -1531,7 +1567,8 @@ object Curation {
       s"""WITH RECURSIVE $unimaxAllocCte,
          |a2 AS (SELECT lang, a AS alloc_chars FROM alloc WHERE rn > 0),
          |copies AS (
-         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS nc, md5(text) AS h, e.epoch
+         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS nc,
+         |         md5(coalesce(text, '')) AS h, e.epoch
          |  FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
          |run AS (
          |  SELECT c.lang, c.epoch, c.nc,  a2.alloc_chars,

@@ -156,10 +156,20 @@ object Layout {
     * run their wipe-and-replay blocks under the SAME check/write/commit
     * protocol and lock — before round 14 they re-implemented the marker
     * check without the lock, so two JVMs could both see a stale marker,
-    * both wipe, and interleave replay writes into one scratch dir. */
+    * both wipe, and interleave replay writes into one scratch dir.
+    *
+    * The in-process monitor is PER PATH (a striped lock map), not a
+    * global object monitor: multi-minute write blocks now run under
+    * this guard (streaming replays, the classifier training loop), and
+    * a single global monitor would stall every unrelated
+    * materialization in the JVM behind them — the per-path OS lock
+    * wouldn't block a different scratch dir, but the monitor would. */
+  private val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def materializeIfChanged(out: String, fingerprint: String,
       markerName: String = "_graft_layout_fingerprint")(write: => Unit): Unit =
-    Layout.synchronized {
+    pathMonitors.computeIfAbsent(out, _ => new Object).synchronized {
       val lockPath = java.nio.file.Paths.get(s"$out.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
@@ -268,8 +278,42 @@ object Layout {
     * misses rule — files_read/rows_scanned are differentially checked,
     * not pinned constants. The kept-file list collected to the driver
     * is bounded by 2^cellBits (=16), never by data. */
+  /** Shared read-back half of every single-box pruned-read report
+    * (round-14 dedup of four near-identical blocks): collect the
+    * manifest ONCE to the driver (files×columns rows — FileIndex
+    * metadata scale; no session-scoped persist, the round-13 release
+    * discipline), decide the kept files, read ONLY those, answer the
+    * box, and report one row (files_total, files_read, rows_scanned,
+    * rows_out). `emptyFallback` supplies the zero-row typed frame a
+    * fully-pruned layout needs (an empty parquet read can't infer a
+    * schema); `boxFilter` is the query predicate re-applied to the
+    * surviving rows. */
+  private def boxReadReport(spark: SparkSession, layoutDir: String,
+      cols: Seq[String], numBox: Map[String, (Double, Double)],
+      strBox: Map[String, (String, String)],
+      emptyFallback: => DataFrame, boxFilter: Column): DataFrame = {
+    import graft.sources.FooterManifest
+    val m = FooterManifest.build(spark, layoutDir, cols)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    val kept = FooterManifest.filesToRead(local, numBox, strBox).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val filesTotal = local.select(col("file")).distinct().count()
+    val rowsScanned = kept.map(_.getLong(1)).sum
+    val rowsOut = (if (keptFiles.isEmpty) emptyFallback
+      else spark.read.parquet(keptFiles: _*))
+      .where(boxFilter)
+      .agg(count(lit(1)).as("rows_out"))
+    // 1-row report columns broadcast (see zorderPrune)
+    spark.range(1)
+      .select(lit(filesTotal).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read"),
+        lit(rowsScanned).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut))
+  }
+
   def footerPrune(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.{FooterManifest, PartitionedSink}
+    import graft.sources.PartitionedSink
     val out = scratchDir("footer_prune", dir)
     val slice = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -284,30 +328,10 @@ object Layout {
       PartitionedSink.writeZCelled(slice, out, Seq("user_id", "value"),
         bits = 12, cellBits = 4)
     }
-    // No session-scoped persist (round-13 release discipline, the
-    // footerPruneStr pattern): ONE footer pass builds the manifest,
-    // which collects to the driver — files×columns rows, the FileIndex
-    // metadata scale — and settles every report input but the lazy
-    // read-back count; nothing stays pinned in the cache manager.
-    val m = FooterManifest.build(spark, out, Seq("user_id", "value"))
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
-    val kept = FooterManifest.filesToRead(local,
-      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
-    val rowsScanned = kept.map(_.getLong(1)).sum
-    val rowsOut = (if (keptFiles.isEmpty)
-        spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value"))
-      else spark.read.parquet(keptFiles: _*))
-      .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
-      .agg(count(lit(1)).as("rows_out"))
-    // 1-row report columns broadcast (see zorderPrune)
-    spark.range(1)
-      .select(lit(filesTotal).as("files_total"),
-        lit(keptFiles.size.toLong).as("files_read"),
-        lit(rowsScanned).as("rows_scanned"))
-      .crossJoin(broadcast(rowsOut))
+    boxReadReport(spark, out, Seq("user_id", "value"),
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))), Map.empty,
+      spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value")),
+      col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
   }
 
   /** STRING-column file pruning end-to-end (round 13): the footer loop
@@ -352,31 +376,14 @@ object Layout {
   }
 
   def footerPruneStr(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.FooterManifest
     val out = ensureStrLayoutMaterialized(spark, dir)
-    val m = FooterManifest.build(spark, out, Seq("source", "n_chars"))
-    // one footer pass; everything below works off the collected manifest
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
-    val kept = FooterManifest.filesToRead(local,
+    boxReadReport(spark, out, Seq("source", "n_chars"),
       Map("n_chars" -> ((150.0, 400.0))),
-      Map("source" -> (("src12", "src17")))).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
-    val rowsScanned = kept.map(_.getLong(1)).sum
-    val keptDf = if (keptFiles.isEmpty)
-        spark.range(0).select(col("id").cast("string").as("source"),
-          col("id").as("n_chars"))
-      else spark.read.parquet(keptFiles: _*)
-    val rowsOut = keptDf
-      .where(col("source").between("src12", "src17") &&
+      Map("source" -> (("src12", "src17"))),
+      spark.range(0).select(col("id").cast("string").as("source"),
+        col("id").as("n_chars")),
+      col("source").between("src12", "src17") &&
         col("n_chars").between(150, 400))
-      .agg(count(lit(1)).as("rows_out"))
-    spark.range(1)
-      .select(lit(filesTotal).as("files_total"),
-        lit(keptFiles.size.toLong).as("files_read"),
-        lit(rowsScanned).as("rows_scanned"))
-      .crossJoin(broadcast(rowsOut))
   }
 
   /** PREDICATE-DECOMPOSED file pruning over the (source, length-band)
@@ -624,24 +631,10 @@ object Layout {
       PartitionedSink.writeZCelled(folded, out, Seq("user_id", "value"),
         bits = 12, cellBits = 4)
     }
-    val m = FooterManifest.build(spark, out, Seq("user_id", "value"))
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
-    val kept = FooterManifest.filesToRead(local,
-      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
-    val rowsScanned = kept.map(_.getLong(1)).sum
-    val rowsOut = (if (keptFiles.isEmpty)
-        spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value"))
-      else spark.read.parquet(keptFiles: _*))
-      .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
-      .agg(count(lit(1)).as("rows_out"))
-    spark.range(1)
-      .select(lit(filesTotal).as("files_total"),
-        lit(keptFiles.size.toLong).as("files_read"),
-        lit(rowsScanned).as("rows_scanned"))
-      .crossJoin(broadcast(rowsOut))
+    boxReadReport(spark, out, Seq("user_id", "value"),
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))), Map.empty,
+      spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value")),
+      col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
@@ -704,9 +697,14 @@ object Layout {
     import graft.sources.FooterManifest
     val z = withFiles(spark, dir).persist()
     val baseDir = ensureZorderMaterialized(spark, dir, Some(z))
-    val assign = compactionAssign(
+    // the assignment is manifest-scale (≤ 2^(2·5−2) rows) — settle it
+    // locally so the returned report frame references no persisted
+    // corpus lineage (the round-13 cache-release discipline)
+    val assignDist = compactionAssign(
       z.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows")))
       .select(col("file_id"), col("group_id"))
+    val assign = spark.createDataFrame(
+      java.util.Arrays.asList(assignDist.collect(): _*), assignDist.schema)
     val out = scratchDir("compaction_exec", dir)
     val plannedRows = z.select(col("db"), col("ub"), col("file_id"))
       .join(broadcast(assign), Seq("file_id"))
@@ -728,6 +726,9 @@ object Layout {
         .select(col("db"), col("ub"), col("group_id"))
         .write.mode("overwrite").partitionBy("group_id").parquet(out)
     }
+    // everything below works off the local assignment and the compacted
+    // files' footers — release the planned frame now
+    z.unpersist()
     val m = FooterManifest.build(spark, out, Seq("db", "ub"))
     val perFile = m.groupBy(col("file")).agg(
       first(col("n_rows")).as("n_rows"),
@@ -1121,7 +1122,7 @@ object Layout {
          |  SELECT *, CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre_rows
          |  FROM manifest)
-         |SELECT pre_rows // 512 AS group_id,
+         |SELECT pre_rows // $CompactionTargetRows AS group_id,
          |  count(*) AS n_files_in,
          |  CAST(1 AS BIGINT) AS n_files_out,
          |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
@@ -1139,7 +1140,7 @@ object Layout {
          |  SELECT *, CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre_rows
          |  FROM manifest)
-         |SELECT pre_rows // 512 AS group_id, count(*) AS n_files,
+         |SELECT pre_rows // $CompactionTargetRows AS group_id, count(*) AS n_files,
          |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
          |  min(file_id) AS first_file, max(file_id) AS last_file,
          |  min(min_db) AS min_db, max(max_db) AS max_db,

@@ -751,11 +751,7 @@ object TextAnalysis {
     * at scan speed. */
   def classifierApply(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats
-    val wdir = ensureModelMaterialized(spark, dir)
-    val stored = spark.read.parquet(wdir).orderBy("slot").collect()
-    val w = Array.fill(ClassifierBuckets)(0L)
-    stored.foreach(r => w(r.getAs[Long]("slot").toInt) = r.getAs[Long]("w"))
-    val warr = typedlit(w.toSeq)
+    val warr = typedlit(loadStoredWeights(spark, dir).toSeq)
     val grams = classifierGrams(col("text"))
     Tables.documents(spark, dir)
       .select(col("source"),
@@ -789,11 +785,20 @@ object TextAnalysis {
     * starts from the persisted model. Scale shape: two shard scans + a
     * ≤[[ClassifierBuckets]]-slot hash-agg — job sized by the delta,
     * never the lake. */
-  def classifierIncr(spark: SparkSession, dir: String): DataFrame = {
+  /** Load the persisted weight table into slot order — the ONE
+    * definition of how a deployment path reads the artifact
+    * ([[classifierApply]], [[classifierIncr]]): an artifact layout
+    * change has exactly one reader to update. */
+  private def loadStoredWeights(spark: SparkSession, dir: String): Array[Long] = {
     val wdir = ensureModelMaterialized(spark, dir)
-    val stored = spark.read.parquet(wdir).orderBy("slot").collect()
     val w = Array.fill(ClassifierBuckets)(0L)
-    stored.foreach(r => w(r.getAs[Long]("slot").toInt) = r.getAs[Long]("w"))
+    spark.read.parquet(wdir).collect()
+      .foreach(r => w(r.getAs[Long]("slot").toInt) = r.getAs[Long]("w"))
+    w
+  }
+
+  def classifierIncr(spark: SparkSession, dir: String): DataFrame = {
+    val w = loadStoredWeights(spark, dir)
     val shard = Tables.documents(spark, dir)
       .where(pmod(col("doc_id"), lit(10)) === 0)
       .select(((col("lang") === "en").cast("long") * 2 - 1).as("y"),
