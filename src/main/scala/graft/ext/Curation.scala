@@ -1293,8 +1293,12 @@ object Curation {
       .withColumn("__pruned", col("__lc") > col(budgetCol))
     val firstPruned = marked.where(col("__pruned"))
       .groupBy(part: _*).agg(min(key).as("__first_pruned"))
+    // no broadcast HINT on the O(groups) side: the global window needs an
+    // Exchange on partCols anyway, so a shuffle join co-partitions for
+    // free, the planner auto-broadcasts under normal conf from stats —
+    // and PlanSpec's 100TB no-forced-broadcast audit stays clean
     marked.where(!col("__pruned")).drop("__shard", "__lc", "__pruned")
-      .join(broadcast(firstPruned), partCols, "left")
+      .join(firstPruned, partCols, "left")
       .withColumn("__cum", sum(col(sizeCol)).over(cumW(part)))
       .where(col("__cum") <= col(budgetCol) &&
         (col("__first_pruned").isNull || key < col("__first_pruned")))
