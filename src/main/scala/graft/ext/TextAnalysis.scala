@@ -767,6 +767,26 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** The TRAINED gate's keep decision as one Boolean Column over `text`,
+    * scored FROM THE STORED ARTIFACT — the deployment form of
+    * [[classifierKeep]] (which evaluates the hash-derived synthetic
+    * weights): a consumer embeds it in `.where(...)` and the whole
+    * inference — grams, hashing, the broadcast 4096-slot literal
+    * lookup, the exact integer margin, the rounded logit threshold —
+    * runs map-side inside the scan. Stateless, so it applies UNCHANGED
+    * to a `readStream` (`StreamBatchParitySpec` pins stream ≡ batch):
+    * at 100 TB/day this is the trained quality gate running at ingest,
+    * weights shipped to every executor once per (micro-)batch plan. */
+  def classifierKeepStored(spark: SparkSession, dir: String)(text: Column): Column = {
+    import graft.ops.StableStats
+    val warr = typedlit(loadStoredWeights(spark, dir).toSeq)
+    val grams = classifierGrams(text)
+    val milliSum = aggregate(grams, lit(0L), (acc, g) =>
+      acc + element_at(warr,
+        (pmod(md5Slice8(g), lit(ClassifierBuckets)) + 1).cast("int")))
+    StableStats.ratio(milliSum, size(grams).cast("long") * 1000) >= ClassifierThreshold
+  }
+
   /** INCREMENTAL training continuation — the delta-sized maintenance
     * story of the [[graft.ops.Incremental]] family applied to the
     * learned gate (round 14): when a fresh shard arrives (here the

@@ -191,4 +191,33 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed === batch,
       "ingest-time fused gate must admit exactly the batch conjunction's survivors")
   }
+
+  test("STORED classifier gate applies unchanged on a readStream (batch parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the trained artifact's keep decision is a stateless map-side
+    // Column, so the deployment story is literally the same expression
+    // on both engines' inputs — batch scan and file-source stream
+    val gate = graft.ext.TextAnalysis.classifierKeepStored(spark, dir) _
+    val batchKeep = Tables.documents(spark, dir)
+      .where(gate(col("text"))).select("doc_id").as[Long].collect().toSet
+    val schema = Tables.documents(spark, dir).schema
+    // the table is a single parquet FILE; stream sources take a
+    // directory, so stream the parent dir with a glob (eventsStream's
+    // idiom)
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .where(gate(col("text"))).select("doc_id")
+      .writeStream.format("memory").queryName("stored_gate_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("stored_gate_stream").as[Long].collect().toSet
+    assert(batchKeep.nonEmpty && batchKeep.size < 600,
+      "fixture sanity: the trained gate must split the corpus")
+    assert(streamed === batchKeep,
+      "the stored gate must admit the identical keep set at ingest")
+  }
 }
