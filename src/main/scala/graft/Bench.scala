@@ -36,7 +36,11 @@ object Bench {
     // stream-stream join replay (steady state = fingerprint-cached
     // read-back; the warm-up pass absorbs each one's first-invocation
     // materialization)
-    "x_curation_e2e", "x_dpp_read", "x_stream_join")
+    "x_curation_e2e", "x_dpp_read", "x_stream_join",
+    // round-14 marquee additions: the delta fold that closes the
+    // layout-maintenance loop, and inference from the persisted
+    // classifier artifact (model-as-data deployment)
+    "x_delta_fold", "x_classifier_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

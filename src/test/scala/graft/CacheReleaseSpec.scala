@@ -34,6 +34,9 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("footerPrune")(ext.Layout.footerPrune(spark, dir))
     assertReleased("footerPruneStr")(ext.Layout.footerPruneStr(spark, dir))
     assertReleased("deltaRead")(ext.Layout.deltaRead(spark, dir))
+    assertReleased("deltaFold")(ext.Layout.deltaFold(spark, dir))
+    assertReleased("compactionExec")(ext.Layout.compactionExec(spark, dir))
+    assertReleased("footerPruneMixed")(ext.Layout.footerPruneMixed(spark, dir))
     assertReleased("containment")(ext.Dedup.containment(spark, dir))
     assertReleased("minhashEstQuality")(ext.Dedup.minhashEstQuality(spark, dir))
     // the loop family always released internally (the discipline the
