@@ -40,7 +40,12 @@ object Bench {
     // round-14 marquee additions: the delta fold that closes the
     // layout-maintenance loop, and inference from the persisted
     // classifier artifact (model-as-data deployment)
-    "x_delta_fold", "x_classifier_apply")
+    "x_delta_fold", "x_classifier_apply",
+    // round-15 marquee additions: the composed lake-maintenance
+    // lifecycle (ingest → decide → merge-on-read → fold → compact,
+    // steady state = footer read-backs over the fingerprint-cached
+    // lineage) and the shuffle-free bucketed fact⋈fact join
+    "x_lake_e2e", "j_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

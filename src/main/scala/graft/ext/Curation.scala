@@ -1277,7 +1277,15 @@ object Curation {
     * true cum (nothing before them was dropped), and every row after
     * it is past the overflow by monotonicity. The kept set is exactly
     * the single-window prefix, shard-assignment-independent.
-    * Survivors carry `__cum` (the exact global running sum). */
+    * Survivors carry `__cum` (the exact global running sum).
+    *
+    * CONTRACT: every `keyCols` value must be NON-NULL. The first-pruned
+    * cut compares key structs (`key < __first_pruned`), and a NULL key
+    * field makes that comparison NULL — the row would be silently
+    * dropped, and Spark's NULLS-LAST-under-ASC would disagree with
+    * engines that sort NULLs first. Callers coalesce nullable key
+    * inputs (see [[tokenBudget]]'s `-coalesce(quality_score, 0)` —
+    * ADVICE r14: quality_score is NULL whenever text is NULL). */
   private[ext] def strictPrefixKeep(df: DataFrame, partCols: Seq[String],
       keyCols: Seq[String], sizeCol: String, budgetCol: String,
       shards: Int): DataFrame = {
@@ -1313,8 +1321,10 @@ object Curation {
       .select(col("doc_id"), col("source"),
         col("n_words").cast("long").as("n_words"), col("quality_score"))
       // quality DESC expressed as an ascending key so the strict-prefix
-      // helper's single key order serves both passes
-      .withColumn("__negq", -col("quality_score"))
+      // helper's single key order serves both passes; coalesce satisfies
+      // the helper's non-null-key contract (quality_score is NULL for
+      // NULL text — such docs rank as quality 0, tie-broken by doc_id)
+      .withColumn("__negq", -coalesce(col("quality_score"), lit(0.0)))
       .withColumn("__budget", lit(budget))
     strictPrefixKeep(q, Seq("source"), Seq("__negq", "doc_id"),
       "n_words", "__budget", shards)
@@ -1669,7 +1679,7 @@ object Curation {
          |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_words,
          |  $score AS quality_score FROM t),
          |r AS (SELECT *, sum(n_words) OVER (PARTITION BY source
-         |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+         |    ORDER BY coalesce(quality_score, 0) DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
          |SELECT doc_id, source, n_words, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin
     },

@@ -167,9 +167,24 @@ object Layout {
   private val pathMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Monitor key for `out`: the CANONICAL path, so two spellings of the
+    * same scratch dir ("/tmp/x" vs "/tmp/./x", trailing slash) take the
+    * SAME in-process monitor — with the raw string they would take
+    * different monitors and then collide on the shared OS lock as an
+    * OverlappingFileLockException instead of blocking (ADVICE r14).
+    * Growth bound: `pathMonitors` lives for the JVM and is keyed by
+    * scratch path — bounded by (fixture data dirs × layout kinds), a
+    * few dozen entries. Do NOT route per-invocation unique paths
+    * through here; that would leak one monitor Object per call. */
+  private def monitorFor(out: String): Object = {
+    val key = try new java.io.File(out).getCanonicalPath
+      catch { case _: java.io.IOException => out }
+    pathMonitors.computeIfAbsent(key, _ => new Object)
+  }
+
   private[graft] def materializeIfChanged(out: String, fingerprint: String,
       markerName: String = "_graft_layout_fingerprint")(write: => Unit): Unit =
-    pathMonitors.computeIfAbsent(out, _ => new Object).synchronized {
+    monitorFor(out).synchronized {
       val lockPath = java.nio.file.Paths.get(s"$out.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
@@ -515,10 +530,13 @@ object Layout {
     *   1. manifest-pruning the base (footer stats, ANY-column-misses),
     *   2. fully scanning the (small) delta,
     *   3. resolving key collisions NEWEST-WINS — a base row is dropped
-    *      whenever its event_id appears in the delta (one broadcast
-    *      left_anti join against the delta keys; the delta is small BY
-    *      DEFINITION or the operator should have re-clustered eagerly,
-    *      which is precisely the number zorderIncr reports),
+    *      whenever its event_id appears in the delta (one left_anti
+    *      join against the delta keys, broadcast CHOSEN BY THE PLANNER
+    *      from runtime stats: the delta is small by contract — or the
+    *      operator should have re-clustered eagerly, which is precisely
+    *      the number zorderIncr reports — but it is still a corpus
+    *      FRACTION, so forcing the hint would pin a linearly-growing
+    *      build side at 100 TB; AQE makes the same call adaptively),
     *   4. filtering the box AFTER the merge — an update may move a row
     *      INTO the box whose base version was in a pruned file, which
     *      is exactly why the delta is never pruned.
@@ -534,7 +552,7 @@ object Layout {
     * function of the base subset, so DuckDB recomputes file membership
     * and pruning from the table alone; the delta row count rides the
     * footer metadata (zero Spark jobs). No session-scoped persist: the
-    * manifest collects once (bounded by 2^cellBits = 16 files) and the
+    * manifest collects once (bounded by 2^cellBits = 64 files) and the
     * returned frame is literals + the lazy merged count. */
   def deltaRead(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{FooterManifest, PartitionedSink}
@@ -547,10 +565,10 @@ object Layout {
       .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
         .withColumn("value", col("value") + lit(150.0)))
     materializeIfChanged(outBase, layoutFingerprint("v1",
-      PartitionedSink.withZCell(base, Seq("user_id", "value"), 12, 4)
+      PartitionedSink.withZCell(base, Seq("user_id", "value"), 12, 6)
         .select(col("event_id"), col("user_id"), col("value"), col("zcell")))) {
       PartitionedSink.writeZCelled(base, outBase, Seq("user_id", "value"),
-        bits = 12, cellBits = 4)
+        bits = 12, cellBits = 6)
     }
     materializeIfChanged(outDelta, layoutFingerprint("v1",
       delta.select(col("event_id"), col("user_id"), col("value")))) {
@@ -572,8 +590,14 @@ object Layout {
         spark.range(0).select(col("id").as("event_id"),
           col("id").as("user_id"), col("id").cast("double").as("value"))
       else spark.read.parquet(keptFiles: _*)
+    // no broadcast HINT on the delta keys: the delta is a FRACTION of
+    // the corpus (it grows linearly with SF — PlanSpec's fixed-
+    // cardinality rule), so the hint is the planner's call: AQE
+    // broadcasts from runtime stats exactly when the delta really is
+    // small, and degrades to a shuffle join when it is not (round 15 —
+    // the same de-forcing as strictPrefixKeep in round 14)
     val survivors = baseKept.join(
-      broadcast(deltaDf.select(col("event_id"))), Seq("event_id"), "left_anti")
+      deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
     val rowsOut = survivors.unionByName(deltaDf)
       .where(col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
       .agg(count(lit(1)).as("rows_out"))
@@ -592,7 +616,7 @@ object Layout {
     * decide eager-vs-delta and read through the delta, but never return
     * to the clustered optimum). The fold is newest-wins compaction:
     * base rows whose event_id appears in the delta are dropped (the
-    * same broadcast left_anti the merge-on-read path resolves with —
+    * same left_anti the merge-on-read path resolves with —
     * ONE definition of "newest wins" on both paths), the surviving base
     * unions the delta, and the merged table is rewritten z-celled with
     * bounds recomputed from the MERGED data (updates moved values, so
@@ -610,8 +634,8 @@ object Layout {
     * folded layout is a pure function of the data (merge is relational,
     * the cell split deterministic), so DuckDB recomputes every file's
     * membership, box, and the pruning decision from the events table
-    * alone. Scale shape: one broadcast anti-join + one z-celled write
-    * sized by the MERGED table — the fold is the amortized cost
+    * alone. Scale shape: one planner-chosen anti-join + one z-celled
+    * write sized by the MERGED table — the fold is the amortized cost
     * zorderIncr's rewrite-amplification number exists to schedule. */
   def deltaFold(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{FooterManifest, PartitionedSink}
@@ -622,19 +646,203 @@ object Layout {
     val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
       .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
         .withColumn("value", col("value") + lit(150.0)))
+    // NO broadcast hint on the delta keys (round 15, VERDICT r14 #1): a
+    // fold runs precisely when the delta has grown LARGE — that is what
+    // zorderIncr's amplification number schedules — so "the delta is
+    // small by definition" never holds here, and the delta is a
+    // corpus-fraction frame that grows linearly with SF. The merged
+    // rewrite shuffles the whole table anyway; one planner-chosen
+    // exchange on event_id is marginal against it, and AQE still
+    // broadcasts from runtime stats when the delta actually is small.
     val folded = base.join(
-        broadcast(delta.select(col("event_id"))), Seq("event_id"), "left_anti")
+        delta.select(col("event_id")), Seq("event_id"), "left_anti")
       .unionByName(delta)
     materializeIfChanged(out, layoutFingerprint("v1",
-      PartitionedSink.withZCell(folded, Seq("user_id", "value"), 12, 4)
+      PartitionedSink.withZCell(folded, Seq("user_id", "value"), 12, 6)
         .select(col("event_id"), col("user_id"), col("value"), col("zcell")))) {
       PartitionedSink.writeZCelled(folded, out, Seq("user_id", "value"),
-        bits = 12, cellBits = 4)
+        bits = 12, cellBits = 6)
     }
     boxReadReport(spark, out, Seq("user_id", "value"),
       Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))), Map.empty,
       spark.range(0).select(col("id").as("user_id"), col("id").cast("double").as("value")),
       col("user_id").between(60, 90) && col("value").between(100.0, 200.0))
+  }
+
+  /** LAKE-MAINTENANCE LIFECYCLE, end-to-end on ONE evolving scratch
+    * lineage (round 15, VERDICT r14 missing #1 / task 2 — the layout
+    * story's [[graft.ext.Curation]]`.curationE2e` analogue): every
+    * maintenance primitive this module proves piecewise, composed the
+    * way a lake operator actually runs them —
+    *
+    *   1. INGEST: the clustered base (90% split, z-celled under its own
+    *      bounds) plus one unsorted delta file (10% inserts + the
+    *      corrected mod-100 updates — the [[deltaRead]] fixtures, same
+    *      definitions so the piecewise and composed stories can't
+    *      drift);
+    *   2. DECIDE: the [[zorderIncr]]-style rewrite-amplification number
+    *      computed on THIS lineage's cell grid (delta rows quantized
+    *      under the BASE bounds, clamped to the grid — new extremes
+    *      land on border cells), reported as `amp_x1000` on every row:
+    *      the number that schedules the fold;
+    *   3. MERGE-ON-READ (stage 1): answer the standard 2-D box through
+    *      the base's REAL footers + a full delta scan, newest-wins;
+    *   4. FOLD (stage 2): [[deltaFold]]'s rewrite — merged data,
+    *      re-quantized bounds, z-celled — then answer the same box
+    *      through the folded footers;
+    *   5. COMPACT (stage 3): pack the folded cells curve-adjacent into
+    *      quarter-corpus groups (data-derived target `max(1,
+    *      ⌈rows/4⌉)`, so the oracle recomputes the grouping at any SF;
+    *      merging only curve neighbors keeps boxes tight —
+    *      [[compactionExec]]), then answer the box through the
+    *      compacted footers.
+    *
+    * One row per stage: (stage, state, files_total, files_read,
+    * rows_scanned, rows_out, amp_x1000) — the (files, rows_scanned)
+    * TRAJECTORY across lifecycle states, with rows_out provably
+    * invariant (nothing lost at any state; `LayoutSpec` pins the
+    * invariance, the fold's strict rows_scanned drop, the compaction's
+    * file-count drop, and compacted ≡ folded content identity). The
+    * trajectory is NOT monotone in rows_scanned by design: the fold
+    * optimizes bytes scanned (stage 2 strictly beats stage 1 at every
+    * SF — cellBits=6 giving the grid ~64 cells, the resolution at
+    * which the win is robust to cell-size skew), while compaction
+    * optimizes file COUNT (open cost, footer metadata, listing), and
+    * packing tight cells into quarter-corpus files necessarily
+    * re-widens their boxes — the measured rows_scanned rise at stage 3
+    * IS the price an operator weighs against the 13× file reduction.
+    * `files_total`/`files_read` count the delta as the ONE file the
+    * ingest batch lands (the [[deltaRead]] model), a constant both
+    * engines add by construction.
+    *
+    * Oracle honesty ([[footerPrune]] discipline): all three layouts and
+    * the grouping are pure functions of the events table, so DuckDB
+    * recomputes every file's membership, box, the pruning decision, the
+    * compaction grouping, and the amplification from the table alone.
+    * Scale shape: everything corpus-sized is a scan or a z-celled
+    * rewrite; manifests and the group assignment are file-count-scale
+    * driver frames (≤ 2^cellBits), the decision join is cells×cells,
+    * and no corpus-scaled frame is force-broadcast (PlanSpec audits the
+    * report's three 1-row columns). */
+  def lakeE2e(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val root = scratchDir("lake_e2e", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    val folded = base.join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta)
+    val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+      .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+    val plannedFold = PartitionedSink.withZCell(folded, zcols, 12, 6)
+      .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+    // ONE marker for the whole lineage: all four dirs are pure functions
+    // of the two planned cell frames (data + quantize/curve formulas)
+    materializeIfChanged(root, layoutFingerprint("v1:q4",
+        plannedBase.unionByName(plannedFold))) {
+      PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
+      delta.coalesce(1).write.mode("overwrite").parquet(s"$root/delta")
+      PartitionedSink.writeZCelled(folded, s"$root/fold", zcols, 12, 6)
+      // compact the folded cells: greedy curve-order packing into
+      // quarter-corpus groups; the assignment is cell-count-scale
+      // (≤ 2^cellBits rows), settled driver-side like compactionExec's
+      val cellRows = plannedFold.groupBy(col("zcell"))
+        .agg(count(lit(1)).as("n")).orderBy("zcell").collect()
+      val target = math.max(1L, (cellRows.map(_.getLong(1)).sum + 3) / 4)
+      var pre = 0L
+      val assignRows = cellRows.toSeq.map { r =>
+        val gid = pre / target; pre += r.getLong(1); (r.getLong(0), gid)
+      }
+      import spark.implicits._
+      val assign = assignRows.toDF("zcell", "gid")
+      PartitionedSink.withZCell(folded, zcols, 12, 6)
+        .join(broadcast(assign), Seq("zcell"))
+        .repartition(col("gid"))
+        .sortWithinPartitions("__z")
+        .select(col("event_id"), col("user_id"), col("value"), col("gid"))
+        .write.mode("overwrite").partitionBy("gid").parquet(s"$root/compact")
+    }
+    val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
+    val boxFilter = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+    def emptyEv = spark.range(0).select(col("id").as("event_id"),
+      col("id").as("user_id"), col("id").cast("double").as("value"))
+    // DECIDE: delta cells under the base's grid (base bounds, clamped) ⋈
+    // base cell rows = the rewrite cost an eager re-cluster would pay now
+    val bounds = base.agg(
+      min(col("user_id").cast("double")).as("lo_u"),
+      max(col("user_id").cast("double")).as("hi_u"),
+      min(col("value").cast("double")).as("lo_v"),
+      max(col("value").cast("double")).as("hi_v"))
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      round(greatest(lit(0.0), least(lit(1.0),
+        when(c.isNull || (hi - lo) === 0.0, lit(0.0))
+          .otherwise((c.cast("double") - lo) / (hi - lo)))) * 4095).cast("long")
+    // 12-bit 2-column interleave, same bit placement as the writer's
+    // (PartitionedSink.withZKey: bit b of column i lands at b·n+i)
+    def morton12(a: Column, b: Column): Column =
+      (0 until 12).map(i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+        .reduce(_ bitwiseOR _)
+    val deltaCells = delta.crossJoin(broadcast(bounds))
+      .select(shiftright(morton12(
+        quant(col("user_id"), col("lo_u"), col("hi_u")),
+        quant(col("value"), col("lo_v"), col("hi_v"))), 18).as("zcell"))
+      .distinct()
+    val nDelta = delta.count()
+    val rowsRewritten = plannedBase.groupBy(col("zcell")).agg(count(lit(1)).as("n"))
+      .join(deltaCells, Seq("zcell"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val amp = if (nDelta == 0) 0L else rowsRewritten * 1000 / nDelta
+    // STAGE 1 — merge-on-read: base footers pruned + delta scanned fully
+    val mBase = FooterManifest.build(spark, s"$root/base", zcols)
+    val localBase = spark.createDataFrame(
+      java.util.Arrays.asList(mBase.collect(): _*), mBase.schema)
+    val keptBase = FooterManifest.filesToRead(localBase, numBox).collect()
+    val keptBaseFiles = keptBase.map(_.getString(0)).toSeq
+    val rowsDelta = FooterManifest.rowCountFromFooters(spark, s"$root/delta")
+    val deltaDf = spark.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$root/delta")
+    val rowsOut1 = (if (keptBaseFiles.isEmpty) emptyEv
+        else spark.read.parquet(keptBaseFiles: _*))
+      .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(deltaDf)
+      .where(boxFilter).agg(count(lit(1)).as("rows_out"))
+    val s1 = spark.range(1).select(
+      lit(1L).as("stage"), lit("merge_on_read").as("state"),
+      lit(localBase.select(col("file")).distinct().count() + 1).as("files_total"),
+      lit(keptBaseFiles.size.toLong + 1).as("files_read"),
+      lit(keptBase.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
+      .crossJoin(broadcast(rowsOut1))
+    // STAGES 2 & 3 — the standard pruned-read report over each layout
+    def prunedStage(stage: Long, state: String, layoutDir: String): DataFrame = {
+      val m = FooterManifest.build(spark, layoutDir, zcols)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(m.collect(): _*), m.schema)
+      val kept = FooterManifest.filesToRead(local, numBox).collect()
+      val keptFiles = kept.map(_.getString(0)).toSeq
+      val rowsOut = (if (keptFiles.isEmpty) emptyEv
+          else spark.read.parquet(keptFiles: _*))
+        .where(boxFilter).agg(count(lit(1)).as("rows_out"))
+      spark.range(1).select(
+        lit(stage).as("stage"), lit(state).as("state"),
+        lit(local.select(col("file")).distinct().count()).as("files_total"),
+        lit(keptFiles.size.toLong).as("files_read"),
+        lit(kept.map(_.getLong(1)).sum).as("rows_scanned"))
+        .crossJoin(broadcast(rowsOut))
+    }
+    s1.unionByName(prunedStage(2L, "folded", s"$root/fold"))
+      .unionByName(prunedStage(3L, "compacted", s"$root/compact"))
+      .withColumn("amp_x1000", lit(amp))
+      .orderBy("stage")
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
@@ -819,6 +1027,7 @@ object Layout {
     "x_footer_prune_mixed" -> (footerPruneMixed _),
     "x_delta_read" -> (deltaRead _),
     "x_delta_fold" -> (deltaFold _),
+    "x_lake_e2e" -> (lakeE2e _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -932,7 +1141,7 @@ object Layout {
          |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
          |  FROM base, bounds),
          |cells AS (SELECT user_id, value,
-         |    (${mortonSql("qu", "qv", 12)}) >> 20 AS zcell FROM q),
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM q),
          |files AS (
          |  SELECT zcell, count(*) AS n_rows,
          |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
@@ -978,7 +1187,7 @@ object Layout {
          |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
          |  FROM merged, bounds),
          |cells AS (SELECT user_id, value,
-         |    (${mortonSql("qu", "qv", 12)}) >> 20 AS zcell FROM q),
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM q),
          |files AS (
          |  SELECT zcell, count(*) AS n_rows,
          |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
@@ -994,6 +1203,105 @@ object Layout {
          |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
          |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
          |SELECT files_total, files_read, rows_scanned, rows_out FROM ft, ka, ro""".stripMargin,
+    "x_lake_e2e" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |delta AS (
+         |  SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE event_id % 100 = 1),
+         |merged AS (
+         |  SELECT * FROM delta
+         |  UNION ALL
+         |  SELECT b.* FROM base b ANTI JOIN delta d ON d.event_id = b.event_id),
+         |bb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM base),
+         |bq AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM base, bb),
+         |bcells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM bq),
+         |bfiles AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM bcells GROUP BY 1),
+         |bkept AS (
+         |  SELECT * FROM bfiles WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_delta FROM delta),
+         |dq AS (
+         |  SELECT
+         |    CAST(round(greatest(0.0, least(1.0, CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END)) * 4095) AS BIGINT) AS qu,
+         |    CAST(round(greatest(0.0, least(1.0, CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END)) * 4095) AS BIGINT) AS qv
+         |  FROM delta, bb),
+         |dcells AS (SELECT DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM dq),
+         |rw AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_rw
+         |       FROM bfiles WHERE zcell IN (SELECT zcell FROM dcells)),
+         |amp AS (SELECT CAST(CASE WHEN n_delta = 0 THEN 0
+         |    ELSE rows_rw * 1000 // n_delta END AS BIGINT) AS amp_x1000 FROM rw, nd),
+         |mb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM merged),
+         |mq AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM merged, mb),
+         |mcells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM mq),
+         |ffiles AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM mcells GROUP BY 1),
+         |fkept AS (
+         |  SELECT * FROM ffiles WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |tgt AS (SELECT CAST(greatest(1, (coalesce(sum(n_rows), 0) + 3) // 4) AS BIGINT) AS t
+         |        FROM ffiles),
+         |ford AS (SELECT *, coalesce(sum(n_rows) OVER (ORDER BY zcell
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM ffiles),
+         |grp AS (
+         |  SELECT pre // t AS gid, sum(n_rows) AS n_rows,
+         |    min(min_u) AS min_u, max(max_u) AS max_u,
+         |    min(min_v) AS min_v, max(max_v) AS max_v
+         |  FROM ford, tgt GROUP BY 1),
+         |gkept AS (
+         |  SELECT * FROM grp WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0),
+         |s1 AS (SELECT CAST(1 AS BIGINT) AS stage, 'merge_on_read' AS state,
+         |    CAST((SELECT count(*) FROM bfiles) + 1 AS BIGINT) AS files_total,
+         |    CAST((SELECT count(*) FROM bkept) + 1 AS BIGINT) AS files_read,
+         |    CAST((SELECT coalesce(sum(n_rows), 0) FROM bkept)
+         |       + (SELECT n_delta FROM nd) AS BIGINT) AS rows_scanned),
+         |s2 AS (SELECT CAST(2 AS BIGINT), 'folded',
+         |    CAST((SELECT count(*) FROM ffiles) AS BIGINT),
+         |    CAST((SELECT count(*) FROM fkept) AS BIGINT),
+         |    CAST((SELECT coalesce(sum(n_rows), 0) FROM fkept) AS BIGINT)),
+         |s3 AS (SELECT CAST(3 AS BIGINT), 'compacted',
+         |    CAST((SELECT count(*) FROM grp) AS BIGINT),
+         |    CAST((SELECT count(*) FROM gkept) AS BIGINT),
+         |    CAST((SELECT coalesce(sum(n_rows), 0) FROM gkept) AS BIGINT)),
+         |st AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |SELECT stage, state, files_total, files_read, rows_scanned, rows_out, amp_x1000
+         |FROM st, ro, amp ORDER BY stage""".stripMargin,
     "x_footer_prune_mixed" ->
       s"""WITH files AS (
          |  SELECT source, n_chars // 128 AS lb, count(*) AS n_rows,

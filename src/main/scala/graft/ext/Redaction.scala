@@ -188,10 +188,54 @@ object Redaction {
         col("classes_after"), col("rows_suppressed"), col("k_min_after"))
   }
 
+  /** The k-ANONYMIZED VIEW — the transform half [[kAnonEnforce]] only
+    * reported (round 15, VERDICT r14 task 4): every surviving document
+    * with its length quasi-identifier GENERALIZED to the enforce-chosen
+    * band (`glb` = the n_chars band index at the chosen width; 0 for
+    * every row when no width reaches k and the length QI is dropped),
+    * and documents in under-k classes SUPPRESSED — the frame downstream
+    * consumers actually read, guaranteed k ≥ 5 on (lang, source, glb)
+    * by construction (`RedactionSpec` re-audits the OUTPUT and
+    * reconciles the suppressed-row count against the enforce report).
+    *
+    * Scale shape: one corpus scan to the 256-band base class table (QI-
+    * domain-bounded) decides the width exactly as [[kAnonEnforce]] (ONE
+    * definition of the sweep would be ideal; the sweep is 6 lines and
+    * the spec pins the two agree on the chosen width), then a second
+    * scan tags every doc and a window COUNT over the generalized QI key
+    * drops under-k classes — one QI-key shuffle, no join against any
+    * corpus-scaled frame. */
+  def kAnonView(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val docs = Tables.documents(spark, dir)
+    val base = docs
+      .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
+      .agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val widths = EnforceMultipliers.toDF("m")
+    val km = base.crossJoin(broadcast(widths))
+      .groupBy(col("m"), col("lang"), col("source"), expr("lb div m").as("glb"))
+      .agg(sum(col("n")).as("n"))
+      .groupBy(col("m")).agg(min(col("n")).as("kmin"))
+    val chosen = km.agg(
+      coalesce(min(when(col("kmin") >= k, col("m"))), lit(0L)).as("m"))
+    val classW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"), col("glb"))
+    docs.crossJoin(broadcast(chosen))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("m") === 0, lit(0L))
+          .otherwise(expr("(n_chars div 256) div m")).as("glb"))
+      .withColumn("__n", count(lit(1)).over(classW))
+      .where(col("__n") >= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("glb"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pii_redact" -> (piiRedact _),
     "x_k_anonymity" -> (kAnonymity _),
-    "x_k_anon_enforce" -> (kAnonEnforce _))
+    "x_k_anon_enforce" -> (kAnonEnforce _),
+    "x_k_anon_view" -> (kAnonView _))
 
   // DuckDB notes: single-quoted literals are raw (no backslash escape
   // layer), so the Scala-escaped "\\b" must re-emit as \b; regexp_replace
@@ -202,6 +246,24 @@ object Redaction {
   private val phoneSql = PhoneRe.replace("\\\\", "\\")
 
   val oracles: Map[String, String] = Map(
+    "x_k_anon_view" ->
+      s"""WITH base AS (
+         |  SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2, 3),
+         |wd AS (SELECT unnest([${EnforceMultipliers.mkString(", ")}]) AS m),
+         |cls AS (SELECT m, lang, source, lb // m AS glb, CAST(sum(n) AS BIGINT) AS n
+         |  FROM base, wd GROUP BY 1, 2, 3, 4),
+         |km AS (SELECT m, min(n) AS kmin FROM cls GROUP BY 1),
+         |ch AS (SELECT CAST(coalesce(min(CASE WHEN kmin >= 5 THEN m END), 0) AS BIGINT) AS m
+         |       FROM km),
+         |tagged AS (SELECT doc_id, lang, source,
+         |    CASE WHEN c.m = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE (n_chars // 256) // c.m END AS glb
+         |  FROM documents, ch c),
+         |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, source, glb) AS n
+         |  FROM tagged)
+         |SELECT doc_id, lang, source, glb FROM sized
+         |WHERE n >= 5 ORDER BY doc_id""".stripMargin,
     "x_k_anon_enforce" ->
       s"""WITH base AS (
          |  SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for shuffle-free co-located joins.
   *
@@ -36,4 +37,84 @@ object BucketedTables {
   def bucketJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
+
+  /** Short content tag of a data dir for catalog table names (two dirs
+    * must not collide on one table name — the scratch-dir discipline of
+    * [[graft.ext.Layout.scratchDir]], applied to the catalog). */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Idempotently materialize `df` as an EXTERNAL bucketed table at a
+    * fingerprint-guarded scratch location, and make sure the catalog
+    * knows it: the parquet bucket files survive across JVMs (the
+    * [[graft.ext.Layout.materializeIfChanged]] marker protocol), but
+    * the in-memory catalog does not — a fresh session re-registers the
+    * existing files with `CREATE TABLE … CLUSTERED BY … LOCATION`
+    * (bucket ids ride the file names, so the re-created table keeps
+    * its shuffle-free join property without rewriting a byte). */
+  private def ensureBucketedTable(spark: SparkSession, table: String,
+      loc: String, schemaDdl: String, key: String, buckets: Int,
+      df: DataFrame): Unit = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(hash(df.columns.map(col).toSeq: _*).cast("long")), lit(0L))).head()
+    val fp = s"v1:$buckets:${r.getLong(0)}:${r.getLong(1)}"
+    graft.ext.Layout.materializeIfChanged(loc, fp) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", loc).format("parquet")
+        .saveAsTable(table)
+    }
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$loc'")
+  }
+
+  /** SHUFFLE-FREE bucketed fact⋈fact join (round 15, VERDICT r14 task
+    * 5): the click and purchase slices of the events table are written
+    * as EXTERNAL bucketed tables hashed on `user_id` into the same
+    * bucket count, so the recurring per-user attribution join plans as
+    * a co-located sort-merge join with ZERO data exchanges on either
+    * side — `BucketedTablesSpec` pins no `Exchange hashpartitioning`
+    * anywhere in the executed plan, and the per-user partial aggregates
+    * ride the same bucket partitioning. At 100 TB this is THE join
+    * optimization: the one layout decision that converts every future
+    * join/agg on the key from a corpus shuffle into a plain co-located
+    * read ([[BucketedTables]] object doc). Report: total click-purchase
+    * pairs per user rolled up globally, with an exact integer id
+    * checksum so the oracle pins content, not just cardinality. */
+  def bucketedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dirTag(dir)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val tc = s"graft_bkt_clicks_$tag"
+    val tp = s"graft_bkt_purchases_$tag"
+    ensureBucketedTable(spark, tc,
+      graft.ext.Layout.scratchDir("bkt_clicks", dir),
+      "click_id BIGINT, user_id BIGINT", "user_id", 8,
+      ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id")))
+    ensureBucketedTable(spark, tp,
+      graft.ext.Layout.scratchDir("bkt_purchases", dir),
+      "purchase_id BIGINT, user_id BIGINT", "user_id", 8,
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id")))
+    bucketJoin(spark, tc, tp, "user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("click_id") + col("purchase_id")).as("id_checksum"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j_bucketed" -> (bucketedAttribution _))
+
+  val oracles: Map[String, String] = Map(
+    "j_bucketed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(c.event_id + p.event_id) AS BIGINT) AS id_checksum
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin)
 }

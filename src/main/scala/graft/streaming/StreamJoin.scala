@@ -101,12 +101,31 @@ object StreamJoin {
       val joined = StatefulOps
         .clickConversionJoin(c, pr, watermark = "40 days", window = "60 minutes")
         .select(col("user_id"), col("click_id"), col("purchase_id"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // recentProgress is a ring buffer capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+      // replay with more micro-batches than the cap would silently
+      // truncate the per-batch state metrics below to peak-of-last-100
+      // (ADVICE r14). Raise the cap for the replay's query and VERIFY
+      // nothing rolled off — the require turns a future fixture change
+      // that outgrows the cap into a loud failure, never a wrong metric.
+      val progressCap = 10000
+      val prevCap = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", progressCap.toString)
+      val q = try {
+        val q0 = joined.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      } finally prevCap match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
+      require(q.recentProgress.length < progressCap,
+        s"stream-join replay ran ${q.recentProgress.length} micro-batches — at the " +
+          s"$progressCap progress cap the state metrics would be silently truncated")
       // persist the symmetric join's state-store metrics so eviction
       // behavior is REGISTRY-visible, not spec-only (VERDICT r13 task
       // 7): per micro-batch, total buffered state rows from the

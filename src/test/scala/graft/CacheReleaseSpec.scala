@@ -37,6 +37,10 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("deltaFold")(ext.Layout.deltaFold(spark, dir))
     assertReleased("compactionExec")(ext.Layout.compactionExec(spark, dir))
     assertReleased("footerPruneMixed")(ext.Layout.footerPruneMixed(spark, dir))
+    assertReleased("lakeE2e")(ext.Layout.lakeE2e(spark, dir))
+    assertReleased("bucketedAttribution")(
+      sources.BucketedTables.bucketedAttribution(spark, dir))
+    assertReleased("kAnonView")(ext.Redaction.kAnonView(spark, dir))
     assertReleased("containment")(ext.Dedup.containment(spark, dir))
     assertReleased("minhashEstQuality")(ext.Dedup.minhashEstQuality(spark, dir))
     // the loop family always released internally (the discipline the

@@ -211,4 +211,51 @@ class CurationPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("strictPrefixKeep is shard-invariant and equals the single-window prefix") {
+    // VERDICT r15 task 3 — mechanize the invariant the round-14 review
+    // caught by eye: a row LARGER than the remaining budget gets pruned
+    // in phase 1, deflating later rows' survivor-cum, and a lossy
+    // implementation would re-admit rows behind that first overflow. The
+    // generator deliberately draws sizes up to ~budget so oversized rows
+    // occur; the oracle is the straight-line single-window prefix
+    // (sort by key, running sum, keep while cum <= budget). Failure of
+    // the first-pruned-key cut in the helper FAILS this property.
+    import spark.implicits._
+    val budget = 500L
+    val tableGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        p <- Gen.oneOf("p0", "p1", "p2")
+        k <- Gen.choose(0L, 40L)
+        sz <- Gen.frequency(
+          (4, Gen.choose(1L, 180L)),   // typical rows
+          (2, Gen.choose(181L, 499L)), // bigger-than-remaining triggers
+          (1, Gen.choose(500L, 700L))) // bigger than the WHOLE budget
+      } yield (p, k, sz))
+    } yield rows.zipWithIndex.map { case ((p, k, sz), i) => (p, k, i.toLong, sz) }
+    val tables = (1 to 6).map(i =>
+      tableGen.pureApply(Gen.Parameters.default, Seed(100L + i)))
+    for (rows <- tables) {
+      // straight-line model: per part, sort by (k, id), keep while the
+      // running sum fits — the single-window strict prefix
+      val expected = rows.groupBy(_._1).flatMap { case (p, rs) =>
+        var cum = 0L
+        rs.sortBy { case (_, k, id, _) => (k, id) }.flatMap { case (_, _, id, sz) =>
+          cum += sz
+          if (cum <= budget) Some((p, id, cum)) else None
+        }
+      }.toSet
+      val df = rows.toDF("part", "k", "id", "sz")
+        .withColumn("b", org.apache.spark.sql.functions.lit(budget))
+      for (shards <- Seq(1, 2, 7, 32)) {
+        val got = Curation.strictPrefixKeep(df, Seq("part"), Seq("k", "id"), "sz", "b", shards)
+          .collect()
+          .map(r => (r.getAs[String]("part"), r.getAs[Long]("id"), r.getAs[Long]("__cum")))
+          .toSet
+        assert(got === expected,
+          s"shards=$shards diverged from the single-window prefix on ${rows.size} rows")
+      }
+    }
+  }
 }

@@ -265,6 +265,37 @@ class LayoutSpec extends SparkSpec {
     assert(fold.getAs[Long]("files_read") < fold.getAs[Long]("files_total"))
   }
 
+  test("lake e2e: rows_out invariant across states, fold improves scanning, compaction shrinks files") {
+    val rows = Layout.lakeE2e(spark, sf).collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("state")).toSeq ===
+      Seq("merge_on_read", "folded", "compacted"))
+    // the invariant the whole lifecycle must preserve: every state
+    // answers the box with EXACTLY the same rows
+    assert(rows.map(_.getAs[Long]("rows_out")).distinct.length === 1,
+      "rows_out must be identical across lifecycle states")
+    val Array(s1, s2, s3) = rows
+    // the fold's payoff: strictly fewer rows scanned than merge-on-read
+    // (which always pays the full delta on top of the pruned base)
+    assert(s2.getAs[Long]("rows_scanned") < s1.getAs[Long]("rows_scanned"),
+      s"fold=${s2.getAs[Long]("rows_scanned")} mor=${s1.getAs[Long]("rows_scanned")}")
+    // the compaction's payoff: fewer physical files
+    assert(s3.getAs[Long]("files_total") < s2.getAs[Long]("files_total"),
+      s"compact=${s3.getAs[Long]("files_total")} fold=${s2.getAs[Long]("files_total")}")
+    // decision number rides every row, and a nonempty delta makes it > 0
+    assert(rows.map(_.getAs[Long]("amp_x1000")).distinct.length === 1)
+    assert(s1.getAs[Long]("amp_x1000") > 0L)
+    // content identity: the compacted table is row-for-row the folded
+    // table (the rewrite moved bytes, never rows)
+    val fold = spark.read.parquet(s"${Layout.scratchDir("lake_e2e", sf)}/fold")
+      .select("event_id", "user_id", "value")
+    val compact = spark.read.parquet(s"${Layout.scratchDir("lake_e2e", sf)}/compact")
+      .select("event_id", "user_id", "value")
+    assert(fold.count() === compact.count())
+    assert(compact.exceptAll(fold).count() === 0L,
+      "compacted rows must be the folded multiset exactly")
+  }
+
   test("dppRead: runtime partition pruning fires and reads only the dim's partitions") {
     val df = Layout.dppRead(spark, sf)
     val rows = df.collect()

@@ -106,4 +106,35 @@ class RedactionSpec extends SparkSpec {
       }
     }
   }
+
+  test("k-anonymized view: output re-audits k >= 5 and reconciles with the enforce report") {
+    val sf = "/root/testdata/sf0.001"
+    val report = Redaction.kAnonEnforce(spark, sf).head()
+    val view = Redaction.kAnonView(spark, sf).persist()
+    try {
+      // re-audit the OUTPUT, not the report: every (lang, source, glb)
+      // class present in the view carries at least k = 5 rows
+      val kMin = view.groupBy(col("lang"), col("source"), col("glb"))
+        .agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).head().getLong(0)
+      assert(kMin >= 5L, s"view leaked an under-k class (k_min = $kMin)")
+      // suppression reconciles: corpus rows - view rows = the report's
+      // rows_suppressed (the view drops EXACTLY the under-k residue)
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(nDocs - view.count() === report.getAs[Long]("rows_suppressed"))
+      // the view generalized with the SAME width the enforce run chose:
+      // every kept doc's glb recomputes from its n_chars at gen_width
+      val w = report.getAs[Long]("gen_width")
+      val glbOf = if (w == 0) lit(0L) else expr(s"n_chars div $w")
+      val mismatched = view.join(
+          graft.Tables.documents(spark, sf).select(col("doc_id"), glbOf.as("expect_glb")),
+          "doc_id")
+        .where(col("glb") =!= col("expect_glb")).count()
+      assert(mismatched === 0L, "view glb must equal n_chars div gen_width")
+      // and kept classes count matches the report's classes_after
+      val viewClasses = view.select(col("lang"), col("source"), col("glb"))
+        .distinct().count()
+      assert(viewClasses === report.getAs[Long]("classes_after"))
+    } finally view.unpersist()
+  }
 }

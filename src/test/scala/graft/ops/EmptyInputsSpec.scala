@@ -246,4 +246,29 @@ class EmptyInputsSpec extends SparkSpec {
       "rows_scanned", "rows_out")
       .foreach(c => assert(fm.getAs[Long](c) === 0L, s"footerPruneMixed.$c"))
   }
+
+  test("round-15 additions on empty inputs") {
+    // the lake lifecycle over nothing: all three stage rows present,
+    // zero rows everywhere; files_total/files_read at stage 1 still
+    // carry the constant +1 delta-file of the ingest-batch model
+    val lk = graft.ext.Layout.lakeE2e(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(lk.length === 3)
+    assert(lk(0).getAs[Long]("files_total") === 1L)
+    assert(lk(0).getAs[Long]("files_read") === 1L)
+    lk.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") === 0L)
+      assert(r.getAs[Long]("rows_out") === 0L)
+      assert(r.getAs[Long]("amp_x1000") === 0L)
+    }
+    assert(lk(1).getAs[Long]("files_total") === 0L)
+    assert(lk(2).getAs[Long]("files_total") === 0L)
+    // anonymizing nothing yields the empty view, not a crash
+    assert(graft.ext.Redaction.kAnonView(spark, dir).count() === 0)
+    // bucketed tables over empty slices: the join still plans and the
+    // 1-row rollup is all-zero/null
+    val jb = graft.sources.BucketedTables.bucketedAttribution(spark, dir).head()
+    assert(jb.getAs[Long]("n_pairs") === 0L)
+    assert(jb.getAs[Long]("n_users") === 0L)
+  }
 }

@@ -247,6 +247,14 @@ class PlanSpec extends SparkSpec {
       "x_hilbert_prune"   -> ((3, 4)), // stats + per-curve 1-row candidates
       "x_zorder_incr"     -> ((2, 2)), // base/arrival bucketing stats rows
       "x_compaction_plan" -> ((1, 1)), // 1-row bucketing stats cross join
+      // delta family (round 15, VERDICT r14 #1): the delta-key anti-joins
+      // carry NO forced hint any more — the delta is a corpus FRACTION,
+      // so under auto-off they must degrade to shuffle joins. The only
+      // surviving forces are the 1-row report columns.
+      "x_delta_read"      -> ((1, 1)), // 1-row rows_out report column
+      "x_delta_fold"      -> ((1, 1)), // 1-row rows_out report column
+      "x_lake_e2e"        -> ((3, 3)), // 3 stage rows × 1-row rows_out column
+      "x_compaction_exec" -> ((1, 0)), // manifest-scale (≤256-row) group assignment
       "x_align_mutual_nn" -> ((1, 1))) // 4-row hyperplane table
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")

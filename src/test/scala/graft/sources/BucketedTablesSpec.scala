@@ -28,4 +28,48 @@ class BucketedTablesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("j_bucketed: the registry attribution join plans with zero data exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    // force the scale regime: without size-based broadcast the only way
+    // this plan avoids a shuffle is the bucket layout itself
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = BucketedTables.bucketedAttribution(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), s"bucketed join must sort-merge:\n$plan")
+      assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+        s"bucketed join + per-user partials must not shuffle:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"no broadcast may survive with auto-broadcast off:\n$plan")
+      // the only exchange is the final 1-row rollup
+      val single = "Exchange SinglePartition".r.findAllIn(plan).size
+      assert(single <= 1, s"expected at most the global-agg exchange:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("j_bucketed: a fresh catalog re-registers the existing bucket files without rewriting") {
+    val dir = "/root/testdata/sf0.001"
+    BucketedTables.bucketedAttribution(spark, dir).collect() // materialize
+    // simulate the fresh-JVM path: drop ONLY the catalog entries (data
+    // stays), re-run — the CREATE TABLE … CLUSTERED BY re-registration
+    // must restore the same result AND the shuffle-free plan
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bkt_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val q = BucketedTables.bucketedAttribution(spark, dir)
+    val r = q.head()
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+      s"re-registered external bucketed tables must stay shuffle-free:\n$plan")
+  }
 }
