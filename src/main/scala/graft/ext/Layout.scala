@@ -730,20 +730,32 @@ object Layout {
     val zcols = Seq("user_id", "value")
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
-    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    // the three lineage frames are each consumed several times per
+    // invocation (fingerprint, bounds, decision, writes) — cache them
+    // for the invocation's EAGER phase and release before returning
+    // (the round-13 cache-release discipline; everything the returned
+    // frame still computes lazily reads persisted FILES, never these)
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0).persist()
     val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
       .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
-        .withColumn("value", col("value") + lit(150.0)))
+        .withColumn("value", col("value") + lit(150.0))).persist()
     val folded = base.join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
-      .unionByName(delta)
+      .unionByName(delta).persist()
     val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
       .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
-    val plannedFold = PartitionedSink.withZCell(folded, zcols, 12, 6)
+    def plannedFold = PartitionedSink.withZCell(folded, zcols, 12, 6)
       .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
-    // ONE marker for the whole lineage: all four dirs are pure functions
-    // of the two planned cell frames (data + quantize/curve formulas)
+    // ONE marker for the whole lineage. Coverage argument: every dir is
+    // a pure function of (base, delta, quantize/curve formulas, the q4
+    // compaction target — bump the tag if that changes). plannedBase's
+    // zcell covers base content AND all the formulas; the delta rows
+    // (zcell = −1 placeholder) cover delta content — so fingerprinting
+    // plannedFold too would only re-pay the fold's anti-join per
+    // invocation for coverage the union already has.
     materializeIfChanged(root, layoutFingerprint("v1:q4",
-        plannedBase.unionByName(plannedFold))) {
+        plannedBase.unionByName(
+          delta.withColumn("zcell", lit(-1L))
+            .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
       PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
       delta.coalesce(1).write.mode("overwrite").parquet(s"$root/delta")
       PartitionedSink.writeZCelled(folded, s"$root/fold", zcols, 12, 6)
@@ -798,10 +810,15 @@ object Layout {
       .join(deltaCells, Seq("zcell"))
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val amp = if (nDelta == 0) 0L else rowsRewritten * 1000 / nDelta
+    // eager phase over: everything below reads persisted FILES only
+    base.unpersist()
+    delta.unpersist()
+    folded.unpersist()
     // STAGE 1 — merge-on-read: base footers pruned + delta scanned fully
     val mBase = FooterManifest.build(spark, s"$root/base", zcols)
+    val baseRows = mBase.collect()
     val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(mBase.collect(): _*), mBase.schema)
+      java.util.Arrays.asList(baseRows: _*), mBase.schema)
     val keptBase = FooterManifest.filesToRead(localBase, numBox).collect()
     val keptBaseFiles = keptBase.map(_.getString(0)).toSeq
     val rowsDelta = FooterManifest.rowCountFromFooters(spark, s"$root/delta")
@@ -818,15 +835,17 @@ object Layout {
       .where(boxFilter).agg(count(lit(1)).as("rows_out"))
     val s1 = spark.range(1).select(
       lit(1L).as("stage"), lit("merge_on_read").as("state"),
-      lit(localBase.select(col("file")).distinct().count() + 1).as("files_total"),
+      lit(baseRows.map(_.getAs[String]("file")).distinct.length.toLong + 1)
+        .as("files_total"),
       lit(keptBaseFiles.size.toLong + 1).as("files_read"),
       lit(keptBase.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
       .crossJoin(broadcast(rowsOut1))
     // STAGES 2 & 3 — the standard pruned-read report over each layout
     def prunedStage(stage: Long, state: String, layoutDir: String): DataFrame = {
       val m = FooterManifest.build(spark, layoutDir, zcols)
+      val mRows = m.collect()
       val local = spark.createDataFrame(
-        java.util.Arrays.asList(m.collect(): _*), m.schema)
+        java.util.Arrays.asList(mRows: _*), m.schema)
       val kept = FooterManifest.filesToRead(local, numBox).collect()
       val keptFiles = kept.map(_.getString(0)).toSeq
       val rowsOut = (if (keptFiles.isEmpty) emptyEv
@@ -834,7 +853,7 @@ object Layout {
         .where(boxFilter).agg(count(lit(1)).as("rows_out"))
       spark.range(1).select(
         lit(stage).as("stage"), lit(state).as("state"),
-        lit(local.select(col("file")).distinct().count()).as("files_total"),
+        lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong).as("files_total"),
         lit(keptFiles.size.toLong).as("files_read"),
         lit(kept.map(_.getLong(1)).sum).as("rows_scanned"))
         .crossJoin(broadcast(rowsOut))
