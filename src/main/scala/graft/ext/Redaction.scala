@@ -158,21 +158,33 @@ object Redaction {
     * width sweep, choice, and re-audit all run on that bounded table
     * (a ×|widths| explode of a tiny frame). At 100 TB this is the same
     * one-scan-plus-metadata cost as the audit itself. */
-  def kAnonEnforce(spark: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val base = Tables.documents(spark, dir)
+  /** The audit's 256-char-band equivalence-class table — the one corpus
+    * scan every enforcement/view pass starts from. */
+  private def baseClasses(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
       .agg(count(lit(1)).as("n"))
+
+  /** The 1-row chosen generalization multiplier over `base`: the FINEST
+    * [[EnforceMultipliers]] width whose coarsened classes all reach
+    * k ≥ 5; 0 = no width does, drop the length QI. ONE definition
+    * shared by [[kAnonEnforce]] (the report) and [[kAnonView]] (the
+    * transform), so the two can never choose different widths. */
+  private def chosenWidth(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val widths = EnforceMultipliers.toDF("m")
     // per-width k: classes at width m·256 are unions of base classes
-    val km = base.crossJoin(broadcast(widths))
+    base.crossJoin(broadcast(widths))
       .groupBy(col("m"), col("lang"), col("source"), expr("lb div m").as("glb"))
       .agg(sum(col("n")).as("n"))
       .groupBy(col("m")).agg(min(col("n")).as("kmin"))
-    // finest width reaching k everywhere; 0 = drop the length QI
-    val chosen = km.agg(
-      coalesce(min(when(col("kmin") >= k, col("m"))), lit(0L)).as("m"))
+      .agg(coalesce(min(when(col("kmin") >= k, col("m"))), lit(0L)).as("m"))
+  }
+
+  def kAnonEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val base = baseClasses(spark, dir)
+    val chosen = chosenWidth(spark, base, k)
     val fin = base.crossJoin(broadcast(chosen))
       .groupBy(col("lang"), col("source"),
         when(col("m") === 0, lit(0L)).otherwise(expr("lb div m")).as("glb"))
@@ -198,27 +210,16 @@ object Redaction {
     * by construction (`RedactionSpec` re-audits the OUTPUT and
     * reconciles the suppressed-row count against the enforce report).
     *
-    * Scale shape: one corpus scan to the 256-band base class table (QI-
-    * domain-bounded) decides the width exactly as [[kAnonEnforce]] (ONE
-    * definition of the sweep would be ideal; the sweep is 6 lines and
-    * the spec pins the two agree on the chosen width), then a second
-    * scan tags every doc and a window COUNT over the generalized QI key
-    * drops under-k classes — one QI-key shuffle, no join against any
-    * corpus-scaled frame. */
+    * Scale shape: one corpus scan to the 256-band base class table
+    * (QI-domain-bounded) decides the width through the SAME
+    * [[chosenWidth]] the enforce report uses (one definition — the two
+    * cannot drift), then a second scan tags every doc and a window
+    * COUNT over the generalized QI key drops under-k classes — one
+    * QI-key shuffle, no join against any corpus-scaled frame. */
   def kAnonView(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val docs = Tables.documents(spark, dir)
-    val base = docs
-      .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
-      .agg(count(lit(1)).as("n"))
-    import spark.implicits._
-    val widths = EnforceMultipliers.toDF("m")
-    val km = base.crossJoin(broadcast(widths))
-      .groupBy(col("m"), col("lang"), col("source"), expr("lb div m").as("glb"))
-      .agg(sum(col("n")).as("n"))
-      .groupBy(col("m")).agg(min(col("n")).as("kmin"))
-    val chosen = km.agg(
-      coalesce(min(when(col("kmin") >= k, col("m"))), lit(0L)).as("m"))
+    val chosen = chosenWidth(spark, baseClasses(spark, dir), k)
     val classW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("source"), col("glb"))
     docs.crossJoin(broadcast(chosen))
