@@ -44,8 +44,9 @@ object Bench {
     // round-15 marquee additions: the composed lake-maintenance
     // lifecycle (ingest → decide → merge-on-read → fold → compact,
     // steady state = footer read-backs over the fingerprint-cached
-    // lineage) and the shuffle-free bucketed fact⋈fact join
-    "x_lake_e2e", "j_bucketed")
+    // lineage) and the shuffle-free bucketed joins (fact⋈fact
+    // attribution + the co-located full-outer snapshot diff)
+    "x_lake_e2e", "j_bucketed", "j_bucketed_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1378,15 +1378,25 @@ object Curation {
     * once on the key — with bucketed snapshot tables it is co-located and
     * shuffle-free) comparing md5 content hashes, then a sources-sized
     * agg. Nothing quadratic, nothing driver-side. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val old = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+  /** The deterministic two-snapshot scenario [[snapshotDiff]] diffs
+    * (every 11th doc dropped, every 7th revised, every 13th cloned as a
+    * fresh id) — ONE definition shared with the bucketed variant
+    * ([[graft.sources.BucketedTables.bucketedSnapshotDiff]]), so the
+    * two reports diff the identical snapshots. */
+  private[graft] def snapshotPair(old: DataFrame): (DataFrame, DataFrame) = {
     val survived = old.where(pmod(col("doc_id"), lit(11)) =!= 0)
       .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
         concat(col("text"), lit(" rev2"))).otherwise(col("text")))
     val added = old.where(pmod(col("doc_id"), lit(13)) === 0)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
         concat(col("text"), lit(" new")).as("text"), col("source"))
-    diffOf(old, survived.unionByName(added))
+    (old, survived.unionByName(added))
+  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (old, newer) = snapshotPair(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source")))
+    diffOf(old, newer)
   }
 
   /** Per-source diff census between two (doc_id, text, source) frames —

@@ -158,12 +158,15 @@ object Redaction {
     * width sweep, choice, and re-audit all run on that bounded table
     * (a ×|widths| explode of a tiny frame). At 100 TB this is the same
     * one-scan-plus-metadata cost as the audit itself. */
-  /** The audit's 256-char-band equivalence-class table — the one corpus
-    * scan every enforcement/view pass starts from. */
-  private def baseClasses(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
+  /** The audit's 256-char-band equivalence-class table over any
+    * (lang, source, n_chars) frame — the one corpus scan every
+    * enforcement/view/maintenance pass starts from. */
+  private def classesOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"), expr("n_chars div 256").as("lb"))
       .agg(count(lit(1)).as("n"))
+
+  private def baseClasses(spark: SparkSession, dir: String): DataFrame =
+    classesOf(Tables.documents(spark, dir))
 
   /** The 1-row chosen generalization multiplier over `base`: the FINEST
     * [[EnforceMultipliers]] width whose coarsened classes all reach
@@ -232,11 +235,72 @@ object Redaction {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL k-anonymity maintenance (round 15) — the
+    * [[graft.ops.Incremental]]-family story applied to the privacy
+    * audit: the 90% split's class table is MATERIALIZED once per corpus
+    * (QI-domain-bounded — a few hundred rows regardless of SF, under
+    * the [[graft.ext.Layout.materializeIfChanged]] fingerprint+lock
+    * discipline), and when the 10% shard arrives the audit updates by
+    * scanning ONLY the shard: delta classes aggregate from the shard,
+    * union-merge into the stored table (class counts are additive),
+    * and the generalization width re-chooses over the merged bounded
+    * table. At 100 TB this is the difference between re-auditing the
+    * lake after every ingest and a job sized by the ingest: new
+    * documents can only create or grow classes, but a NEW under-k class
+    * (or a class appearing in a previously-unseen (lang, source)
+    * combination) can force a COARSER width — exactly what the
+    * before/after report shows. One row: (n_delta_docs, classes_base,
+    * classes_merged, width_before, width_after, k_min_merged) — the
+    * oracle replays both sweeps from the documents table alone, so the
+    * delta-sized update is differentially proven ≡ the full recompute
+    * ([[graft.ops.Incremental]]'s contract). */
+  def kAnonIncr(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val base = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val store = graft.ext.Layout.scratchDir("kanon_classes", dir)
+    val baseCls = classesOf(base)
+    graft.ext.Layout.materializeIfChanged(store,
+      "v1:" + base.agg(count(lit(1)),
+        coalesce(sum(hash(col("lang"), col("source"), col("n_chars")).cast("long")),
+          lit(0L))).head().toSeq.mkString(":")) {
+      baseCls.write.mode("overwrite").parquet(store)
+    }
+    val stored = spark.read.schema(
+      "lang STRING, source STRING, lb BIGINT, n BIGINT").parquet(store)
+    // the shard-sized scan: everything else below is class-table scale
+    val deltaCls = classesOf(delta)
+    val merged = stored.unionByName(deltaCls)
+      .groupBy(col("lang"), col("source"), col("lb"))
+      .agg(sum(col("n")).as("n"))
+    val wBefore = chosenWidth(spark, stored, k)
+      .select((col("m") * 256).as("width_before"))
+    val wAfter = chosenWidth(spark, merged, k)
+      .select(col("m").as("m_after"), (col("m") * 256).as("width_after"))
+    val kMin = merged.crossJoin(broadcast(wAfter.select(col("m_after"))))
+      .groupBy(col("lang"), col("source"),
+        when(col("m_after") === 0, lit(0L))
+          .otherwise(expr("lb div m_after")).as("glb"))
+      .agg(sum(col("n")).as("n"))
+      .agg(coalesce(min(col("n")), lit(0L)).as("k_min_merged"))
+    delta.agg(count(lit(1)).as("n_delta_docs"))
+      .crossJoin(broadcast(stored.agg(count(lit(1)).as("classes_base"))))
+      .crossJoin(broadcast(merged.agg(count(lit(1)).as("classes_merged"))))
+      .crossJoin(broadcast(wBefore))
+      .crossJoin(broadcast(wAfter.select(col("width_after"))))
+      .crossJoin(broadcast(kMin))
+      .select(col("n_delta_docs"), col("classes_base"), col("classes_merged"),
+        col("width_before"), col("width_after"), col("k_min_merged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pii_redact" -> (piiRedact _),
     "x_k_anonymity" -> (kAnonymity _),
     "x_k_anon_enforce" -> (kAnonEnforce _),
-    "x_k_anon_view" -> (kAnonView _))
+    "x_k_anon_view" -> (kAnonView _),
+    "x_k_anon_incr" -> (kAnonIncr _))
 
   // DuckDB notes: single-quoted literals are raw (no backslash escape
   // layer), so the Scala-escaped "\\b" must re-emit as \b; regexp_replace
@@ -247,6 +311,40 @@ object Redaction {
   private val phoneSql = PhoneRe.replace("\\\\", "\\")
 
   val oracles: Map[String, String] = Map(
+    "x_k_anon_incr" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         |base AS (SELECT * FROM d WHERE ((doc_id % 10) + 10) % 10 <> 0),
+         |delta AS (SELECT * FROM d WHERE ((doc_id % 10) + 10) % 10 = 0),
+         |bcls AS (SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n
+         |  FROM base GROUP BY 1, 2, 3),
+         |dcls AS (SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n
+         |  FROM delta GROUP BY 1, 2, 3),
+         |mcls AS (SELECT lang, source, lb, CAST(sum(n) AS BIGINT) AS n
+         |  FROM (SELECT * FROM bcls UNION ALL SELECT * FROM dcls) u GROUP BY 1, 2, 3),
+         |wd AS (SELECT unnest([${EnforceMultipliers.mkString(", ")}]) AS m),
+         |kmb AS (SELECT m, min(n) AS kmin FROM (
+         |    SELECT m, lang, source, lb // m AS glb, CAST(sum(n) AS BIGINT) AS n
+         |    FROM bcls, wd GROUP BY 1, 2, 3, 4) t GROUP BY 1),
+         |chb AS (SELECT CAST(coalesce(min(CASE WHEN kmin >= 5 THEN m END), 0) AS BIGINT) AS m
+         |        FROM kmb),
+         |kmm AS (SELECT m, min(n) AS kmin FROM (
+         |    SELECT m, lang, source, lb // m AS glb, CAST(sum(n) AS BIGINT) AS n
+         |    FROM mcls, wd GROUP BY 1, 2, 3, 4) t GROUP BY 1),
+         |chm AS (SELECT CAST(coalesce(min(CASE WHEN kmin >= 5 THEN m END), 0) AS BIGINT) AS m
+         |        FROM kmm),
+         |km AS (SELECT CAST(coalesce(min(n), 0) AS BIGINT) AS k_min_merged FROM (
+         |    SELECT lang, source,
+         |      CASE WHEN c.m = 0 THEN CAST(0 AS BIGINT) ELSE lb // c.m END AS glb,
+         |      CAST(sum(n) AS BIGINT) AS n
+         |    FROM mcls, chm c GROUP BY 1, 2, 3) t),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_delta_docs FROM delta),
+         |cb AS (SELECT CAST(count(*) AS BIGINT) AS classes_base FROM bcls),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS classes_merged FROM mcls)
+         |SELECT n_delta_docs, classes_base, classes_merged,
+         |  CAST((SELECT m * 256 FROM chb) AS BIGINT) AS width_before,
+         |  CAST((SELECT m * 256 FROM chm) AS BIGINT) AS width_after,
+         |  k_min_merged
+         |FROM nd, cb, cm, km""".stripMargin,
     "x_k_anon_view" ->
       s"""WITH base AS (
          |  SELECT lang, source, n_chars // 256 AS lb, CAST(count(*) AS BIGINT) AS n

@@ -107,10 +107,62 @@ object BucketedTables {
         sum(col("click_id") + col("purchase_id")).as("id_checksum"))
   }
 
+  /** BUCKETED snapshot reconciliation — the layout making
+    * [[graft.ext.Curation.snapshotDiff]]'s own scale note real ("with
+    * bucketed snapshot tables it is co-located and shuffle-free"): both
+    * corpus snapshots are written bucketed on `doc_id`, so the diff's
+    * corpus-scaled FULL-OUTER join reads co-located buckets with NO
+    * exchange on either side, and the only shuffle left in the whole
+    * report is the sources-sized census agg — at 100 TB the re-crawl
+    * diff an operator runs after every ingest degrades from two
+    * corpus shuffles + an agg shuffle to just the agg
+    * (`BucketedTablesSpec` pins exactly one hashpartitioning exchange,
+    * none of them on doc_id). Same diff semantics, same oracle shape as
+    * `x_snapshot_diff` — [[graft.ext.Curation.snapshotPair]] is the one
+    * definition of the scenario and [[graft.ext.Curation.diffOf]] the
+    * one definition of the diff. */
+  def bucketedSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dirTag(dir)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (old, newer) = graft.ext.Curation.snapshotPair(docs)
+    val to = s"graft_bkt_snap_old_$tag"
+    val tn = s"graft_bkt_snap_new_$tag"
+    val schemaDdl = "doc_id BIGINT, text STRING, source STRING"
+    ensureBucketedTable(spark, to,
+      graft.ext.Layout.scratchDir("bkt_snap_old", dir), schemaDdl, "doc_id", 8, old)
+    ensureBucketedTable(spark, tn,
+      graft.ext.Layout.scratchDir("bkt_snap_new", dir), schemaDdl, "doc_id", 8, newer)
+    graft.ext.Curation.diffOf(spark.table(to), spark.table(tn))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j_bucketed" -> (bucketedAttribution _))
+    "j_bucketed" -> (bucketedAttribution _),
+    "j_bucketed_diff" -> (bucketedSnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    // identical semantics to x_snapshot_diff — the bucketed layout only
+    // changes WHERE the join's rows live, never what they say
+    "j_bucketed_diff" ->
+      """WITH old AS (SELECT doc_id, text, source FROM documents),
+        |survived AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text, source
+        |  FROM old WHERE doc_id % 11 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text, source
+        |  FROM old WHERE doc_id % 13 = 0),
+        |nw AS (SELECT * FROM survived UNION ALL SELECT * FROM added),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "j_bucketed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,

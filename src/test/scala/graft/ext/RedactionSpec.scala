@@ -137,4 +137,20 @@ class RedactionSpec extends SparkSpec {
       assert(viewClasses === report.getAs[Long]("classes_after"))
     } finally view.unpersist()
   }
+
+  test("incremental k-anon maintenance lands exactly where the from-scratch audit lands") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = Redaction.kAnonIncr(spark, sf).head()
+    val full = Redaction.kAnonEnforce(spark, sf).head()
+    // merged (stored base classes + delta-shard classes) ≡ the full
+    // corpus: the delta-sized update must choose the SAME width and see
+    // the SAME class census a from-scratch audit over everything would
+    assert(inc.getAs[Long]("width_after") === full.getAs[Long]("gen_width"))
+    assert(inc.getAs[Long]("classes_merged") === full.getAs[Long]("classes_before"))
+    // and the ingest genuinely moved the audit: the delta shard is ~10%
+    // of the corpus, so some rows arrived and the stored table is a
+    // strict subset census of the merged one
+    assert(inc.getAs[Long]("n_delta_docs") > 0L)
+    assert(inc.getAs[Long]("classes_base") <= inc.getAs[Long]("classes_merged"))
+  }
 }

@@ -270,5 +270,12 @@ class EmptyInputsSpec extends SparkSpec {
     val jb = graft.sources.BucketedTables.bucketedAttribution(spark, dir).head()
     assert(jb.getAs[Long]("n_pairs") === 0L)
     assert(jb.getAs[Long]("n_users") === 0L)
+    // diffing two empty bucketed snapshots: empty census, no crash
+    assert(graft.sources.BucketedTables.bucketedSnapshotDiff(spark, dir).count() === 0L)
+    // maintaining the audit over an empty ingest: all-zero one-row report
+    val ki = graft.ext.Redaction.kAnonIncr(spark, dir).head()
+    Seq("n_delta_docs", "classes_base", "classes_merged",
+      "width_before", "width_after", "k_min_merged")
+      .foreach(c => assert(ki.getAs[Long](c) === 0L, s"kAnonIncr.$c"))
   }
 }

@@ -55,6 +55,33 @@ class BucketedTablesSpec extends SparkSpec {
     }
   }
 
+  test("j_bucketed_diff: the full-outer diff joins co-located, only the census shuffles") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = BucketedTables.bucketedSnapshotDiff(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"diff must stay a full-outer sort-merge join:\n$plan")
+      assert(!plan.contains("hashpartitioning(doc_id"),
+        s"the corpus-scaled join must ride the bucket layout, never shuffle doc_id:\n$plan")
+      val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(ex === 1, s"only the sources-sized census may shuffle, found $ex:\n$plan")
+      // and it reports exactly what the unbucketed diff reports
+      val bucketed = q.collect().map(_.toString).sorted
+      val plain = graft.ext.Curation.snapshotDiff(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(bucketed.toSeq === plain.toSeq)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("j_bucketed: a fresh catalog re-registers the existing bucket files without rewriting") {
     val dir = "/root/testdata/sf0.001"
     BucketedTables.bucketedAttribution(spark, dir).collect() // materialize
