@@ -275,24 +275,30 @@ object Redaction {
     val merged = stored.unionByName(deltaCls)
       .groupBy(col("lang"), col("source"), col("lb"))
       .agg(sum(col("n")).as("n"))
-    val wBefore = chosenWidth(spark, stored, k)
-      .select((col("m") * 256).as("width_before"))
-    val wAfter = chosenWidth(spark, merged, k)
-      .select(col("m").as("m_after"), (col("m") * 256).as("width_after"))
-    val kMin = merged.crossJoin(broadcast(wAfter.select(col("m_after"))))
-      .groupBy(col("lang"), col("source"),
-        when(col("m_after") === 0, lit(0L))
-          .otherwise(expr("lb div m_after")).as("glb"))
-      .agg(sum(col("n")).as("n"))
-      .agg(coalesce(min(col("n")), lit(0L)).as("k_min_merged"))
-    delta.agg(count(lit(1)).as("n_delta_docs"))
-      .crossJoin(broadcast(stored.agg(count(lit(1)).as("classes_base"))))
-      .crossJoin(broadcast(merged.agg(count(lit(1)).as("classes_merged"))))
-      .crossJoin(broadcast(wBefore))
-      .crossJoin(broadcast(wAfter.select(col("width_after"))))
-      .crossJoin(broadcast(kMin))
-      .select(col("n_delta_docs"), col("classes_base"), col("classes_merged"),
-        col("width_before"), col("width_after"), col("k_min_merged"))
+    // every report input below is class-table scale (QI-domain-bounded)
+    // or a 1-row aggregate — settle them driver-side (the bounded-
+    // collect discipline) so the returned frame is a literal row with
+    // ZERO broadcast nodes for PlanSpec's 100TB audit to count
+    val mergedLocal = merged.persist()
+    try {
+      val wBefore = chosenWidth(spark, stored, k).head().getLong(0) * 256
+      val mAfter = chosenWidth(spark, mergedLocal, k).head().getLong(0)
+      val kMinMerged = mergedLocal
+        .groupBy(col("lang"), col("source"),
+          (if (mAfter == 0) lit(0L) else expr(s"lb div $mAfter")).as("glb"))
+        .agg(sum(col("n")).as("n"))
+        .agg(coalesce(min(col("n")), lit(0L))).head().getLong(0)
+      val nDelta = delta.count()
+      val classesBase = stored.count()
+      val classesMerged = mergedLocal.count()
+      spark.range(1).select(
+        lit(nDelta).as("n_delta_docs"),
+        lit(classesBase).as("classes_base"),
+        lit(classesMerged).as("classes_merged"),
+        lit(wBefore).as("width_before"),
+        lit(mAfter * 256).as("width_after"),
+        lit(kMinMerged).as("k_min_merged"))
+    } finally mergedLocal.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -254,6 +254,11 @@ class PlanSpec extends SparkSpec {
       "x_delta_read"      -> ((1, 1)), // 1-row rows_out report column
       "x_delta_fold"      -> ((1, 1)), // 1-row rows_out report column
       "x_lake_e2e"        -> ((3, 3)), // 3 stage rows × 1-row rows_out column
+      // k-anon family: every forced frame is the 6-row width table, the
+      // 1-row chosen width, or a QI-domain-bounded class census
+      "x_k_anon_enforce"  -> ((3, 3)), // widths(6) + chosen(1) + classes_before(1)
+      "x_k_anon_view"     -> ((2, 2)), // widths(6) + chosen(1)
+      "x_k_anon_incr"     -> ((0, 0)), // report settles driver-side: literal row
       "x_compaction_exec" -> ((1, 0)), // manifest-scale (≤256-row) group assignment
       "x_align_mutual_nn" -> ((1, 1))) // 4-row hyperplane table
     val conf = spark.conf
