@@ -46,7 +46,7 @@ object Bench {
     // steady state = footer read-backs over the fingerprint-cached
     // lineage) and the shuffle-free bucketed joins (fact⋈fact
     // attribution + the co-located full-outer snapshot diff)
-    "x_lake_e2e", "j_bucketed", "j_bucketed_diff")
+    "x_lake_e2e", "x_lake_ingest", "j_bucketed", "j_bucketed_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

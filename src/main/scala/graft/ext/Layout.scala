@@ -724,6 +724,39 @@ object Layout {
     * driver frames (≤ 2^cellBits), the decision join is cells×cells,
     * and no corpus-scaled frame is force-broadcast (PlanSpec audits the
     * report's three 1-row columns). */
+  /** (lo, hi) double bounds of the (user_id, value) pair over `base` —
+    * the grid frame arrivals quantize against in the maintenance
+    * decisions ([[lakeE2e]], [[lakeIngest]]). */
+  private def baseBoundsOf(base: DataFrame): DataFrame = base.agg(
+    min(col("user_id").cast("double")).as("lo_u"),
+    max(col("user_id").cast("double")).as("hi_u"),
+    min(col("value").cast("double")).as("lo_v"),
+    max(col("value").cast("double")).as("hi_v"))
+
+  /** Distinct cellBits=6 curve cells of `rows` quantized under the
+    * GIVEN bounds, CLAMPED to the grid (norms cut into [0,1] BEFORE
+    * rounding, so out-of-bounds arrivals land on border cells and the
+    * non-negative round stays engine-portable). Same quantize + 12-bit
+    * 2-column interleave as the writer
+    * ([[graft.sources.PartitionedSink]].withZKey: bit b of column i
+    * lands at b·n+i). */
+  private def cellsUnderBounds(rows: DataFrame, bounds: DataFrame): DataFrame = {
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      round(greatest(lit(0.0), least(lit(1.0),
+        when(c.isNull || (hi - lo) === 0.0, lit(0.0))
+          .otherwise((c.cast("double") - lo) / (hi - lo)))) * 4095).cast("long")
+    def morton12(a: Column, b: Column): Column =
+      (0 until 12).map(i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+        .reduce(_ bitwiseOR _)
+    rows.crossJoin(broadcast(bounds))
+      .select(shiftright(morton12(
+        quant(col("user_id"), col("lo_u"), col("hi_u")),
+        quant(col("value"), col("lo_v"), col("hi_v"))), 18).as("zcell"))
+      .distinct()
+  }
+
   def lakeE2e(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{FooterManifest, PartitionedSink}
     val root = scratchDir("lake_e2e", dir)
@@ -784,27 +817,8 @@ object Layout {
       col("id").as("user_id"), col("id").cast("double").as("value"))
     // DECIDE: delta cells under the base's grid (base bounds, clamped) ⋈
     // base cell rows = the rewrite cost an eager re-cluster would pay now
-    val bounds = base.agg(
-      min(col("user_id").cast("double")).as("lo_u"),
-      max(col("user_id").cast("double")).as("hi_u"),
-      min(col("value").cast("double")).as("lo_v"),
-      max(col("value").cast("double")).as("hi_v"))
-    def quant(c: Column, lo: Column, hi: Column): Column =
-      round(greatest(lit(0.0), least(lit(1.0),
-        when(c.isNull || (hi - lo) === 0.0, lit(0.0))
-          .otherwise((c.cast("double") - lo) / (hi - lo)))) * 4095).cast("long")
-    // 12-bit 2-column interleave, same bit placement as the writer's
-    // (PartitionedSink.withZKey: bit b of column i lands at b·n+i)
-    def morton12(a: Column, b: Column): Column =
-      (0 until 12).map(i =>
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
-        .reduce(_ bitwiseOR _)
-    val deltaCells = delta.crossJoin(broadcast(bounds))
-      .select(shiftright(morton12(
-        quant(col("user_id"), col("lo_u"), col("hi_u")),
-        quant(col("value"), col("lo_v"), col("hi_v"))), 18).as("zcell"))
-      .distinct()
+    val bounds = baseBoundsOf(base)
+    val deltaCells = cellsUnderBounds(delta, bounds)
     val nDelta = delta.count()
     val rowsRewritten = plannedBase.groupBy(col("zcell")).agg(count(lit(1)).as("n"))
       .join(deltaCells, Seq("zcell"))
@@ -862,6 +876,104 @@ object Layout {
       .unionByName(prunedStage(3L, "compacted", s"$root/compact"))
       .withColumn("amp_x1000", lit(amp))
       .orderBy("stage")
+  }
+
+  /** STREAMING-SHAPED lake ingest: the micro-batch driver loop that
+    * FEEDS the [[lakeE2e]] lifecycle, under the
+    * [[graft.streaming.IngestReplay]] deterministic-replay discipline
+    * (round 15 — before this, the lake story started from a delta that
+    * had already "arrived"; this is the arrival). Three arrival batches
+    * derive purely from the events table (the 10% insert stream split
+    * by `(event_id div 10) mod 3`, with the mod-100 corrected updates
+    * landing in batch 1), and each batch does exactly what a
+    * `foreachBatch` ingest body would do against a clustered base:
+    *
+    *   1. APPEND one physical delta file (`delta/b=<i>` — real parquet,
+    *      the same lineage shape merge-on-read reads);
+    *   2. LOG the maintenance decision for THIS batch: its distinct
+    *      grid cells under the STATIC base bounds (clamped — new
+    *      extremes land on border cells), how many base files those
+    *      cells hit (`n_affected_files`) vs open fresh (`n_new_files`),
+    *      the rows an eager re-cluster would rewrite now, and the
+    *      per-batch `amp_x1000` — [[zorderIncr]]'s number, produced
+    *      continuously instead of once;
+    *   3. LOG the EVOLVING answer: the standard 2-D box recomputed
+    *      newest-wins over base ∪ batches ≤ i (`rows_out_after`) — the
+    *      updates in batch 1 visibly move rows across the box, which is
+    *      what makes "the lake answers correctly BETWEEN maintenance
+    *      events" an observable, not an assumption.
+    *
+    * The replay materializes once per fingerprint (marker AFTER the
+    * writes — the [[graft.streaming.IngestReplay]] crash contract) and
+    * the report reads the persisted O(batches) metrics table back.
+    * Oracle honesty: every counter is a pure function of the batch
+    * slices, the base bounds, and the grid formulas, so DuckDB
+    * recomputes all three rows from the events table alone.
+    * `LayoutSpec` pins the composition: the last batch's
+    * `rows_out_after` must equal [[lakeE2e]]'s invariant `rows_out`
+    * (same fixtures — the ingest loop ends exactly where the lifecycle
+    * report begins), and the arrival counts partition the delta.
+    * Scale shape: per batch, one batch-sized scan for the append + one
+    * for its cells, one box count over base ∪ delta-so-far; the
+    * decision join is cells×cells (≤ 2^cellBits each side). */
+  def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedSink
+    val root = scratchDir("lake_ingest", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val inserts = ev.where(pmod(col("event_id"), lit(10)) === 0)
+    val updates = ev.where(pmod(col("event_id"), lit(100)) === 1)
+      .withColumn("value", col("value") + lit(150.0))
+    val bs = Seq(
+      inserts.where(pmod(expr("event_id div 10"), lit(3)) === 0),
+      inserts.where(pmod(expr("event_id div 10"), lit(3)) === 1)
+        .unionByName(updates),
+      inserts.where(pmod(expr("event_id div 10"), lit(3)) === 2))
+    val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+      .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+    val plannedArrivals = bs.zipWithIndex
+      .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
+      .reduce(_ unionByName _)
+    materializeIfChanged(root, layoutFingerprint("v1",
+        plannedBase.unionByName(plannedArrivals))) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
+      val bounds = baseBoundsOf(base)
+      // base cell manifest, collected once: ≤ 2^cellBits rows
+      val baseCellRows = plannedBase.groupBy(col("zcell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val boxFilter = col("user_id").between(60, 90) &&
+        col("value").between(100.0, 200.0)
+      val metrics = bs.zipWithIndex.map { case (b, i) =>
+        b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
+        val nArrived = b.count()
+        val cells = cellsUnderBounds(b, bounds).collect().map(_.getLong(0))
+        val (hit, fresh) = cells.partition(baseCellRows.contains)
+        val rowsRewritten = hit.map(baseCellRows).sum
+        val amp = if (nArrived == 0) 0L else rowsRewritten * 1000 / nArrived
+        val deltaSoFar = bs.take(i + 1).reduce(_ unionByName _)
+        val rowsOutAfter = base
+          .join(deltaSoFar.select(col("event_id")), Seq("event_id"), "left_anti")
+          .unionByName(deltaSoFar)
+          .where(boxFilter).count()
+        (i.toLong, nArrived, hit.length.toLong, fresh.length.toLong,
+          rowsRewritten, amp, rowsOutAfter)
+      }
+      import spark.implicits._
+      metrics.toDF("batch_id", "n_arrived", "n_affected_files", "n_new_files",
+        "rows_rewritten", "amp_x1000", "rows_out_after")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/metrics")
+    }
+    spark.read.schema("batch_id BIGINT, n_arrived BIGINT, n_affected_files BIGINT, " +
+        "n_new_files BIGINT, rows_rewritten BIGINT, amp_x1000 BIGINT, rows_out_after BIGINT")
+      .parquet(s"$root/metrics")
+      .orderBy("batch_id")
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
@@ -1047,6 +1159,7 @@ object Layout {
     "x_delta_read" -> (deltaRead _),
     "x_delta_fold" -> (deltaFold _),
     "x_lake_e2e" -> (lakeE2e _),
+    "x_lake_ingest" -> (lakeIngest _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -1099,7 +1212,68 @@ object Layout {
     stages._2.mkString(",\n")
   }
 
+  /** Generated x_lake_ingest oracle: per-batch fragments share one base
+    * cell manifest and one clamped-quant formula, unrolled for the 3
+    * deterministic arrival batches (one generator — a batch-count or
+    * formula change cannot desync the fragments). */
+  private def lakeIngestOracleSql: String = {
+    val quantClamped = (c: String, lo: String, hi: String) =>
+      s"CAST(round(greatest(0.0, least(1.0, CASE WHEN $c IS NULL OR $hi - $lo = 0 THEN 0.0 " +
+        s"ELSE (CAST($c AS DOUBLE) - $lo) / ($hi - $lo) END)) * 4095) AS BIGINT)"
+    val batchSel = Seq(
+      "SELECT event_id, user_id, value FROM ins WHERE (((event_id // 10) % 3) + 3) % 3 = 0",
+      "SELECT event_id, user_id, value FROM ins WHERE (((event_id // 10) % 3) + 3) % 3 = 1\n" +
+        "  UNION ALL SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE ((event_id % 100) + 100) % 100 = 1",
+      "SELECT event_id, user_id, value FROM ins WHERE (((event_id // 10) % 3) + 3) % 3 = 2")
+    val perBatch = (0 until 3).map { i =>
+      val cum = (0 to i).map(j => s"SELECT * FROM b$j").mkString(" UNION ALL ")
+      s"""b$i AS (${batchSel(i)}),
+         |q$i AS (SELECT ${quantClamped("user_id", "lo_u", "hi_u")} AS qu,
+         |  ${quantClamped("value", "lo_v", "hi_v")} AS qv FROM b$i, bb),
+         |c$i AS (SELECT DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM q$i),
+         |d$i AS ($cum),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS batch_id,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM b$i) AS n_arrived,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$i
+         |     WHERE zcell IN (SELECT zcell FROM bfiles)) AS n_affected_files,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$i
+         |     WHERE zcell NOT IN (SELECT zcell FROM bfiles)) AS n_new_files,
+         |  (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) FROM bfiles
+         |     WHERE zcell IN (SELECT zcell FROM c$i)) AS rows_rewritten,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |      SELECT * FROM d$i
+         |      UNION ALL
+         |      SELECT b.* FROM base b ANTI JOIN d$i dd ON dd.event_id = b.event_id) mm
+         |    WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0) AS rows_out_after)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+       |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+       |ins AS (SELECT * FROM ev WHERE event_id % 10 = 0),
+       |bb AS (
+       |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+       |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+       |  FROM base),
+       |bq AS (
+       |  SELECT user_id, value,
+       |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+       |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+       |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+       |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+       |  FROM base, bb),
+       |bfiles AS (
+       |  SELECT (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell, count(*) AS n_rows
+       |  FROM bq GROUP BY 1),
+       |$perBatch
+       |SELECT batch_id, n_arrived, n_affected_files, n_new_files, rows_rewritten,
+       |  CAST(CASE WHEN n_arrived = 0 THEN 0
+       |    ELSE rows_rewritten * 1000 // n_arrived END AS BIGINT) AS amp_x1000,
+       |  rows_out_after
+       |FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2) u
+       |ORDER BY batch_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x_lake_ingest" -> lakeIngestOracleSql,
     "x_footer_prune" ->
       s"""WITH bounds AS (
          |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,

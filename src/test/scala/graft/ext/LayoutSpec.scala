@@ -296,6 +296,36 @@ class LayoutSpec extends SparkSpec {
       "compacted rows must be the folded multiset exactly")
   }
 
+  test("lake ingest: per-batch decisions partition the delta and end where the lifecycle begins") {
+    val rows = Layout.lakeIngest(spark, sf).collect().sortBy(_.getAs[Long]("batch_id"))
+    assert(rows.length === 3)
+    // the arrival batches PARTITION the full delta (inserts + updates)
+    val e2e = Layout.lakeE2e(spark, sf).collect().sortBy(_.getAs[Long]("stage"))
+    val ev = graft.Tables.events(spark, sf)
+    val nInserts = ev.where(col("event_id") % 10 === 0).count()
+    val nUpdates = ev.where(col("event_id") % 100 === 1).count()
+    assert(rows.map(_.getAs[Long]("n_arrived")).sum === nInserts + nUpdates)
+    // after the last batch the ingest loop has produced EXACTLY the
+    // state the lifecycle report answers from: same box, same rows
+    assert(rows.last.getAs[Long]("rows_out_after") === e2e.head.getAs[Long]("rows_out"),
+      "the ingest trajectory must end where the lifecycle's invariant answer begins")
+    // each batch's decision is internally consistent: affected + new =
+    // its distinct cells, and rewrite mass only comes from affected files
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_affected_files") >= 0L)
+      assert(r.getAs[Long]("rows_rewritten") === 0L ||
+        r.getAs[Long]("n_affected_files") > 0L)
+      assert(r.getAs[Long]("n_arrived") > 0L)
+    }
+    // the physical lineage exists: one delta file per batch
+    val root = Layout.scratchDir("lake_ingest", sf)
+    (0 until 3).foreach { i =>
+      val n = new java.io.File(s"$root/delta/b=$i")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"batch $i must land exactly one delta file")
+    }
+  }
+
   test("dppRead: runtime partition pruning fires and reads only the dim's partitions") {
     val df = Layout.dppRead(spark, sf)
     val rows = df.collect()

@@ -277,5 +277,13 @@ class EmptyInputsSpec extends SparkSpec {
     Seq("n_delta_docs", "classes_base", "classes_merged",
       "width_before", "width_after", "k_min_merged")
       .foreach(c => assert(ki.getAs[Long](c) === 0L, s"kAnonIncr.$c"))
+    // replaying empty arrival batches: three all-zero metric rows
+    val li = graft.ext.Layout.lakeIngest(spark, dir).collect()
+    assert(li.length === 3)
+    li.foreach { r =>
+      Seq("n_arrived", "n_affected_files", "n_new_files",
+        "rows_rewritten", "amp_x1000", "rows_out_after")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeIngest.$c"))
+    }
   }
 }
