@@ -727,7 +727,7 @@ object Layout {
   /** (lo, hi) double bounds of the (user_id, value) pair over `base` —
     * the grid frame arrivals quantize against in the maintenance
     * decisions ([[lakeE2e]], [[lakeIngest]]). */
-  private def baseBoundsOf(base: DataFrame): DataFrame = base.agg(
+  private[ext] def baseBoundsOf(base: DataFrame): DataFrame = base.agg(
     min(col("user_id").cast("double")).as("lo_u"),
     max(col("user_id").cast("double")).as("hi_u"),
     min(col("value").cast("double")).as("lo_v"),
@@ -740,7 +740,7 @@ object Layout {
     * 2-column interleave as the writer
     * ([[graft.sources.PartitionedSink]].withZKey: bit b of column i
     * lands at b·n+i). */
-  private def cellsUnderBounds(rows: DataFrame, bounds: DataFrame): DataFrame = {
+  private[ext] def cellsUnderBounds(rows: DataFrame, bounds: DataFrame): DataFrame = {
     def quant(c: Column, lo: Column, hi: Column): Column =
       round(greatest(lit(0.0), least(lit(1.0),
         when(c.isNull || (hi - lo) === 0.0, lit(0.0))

@@ -296,6 +296,42 @@ class LayoutSpec extends SparkSpec {
       "compacted rows must be the folded multiset exactly")
   }
 
+  test("decision grid == writer grid: clamped-quant cells match writeZCelled on in-bounds rows") {
+    // formula-drift tripwire: the maintenance decisions (lakeE2e amp,
+    // lakeIngest per-batch cells) join cells computed by
+    // cellsUnderBounds against cells the WRITER assigned
+    // (PartitionedSink.withZCell). On in-bounds rows the clamp is the
+    // identity, so the two formulas must agree cell-for-cell — a drift
+    // in either quantization or bit placement silently misattributes
+    // rewrite mass long before an oracle notices shape-level effects.
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bounds = graft.ext.Layout.baseBoundsOf(ev)
+    val writerCells = graft.sources.PartitionedSink
+      .withZCell(ev, Seq("user_id", "value"), 12, 6)
+      .select(col("zcell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val decisionCells = graft.ext.Layout.cellsUnderBounds(ev, bounds)
+      .collect().map(_.getLong(0)).toSet
+    assert(decisionCells === writerCells,
+      "cellsUnderBounds must reproduce the writer's cell assignment on its own bounds")
+  }
+
+  test("lake e2e ordering claims hold at sf0.01 too (the fold-inversion regression class)") {
+    // round-15 lesson: the fold's rows_scanned win INVERTED at sf0.01
+    // under the 16-cell grid while holding at sf0.001 — SF-dependent
+    // claim inversions are a real regression class, so the ordering
+    // claims (not the values — the oracle owns those) are pinned at the
+    // driver's gate scale as well
+    val rows = Layout.lakeE2e(spark, "/root/testdata/sf0.01").collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[Long]("rows_out")).distinct.length === 1)
+    assert(rows(1).getAs[Long]("rows_scanned") < rows(0).getAs[Long]("rows_scanned"),
+      s"fold=${rows(1).getAs[Long]("rows_scanned")} mor=${rows(0).getAs[Long]("rows_scanned")}")
+    assert(rows(2).getAs[Long]("files_total") < rows(1).getAs[Long]("files_total"))
+  }
+
   test("lake ingest: per-batch decisions partition the delta and end where the lifecycle begins") {
     val rows = Layout.lakeIngest(spark, sf).collect().sortBy(_.getAs[Long]("batch_id"))
     assert(rows.length === 3)
