@@ -741,19 +741,12 @@ object Layout {
     * ([[graft.sources.PartitionedSink]].withZKey: bit b of column i
     * lands at b·n+i). */
   private[ext] def cellsUnderBounds(rows: DataFrame, bounds: DataFrame): DataFrame = {
-    def quant(c: Column, lo: Column, hi: Column): Column =
-      round(greatest(lit(0.0), least(lit(1.0),
-        when(c.isNull || (hi - lo) === 0.0, lit(0.0))
-          .otherwise((c.cast("double") - lo) / (hi - lo)))) * 4095).cast("long")
-    def morton12(a: Column, b: Column): Column =
-      (0 until 12).map(i =>
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
-        .reduce(_ bitwiseOR _)
+    import graft.sources.PartitionedSink.{mortonInterleave, quantize}
     rows.crossJoin(broadcast(bounds))
-      .select(shiftright(morton12(
-        quant(col("user_id"), col("lo_u"), col("hi_u")),
-        quant(col("value"), col("lo_v"), col("hi_v"))), 18).as("zcell"))
+      .select(shiftright(mortonInterleave(Seq(
+        quantize(col("user_id"), col("lo_u"), col("hi_u"), 12, clamp = true),
+        quantize(col("value"), col("lo_v"), col("hi_v"), 12, clamp = true)), 12),
+        18).as("zcell"))
       .distinct()
   }
 
@@ -785,6 +778,14 @@ object Layout {
     // (zcell = −1 placeholder) cover delta content — so fingerprinting
     // plannedFold too would only re-pay the fold's anti-join per
     // invocation for coverage the union already has.
+    val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
+    val boxFilter = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+    def emptyEv = spark.range(0).select(col("id").as("event_id"),
+      col("id").as("user_id"), col("id").cast("double").as("value"))
+    // eager phase — fingerprint, writes, decision: the cached lineage
+    // frames release even when any of it throws (round-15 review; the
+    // happy path alone left three frames pinned on failure)
+    val amp = try {
     materializeIfChanged(root, layoutFingerprint("v1:q4",
         plannedBase.unionByName(
           delta.withColumn("zcell", lit(-1L))
@@ -811,10 +812,6 @@ object Layout {
         .select(col("event_id"), col("user_id"), col("value"), col("gid"))
         .write.mode("overwrite").partitionBy("gid").parquet(s"$root/compact")
     }
-    val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
-    val boxFilter = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
-    def emptyEv = spark.range(0).select(col("id").as("event_id"),
-      col("id").as("user_id"), col("id").cast("double").as("value"))
     // DECIDE: delta cells under the base's grid (base bounds, clamped) ⋈
     // base cell rows = the rewrite cost an eager re-cluster would pay now
     val bounds = baseBoundsOf(base)
@@ -823,11 +820,13 @@ object Layout {
     val rowsRewritten = plannedBase.groupBy(col("zcell")).agg(count(lit(1)).as("n"))
       .join(deltaCells, Seq("zcell"))
       .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    val amp = if (nDelta == 0) 0L else rowsRewritten * 1000 / nDelta
-    // eager phase over: everything below reads persisted FILES only
-    base.unpersist()
-    delta.unpersist()
-    folded.unpersist()
+    if (nDelta == 0) 0L else rowsRewritten * 1000 / nDelta
+    } finally {
+      // everything below reads persisted FILES only
+      base.unpersist()
+      delta.unpersist()
+      folded.unpersist()
+    }
     // STAGE 1 — merge-on-read: base footers pruned + delta scanned fully
     val mBase = FooterManifest.build(spark, s"$root/base", zcols)
     val baseRows = mBase.collect()

@@ -58,7 +58,12 @@ object BucketedTables {
       df: DataFrame): Unit = {
     val r = df.agg(count(lit(1)),
       coalesce(sum(hash(df.columns.map(col).toSeq: _*).cast("long")), lit(0L))).head()
-    val fp = s"v1:$buckets:${r.getLong(0)}:${r.getLong(1)}"
+    // the fingerprint covers the LAYOUT decision (key + bucket count),
+    // not just content — a future key change must miss the marker, or
+    // the re-registration below would declare the new key over files
+    // bucketed by the old one (round-15 review; the footerPrune
+    // formula-coverage discipline applied to the bucket spec)
+    val fp = s"v1:$buckets:$key:${r.getLong(0)}:${r.getLong(1)}"
     graft.ext.Layout.materializeIfChanged(loc, fp) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write.mode(SaveMode.Overwrite)
@@ -66,8 +71,11 @@ object BucketedTables {
         .option("path", loc).format("parquet")
         .saveAsTable(table)
     }
+    // IF NOT EXISTS: two concurrent invocations past the guarded block
+    // (fresh catalog, current marker) must not race check-then-CREATE
+    // into a TableAlreadyExistsException (round-15 review)
     if (!spark.catalog.tableExists(table))
-      spark.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($schemaDdl) USING PARQUET " +
         s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
         s"LOCATION '$loc'")
   }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Idempotent partitioned writes — the fix for the reference's
@@ -68,24 +68,44 @@ object PartitionedSink {
   /** `df` + a `__z` Morton-key column over affine-quantized `zCols`
     * (plus the `__min_/__max_` bound columns the caller drops) — the
     * shared front half of [[writeZOrdered]] and [[writeZCelled]]. */
+  /** Affine quantization of `c` onto [0, 2^bits−1] under (lo, hi) — THE
+    * quantize formula of the curve family, one definition shared by the
+    * writer ([[withZKey]]) and the maintenance decisions
+    * ([[graft.ext.Layout]].cellsUnderBounds). `clamp` cuts the norm
+    * into [0,1] BEFORE rounding — for rows quantized under FOREIGN
+    * bounds (arrivals against a base grid), where it both lands
+    * out-of-bounds rows on border cells and keeps the round input
+    * non-negative (the engine-portable half); on in-bounds rows it is
+    * the identity. */
+  private[graft] def quantize(c: Column, lo: Column, hi: Column, bits: Int,
+      clamp: Boolean = false): Column = {
+    val range = hi - lo
+    val norm0 = when(c.isNull || range === 0.0, lit(0.0))
+      .otherwise((c.cast("double") - lo) / range)
+    val norm = if (clamp) greatest(lit(0.0), least(lit(1.0), norm0)) else norm0
+    round(norm * ((1L << bits) - 1)).cast("long")
+  }
+
+  /** n-column bit interleave: bit b of `quantized(i)` lands at b·n+i —
+    * THE curve bit placement, one definition (round-15 review: a third
+    * hand-rolled copy in the decision path was held in sync only by a
+    * tripwire test). */
+  private[graft] def mortonInterleave(quantized: Seq[Column], bits: Int): Column = {
+    val n = quantized.size
+    (for { b <- 0 until bits; i <- 0 until n } yield
+      shiftleft(shiftright(quantized(i), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_.bitwiseOR(_))
+  }
+
   private def withZKey(df: DataFrame, zCols: Seq[String], bits: Int): DataFrame = {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__min_$c"),
         max(col(c).cast("double")).as(s"__max_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*)
-    val scale = (1L << bits) - 1
-    val quantized = zCols.map { c =>
-      val (lo, hi) = (col(s"__min_$c"), col(s"__max_$c"))
-      val range = hi - lo
-      val norm = when(col(c).isNull || range === 0.0, lit(0.0))
-        .otherwise((col(c).cast("double") - lo) / range)
-      round(norm * scale).cast("long")
-    }
-    val n = zCols.size
-    val morton = (for { b <- 0 until bits; i <- 0 until n } yield
-      shiftleft(shiftright(quantized(i), b).bitwiseAND(lit(1L)), b * n + i))
-      .reduce(_.bitwiseOR(_))
-    df.crossJoin(broadcast(bounds)).withColumn("__z", morton)
+    val quantized = zCols.map(c =>
+      quantize(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", mortonInterleave(quantized, bits))
   }
 
   /** Deterministic z-CELLED layout writer: same quantize + Morton key as

@@ -123,9 +123,13 @@ object StreamJoin {
         case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
         case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
       }
-      require(q.recentProgress.length < progressCap,
-        s"stream-join replay ran ${q.recentProgress.length} micro-batches — at the " +
-          s"$progressCap progress cap the state metrics would be silently truncated")
+      // Spark trims the buffer to AT MOST cap−1 entries (addNewProgress
+      // dequeues while length >= retention), so a buffer at cap−1 may
+      // already have lost its head — the guard must reject cap−1, not
+      // cap (round-15 review: `< progressCap` could never fail)
+      require(q.recentProgress.length < progressCap - 1,
+        s"stream-join replay retained ${q.recentProgress.length} progress entries — " +
+          s"at the $progressCap cap the state metrics would be silently truncated")
       // persist the symmetric join's state-store metrics so eviction
       // behavior is REGISTRY-visible, not spec-only (VERDICT r13 task
       // 7): per micro-batch, total buffered state rows from the
