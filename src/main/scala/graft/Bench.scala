@@ -42,10 +42,13 @@ object Bench {
     // classifier artifact (model-as-data deployment)
     "x_delta_fold", "x_classifier_apply",
     // round-15 marquee additions: the composed lake-maintenance
-    // lifecycle (ingest → decide → merge-on-read → fold → compact,
-    // steady state = footer read-backs over the fingerprint-cached
-    // lineage) and the shuffle-free bucketed joins (fact⋈fact
-    // attribution + the co-located full-outer snapshot diff)
+    // lifecycle (ingest → decide → merge-on-read → fold → compact;
+    // the warm-up absorbs the one-time layout writes, but steady state
+    // is NOT just footer read-backs — every invocation re-pays the
+    // corpus-scale fingerprint hash, base-bounds agg, delta count and
+    // DECIDE cell join that guard/parameterize the marker — ADVICE r15)
+    // and the shuffle-free bucketed joins (fact⋈fact attribution + the
+    // co-located full-outer snapshot diff)
     "x_lake_e2e", "x_lake_ingest", "j_bucketed", "j_bucketed_diff")
 
   def main(args: Array[String]): Unit = {

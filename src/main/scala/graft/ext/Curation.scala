@@ -1282,8 +1282,9 @@ object Curation {
     * CONTRACT: every `keyCols` value must be NON-NULL. The first-pruned
     * cut compares key structs (`key < __first_pruned`), and a NULL key
     * field makes that comparison NULL — the row would be silently
-    * dropped, and Spark's NULLS-LAST-under-ASC would disagree with
-    * engines that sort NULLs first. Callers coalesce nullable key
+    * dropped, and Spark's NULLS-FIRST-under-ASC window order would
+    * disagree with engines that sort NULLs last (DuckDB's ASC default).
+    * Callers coalesce nullable key
     * inputs (see [[tokenBudget]]'s `-coalesce(quality_score, 0)` —
     * ADVICE r14: quality_score is NULL whenever text is NULL). */
   private[ext] def strictPrefixKeep(df: DataFrame, partCols: Seq[String],

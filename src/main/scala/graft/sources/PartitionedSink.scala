@@ -76,11 +76,18 @@ object PartitionedSink {
     * bounds (arrivals against a base grid), where it both lands
     * out-of-bounds rows on border cells and keeps the round input
     * non-negative (the engine-portable half); on in-bounds rows it is
-    * the identity. */
+    * the identity. NULL bounds (an empty bounds frame — min/max over
+    * zero rows) short-circuit to bucket 0 explicitly: without the
+    * guard the clamp path would send them to cell-MAX instead, because
+    * greatest/least SKIP null arguments, so greatest(0, least(1,
+    * NULL)) = 1.0 → 2^bits−1 — diverging from the unclamped path and
+    * the documented cut-into-[0,1] intent (ADVICE r15; latent for
+    * foreign-bounds callers quantizing arrivals against an empty
+    * base). */
   private[graft] def quantize(c: Column, lo: Column, hi: Column, bits: Int,
       clamp: Boolean = false): Column = {
     val range = hi - lo
-    val norm0 = when(c.isNull || range === 0.0, lit(0.0))
+    val norm0 = when(c.isNull || lo.isNull || hi.isNull || range === 0.0, lit(0.0))
       .otherwise((c.cast("double") - lo) / range)
     val norm = if (clamp) greatest(lit(0.0), least(lit(1.0), norm0)) else norm0
     round(norm * ((1L << bits) - 1)).cast("long")
