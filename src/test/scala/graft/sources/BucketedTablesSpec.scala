@@ -39,6 +39,15 @@ class BucketedTablesSpec extends SparkSpec {
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val q = BucketedTables.bucketedAttribution(spark, dir)
+      // the derived sizing decision (round 16): reported, a power of
+      // two, and exactly deriveBuckets of the larger slice
+      val row = q.head()
+      val ev = graft.Tables.events(spark, dir)
+      val nClicks = ev.where(col("event_type") === "click").count()
+      val nPurch = ev.where(col("event_type") === "purchase").count()
+      val nb = row.getAs[Long]("n_buckets")
+      assert(nb === BucketedTables.deriveBuckets(math.max(nClicks, nPurch)).toLong)
+      assert(java.lang.Long.bitCount(nb) === 1, s"bucket count must be a power of two: $nb")
       q.collect()
       val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(plan.contains("SortMergeJoin"), s"bucketed join must sort-merge:\n$plan")
@@ -80,6 +89,16 @@ class BucketedTablesSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("deriveBuckets: power-of-two cover of rows/target, floored and capped") {
+    assert(BucketedTables.deriveBuckets(0L) === 1)
+    assert(BucketedTables.deriveBuckets(1L) === 1)
+    assert(BucketedTables.deriveBuckets(1024L) === 1)
+    assert(BucketedTables.deriveBuckets(1025L) === 2)
+    assert(BucketedTables.deriveBuckets(5L * 1024L) === 8)
+    assert(BucketedTables.deriveBuckets(Long.MaxValue) === (1 << 20),
+      "the cap bounds a pathological sizing input")
   }
 
   test("j_bucketed: a fresh catalog re-registers the existing bucket files without rewriting") {
