@@ -896,11 +896,14 @@ object Layout {
     *      the rows an eager re-cluster would rewrite now, and the
     *      per-batch `amp_x1000` — [[zorderIncr]]'s number, produced
     *      continuously instead of once;
-    *   3. LOG the EVOLVING answer: the standard 2-D box recomputed
+    *   3. LOG the EVOLVING answer: the standard 2-D box under
     *      newest-wins over base ∪ batches ≤ i (`rows_out_after`) — the
     *      updates in batch 1 visibly move rows across the box, which is
     *      what makes "the lake answers correctly BETWEEN maintenance
-    *      events" an observable, not an assumption.
+    *      events" an observable, not an assumption. Maintained
+    *      INCREMENTALLY from the previous batch's value plus a
+    *      batch-sized correction (see the loop body), never by
+    *      re-scanning base ∪ delta-so-far.
     *
     * The replay materializes once per fingerprint (marker AFTER the
     * writes — the [[graft.streaming.IngestReplay]] crash contract) and
@@ -913,66 +916,147 @@ object Layout {
     * (same fixtures — the ingest loop ends exactly where the lifecycle
     * report begins), and the arrival counts partition the delta.
     * Scale shape: per batch, one batch-sized scan for the append + one
-    * for its cells, one box count over base ∪ delta-so-far; the
-    * decision join is cells×cells (≤ 2^cellBits each side). */
-  def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.PartitionedSink
-    val root = scratchDir("lake_ingest", dir)
-    val zcols = Seq("user_id", "value")
+    * for its cells + one for its box membership, and a box-result-scale
+    * key probe against the once-materialized base box keys; the
+    * decision join is cells×cells (≤ 2^cellBits each side). Nothing in
+    * the loop rescans the corpus (round 16 — the previous per-batch
+    * newest-wins recompute was O(batches × corpus)). */
+  /** Arrival slices of the lake ingest story — the 10% insert stream
+    * split by `(event_id div 10) mod 3`, with the mod-100 corrected
+    * updates landing in batch 1. ONE definition shared by the
+    * driver-loop replay ([[lakeIngest]]) and the readStream twin
+    * ([[graft.streaming.LakeIngestStream]]), so the two engines cannot
+    * ingest different arrivals. */
+  private[graft] def lakeArrivalBatches(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
-    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
     val inserts = ev.where(pmod(col("event_id"), lit(10)) === 0)
     val updates = ev.where(pmod(col("event_id"), lit(100)) === 1)
       .withColumn("value", col("value") + lit(150.0))
-    val bs = Seq(
+    Seq(
       inserts.where(pmod(expr("event_id div 10"), lit(3)) === 0),
       inserts.where(pmod(expr("event_id div 10"), lit(3)) === 1)
         .unionByName(updates),
       inserts.where(pmod(expr("event_id div 10"), lit(3)) === 2))
-    val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
-      .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
-    val plannedArrivals = bs.zipWithIndex
-      .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
-        .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
-      .reduce(_ unionByName _)
-    materializeIfChanged(root, layoutFingerprint("v1",
-        plannedBase.unionByName(plannedArrivals))) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
-      val bounds = baseBoundsOf(base)
-      // base cell manifest, collected once: ≤ 2^cellBits rows
-      val baseCellRows = plannedBase.groupBy(col("zcell"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val boxFilter = col("user_id").between(60, 90) &&
-        col("value").between(100.0, 200.0)
-      val metrics = bs.zipWithIndex.map { case (b, i) =>
-        b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
-        val nArrived = b.count()
-        val cells = cellsUnderBounds(b, bounds).collect().map(_.getLong(0))
-        val (hit, fresh) = cells.partition(baseCellRows.contains)
-        val rowsRewritten = hit.map(baseCellRows).sum
-        val amp = if (nArrived == 0) 0L else rowsRewritten * 1000 / nArrived
-        val deltaSoFar = bs.take(i + 1).reduce(_ unionByName _)
-        val rowsOutAfter = base
-          .join(deltaSoFar.select(col("event_id")), Seq("event_id"), "left_anti")
-          .unionByName(deltaSoFar)
-          .where(boxFilter).count()
-        (i.toLong, nArrived, hit.length.toLong, fresh.length.toLong,
-          rowsRewritten, amp, rowsOutAfter)
-      }
-      import spark.implicits._
-      metrics.toDF("batch_id", "n_arrived", "n_affected_files", "n_new_files",
-        "rows_rewritten", "amp_x1000", "rows_out_after")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/metrics")
-    }
+  }
+
+  /** The standard 2-D box every lake observable answers. */
+  private[graft] val lakeBox: Column =
+    col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+
+  /** Static per-lineage inputs of the ingest loop: the base grid frame,
+    * the base cell manifest (collected once, ≤ 2^cellBits rows), and
+    * the base's box keys + count seeding the INCREMENTAL box
+    * observable. `baseBoxKeys` comes back PERSISTED — callers unpersist
+    * when their loop ends. */
+  private[graft] final case class LakeIngestCtx(bounds: DataFrame,
+      baseCellRows: Map[Long, Long], baseBoxKeys: DataFrame, boxInit: Long)
+
+  /** Write the clustered base under `root` and settle the loop's static
+    * decision inputs — the shared prologue of both ingest engines. */
+  private[graft] def prepareLakeIngest(spark: SparkSession, dir: String,
+      root: String): LakeIngestCtx = {
+    import graft.sources.PartitionedSink
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    PartitionedSink.writeZCelled(base, s"$root/base", Seq("user_id", "value"), 12, 6)
+    val baseCellRows = PartitionedSink
+      .withZCell(base, Seq("user_id", "value"), 12, 6)
+      .groupBy(col("zcell")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseBoxKeys = base.where(lakeBox).select(col("event_id")).persist()
+    LakeIngestCtx(baseBoundsOf(base), baseCellRows, baseBoxKeys, baseBoxKeys.count())
+  }
+
+  /** ONE per-batch ingest body — the driver loop calls it directly, the
+    * streaming twin calls it from `foreachBatch`, so batch ≡ stream by
+    * construction (what `StreamBatchParitySpec` then re-proves end to
+    * end): append the batch as `delta/b=<i>`, settle its maintenance
+    * decision against the static base grid, and advance the box
+    * observable INCREMENTALLY (round 16, VERDICT r15 #1):
+    * rows_out_after(i) = rows_out_after(i−1) + |batch_i ∩ box| −
+    * |batch_i keys whose BASE version was in the box|. Sound because
+    * the arrival batches are pairwise key-disjoint by construction
+    * (disjoint mod-3 insert slices; the updates' mod-100 keys are base
+    * keys, never inserts), so the version a batch supersedes is always
+    * the BASE version — and whether THAT version counted is a
+    * membership probe against the once-materialized base box keys.
+    * Per batch the operator pays batch-sized + box-sized work, never a
+    * rescan of base ∪ delta-so-far (the [[graft.ops.Incremental]]
+    * contract — this loop models a CONTINUOUS ingest, where a
+    * per-batch corpus scan is the scale killer). `LayoutSpec` pins the
+    * running value ≡ the full newest-wins recompute per batch.
+    * Returns the metrics tuple; slot 7 is the advanced running count
+    * the caller threads into the next step. */
+  private[graft] def lakeIngestStep(b: DataFrame, i: Long, root: String,
+      ctx: LakeIngestCtx, runningBefore: Long):
+      (Long, Long, Long, Long, Long, Long, Long) = {
+    b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
+    val nArrived = b.count()
+    val cells = cellsUnderBounds(b, ctx.bounds).collect().map(_.getLong(0))
+    val (hit, fresh) = cells.partition(ctx.baseCellRows.contains)
+    val rowsRewritten = hit.map(ctx.baseCellRows).sum
+    val amp = if (nArrived == 0) 0L else rowsRewritten * 1000 / nArrived
+    val nInBox = b.where(lakeBox).count()
+    val nSuperseded = ctx.baseBoxKeys
+      .join(b.select(col("event_id")), Seq("event_id")).count()
+    (i, nArrived, hit.length.toLong, fresh.length.toLong,
+      rowsRewritten, amp, runningBefore + nInBox - nSuperseded)
+  }
+
+  private[graft] def writeLakeMetrics(spark: SparkSession,
+      rows: Seq[(Long, Long, Long, Long, Long, Long, Long)], root: String): Unit = {
+    import spark.implicits._
+    rows.toDF("batch_id", "n_arrived", "n_affected_files", "n_new_files",
+      "rows_rewritten", "amp_x1000", "rows_out_after")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/metrics")
+  }
+
+  private[graft] def readLakeMetrics(spark: SparkSession, root: String): DataFrame =
     spark.read.schema("batch_id BIGINT, n_arrived BIGINT, n_affected_files BIGINT, " +
         "n_new_files BIGINT, rows_rewritten BIGINT, amp_x1000 BIGINT, rows_out_after BIGINT")
       .parquet(s"$root/metrics")
       .orderBy("batch_id")
+
+  /** Order-free content fingerprint of (base, arrivals, grid formulas)
+    * — shared by both ingest engines so they cache/invalidate together.
+    * v2: the incremental rows_out_after loop (round 16) — same values,
+    * but the bump forces stale round-15 metrics dirs to re-materialize
+    * through the new per-batch code path. */
+  private[graft] def lakeIngestFingerprint(spark: SparkSession, dir: String): String = {
+    import graft.sources.PartitionedSink
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val plannedBase = PartitionedSink.withZCell(base, Seq("user_id", "value"), 12, 6)
+      .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+    val plannedArrivals = lakeArrivalBatches(spark, dir).zipWithIndex
+      .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
+      .reduce(_ unionByName _)
+    layoutFingerprint("v2", plannedBase.unionByName(plannedArrivals))
+  }
+
+  def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchDir("lake_ingest", dir)
+    val bs = lakeArrivalBatches(spark, dir)
+    materializeIfChanged(root, lakeIngestFingerprint(spark, dir)) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val ctx = prepareLakeIngest(spark, dir, root)
+      try {
+        var running = ctx.boxInit
+        val metrics = bs.zipWithIndex.map { case (b, i) =>
+          val r = lakeIngestStep(b, i.toLong, root, ctx, running)
+          running = r._7
+          r
+        }
+        writeLakeMetrics(spark, metrics, root)
+      } finally ctx.baseBoxKeys.unpersist()
+    }
+    readLakeMetrics(spark, root)
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
