@@ -286,4 +286,17 @@ class EmptyInputsSpec extends SparkSpec {
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeIngest.$c"))
     }
   }
+
+  test("round-16 additions on empty inputs") {
+    // the streaming twin of the arrival loop: three EMPTY staged files
+    // must still fire three micro-batches (a file-source batch is
+    // defined by new files, not by rows) and land three all-zero rows
+    val ls = graft.streaming.LakeIngestStream.lakeIngestStream(spark, dir).collect()
+    assert(ls.length === 3)
+    ls.foreach { r =>
+      Seq("n_arrived", "n_affected_files", "n_new_files",
+        "rows_rewritten", "amp_x1000", "rows_out_after")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeIngestStream.$c"))
+    }
+  }
 }

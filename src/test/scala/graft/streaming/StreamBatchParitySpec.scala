@@ -192,6 +192,32 @@ class StreamBatchParitySpec extends SparkSpec {
       "ingest-time fused gate must admit exactly the batch conjunction's survivors")
   }
 
+  test("lake ingest through the real streaming engine == the batch replay, metrics row-for-row") {
+    // VERDICT r15 task 2: the arrival loop's foreachBatch body is ONE
+    // definition (Layout.lakeIngestStep) — this proves the two engines
+    // also EXECUTE to identical per-batch decisions and box counts on
+    // the driver's real events table, including the incremental
+    // rows_out_after threading through streaming micro-batch boundaries
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ext.Layout.lakeIngest(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val stream = LakeIngestStream.lakeIngestStream(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.length === 3)
+    assert(stream === batch,
+      s"stream/batch ingest divergence:\n stream=$stream\n batch=$batch")
+    // the streaming lineage is physically real: one staged arrival file
+    // and one appended delta file per micro-batch
+    val root = graft.ext.Layout.scratchDir("lake_ingest_stream", dir)
+    (0 until 3).foreach { i =>
+      assert(new java.io.File(s"$root/stage/b$i.parquet").isFile,
+        s"staged arrival file b$i must exist")
+      val n = new java.io.File(s"$root/delta/b=$i")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"micro-batch $i must land exactly one delta file")
+    }
+  }
+
   test("STORED classifier gate applies unchanged on a readStream (batch parity)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
