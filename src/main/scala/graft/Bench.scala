@@ -49,7 +49,12 @@ object Bench {
     // DECIDE cell join that guard/parameterize the marker — ADVICE r15)
     // and the shuffle-free bucketed joins (fact⋈fact attribution + the
     // co-located full-outer snapshot diff)
-    "x_lake_e2e", "x_lake_ingest", "j_bucketed", "j_bucketed_diff")
+    "x_lake_e2e", "x_lake_ingest", "j_bucketed", "j_bucketed_diff",
+    // round-16 marquee additions: schema evolution across the lake
+    // lifecycle (evolved merge-on-read → evolved fold → new-column
+    // pruning) and the arrival loop under the REAL streaming engine
+    // (readStream + foreachBatch over the same per-batch body)
+    "x_lake_evolve", "x_lake_ingest_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

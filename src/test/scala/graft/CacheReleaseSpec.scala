@@ -38,6 +38,9 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("compactionExec")(ext.Layout.compactionExec(spark, dir))
     assertReleased("footerPruneMixed")(ext.Layout.footerPruneMixed(spark, dir))
     assertReleased("lakeE2e")(ext.Layout.lakeE2e(spark, dir))
+    assertReleased("lakeEvolve")(ext.Layout.lakeEvolve(spark, dir))
+    assertReleased("lakeIngestStream")(
+      streaming.LakeIngestStream.lakeIngestStream(spark, dir))
     assertReleased("bucketedAttribution")(
       sources.BucketedTables.bucketedAttribution(spark, dir))
     assertReleased("kAnonView")(ext.Redaction.kAnonView(spark, dir))

@@ -362,6 +362,58 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("lake evolve: added column survives merge-on-read and fold, and its footers prune") {
+    val rows = Layout.lakeEvolve(spark, sf).collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("state")).toSeq ===
+      Seq("merge_on_read", "folded", "score_pruned"))
+    val Array(s1, s2, s3) = rows
+    // stages 1-2 answer the SAME value box: rows, evolved-column
+    // coverage, and the carried score values must all be invariant
+    Seq("rows_out", "n_scored", "score_chk").foreach { c =>
+      assert(s1.getAs[Long](c) === s2.getAs[Long](c), s"stage1/2 $c must be invariant")
+    }
+    // the fold win is unchanged by the evolution
+    assert(s2.getAs[Long]("rows_scanned") < s1.getAs[Long]("rows_scanned"),
+      s"fold=${s2.getAs[Long]("rows_scanned")} mor=${s1.getAs[Long]("rows_scanned")}")
+    // the NEW column's footers genuinely prune, and every answered row
+    // of the score box carries a real (non-NULL) evolved value
+    assert(s3.getAs[Long]("files_read") < s3.getAs[Long]("files_total"),
+      s"score stats must prune: ${s3.getAs[Long]("files_read")}/${s3.getAs[Long]("files_total")}")
+    assert(s3.getAs[Long]("rows_out") > 0L)
+    assert(s3.getAs[Long]("rows_out") === s3.getAs[Long]("n_scored"))
+    // mergeSchema inferred the evolved union schema over the mixed dir
+    val tbl = spark.read.option("mergeSchema", "true")
+      .parquet(s"${Layout.scratchDir("lake_evolve", sf)}/tbl")
+    assert(tbl.schema.fieldNames.contains("score"),
+      "the union schema must carry the added column")
+    // folded content ≡ the evolved newest-wins merge, INCLUDING the
+    // added column's values (NULL for pre-evolution rows)
+    val folded = spark.read
+      .parquet(s"${Layout.scratchDir("lake_evolve", sf)}/fold")
+      .select("event_id", "user_id", "value", "score")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+      .withColumn("score", (floor(col("value")) + lit(1000L)).cast("double"))
+    val mergedFull = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+      .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta, allowMissingColumns = true)
+      .select("event_id", "user_id", "value", "score")
+    assert(folded.count() === mergedFull.count())
+    assert(folded.exceptAll(mergedFull).count() === 0L,
+      "folded rows (score included) must equal the evolved newest-wins merge")
+    // conservative contract: the fold manifest carries real score stats
+    // for delta-bearing cells AND NULL-stat rows for all-NULL cells —
+    // both kinds must exist for the stage-3 numbers to mean anything
+    val mf = graft.sources.FooterManifest.build(spark,
+      s"${Layout.scratchDir("lake_evolve", sf)}/fold", Seq("score")).collect()
+    assert(mf.exists(r => !r.isNullAt(r.fieldIndex("min_v"))),
+      "at least one folded file must persist usable score stats")
+  }
+
   test("lake ingest: incremental rows_out_after ≡ full newest-wins recompute per batch") {
     // the ops.Incremental differential contract applied to the box
     // observable (round 16, VERDICT r15 #1): the loop maintains

@@ -298,5 +298,20 @@ class EmptyInputsSpec extends SparkSpec {
         "rows_rewritten", "amp_x1000", "rows_out_after")
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeIngestStream.$c"))
     }
+    // evolving an empty lake: all three stage rows, all-zero counters;
+    // stage 1 still carries the constant +1 delta file of the ingest
+    // model, and the mergeSchema union over the mixed (empty) dir must
+    // still infer the evolved schema from the delta's footer alone
+    val le = graft.ext.Layout.lakeEvolve(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(le.length === 3)
+    assert(le(0).getAs[Long]("files_total") === 1L)
+    assert(le(0).getAs[Long]("files_read") === 1L)
+    le.foreach { r =>
+      Seq("rows_scanned", "rows_out", "n_scored", "score_chk")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeEvolve.$c"))
+    }
+    assert(le(1).getAs[Long]("files_total") === 0L)
+    assert(le(2).getAs[Long]("files_total") === 0L)
   }
 }
