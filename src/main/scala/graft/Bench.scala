@@ -52,9 +52,11 @@ object Bench {
     "x_lake_e2e", "x_lake_ingest", "j_bucketed", "j_bucketed_diff",
     // round-16 marquee additions: schema evolution across the lake
     // lifecycle (evolved merge-on-read → evolved fold → new-column
-    // pruning) and the arrival loop under the REAL streaming engine
-    // (readStream + foreachBatch over the same per-batch body)
-    "x_lake_evolve", "x_lake_ingest_stream")
+    // pruning), the arrival loop under the REAL streaming engine
+    // (readStream + foreachBatch over the same per-batch body), and the
+    // reference-based retention vacuum (steady state = report
+    // read-back + the fingerprint scans every marker check pays)
+    "x_lake_evolve", "x_lake_ingest_stream", "x_lake_vacuum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

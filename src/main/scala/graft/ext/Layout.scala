@@ -1221,6 +1221,144 @@ object Layout {
       .orderBy("stage")
   }
 
+  /** RETENTION / VACUUM — the lake-maintenance primitive that completes
+    * the lifecycle (round 16, beyond the verdict plan): after a fold
+    * rewrites the merged table, the pre-fold base cells and the delta
+    * file are DEAD bytes that still cost listing, footer reads, and
+    * storage — at 100 TB, unreclaimed rewrite garbage dwarfs the live
+    * table within weeks. This is the published transaction-log VACUUM
+    * design (Delta/Iceberg `VACUUM` / `expire_snapshots`): liveness is
+    * REFERENCE-BASED, never name- or time-based — a file is deletable
+    * iff the current live manifest does not reference it, so the
+    * safety property "never delete a referenced file" is the filter
+    * itself, not a convention.
+    *
+    * The replay under one data root:
+    *   1. write the pre-fold state (`data/base` z-celled + `data/delta`,
+    *      the [[deltaRead]] fixtures) and the folded rewrite
+    *      (`data/fold`), and answer the standard 2-D box from the
+    *      PRE-vacuum files (newest-wins) — `rows_out_before`;
+    *   2. commit the live manifest: the fold's file list (the
+    *      transaction-log analogue — written BEFORE any deletion, the
+    *      ordering that makes a crash mid-vacuum safe: re-listing
+    *      deletes the remaining garbage, never a live file);
+    *   3. VACUUM: every parquet file under `data/` absent from the live
+    *      set is deleted, with its row mass counted from footers first;
+    *   4. re-answer the same box from the post-vacuum files —
+    *      `rows_out_after` — and persist the one-row report.
+    *
+    * One row: (files_before, files_live, files_deleted, rows_deleted,
+    * rows_out_before, rows_out_after) — the reclaimed mass next to the
+    * PROOF the answer survived deletion (the two box counts must be
+    * equal, which the oracle pins by recomputing both as the same
+    * newest-wins count). Oracle honesty ([[footerPrune]] discipline):
+    * file counts are cell-grid counts (pure functions of the data) and
+    * the delta file is the ingest-batch constant, so DuckDB recomputes
+    * every report column from the events table alone. Scale shape: the
+    * writes are the fold's own cost; the vacuum itself is pure FILE
+    * METADATA work — a file-count-scale listing diffed against the
+    * manifest (at 10⁶ files: a driver set-diff, or the same diff as a
+    * frame anti-join), footer row counts, and deletes. Steady state
+    * (current fingerprint) is the one-row report read-back. */
+  def lakeVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val root = scratchDir("lake_vacuum", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0).persist()
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0))).persist()
+    val folded = base
+      .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta).persist()
+    try {
+      val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+      materializeIfChanged(root, layoutFingerprint("v1:vacuum",
+          plannedBase.unionByName(
+            delta.withColumn("zcell", lit(-1L))
+              .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rootPath)) fs.delete(rootPath, true)
+        // 1. pre-fold state + fold, one data root
+        PartitionedSink.writeZCelled(base, s"$root/data/base", zcols, 12, 6)
+        delta.coalesce(1).write.mode("overwrite").parquet(s"$root/data/delta")
+        PartitionedSink.writeZCelled(folded, s"$root/data/fold", zcols, 12, 6)
+        def listParquet(p: String): Seq[String] = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(path)) Seq.empty
+          else {
+            val it = fs.listFiles(path, true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) {
+              val f = it.next().getPath
+              if (f.getName.endsWith(".parquet")) buf += f.toString
+            }
+            buf.toSeq
+          }
+        }
+        val boxCount = (files: Seq[String]) =>
+          if (files.isEmpty) 0L
+          else spark.read.parquet(files: _*).where(lakeBox).count()
+        // rows_out_before: newest-wins over the PRE-vacuum files
+        val baseFiles = listParquet(s"$root/data/base")
+        val deltaFiles = listParquet(s"$root/data/delta")
+        val emptyEv = spark.range(0).select(col("id").as("event_id"),
+          col("id").as("user_id"), col("id").cast("double").as("value"))
+        val deltaRead0 = if (deltaFiles.isEmpty) emptyEv
+          else spark.read.parquet(deltaFiles: _*)
+        val rowsOutBefore = (if (baseFiles.isEmpty) emptyEv
+            else spark.read.parquet(baseFiles: _*))
+          .join(deltaRead0.select(col("event_id")), Seq("event_id"), "left_anti")
+          .unionByName(deltaRead0)
+          .where(lakeBox).count()
+        // 2. commit the live manifest BEFORE deleting anything
+        val live = listParquet(s"$root/data/fold")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/live_manifest"),
+          live.mkString("\n").getBytes("UTF-8"))
+        // 3. reference-based vacuum: deletable iff NOT in the live set
+        val liveSet = live.toSet
+        val all = listParquet(s"$root/data")
+        val toDelete = all.filterNot(liveSet.contains)
+        val rowsDeleted = toDelete.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), spark.sparkContext.hadoopConfiguration)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          } finally reader.close()
+        }.sum
+        toDelete.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        // the safety property, asserted from the filesystem (not from
+        // the set algebra that is supposed to guarantee it): every
+        // manifest-referenced file must still exist after the vacuum
+        require(live.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+          "vacuum deleted a manifest-referenced file")
+        // 4. the answer must survive the deletion, from the live files
+        val rowsOutAfter = boxCount(listParquet(s"$root/data"))
+        import spark.implicits._
+        Seq((all.size.toLong, live.size.toLong, toDelete.size.toLong,
+          rowsDeleted, rowsOutBefore, rowsOutAfter))
+          .toDF("files_before", "files_live", "files_deleted", "rows_deleted",
+            "rows_out_before", "rows_out_after")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/report")
+      }
+    } finally {
+      base.unpersist()
+      delta.unpersist()
+      folded.unpersist()
+    }
+    spark.read.schema("files_before BIGINT, files_live BIGINT, files_deleted BIGINT, " +
+        "rows_deleted BIGINT, rows_out_before BIGINT, rows_out_after BIGINT")
+      .parquet(s"$root/report")
+  }
+
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
     * packing of curve-adjacent files into ~`target`-row output groups —
     * merging only neighbors on the curve preserves every group's tight
@@ -1406,6 +1544,7 @@ object Layout {
     "x_lake_e2e" -> (lakeE2e _),
     "x_lake_evolve" -> (lakeEvolve _),
     "x_lake_ingest" -> (lakeIngest _),
+    "x_lake_vacuum" -> (lakeVacuum _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -1524,6 +1663,60 @@ object Layout {
 
   val oracles: Map[String, String] = Map(
     "x_lake_ingest" -> lakeIngestOracleSql,
+    // file counts are cell-grid counts (the celled layouts are pure
+    // functions of the data) plus the one-file ingest-batch delta; both
+    // box answers are the same newest-wins count, which pins the
+    // vacuum's answer-survives-deletion invariant
+    "x_lake_vacuum" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |delta AS (
+         |  SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE event_id % 100 = 1),
+         |merged AS (
+         |  SELECT * FROM delta
+         |  UNION ALL
+         |  SELECT b.* FROM base b ANTI JOIN delta d ON d.event_id = b.event_id),
+         |bb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM base),
+         |bq AS (
+         |  SELECT
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM base, bb),
+         |bn AS (SELECT CAST(count(DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18) AS BIGINT)
+         |       AS n_base_files FROM bq),
+         |mb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM merged),
+         |mq AS (
+         |  SELECT
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM merged, mb),
+         |mn AS (SELECT CAST(count(DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18) AS BIGINT)
+         |       AS n_fold_files FROM mq),
+         |cnts AS (SELECT
+         |    CAST((SELECT count(*) FROM base) AS BIGINT) AS n_base_rows,
+         |    CAST((SELECT count(*) FROM delta) AS BIGINT) AS n_delta_rows),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT
+         |  n_base_files + 1 + n_fold_files AS files_before,
+         |  n_fold_files AS files_live,
+         |  n_base_files + 1 AS files_deleted,
+         |  n_base_rows + n_delta_rows AS rows_deleted,
+         |  rows_out AS rows_out_before,
+         |  rows_out AS rows_out_after
+         |FROM bn, mn, cnts, ro""".stripMargin,
     "x_lake_evolve" ->
       s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
          |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),

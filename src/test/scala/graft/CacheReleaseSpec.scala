@@ -39,6 +39,7 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("footerPruneMixed")(ext.Layout.footerPruneMixed(spark, dir))
     assertReleased("lakeE2e")(ext.Layout.lakeE2e(spark, dir))
     assertReleased("lakeEvolve")(ext.Layout.lakeEvolve(spark, dir))
+    assertReleased("lakeVacuum")(ext.Layout.lakeVacuum(spark, dir))
     assertReleased("lakeIngestStream")(
       streaming.LakeIngestStream.lakeIngestStream(spark, dir))
     assertReleased("bucketedAttribution")(

@@ -414,6 +414,48 @@ class LayoutSpec extends SparkSpec {
       "at least one folded file must persist usable score stats")
   }
 
+  test("lake vacuum: reclaims exactly the dead pre-fold files, answer survives, live files intact") {
+    val r = Layout.lakeVacuum(spark, sf).head()
+    // the invariant the vacuum exists to preserve: the box answer is
+    // identical before and after deletion
+    assert(r.getAs[Long]("rows_out_before") === r.getAs[Long]("rows_out_after"))
+    // accounting closes: live + deleted = before, and the deleted mass
+    // is exactly the pre-fold state (base + the one delta file)
+    assert(r.getAs[Long]("files_live") + r.getAs[Long]("files_deleted") ===
+      r.getAs[Long]("files_before"))
+    val ev = graft.Tables.events(spark, sf)
+    val nBase = ev.where(pmod(col("event_id"), lit(10)) =!= 0).count()
+    val nDelta = ev.where(pmod(col("event_id"), lit(10)) === 0).count() +
+      ev.where(pmod(col("event_id"), lit(100)) === 1).count()
+    assert(r.getAs[Long]("rows_deleted") === nBase + nDelta)
+    // physically: no parquet remains outside the fold, the fold is
+    // intact at exactly files_live, and the live manifest references
+    // precisely the surviving files
+    val root = Layout.scratchDir("lake_vacuum", sf)
+    def parquets(p: String): Seq[java.io.File] = {
+      val f = new java.io.File(p)
+      if (!f.exists()) Seq.empty
+      else (f +: f.listFiles().toSeq.flatMap(c =>
+        if (c.isDirectory) Some(c) else None)).flatMap(d =>
+        Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet")))
+    }
+    assert(parquets(s"$root/data/base").isEmpty, "pre-fold base files must be gone")
+    assert(parquets(s"$root/data/delta").isEmpty, "the delta file must be gone")
+    val foldFiles = parquets(s"$root/data/fold")
+    assert(foldFiles.size.toLong === r.getAs[Long]("files_live"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/live_manifest")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(_.replaceFirst("^file:", "")).toSet
+    assert(foldFiles.forall(f => manifest.contains(f.getAbsolutePath)),
+      "every surviving file must be manifest-referenced")
+    // the surviving files still answer the full merged table
+    val foldCount = spark.read.parquet(s"$root/data/fold").count()
+    val mergedCount = ev.where(pmod(col("event_id"), lit(10)) =!= 0).count() +
+      ev.where(pmod(col("event_id"), lit(10)) === 0).count()
+    assert(foldCount === mergedCount,
+      "fold = base-minus-updated + delta = all inserts + all base keys")
+  }
+
   test("lake ingest: incremental rows_out_after ≡ full newest-wins recompute per batch") {
     // the ops.Incremental differential contract applied to the box
     // observable (round 16, VERDICT r15 #1): the loop maintains
