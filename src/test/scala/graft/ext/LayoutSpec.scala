@@ -414,6 +414,25 @@ class LayoutSpec extends SparkSpec {
       "at least one folded file must persist usable score stats")
   }
 
+  test("schema evolution: WIDENED type reads through the evolved schema (int32 files as long)") {
+    // the other half of the evolution story next to lakeEvolve's added
+    // column: a type widened by a later writer (int → long). The
+    // catalog records the WIDER type and old files read through it —
+    // Spark 4's parquet readers support widening promotions, so the
+    // mixed table answers exactly, no rewrite of old files needed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    spark.range(5).select(col("id").cast("int").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/w")
+    spark.range(5, 10).select(col("id").as("v"))
+      .write.mode("append").parquet(s"$dir/w")
+    val evolved = spark.read.schema("v LONG").parquet(s"$dir/w")
+    assert(evolved.schema.head.dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(evolved.agg(sum(col("v"))).head().getLong(0) === 45L)
+    assert(evolved.where(col("v") < 5).count() === 5L,
+      "rows from the narrow-typed files must read back through the wide schema")
+  }
+
   test("lake vacuum: reclaims exactly the dead pre-fold files, answer survives, live files intact") {
     val r = Layout.lakeVacuum(spark, sf).head()
     // the invariant the vacuum exists to preserve: the box answer is
