@@ -1251,7 +1251,17 @@ object Layout {
     * rows_out_before, rows_out_after) — the reclaimed mass next to the
     * PROOF the answer survived deletion (the two box counts must be
     * equal, which the oracle pins by recomputing both as the same
-    * newest-wins count). Oracle honesty ([[footerPrune]] discipline):
+    * newest-wins count).
+    *
+    * Why this runs its own lineage instead of extending [[lakeE2e]]:
+    * the lifecycle REPORT re-answers every state (merge-on-read,
+    * folded, compacted) from persisted files on each invocation — a
+    * vacuum inside it would destroy exactly the states the report
+    * exists to keep demonstrating. In production that inversion is the
+    * point: you vacuum a superseded generation precisely because you no
+    * longer need to answer from it, which is what this query models on
+    * the same fixtures (ingest → fold → RECLAIM the pre-fold state).
+    * Oracle honesty ([[footerPrune]] discipline):
     * file counts are cell-grid counts (pure functions of the data) and
     * the delta file is the ingest-batch constant, so DuckDB recomputes
     * every report column from the events table alone. Scale shape: the
