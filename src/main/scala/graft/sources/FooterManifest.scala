@@ -81,9 +81,16 @@ object FooterManifest {
   /** Build the manifest for `columns` of every parquet file under `dir`.
     * Footer reads run on executors, one task per ~`filesPerTask` files. */
   def build(spark: SparkSession, dir: String, columns: Seq[String],
-      filesPerTask: Int = 64): DataFrame = {
+      filesPerTask: Int = 64): DataFrame =
+    buildFromFiles(spark, listParquet(spark, dir), columns, filesPerTask)
+
+  /** [[build]] over an EXPLICIT file list — for consumers whose file set
+    * is not "everything under one dir": a generation manifest's
+    * references, a vacuum's dead set. Same distributed footer IO; the
+    * driver only ever holds the names. */
+  def buildFromFiles(spark: SparkSession, files: Seq[String],
+      columns: Seq[String], filesPerTask: Int = 64): DataFrame = {
     import spark.implicits._
-    val files = listParquet(spark, dir)
     if (files.isEmpty)
       return spark.emptyDataset[FooterStat].toDF()
     val parts = math.max(1, math.min(

@@ -40,6 +40,7 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("lakeE2e")(ext.Layout.lakeE2e(spark, dir))
     assertReleased("lakeEvolve")(ext.Layout.lakeEvolve(spark, dir))
     assertReleased("lakeVacuum")(ext.Layout.lakeVacuum(spark, dir))
+    assertReleased("lakeTimetravel")(ext.Layout.lakeTimetravel(spark, dir))
     assertReleased("lakeIngestStream")(
       streaming.LakeIngestStream.lakeIngestStream(spark, dir))
     assertReleased("bucketedAttribution")(

@@ -322,4 +322,20 @@ class EmptyInputsSpec extends SparkSpec {
     Seq("rows_deleted", "rows_out_before", "rows_out_after")
       .foreach(c => assert(lv.getAs[Long](c) === 0L, s"lakeVacuum.$c"))
   }
+
+  test("round-17 additions on empty inputs") {
+    // time travel over an empty lake: all three generations commit and
+    // stay readable; g0 still references the one empty delta file, the
+    // rewrites reference nothing, every answer is zero
+    val tt = graft.ext.Layout.lakeTimetravel(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(tt.length === 3)
+    assert(tt(0).getAs[Long]("files_live") === 1L)
+    assert(tt(1).getAs[Long]("files_live") === 0L)
+    assert(tt(2).getAs[Long]("files_live") === 0L)
+    tt.foreach { r =>
+      Seq("rows_referenced", "rows_out")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeTimetravel.$c"))
+    }
+  }
 }
