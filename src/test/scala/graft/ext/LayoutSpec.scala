@@ -433,13 +433,16 @@ class LayoutSpec extends SparkSpec {
       "rows from the narrow-typed files must read back through the wide schema")
   }
 
-  test("lake vacuum: reclaims exactly the dead pre-fold files, answer survives, live files intact") {
+  test("lake vacuum: retention window keeps g-1 readable, expires g0, answers survive") {
     val r = Layout.lakeVacuum(spark, sf).head()
-    // the invariant the vacuum exists to preserve: the box answer is
-    // identical before and after deletion
+    // the two survival proofs: the current state's answer outlives the
+    // vacuum, and the retained previous generation answers identically
     assert(r.getAs[Long]("rows_out_before") === r.getAs[Long]("rows_out_after"))
+    assert(r.getAs[Long]("rows_out_prev_gen") === r.getAs[Long]("rows_out_after"))
+    assert(r.getAs[Long]("n_gens") === 3L)
+    assert(r.getAs[Long]("n_retained") === 2L)
     // accounting closes: live + deleted = before, and the deleted mass
-    // is exactly the pre-fold state (base + the one delta file)
+    // is exactly the expired pre-fold state (base + the one delta file)
     assert(r.getAs[Long]("files_live") + r.getAs[Long]("files_deleted") ===
       r.getAs[Long]("files_before"))
     val ev = graft.Tables.events(spark, sf)
@@ -447,31 +450,31 @@ class LayoutSpec extends SparkSpec {
     val nDelta = ev.where(pmod(col("event_id"), lit(10)) === 0).count() +
       ev.where(pmod(col("event_id"), lit(100)) === 1).count()
     assert(r.getAs[Long]("rows_deleted") === nBase + nDelta)
-    // physically: no parquet remains outside the fold, the fold is
-    // intact at exactly files_live, and the live manifest references
-    // precisely the surviving files
+    // physically: g0 is PAST the window — its exclusive files are gone
+    // (the manifest itself survives: the log records history) — while
+    // every file a retained generation references exists, at exactly
+    // files_live
     val root = Layout.scratchDir("lake_vacuum", sf)
-    def parquets(p: String): Seq[java.io.File] = {
-      val f = new java.io.File(p)
-      if (!f.exists()) Seq.empty
-      else (f +: f.listFiles().toSeq.flatMap(c =>
-        if (c.isDirectory) Some(c) else None)).flatMap(d =>
-        Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet")))
-    }
-    assert(parquets(s"$root/data/base").isEmpty, "pre-fold base files must be gone")
-    assert(parquets(s"$root/data/delta").isEmpty, "the delta file must be gone")
-    val foldFiles = parquets(s"$root/data/fold")
-    assert(foldFiles.size.toLong === r.getAs[Long]("files_live"))
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/live_manifest")), "UTF-8")
-      .split("\n").filter(_.nonEmpty).map(_.replaceFirst("^file:", "")).toSet
-    assert(foldFiles.forall(f => manifest.contains(f.getAbsolutePath)),
-      "every surviving file must be manifest-referenced")
-    // the surviving files still answer the full merged table
-    val foldCount = spark.read.parquet(s"$root/data/fold").count()
+    def onDisk(f: String): Boolean =
+      new java.io.File(f.replaceFirst("^file:", "")).exists()
+    val live = (Layout.readGeneration(root, 1) ++ Layout.readGeneration(root, 2))
+      .map(_._2).toSet
+    val g0Dead = Layout.readGeneration(root, 0).map(_._2).filterNot(live)
+    assert(g0Dead.nonEmpty)
+    g0Dead.foreach(f => assert(!onDisk(f), s"expired g0 file must be deleted: $f"))
+    assert(live.size.toLong === r.getAs[Long]("files_live"))
+    live.foreach(f => assert(onDisk(f), s"retained file must survive: $f"))
+    // g1 is INSIDE the window: after the vacuum it still answers the
+    // full table, row-for-row equal to the current generation
+    val g1 = Layout.readLakeAsOf(spark, root, 1)
+    val g2 = Layout.readLakeAsOf(spark, root, 2)
+    assert(g1.count() === g2.count())
+    assert(g1.exceptAll(g2).count() === 0L && g2.exceptAll(g1).count() === 0L,
+      "the retained previous generation must answer exactly the current state")
+    // and that answer is the full merged table (all inserts + all base keys)
     val mergedCount = ev.where(pmod(col("event_id"), lit(10)) =!= 0).count() +
       ev.where(pmod(col("event_id"), lit(10)) === 0).count()
-    assert(foldCount === mergedCount,
+    assert(g1.count() === mergedCount,
       "fold = base-minus-updated + delta = all inserts + all base keys")
   }
 

@@ -313,13 +313,16 @@ class EmptyInputsSpec extends SparkSpec {
     }
     assert(le(1).getAs[Long]("files_total") === 0L)
     assert(le(2).getAs[Long]("files_total") === 0L)
-    // vacuuming an empty lake: the one empty delta file is dead weight
-    // (0 rows), the fold is empty, and the answer is trivially invariant
+    // vacuuming an empty lake: three generations still commit; the one
+    // empty delta file is g0's only (dead) reference, the retained
+    // rewrites reference nothing, the answers are trivially invariant
     val lv = graft.ext.Layout.lakeVacuum(spark, dir).head()
+    assert(lv.getAs[Long]("n_gens") === 3L)
+    assert(lv.getAs[Long]("n_retained") === 2L)
     assert(lv.getAs[Long]("files_before") === 1L)
     assert(lv.getAs[Long]("files_live") === 0L)
     assert(lv.getAs[Long]("files_deleted") === 1L)
-    Seq("rows_deleted", "rows_out_before", "rows_out_after")
+    Seq("rows_deleted", "rows_out_before", "rows_out_prev_gen", "rows_out_after")
       .foreach(c => assert(lv.getAs[Long](c) === 0L, s"lakeVacuum.$c"))
   }
 
