@@ -56,7 +56,13 @@ object Bench {
     // (readStream + foreachBatch over the same per-batch body), and the
     // reference-based retention vacuum (steady state = report
     // read-back + the fingerprint scans every marker check pays)
-    "x_lake_evolve", "x_lake_ingest_stream", "x_lake_vacuum")
+    "x_lake_evolve", "x_lake_ingest_stream", "x_lake_vacuum",
+    // round-17 marquee additions: the generation log read AS OF every
+    // retained state (steady state = per-generation footer manifests +
+    // merged box counts under the fingerprint guard) and widened-type
+    // evolution (mixed INT32/INT64 footers pruned, promotion read,
+    // uniformly-wide fold)
+    "x_lake_timetravel", "x_lake_widen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

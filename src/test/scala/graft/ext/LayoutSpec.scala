@@ -433,6 +433,61 @@ class LayoutSpec extends SparkSpec {
       "rows from the narrow-typed files must read back through the wide schema")
   }
 
+  /** Physical parquet type name of column `c` in file `f` — read straight
+    * from the footer, so the width claims below are about what is ON DISK,
+    * not about what a reader promoted. */
+  private def physTypeOf(f: String, c: String): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema
+      .getColumnDescription(Array(c)).getPrimitiveType.getPrimitiveTypeName.name
+    finally r.close()
+  }
+
+  test("lake widen: narrow era on disk is INT32, the fold lands uniformly INT64, values survive") {
+    val rows = Layout.lakeWiden(spark, sf).collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length === 3)
+    val root = Layout.scratchDir("lake_widen", sf)
+    // the width claims, from the footers themselves: every base file is
+    // the narrow era (INT32), the delta and every folded file are wide
+    val (deltaFiles, baseFiles) = Layout.listParquetFiles(spark, s"$root/tbl")
+      .partition(_.contains("zcell=-1"))
+    assert(baseFiles.nonEmpty && deltaFiles.nonEmpty)
+    baseFiles.foreach(f => assert(physTypeOf(f, "user_id") === "INT32",
+      s"narrow-era base file must persist INT32 user_id: $f"))
+    deltaFiles.foreach(f => assert(physTypeOf(f, "user_id") === "INT64"))
+    val foldFiles = Layout.listParquetFiles(spark, s"$root/fold")
+    assert(foldFiles.nonEmpty)
+    foldFiles.foreach(f => assert(physTypeOf(f, "user_id") === "INT64",
+      s"folded file must carry the widened type: $f"))
+    // fold content ≡ the newest-wins merge computed from the table —
+    // the promotion read changed no value on the way through
+    val folded = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(s"$root/fold")
+      .select("event_id", "user_id", "value")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    val mergedFull = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+      .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(delta)
+    assert(folded.count() === mergedFull.count())
+    assert(folded.exceptAll(mergedFull).count() === 0L,
+      "folded rows must equal the newest-wins merge through the wide schema")
+    // stage invariants: the fold changes no answer, and the widened
+    // column's mixed-width footers genuinely prune at stage 3
+    assert(rows(0).getAs[Long]("rows_out") === rows(1).getAs[Long]("rows_out"))
+    assert(rows(0).getAs[Long]("uid_chk") === rows(1).getAs[Long]("uid_chk"))
+    assert(rows(2).getAs[Long]("files_read") < rows(2).getAs[Long]("files_total"),
+      "uid-only pruning over INT32 footer stats must skip files")
+    assert(rows(2).getAs[Long]("rows_out") > 0L)
+  }
+
   test("lake vacuum: retention window keeps g-1 readable, expires g0, answers survive") {
     val r = Layout.lakeVacuum(spark, sf).head()
     // the two survival proofs: the current state's answer outlives the

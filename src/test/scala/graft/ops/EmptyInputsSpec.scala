@@ -340,5 +340,20 @@ class EmptyInputsSpec extends SparkSpec {
       Seq("rows_referenced", "rows_out")
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeTimetravel.$c"))
     }
+    // widening an empty lake: all three stage rows, all-zero counters;
+    // the mixed-width stages still carry the constant +1 delta file of
+    // the ingest model, the (empty) fold has no files at all
+    val lw = graft.ext.Layout.lakeWiden(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(lw.length === 3)
+    Seq(0, 2).foreach { i =>
+      assert(lw(i).getAs[Long]("files_total") === 1L, s"lakeWiden s${i + 1}")
+      assert(lw(i).getAs[Long]("files_read") === 1L, s"lakeWiden s${i + 1}")
+    }
+    assert(lw(1).getAs[Long]("files_total") === 0L)
+    lw.foreach { r =>
+      Seq("rows_scanned", "rows_out", "uid_chk")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeWiden.$c"))
+    }
   }
 }

@@ -255,6 +255,7 @@ class PlanSpec extends SparkSpec {
       "x_delta_fold"      -> ((1, 1)), // 1-row rows_out report column
       "x_lake_e2e"        -> ((3, 3)), // 3 stage rows × 1-row rows_out column
       "x_lake_evolve"     -> ((3, 3)), // 3 stage rows × 1-row answered-agg column
+      "x_lake_widen"      -> ((3, 3)), // 3 stage rows × 1-row answered-agg column
       "x_lake_ingest"     -> ((0, 0)), // metrics-table read-back: literal plan
       "x_lake_ingest_stream" -> ((0, 0)), // same read-back shape as the batch loop
       "x_lake_vacuum"     -> ((0, 0)), // one-row report read-back: literal plan
