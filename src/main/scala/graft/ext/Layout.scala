@@ -974,12 +974,26 @@ object Layout {
       ctx: LakeIngestCtx, runningBefore: Long):
       (Long, Long, Long, Long, Long, Long, Long) = {
     b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
-    val nArrived = b.count()
+    // ONE batch-scale aggregate settles arrival count, the within-batch
+    // key-uniqueness guard, and box membership (was three jobs)
+    val s = b.agg(count(lit(1)), count_distinct(col("event_id")),
+      count(when(lakeBox, lit(1)))).head()
+    val nArrived = s.getLong(0)
+    // the incremental correction is sound only when the version a batch
+    // supersedes is a BASE version: within-batch duplicates would make
+    // |batch ∩ box| double-count, so guard what is checkable per batch
+    // (ADVICE r16); ACROSS batches key-disjointness stays the documented
+    // caller contract — checking it here would mean rescanning every
+    // prior delta per batch, the exact O(batches × corpus) shape the
+    // incremental loop exists to avoid
+    require(s.getLong(1) == nArrived,
+      s"lakeIngestStep: batch $i carries duplicate event_ids — the " +
+        "incremental rows_out_after correction assumes distinct batch keys")
+    val nInBox = s.getLong(2)
     val cells = cellsUnderBounds(b, ctx.bounds).collect().map(_.getLong(0))
     val (hit, fresh) = cells.partition(ctx.baseCellRows.contains)
     val rowsRewritten = hit.map(ctx.baseCellRows).sum
     val amp = if (nArrived == 0) 0L else rowsRewritten * 1000 / nArrived
-    val nInBox = b.where(lakeBox).count()
     val nSuperseded = ctx.baseBoxKeys
       .join(b.select(col("event_id")), Seq("event_id")).count()
     (i, nArrived, hit.length.toLong, fresh.length.toLong,

