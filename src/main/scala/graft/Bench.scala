@@ -59,10 +59,11 @@ object Bench {
     "x_lake_evolve", "x_lake_ingest_stream", "x_lake_vacuum",
     // round-17 marquee additions: the generation log read AS OF every
     // retained state (steady state = per-generation footer manifests +
-    // merged box counts under the fingerprint guard) and widened-type
+    // merged box counts under the fingerprint guard), widened-type
     // evolution (mixed INT32/INT64 footers pruned, promotion read,
-    // uniformly-wide fold)
-    "x_lake_timetravel", "x_lake_widen")
+    // uniformly-wide fold), and the change feed over the log (delta-
+    // scale CDC incl. the inverse feed across a metadata-only restore)
+    "x_lake_timetravel", "x_lake_widen", "x_lake_changes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

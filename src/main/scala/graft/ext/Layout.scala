@@ -1579,7 +1579,41 @@ object Layout {
     val dir = java.nio.file.Paths.get(s"$root/gens")
     java.nio.file.Files.createDirectories(dir)
     val body = entries.map { case (kind, f) => s"$kind\t$f" }.mkString("\n")
-    java.nio.file.Files.write(dir.resolve(s"g=$gen"), body.getBytes("UTF-8"))
+    // CREATE_NEW makes the commit an atomic CLAIM of the slot: two
+    // writers racing the same generation number cannot both win — the
+    // loser gets FileAlreadyExistsException instead of silently
+    // overwriting a committed state (the optimistic-concurrency
+    // primitive of published transaction logs; the mutual-exclusion
+    // half that object stores provide via put-if-absent). Single-writer
+    // lineages never see the exception: they commit each number once
+    // under the materialize lock after wiping the root.
+    java.nio.file.Files.write(dir.resolve(s"g=$gen"), body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+  }
+
+  /** OPTIMISTIC APPEND to the generation log: read the tip, try to claim
+    * tip+1, and on a lost race re-read and retry — the published
+    * optimistic-concurrency commit loop (writers never lock the table;
+    * conflict detection IS the atomic slot claim). Returns the
+    * generation number actually committed. Bounded retries: under real
+    * contention each loser's next read observes the winner's commit, so
+    * the loop advances every round; the cap only guards a pathological
+    * filesystem. */
+  private[graft] def commitNextGeneration(root: String,
+      entries: Seq[(String, String)]): Int = {
+    var attempts = 0
+    while (attempts < 64) {
+      val next = listGenerations(root).lastOption.getOrElse(-1) + 1
+      try {
+        commitGeneration(root, next, entries)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      "commitNextGeneration: lost 64 consecutive commit races")
   }
 
   /** The (kind, path) references of generation `gen` — throws when the
@@ -1713,6 +1747,108 @@ object Layout {
         lit(rowsRef).as("rows_referenced"))
         .crossJoin(broadcast(rowsOut))
     }.reduce(_ unionByName _).orderBy("gen")
+  }
+
+  /** CHANGE DATA FEED over the generation log (round 17, beyond-plan —
+    * the published Delta/Iceberg CDF analogue): once table states are
+    * numbered commits ([[commitGeneration]]), "what changed between
+    * generation m and n" becomes a first-class, log-answerable query —
+    * what every downstream incremental consumer (index refresh,
+    * aggregate maintenance, replication) reads INSTEAD of re-diffing
+    * 100 TB of state. The lineage walks three commits under one root:
+    *
+    *   g0 — the clustered base alone;
+    *   g1 — the arrival: base refs + the delta file ([[deltaRead]]
+    *        fixtures — 10% inserts, mod-100 corrected updates);
+    *   g2 — RESTORE TO g0: a pure METADATA commit re-referencing g0's
+    *        files verbatim (the published RESTORE semantics — rolling
+    *        back is a new commit, never a data rewrite; `LayoutSpec`
+    *        pins zero new data files and g2 ≡ g0 row-for-row).
+    *
+    * The feed is computed at DELTA scale, not state scale: ONE
+    * delta⋈base-keys probe classifies every delta row, and each row
+    * then contributes its forward change (g0→g1: `insert` or
+    * `update_postimage`, carrying the arriving values) and its inverse
+    * change across the restore (g1→g2: `delete` for rows that vanish,
+    * carrying their last values; `update_preimage` for values that
+    * revert, carrying the restored base values) through one
+    * array+explode projection — no second probe, no full-outer diff of
+    * two corpus states (that generic backfill is exactly what
+    * `LayoutSpec` pins this feed equal to). One row per (from_gen,
+    * to_gen, change_type): n_rows plus three exact integer checksums
+    * (key, user, ⌊value⌋ sums), so pre/post images are distinguishable
+    * by value content, not just labels.
+    *
+    * Oracle honesty: the feed is a pure function of the events table
+    * (the log only decides which files carry which state), so DuckDB
+    * recomputes every row from the fixture slices alone. Scale shape:
+    * one batch-sized join against a base key projection + one hash-agg
+    * over the (≤ 4-type) feed; the restore commit costs one manifest
+    * write. */
+  def lakeChanges(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedSink
+    val root = scratchDir("lake_changes", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0).persist()
+    val delta = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0))).persist()
+    try {
+      val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+      materializeIfChanged(root, layoutFingerprint("v1:changes",
+          plannedBase.unionByName(
+            delta.withColumn("zcell", lit(-1L))
+              .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rootPath)) fs.delete(rootPath, true)
+        PartitionedSink.writeZCelled(base, s"$root/data/base", zcols, 12, 6)
+        val baseRefs = listParquetFiles(spark, s"$root/data/base").map("base" -> _)
+        commitGeneration(root, 0, baseRefs)
+        delta.coalesce(1).write.mode("overwrite").parquet(s"$root/data/delta")
+        commitGeneration(root, 1, baseRefs ++
+          listParquetFiles(spark, s"$root/data/delta").map("delta" -> _))
+        // g2 — RESTORE to g0: re-reference g0's manifest, write nothing
+        commitGeneration(root, 2, readGeneration(root, 0))
+      }
+    } finally {
+      base.unpersist()
+      delta.unpersist()
+    }
+    // the feed, answered from the LOG at delta scale
+    val schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    def readOr(files: Seq[String]): DataFrame =
+      if (files.isEmpty) spark.range(0).select(col("id").as("event_id"),
+        col("id").as("user_id"), col("id").cast("double").as("value"))
+      else spark.read.schema(schema).parquet(files: _*)
+    val baseDf = readOr(readGeneration(root, 0).collect { case ("base", f) => f })
+    val deltaDf = readOr(readGeneration(root, 1).collect { case ("delta", f) => f })
+    // one probe classifies; base value rides along as the preimage
+    val marked = deltaDf.join(
+      baseDf.select(col("event_id"), col("value").as("__bv")),
+      Seq("event_id"), "left_outer")
+    def change(from: Int, to: Int, ct: String, v: Column) =
+      struct(lit(from.toLong).as("from_gen"), lit(to.toLong).as("to_gen"),
+        lit(ct).as("change_type"), v.as("v"))
+    val feed = marked.select(col("event_id"), col("user_id"),
+        explode(when(col("__bv").isNull,
+            // an arriving NEW key: inserted by g1, deleted by the restore
+            array(change(0, 1, "insert", col("value")),
+              change(1, 2, "delete", col("value"))))
+          .otherwise(
+            // an arriving UPDATE: postimage in g1, reverted by the restore
+            array(change(0, 1, "update_postimage", col("value")),
+              change(1, 2, "update_preimage", col("__bv"))))).as("c"))
+    feed.groupBy(col("c.from_gen").as("from_gen"), col("c.to_gen").as("to_gen"),
+        col("c.change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("key_chk"),
+        sum(col("user_id")).as("uid_chk"),
+        sum(floor(col("c.v")).cast("long")).as("val_chk"))
+      .orderBy("from_gen", "to_gen", "change_type")
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
@@ -1903,6 +2039,7 @@ object Layout {
     "x_lake_ingest" -> (lakeIngest _),
     "x_lake_vacuum" -> (lakeVacuum _),
     "x_lake_timetravel" -> (lakeTimetravel _),
+    "x_lake_changes" -> (lakeChanges _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -2021,6 +2158,29 @@ object Layout {
 
   val oracles: Map[String, String] = Map(
     "x_lake_ingest" -> lakeIngestOracleSql,
+    // the feed is a pure function of the fixture slices: forward rows
+    // carry the arriving values, the restore's inverse rows carry the
+    // vanishing/reverted values; ⌊value⌋ sums are exact integers in
+    // both engines, so pre/post images are pinned by content
+    "x_lake_changes" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |ins AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0),
+        |upd AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 100 = 1),
+        |feed AS (
+        |  SELECT 0 AS from_gen, 1 AS to_gen, 'insert' AS change_type,
+        |         event_id, user_id, value FROM ins
+        |  UNION ALL
+        |  SELECT 1, 2, 'delete', event_id, user_id, value FROM ins
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_postimage', event_id, user_id, value + 150.0 FROM upd
+        |  UNION ALL
+        |  SELECT 1, 2, 'update_preimage', event_id, user_id, value FROM upd)
+        |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
+        |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS key_chk,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_chk,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_chk
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // file counts are cell-grid / packed-group counts (the layouts are
     // pure functions of the data) plus the one-file ingest-batch delta;
     // all three box answers are the SAME newest-wins count, which pins

@@ -532,6 +532,80 @@ class LayoutSpec extends SparkSpec {
     assert(readBack(s"$root/data.txt") === "fp-race-2")
   }
 
+  test("lake changes: restore is metadata-only, the delta-scale feed equals the generic state diff") {
+    val feed = Layout.lakeChanges(spark, sf).collect()
+    val root = Layout.scratchDir("lake_changes", sf)
+    // RESTORE wrote no data: g2's manifest re-references g0's entries
+    // verbatim, and the data dir holds exactly the g0 ∪ g1 file set
+    assert(Layout.readGeneration(root, 2) === Layout.readGeneration(root, 0))
+    val referenced = (Layout.readGeneration(root, 0) ++ Layout.readGeneration(root, 1))
+      .map(_._2).toSet
+    assert(Layout.listParquetFiles(spark, s"$root/data").toSet === referenced,
+      "the restore commit must add zero data files")
+    // reading AS OF the restored generation IS reading g0
+    val g0 = Layout.readLakeAsOf(spark, root, 0)
+    val g2 = Layout.readLakeAsOf(spark, root, 2)
+    assert(g0.count() === g2.count())
+    assert(g0.exceptAll(g2).count() === 0L && g2.exceptAll(g0).count() === 0L)
+    // the delta-scale feed must equal the GENERIC backfill — a full
+    // state diff of the two generations read from the log
+    val g1 = Layout.readLakeAsOf(spark, root, 1)
+    val o = g0.select(col("event_id"), col("value").as("v0"))
+    val n = g1.select(col("event_id"), col("value").as("v1"))
+    val diff = o.join(n, Seq("event_id"), "full_outer")
+    val insKeys = diff.where(col("v0").isNull).agg(
+      count(lit(1)), coalesce(sum(col("event_id")), lit(0L))).head()
+    val updKeys = diff.where(col("v0").isNotNull && col("v1").isNotNull &&
+      col("v0") =!= col("v1")).agg(
+      count(lit(1)), coalesce(sum(col("event_id")), lit(0L))).head()
+    assert(diff.where(col("v1").isNull).count() === 0L,
+      "the arrival removes nothing — deletes only appear across the restore")
+    def row(ct: String) = feed.find(_.getAs[String]("change_type") == ct).get
+    assert(row("insert").getAs[Long]("n_rows") === insKeys.getLong(0))
+    assert(row("insert").getAs[Long]("key_chk") === insKeys.getLong(1))
+    assert(row("update_postimage").getAs[Long]("n_rows") === updKeys.getLong(0))
+    assert(row("update_postimage").getAs[Long]("key_chk") === updKeys.getLong(1))
+    // the inverse feed mirrors the forward one key-for-key, and the
+    // pre/post images differ by exactly the correction the fixture
+    // applied (value + 150 ⇒ ⌊value⌋ + 150 per row)
+    assert(row("delete").getAs[Long]("key_chk") === row("insert").getAs[Long]("key_chk"))
+    assert(row("update_preimage").getAs[Long]("key_chk") ===
+      row("update_postimage").getAs[Long]("key_chk"))
+    assert(row("update_postimage").getAs[Long]("val_chk") ===
+      row("update_preimage").getAs[Long]("val_chk") +
+        150L * row("update_preimage").getAs[Long]("n_rows"))
+  }
+
+  test("generation log: two concurrent optimistic committers claim distinct generations") {
+    val root = java.nio.file.Files.createTempDirectory("graft-genrace").toString
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (1 to 2).map(i => new Thread(() => {
+      gate.countDown(); gate.await()
+      try got.add(Layout.commitNextGeneration(root,
+        Seq("base" -> s"file:/fake/writer$i.parquet")))
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join(30000))
+    assert(errs.isEmpty, s"optimistic committers must not throw: ${errs.toArray.toSeq}")
+    // both commits land, on DISTINCT slots — the loser retried past the
+    // winner instead of overwriting it
+    val gens = got.toArray(Array.empty[Integer]).map(_.intValue).sorted.toSeq
+    assert(gens === Seq(0, 1))
+    assert(Layout.listGenerations(root) === Seq(0, 1))
+    // each manifest holds exactly its writer's entry — no torn/mixed log
+    val bodies = Seq(0, 1).map(g => Layout.readGeneration(root, g))
+    bodies.foreach(b => assert(b.length === 1 && b.head._1 === "base"))
+    assert(bodies.map(_.head._2).toSet.size === 2,
+      "the two committed manifests must carry the two distinct payloads")
+    // a direct re-claim of a committed slot must fail loudly
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Layout.commitGeneration(root, 1, Seq("base" -> "file:/fake/late.parquet"))
+    }
+  }
+
   test("lake vacuum: retention window keeps g-1 readable, expires g0, answers survive") {
     val r = Layout.lakeVacuum(spark, sf).head()
     // the two survival proofs: the current state's answer outlives the

@@ -355,5 +355,12 @@ class EmptyInputsSpec extends SparkSpec {
       Seq("rows_scanned", "rows_out", "uid_chk")
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeWiden.$c"))
     }
+    // the change feed over an empty lake: all three generations commit
+    // (base-only, arrival, restore) but nothing changed, so the feed is
+    // EMPTY — a grouped report over zero changes has zero rows
+    assert(graft.ext.Layout.lakeChanges(spark, dir).count() === 0L)
+    assert(graft.ext.Layout
+      .listGenerations(graft.ext.Layout.scratchDir("lake_changes", dir))
+      === Seq(0, 1, 2))
   }
 }
