@@ -62,8 +62,11 @@ object Bench {
     // merged box counts under the fingerprint guard), widened-type
     // evolution (mixed INT32/INT64 footers pruned, promotion read,
     // uniformly-wide fold), and the change feed over the log (delta-
-    // scale CDC incl. the inverse feed across a metadata-only restore)
-    "x_lake_timetravel", "x_lake_widen", "x_lake_changes")
+    // scale CDC incl. the inverse feed across a metadata-only restore),
+    // plus the feed's consumer (incremental view maintenance at delta
+    // scale, proven equal to the state-scale recompute)
+    "x_lake_timetravel", "x_lake_widen", "x_lake_changes",
+    "x_lake_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

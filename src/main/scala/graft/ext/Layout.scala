@@ -1785,7 +1785,11 @@ object Layout {
     * one batch-sized join against a base key projection + one hash-agg
     * over the (≤ 4-type) feed; the restore commit costs one manifest
     * write. */
-  def lakeChanges(spark: SparkSession, dir: String): DataFrame = {
+  /** Idempotently materialize the change-feed lineage's three commits
+    * (g0 base, g1 base+delta, g2 restore→g0) and return its root — the
+    * shared prologue of [[lakeChanges]] (the feed) and [[cdcApply]]
+    * (the feed's consumer), so both read ONE log. */
+  private def ensureChangesLog(spark: SparkSession, dir: String): String = {
     import graft.sources.PartitionedSink
     val root = scratchDir("lake_changes", dir)
     val zcols = Seq("user_id", "value")
@@ -1818,18 +1822,32 @@ object Layout {
       base.unpersist()
       delta.unpersist()
     }
-    // the feed, answered from the LOG at delta scale
-    val schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
-    def readOr(files: Seq[String]): DataFrame =
-      if (files.isEmpty) spark.range(0).select(col("id").as("event_id"),
-        col("id").as("user_id"), col("id").cast("double").as("value"))
-      else spark.read.schema(schema).parquet(files: _*)
-    val baseDf = readOr(readGeneration(root, 0).collect { case ("base", f) => f })
-    val deltaDf = readOr(readGeneration(root, 1).collect { case ("delta", f) => f })
-    // one probe classifies; base value rides along as the preimage
-    val marked = deltaDf.join(
-      baseDf.select(col("event_id"), col("value").as("__bv")),
+    root
+  }
+
+  private def readLakeRefs(spark: SparkSession, root: String, gen: Int,
+      kind: String): DataFrame = {
+    val files = readGeneration(root, gen).collect { case (`kind`, f) => f }
+    if (files.isEmpty) spark.range(0).select(col("id").as("event_id"),
+      col("id").as("user_id"), col("id").cast("double").as("value"))
+    else spark.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(files: _*)
+  }
+
+  /** g1's delta rows classified against g0's base keys, the base value
+    * riding along as the preimage (`__bv`, NULL ⇒ insert) — THE one
+    * delta-scale probe every CDC consumer of this log shares. */
+  private def markedDelta(spark: SparkSession, root: String): DataFrame =
+    readLakeRefs(spark, root, 1, "delta").join(
+      readLakeRefs(spark, root, 0, "base")
+        .select(col("event_id"), col("value").as("__bv")),
       Seq("event_id"), "left_outer")
+
+  def lakeChanges(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureChangesLog(spark, dir)
+    // the feed, answered from the LOG at delta scale: one probe
+    // classifies, the base value rides along as the preimage
+    val marked = markedDelta(spark, root)
     def change(from: Int, to: Int, ct: String, v: Column) =
       struct(lit(from.toLong).as("from_gen"), lit(to.toLong).as("to_gen"),
         lit(ct).as("change_type"), v.as("v"))
@@ -1849,6 +1867,59 @@ object Layout {
         sum(col("user_id")).as("uid_chk"),
         sum(floor(col("c.v")).cast("long")).as("val_chk"))
       .orderBy("from_gen", "to_gen", "change_type")
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE from the change feed (round 17,
+    * beyond-plan — the CONSUMER half of [[lakeChanges]]): the reason a
+    * change feed exists is that a downstream materialized aggregate can
+    * be maintained at DELTA scale instead of recomputed at state scale.
+    * The view here is the per-user census (event count + exact
+    * ⌊value⌋ sum) over the lake state; the g0→g1 transition updates it
+    * purely from the feed:
+    *
+    *   insert            → (+1, +⌊v⌋) for its user;
+    *   update_postimage  → (+0, +⌊v_post⌋ − ⌊v_pre⌋) — count is key-
+    *                       preserving, only the value contribution moves.
+    *
+    * One row per TOUCHED user: (user_id, n_before, val_before, n_after,
+    * val_after) — before from the g0 view, after = before + the feed's
+    * per-user fold; a user arriving only via inserts starts from (0, 0).
+    * Untouched users never appear and are never read past the view
+    * join — that asymmetry IS the operator (at 100 TB the view update
+    * costs |delta| + a view-scale join, never an events rescan), and
+    * `LayoutSpec` pins the soundness half: applying the feed to the g0
+    * view lands EXACTLY on the full recompute over the g1 state, for
+    * every user, and leaves every untouched user's row bit-identical.
+    *
+    * Oracle honesty: the maintained view is a pure function of the
+    * events table (base census + fixture-slice corrections), recomputed
+    * by DuckDB with no knowledge of the log. Scale shape: the feed fold
+    * is a delta-scale hash-agg on user_id; the apply is one
+    * planner-chosen join between a delta-users frame and the view. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureChangesLog(spark, dir)
+    val flv = floor(col("value")).cast("long")
+    // the maintained view AS OF g0 — in production this is the
+    // already-materialized downstream table, not a recompute; reading it
+    // from g0's refs keeps the fixture honest (the view's state really
+    // is the base census)
+    val view0 = readLakeRefs(spark, root, 0, "base")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_before"), sum(flv).as("val_before"))
+    // per-user fold of the forward feed: ONE delta-scale probe + hash-agg
+    val deltas = markedDelta(spark, root)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__bv").isNull, 1L).otherwise(0L)).as("dn"),
+        sum(flv - when(col("__bv").isNull, lit(0L))
+          .otherwise(floor(col("__bv")).cast("long"))).as("dv"))
+    // APPLY: touched users only; a feed-only user starts from (0, 0)
+    deltas.join(view0, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("val_before"), lit(0L)).as("val_before"),
+        (coalesce(col("n_before"), lit(0L)) + col("dn")).as("n_after"),
+        (coalesce(col("val_before"), lit(0L)) + col("dv")).as("val_after"))
+      .orderBy("user_id")
   }
 
   /** Compaction plan over the [[zorderLayout]] manifest: greedy running-sum
@@ -2040,6 +2111,7 @@ object Layout {
     "x_lake_vacuum" -> (lakeVacuum _),
     "x_lake_timetravel" -> (lakeTimetravel _),
     "x_lake_changes" -> (lakeChanges _),
+    "x_lake_cdc_apply" -> (cdcApply _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -2181,6 +2253,32 @@ object Layout {
         |  CAST(sum(user_id) AS BIGINT) AS uid_chk,
         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_chk
         |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the maintained view is base census + fixture-slice corrections —
+    // a pure function of the events table; DuckDB recomputes it with no
+    // knowledge of the log or the feed
+    "x_lake_cdc_apply" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+        |ins AS (SELECT * FROM ev WHERE event_id % 10 = 0),
+        |upd AS (SELECT * FROM ev WHERE event_id % 100 = 1),
+        |d AS (
+        |  SELECT user_id, 1 AS dn, CAST(floor(value) AS BIGINT) AS dv FROM ins
+        |  UNION ALL
+        |  SELECT user_id, 0,
+        |    CAST(floor(value + 150.0) AS BIGINT) - CAST(floor(value) AS BIGINT)
+        |  FROM upd),
+        |du AS (SELECT user_id, CAST(sum(dn) AS BIGINT) AS dn,
+        |       CAST(sum(dv) AS BIGINT) AS dv FROM d GROUP BY 1),
+        |v0 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_before,
+        |       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_before
+        |  FROM base GROUP BY 1)
+        |SELECT du.user_id,
+        |  coalesce(n_before, 0) AS n_before,
+        |  coalesce(val_before, 0) AS val_before,
+        |  coalesce(n_before, 0) + dn AS n_after,
+        |  coalesce(val_before, 0) + dv AS val_after
+        |FROM du LEFT JOIN v0 ON du.user_id = v0.user_id
+        |ORDER BY du.user_id""".stripMargin,
     // file counts are cell-grid / packed-group counts (the layouts are
     // pure functions of the data) plus the one-file ingest-batch delta;
     // all three box answers are the SAME newest-wins count, which pins

@@ -97,7 +97,7 @@ object LakeIngestStream {
             // batch has no provenance to check and contributes zeros)
             val srcFiles = b.select(input_file_name()).distinct()
               .collect().map(_.getString(0)).toSeq
-            require(srcFiles.forall(_.endsWith(s"b$id.parquet")),
+            require(srcFiles.forall(_.endsWith(s"/b$id.parquet")),
               s"micro-batch $id read from unexpected files: $srcFiles")
             lock.synchronized {
               val r = Layout.lakeIngestStep(b, id, root, ctx, running)

@@ -576,6 +576,34 @@ class LayoutSpec extends SparkSpec {
         150L * row("update_preimage").getAs[Long]("n_rows"))
   }
 
+  test("cdc apply: feed-maintained view equals the full g1 recompute, untouched users bit-identical") {
+    val out = Layout.cdcApply(spark, sf).persist()
+    val root = Layout.scratchDir("lake_changes", sf)
+    val flv = floor(col("value")).cast("long")
+    def census(gen: Int) = Layout.readLakeAsOf(spark, root, gen)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(flv).as("v"))
+    val v1 = census(1).persist()
+    // SOUNDNESS: every touched user's after-values land exactly on the
+    // state-scale recompute the incremental path exists to avoid
+    val mismatched = out.join(v1, Seq("user_id"), "left_outer")
+      .where(col("n").isNull || col("n") =!= col("n_after") ||
+        col("v") =!= col("val_after"))
+    assert(mismatched.count() === 0L,
+      "incremental apply must equal the full g1 recompute for every touched user")
+    assert(out.count() > 0L)
+    // ISOLATION: users the feed never touched carry identical census
+    // rows in g0 and g1 — the maintenance provably had nothing to do
+    val touched = out.select(col("user_id"))
+    val v0unt = census(0).join(touched, Seq("user_id"), "left_anti")
+    val v1unt = v1.join(touched, Seq("user_id"), "left_anti")
+    assert(v0unt.count() === v1unt.count())
+    assert(v0unt.exceptAll(v1unt).count() === 0L,
+      "untouched users' view rows must be bit-identical across the transition")
+    out.unpersist()
+    v1.unpersist()
+  }
+
   test("generation log: two concurrent optimistic committers claim distinct generations") {
     val root = java.nio.file.Files.createTempDirectory("graft-genrace").toString
     val gate = new java.util.concurrent.CountDownLatch(2)

@@ -362,5 +362,7 @@ class EmptyInputsSpec extends SparkSpec {
     assert(graft.ext.Layout
       .listGenerations(graft.ext.Layout.scratchDir("lake_changes", dir))
       === Seq(0, 1, 2))
+    // applying an empty feed maintains nothing: zero touched users
+    assert(graft.ext.Layout.cdcApply(spark, dir).count() === 0L)
   }
 }
