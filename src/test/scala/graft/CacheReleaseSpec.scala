@@ -41,6 +41,9 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("lakeEvolve")(ext.Layout.lakeEvolve(spark, dir))
     assertReleased("lakeVacuum")(ext.Layout.lakeVacuum(spark, dir))
     assertReleased("lakeTimetravel")(ext.Layout.lakeTimetravel(spark, dir))
+    assertReleased("lakeWiden")(ext.Layout.lakeWiden(spark, dir))
+    assertReleased("lakeChanges")(ext.Layout.lakeChanges(spark, dir))
+    assertReleased("cdcApply")(ext.Layout.cdcApply(spark, dir))
     assertReleased("lakeIngestStream")(
       streaming.LakeIngestStream.lakeIngestStream(spark, dir))
     assertReleased("bucketedAttribution")(
