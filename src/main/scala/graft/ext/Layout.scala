@@ -1809,14 +1809,18 @@ object Layout {
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(rootPath)) fs.delete(rootPath, true)
+        // this lineage commits through the OPTIMISTIC append loop — the
+        // path a real multi-writer table takes — and asserts the slots
+        // it expects (single writer here, so a mismatch means the log
+        // was externally mutated mid-replay and the replay must fail)
         PartitionedSink.writeZCelled(base, s"$root/data/base", zcols, 12, 6)
         val baseRefs = listParquetFiles(spark, s"$root/data/base").map("base" -> _)
-        commitGeneration(root, 0, baseRefs)
+        require(commitNextGeneration(root, baseRefs) == 0)
         delta.coalesce(1).write.mode("overwrite").parquet(s"$root/data/delta")
-        commitGeneration(root, 1, baseRefs ++
-          listParquetFiles(spark, s"$root/data/delta").map("delta" -> _))
+        require(commitNextGeneration(root, baseRefs ++
+          listParquetFiles(spark, s"$root/data/delta").map("delta" -> _)) == 1)
         // g2 — RESTORE to g0: re-reference g0's manifest, write nothing
-        commitGeneration(root, 2, readGeneration(root, 0))
+        require(commitNextGeneration(root, readGeneration(root, 0)) == 2)
       }
     } finally {
       base.unpersist()
