@@ -1573,7 +1573,20 @@ object Layout {
     * readable for exactly as long as its references survive retention
     * ([[lakeVacuum]]). This is the published Delta/Iceberg log design
     * reduced to its load-bearing core: numbered manifests over immutable
-    * files, liveness = reachability from retained manifests. */
+    * files, liveness = reachability from retained manifests.
+    *
+    * Deliberate divergence from the Delta log: each manifest is a FULL
+    * snapshot of its generation's file list, not an action delta. Delta
+    * logs per-commit actions and therefore needs periodic CHECKPOINTS
+    * to bound replay (reading version n means folding every action
+    * since the last checkpoint); here reading any generation is ONE
+    * manifest read, O(files of that generation), no fold, no
+    * checkpoint machinery. The trade is manifest write size — O(files)
+    * per commit instead of O(changed files) — the right side of the
+    * trade while file counts are bounded by compaction (this engine's
+    * quarter-corpus packing keeps them small); an actions-log +
+    * checkpoint would only win when per-commit change sets are tiny
+    * against a huge stable file population. */
   private[graft] def commitGeneration(root: String, gen: Int,
       entries: Seq[(String, String)]): Unit = {
     val dir = java.nio.file.Paths.get(s"$root/gens")

@@ -433,6 +433,38 @@ class LayoutSpec extends SparkSpec {
       "rows from the narrow-typed files must read back through the wide schema")
   }
 
+  test("schema evolution composed: one arrival both WIDENS a column and ADDS one") {
+    // the two registry-gated halves (x_lake_widen, x_lake_evolve)
+    // compose: the narrow era persists (k INT, v DOUBLE); the evolved
+    // era ships k as LONG plus a new score column. The catalog records
+    // the union-and-widened schema and BOTH eras read through it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-evwide").toString
+    spark.range(10)
+      .select(col("id").cast("int").as("k"), (col("id") * 2.0).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    spark.range(10, 15)
+      .select(col("id").as("k"), (col("id") * 2.0).as("v"),
+        (col("id") + 100L).as("score"))
+      .write.mode("append").parquet(s"$dir/t")
+    val evolved = spark.read.schema("k LONG, v DOUBLE, score BIGINT")
+      .parquet(s"$dir/t")
+    assert(evolved.count() === 15L)
+    assert(evolved.agg(sum(col("k"))).head().getLong(0) ===
+      (0 until 15).map(_.toLong).sum,
+      "narrow-era values must read exactly through the widened type")
+    // old rows NULL-fill the added column; new rows carry it intact
+    assert(evolved.where(col("score").isNull).count() === 10L)
+    assert(evolved.where(col("score").isNotNull)
+      .agg(sum(col("score"))).head().getLong(0) ===
+      (10 until 15).map(i => (i + 100).toLong).sum)
+    // folding through the evolved schema lands uniformly evolved files
+    evolved.write.mode("overwrite").parquet(s"$dir/fold")
+    val back = spark.read.parquet(s"$dir/fold")
+    assert(back.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(back.schema("score").dataType === org.apache.spark.sql.types.LongType)
+    assert(back.count() === 15L)
+  }
+
   /** Physical parquet type name of column `c` in file `f` — read straight
     * from the footer, so the width claims below are about what is ON DISK,
     * not about what a reader promoted. */
