@@ -64,9 +64,10 @@ object Bench {
     // uniformly-wide fold), and the change feed over the log (delta-
     // scale CDC incl. the inverse feed across a metadata-only restore),
     // plus the feed's consumer (incremental view maintenance at delta
-    // scale, proven equal to the state-scale recompute)
+    // scale, proven equal to the state-scale recompute) and tombstone
+    // deletes (merge-on-read erasure + the physically-erased fold)
     "x_lake_timetravel", "x_lake_widen", "x_lake_changes",
-    "x_lake_cdc_apply")
+    "x_lake_cdc_apply", "x_lake_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

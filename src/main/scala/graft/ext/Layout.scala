@@ -1373,6 +1373,145 @@ object Layout {
       .orderBy("stage")
   }
 
+  /** DELETES IN THE LAKE — merge-on-read with TOMBSTONES (round 17,
+    * beyond-plan — the one CRUD arrival the lake model lacked): an
+    * erasure request (GDPR deletion, revoked-consent purge, bad-batch
+    * retraction) cannot rewrite 100 TB synchronously, so the published
+    * design lands it as a tombstone row in the delta — key only, no
+    * payload — and every reader applies it at merge time until the next
+    * fold physically erases. The fixture keeps the [[deltaRead]]
+    * lineage and adds an erasure batch: the mod-100≡3 keys (base keys
+    * by construction) arrive as op='D' rows with NULL payload next to
+    * the op='U' upserts (10% inserts + mod-100≡1 corrected updates).
+    *
+    *   1. MERGE-ON-READ WITH TOMBSTONES: base files prune from footers
+    *      as always (a tombstoned key's base version may live in a
+    *      pruned file — correct, because ALL delta keys anti-join the
+    *      kept base, and a pruned file holds no box-matching rows by
+    *      the stats contract); newest-wins drops every delta-keyed base
+    *      version, and only op='U' delta rows re-enter. Deleted rows
+    *      are invisible from this moment — erasure is READ-complete
+    *      immediately, at delta cost.
+    *   2. FOLD = PHYSICAL ERASURE: the fold writes the merged state
+    *      z-celled; tombstoned rows do not survive into any folded
+    *      file (`erased_remaining` counts them in the END state — the
+    *      compliance observable — and `LayoutSpec` re-proves it from
+    *      the folded files). The bytes come back at the next vacuum.
+    *
+    * One row per stage: (stage, state, files_total, files_read,
+    * rows_scanned, rows_out, n_tombstones, n_erased, erased_remaining)
+    * — the standard 2-D box answered through real footers at both
+    * stages (rows_out provably invariant), next to the erasure
+    * accounting: tombstones that arrived, base versions they erased,
+    * and how many survive in the folded files (zero). Oracle honesty
+    * ([[footerPrune]] discipline): both layouts and every count are
+    * pure functions of the events table. Scale shape: as [[deltaFold]]
+    * — one anti-join union and one z-celled rewrite under the
+    * fingerprint guard; per invocation, two file-count manifests, the
+    * pruned box reads, and three delta/key-probe-scale counts. */
+  def lakeDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{FooterManifest, PartitionedSink}
+    val root = scratchDir("lake_delete", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0).persist()
+    val upserts = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+      .withColumn("op", lit("U"))
+    // an erasure request carries the KEY, never the payload
+    val tombstones = ev.where(pmod(col("event_id"), lit(100)) === 3)
+      .select(col("event_id"),
+        lit(null).cast("bigint").as("user_id"),
+        lit(null).cast("double").as("value"),
+        lit("D").as("op"))
+    val delta = upserts.unionByName(tombstones).persist()
+    try {
+      val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lit("B").as("op"), col("zcell"))
+      materializeIfChanged(root, layoutFingerprint("v1:delete",
+          plannedBase.unionByName(
+            delta.withColumn("zcell", lit(-1L))
+              .select(col("event_id"), col("user_id"), col("value"),
+                col("op"), col("zcell"))))) {
+        PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
+        delta.coalesce(1).write.mode("overwrite").parquet(s"$root/delta")
+        // the fold: ALL delta keys supersede their base versions; only
+        // the upserts re-enter — tombstoned rows are physically gone
+        val folded = base
+          .join(delta.select(col("event_id")), Seq("event_id"), "left_anti")
+          .unionByName(upserts.drop("op"))
+        PartitionedSink.writeZCelled(folded, s"$root/fold", zcols, 12, 6)
+      }
+    } finally {
+      base.unpersist()
+      delta.unpersist()
+    }
+    val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
+    def emptyEv = spark.range(0).select(col("id").as("event_id"),
+      col("id").as("user_id"), col("id").cast("double").as("value"))
+    val deltaSchema = "event_id BIGINT, user_id BIGINT, value DOUBLE, op STRING"
+    val deltaDf = spark.read.schema(deltaSchema).parquet(s"$root/delta")
+    // the erasure accounting, from the persisted lineage (all three are
+    // delta/key-probe scale; the base probe re-reads only event_id)
+    val nTomb = deltaDf.where(col("op") === "D").count()
+    val baseBack = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(s"$root/base")
+    val tombKeys = deltaDf.where(col("op") === "D").select(col("event_id"))
+    val nErased = baseBack.join(tombKeys, Seq("event_id"), "left_semi").count()
+    // the compliance observable: tombstoned keys surviving in the END
+    // state's files — must be zero, counted from the folded files
+    val foldBack = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(s"$root/fold")
+    val erasedRemaining = foldBack
+      .join(tombKeys, Seq("event_id"), "left_semi").count()
+    // STAGE 1 — merge-on-read with tombstones over pruned base footers
+    val m = FooterManifest.build(spark, s"$root/base", zcols)
+    val mRows = m.collect()
+    val localBase = spark.createDataFrame(
+      java.util.Arrays.asList(mRows: _*), m.schema)
+    val kept = FooterManifest.filesToRead(localBase, numBox).collect()
+    val keptFiles = kept.map(_.getString(0)).toSeq
+    val rowsDelta = FooterManifest.rowCountFromFooters(spark, s"$root/delta")
+    val merged1 = (if (keptFiles.isEmpty) emptyEv
+        else spark.read.parquet(keptFiles: _*))
+      .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(deltaDf.where(col("op") === "U").drop("op"))
+    val boxCount1 = merged1.where(lakeBox).agg(count(lit(1)).as("rows_out"))
+    val s1 = spark.range(1).select(
+      lit(1L).as("stage"), lit("merge_on_read").as("state"),
+      lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong + 1)
+        .as("files_total"),
+      lit(keptFiles.size.toLong + 1).as("files_read"),
+      lit(kept.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
+      .crossJoin(broadcast(boxCount1))
+    // STAGE 2 — the folded (physically erased) layout's footers
+    val mf = FooterManifest.build(spark, s"$root/fold", zcols)
+    val mfRows = mf.collect()
+    val localFold = spark.createDataFrame(
+      java.util.Arrays.asList(mfRows: _*), mf.schema)
+    val keptF = FooterManifest.filesToRead(localFold, numBox).collect()
+    val keptFFiles = keptF.map(_.getString(0)).toSeq
+    val boxCount2 = (if (keptFFiles.isEmpty) emptyEv
+        else spark.read.parquet(keptFFiles: _*))
+      .where(lakeBox).agg(count(lit(1)).as("rows_out"))
+    val s2 = spark.range(1).select(
+      lit(2L).as("stage"), lit("folded_erased").as("state"),
+      lit(mfRows.map(_.getAs[String]("file")).distinct.length.toLong).as("files_total"),
+      lit(keptFFiles.size.toLong).as("files_read"),
+      lit(keptF.map(_.getLong(1)).sum).as("rows_scanned"))
+      .crossJoin(broadcast(boxCount2))
+    s1.unionByName(s2)
+      .withColumn("n_tombstones", lit(nTomb))
+      .withColumn("n_erased", lit(nErased))
+      .withColumn("erased_remaining", lit(erasedRemaining))
+      .orderBy("stage")
+  }
+
   /** How many newest generations [[lakeVacuum]] retains. 2 = the current
     * state plus the one before it, the smallest window that makes the
     * retention property OBSERVABLE (a reader of g−1 survives the vacuum;
@@ -2129,6 +2268,7 @@ object Layout {
     "x_lake_timetravel" -> (lakeTimetravel _),
     "x_lake_changes" -> (lakeChanges _),
     "x_lake_cdc_apply" -> (cdcApply _),
+    "x_lake_delete" -> (lakeDelete _),
     "x_dpp_read" -> (dppRead _),
     "x_hilbert_prune" -> (hilbertPrune _),
     "x_zorder_incr" -> (zorderIncr _),
@@ -2296,6 +2436,92 @@ object Layout {
         |  coalesce(val_before, 0) + dv AS val_after
         |FROM du LEFT JOIN v0 ON du.user_id = v0.user_id
         |ORDER BY du.user_id""".stripMargin,
+    // erasure accounting and both stage reports are pure functions of
+    // the events table: file counts are cell-grid counts, the box is
+    // ONE newest-wins-with-deletes count, and erased_remaining is the
+    // tombstone-keys ∩ merged-state probe (zero — the erasure proof)
+    "x_lake_delete" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |ups AS (
+         |  SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT event_id, user_id, value + 150.0 AS value FROM ev WHERE event_id % 100 = 1),
+         |tomb AS (SELECT event_id FROM ev WHERE event_id % 100 = 3),
+         |dkeys AS (SELECT event_id FROM ups UNION ALL SELECT event_id FROM tomb),
+         |merged AS (
+         |  SELECT * FROM ups
+         |  UNION ALL
+         |  SELECT b.* FROM base b ANTI JOIN dkeys d ON d.event_id = b.event_id),
+         |bb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM base),
+         |bq AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM base, bb),
+         |bcells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM bq),
+         |bfiles AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM bcells GROUP BY 1),
+         |bkept AS (
+         |  SELECT * FROM bfiles WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |nd AS (SELECT CAST((SELECT count(*) FROM ups)
+         |       + (SELECT count(*) FROM tomb) AS BIGINT) AS n_delta),
+         |mb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM merged),
+         |mq AS (
+         |  SELECT user_id, value,
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM merged, mb),
+         |mcells AS (SELECT user_id, value,
+         |    (${mortonSql("qu", "qv", 12)}) >> 18 AS zcell FROM mq),
+         |ffiles AS (
+         |  SELECT zcell, count(*) AS n_rows,
+         |    min(CAST(user_id AS DOUBLE)) AS min_u, max(CAST(user_id AS DOUBLE)) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v
+         |  FROM mcells GROUP BY 1),
+         |fkept AS (
+         |  SELECT * FROM ffiles WHERE NOT (
+         |    (min_u IS NOT NULL AND (max_u < 60 OR min_u > 90)) OR
+         |    (min_v IS NOT NULL AND (max_v < 100 OR min_v > 200)))),
+         |ro AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0),
+         |acc AS (SELECT
+         |    CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_tombstones,
+         |    CAST((SELECT count(*) FROM base b SEMI JOIN tomb t
+         |          ON t.event_id = b.event_id) AS BIGINT) AS n_erased,
+         |    CAST((SELECT count(*) FROM merged m SEMI JOIN tomb t
+         |          ON t.event_id = m.event_id) AS BIGINT) AS erased_remaining),
+         |s1 AS (SELECT CAST(1 AS BIGINT) AS stage, 'merge_on_read' AS state,
+         |    CAST((SELECT count(*) FROM bfiles) + 1 AS BIGINT) AS files_total,
+         |    CAST((SELECT count(*) FROM bkept) + 1 AS BIGINT) AS files_read,
+         |    CAST((SELECT coalesce(sum(n_rows), 0) FROM bkept)
+         |       + (SELECT n_delta FROM nd) AS BIGINT) AS rows_scanned,
+         |    rows_out FROM ro),
+         |s2 AS (SELECT CAST(2 AS BIGINT), 'folded_erased',
+         |    CAST((SELECT count(*) FROM ffiles) AS BIGINT),
+         |    CAST((SELECT count(*) FROM fkept) AS BIGINT),
+         |    CAST((SELECT coalesce(sum(n_rows), 0) FROM fkept) AS BIGINT),
+         |    rows_out FROM ro)
+         |SELECT stage, state, files_total, files_read, rows_scanned, rows_out,
+         |  n_tombstones, n_erased, erased_remaining
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u, acc
+         |ORDER BY stage""".stripMargin,
     // file counts are cell-grid / packed-group counts (the layouts are
     // pure functions of the data) plus the one-file ingest-batch delta;
     // all three box answers are the SAME newest-wins count, which pins

@@ -44,6 +44,7 @@ class CacheReleaseSpec extends SparkSpec {
     assertReleased("lakeWiden")(ext.Layout.lakeWiden(spark, dir))
     assertReleased("lakeChanges")(ext.Layout.lakeChanges(spark, dir))
     assertReleased("cdcApply")(ext.Layout.cdcApply(spark, dir))
+    assertReleased("lakeDelete")(ext.Layout.lakeDelete(spark, dir))
     assertReleased("lakeIngestStream")(
       streaming.LakeIngestStream.lakeIngestStream(spark, dir))
     assertReleased("bucketedAttribution")(

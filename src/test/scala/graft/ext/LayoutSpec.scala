@@ -636,6 +636,44 @@ class LayoutSpec extends SparkSpec {
     v1.unpersist()
   }
 
+  test("lake delete: tombstones erase at read time and physically at the fold") {
+    val rows = Layout.lakeDelete(spark, sf).collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[String]("state")).toSeq ===
+      Seq("merge_on_read", "folded_erased"))
+    // the box answer is already erasure-complete at merge-on-read time
+    assert(rows(0).getAs[Long]("rows_out") === rows(1).getAs[Long]("rows_out"))
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val tomb = ev.where(pmod(col("event_id"), lit(100)) === 3)
+      .select(col("event_id"))
+    val nTomb = tomb.count()
+    assert(nTomb > 0L, "the fixture must actually request erasures")
+    assert(rows(0).getAs[Long]("n_tombstones") === nTomb)
+    // every mod-100≡3 key is a base key, so each tombstone erases one
+    assert(rows(0).getAs[Long]("n_erased") === nTomb)
+    assert(rows(0).getAs[Long]("erased_remaining") === 0L)
+    // physical erasure, re-proven from the folded FILES: no tombstoned
+    // key survives in any folded file, and the fold is exactly the
+    // newest-wins-with-deletes merge
+    val root = Layout.scratchDir("lake_delete", sf)
+    val fold = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(s"$root/fold").select("event_id", "user_id", "value")
+    assert(fold.join(tomb, Seq("event_id"), "left_semi").count() === 0L,
+      "a tombstoned key must not survive in any folded file")
+    val ups = ev.where(pmod(col("event_id"), lit(10)) === 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    val dkeys = ups.select(col("event_id")).unionByName(tomb)
+    val expected = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+      .join(dkeys, Seq("event_id"), "left_anti")
+      .unionByName(ups)
+    assert(fold.count() === expected.count())
+    assert(fold.exceptAll(expected).count() === 0L,
+      "fold ≡ base minus all delta keys plus the upserts")
+  }
+
   test("generation log: two concurrent optimistic committers claim distinct generations") {
     val root = java.nio.file.Files.createTempDirectory("graft-genrace").toString
     val gate = new java.util.concurrent.CountDownLatch(2)

@@ -364,5 +364,18 @@ class EmptyInputsSpec extends SparkSpec {
       === Seq(0, 1, 2))
     // applying an empty feed maintains nothing: zero touched users
     assert(graft.ext.Layout.cdcApply(spark, dir).count() === 0L)
+    // erasing from an empty lake: both stage rows, all-zero counters,
+    // stage 1 still carries the constant +1 delta file
+    val ld = graft.ext.Layout.lakeDelete(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(ld.length === 2)
+    assert(ld(0).getAs[Long]("files_total") === 1L)
+    assert(ld(0).getAs[Long]("files_read") === 1L)
+    assert(ld(1).getAs[Long]("files_total") === 0L)
+    ld.foreach { r =>
+      Seq("rows_scanned", "rows_out", "n_tombstones", "n_erased",
+        "erased_remaining")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeDelete.$c"))
+    }
   }
 }

@@ -262,6 +262,7 @@ class PlanSpec extends SparkSpec {
       "x_lake_timetravel" -> ((3, 3)), // 3 generation rows × 1-row rows_out column
       "x_lake_changes"    -> ((0, 0)), // one delta⋈base-keys probe, planner's call
       "x_lake_cdc_apply"  -> ((0, 0)), // delta-scale fold ⋈ view, planner's call
+      "x_lake_delete"     -> ((2, 2)), // 2 stage rows × 1-row rows_out column
       // k-anon family: every forced frame is the 6-row width table, the
       // 1-row chosen width, or a QI-domain-bounded class census
       "x_k_anon_enforce"  -> ((3, 3)), // widths(6) + chosen(1) + classes_before(1)
