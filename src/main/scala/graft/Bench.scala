@@ -67,7 +67,10 @@ object Bench {
     // scale, proven equal to the state-scale recompute) and tombstone
     // deletes (merge-on-read erasure + the physically-erased fold)
     "x_lake_timetravel", "x_lake_widen", "x_lake_changes",
-    "x_lake_cdc_apply", "x_lake_delete")
+    "x_lake_cdc_apply", "x_lake_delete",
+    // round 18: the unified-log observables — AS-OF replay of the
+    // arrival loop's boundaries and the cursor-based change feed
+    "x_lake_ingest_asof", "x_lake_changes_cursor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.input_file_name
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ext.Layout
@@ -90,17 +89,14 @@ object LakeIngestStream {
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, id: Long) =>
             // the incremental correction assumes micro-batch `id` IS
-            // arrival slice `id`: verify the mapping from the rows' own
-            // provenance instead of trusting file-source delivery order
-            // (ADVICE r16 — a rows-bearing batch from any other staged
-            // file would corrupt the running count silently; an empty
-            // batch has no provenance to check and contributes zeros)
-            val srcFiles = b.select(input_file_name()).distinct()
-              .collect().map(_.getString(0)).toSeq
-            require(srcFiles.forall(_.endsWith(s"/b$id.parquet")),
-              s"micro-batch $id read from unexpected files: $srcFiles")
+            // arrival slice `id`: the mapping is verified from the
+            // rows' own `input_file_name()` provenance INSIDE the
+            // step's single batch aggregate (ADVICE r17 — the previous
+            // wrapper-side distinct().collect() was an extra full
+            // batch scan per trigger, outside the lock)
             lock.synchronized {
-              val r = Layout.lakeIngestStep(b, id, root, ctx, running)
+              val r = Layout.lakeIngestStep(b, id, root, ctx, running,
+                expectedFileSuffix = Some(s"/b$id.parquet"))
               running = r._7
               results(id) = r
             }

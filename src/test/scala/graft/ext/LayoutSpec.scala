@@ -705,7 +705,15 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("lake vacuum: retention window keeps g-1 readable, expires g0, answers survive") {
-    val r = Layout.lakeVacuum(spark, sf).head()
+    val rows = Layout.lakeVacuum(spark, sf).collect().sortBy(_.getAs[String]("mode"))
+    assert(rows.map(_.getAs[String]("mode")).toSeq === Seq("dry_run", "vacuum"))
+    val Array(dry, r) = rows
+    // the dry run's plan must agree with the execution column-for-column
+    // — the report an operator signs off on IS what then runs
+    dry.schema.fieldNames.filterNot(_ == "mode").foreach { c =>
+      assert(dry.getAs[Long](c) === r.getAs[Long](c),
+        s"dry-run column $c must equal the executed vacuum's")
+    }
     // the two survival proofs: the current state's answer outlives the
     // vacuum, and the retained previous generation answers identically
     assert(r.getAs[Long]("rows_out_before") === r.getAs[Long]("rows_out_after"))
@@ -854,5 +862,147 @@ class LayoutSpec extends SparkSpec {
     val filesRead = scan.metrics("numFiles").value
     assert(filesRead === sel.size.toLong,
       s"DPP should prune to the ${sel.size} selected source partitions, read $filesRead")
+  }
+
+  test("commit conflict: a data-bearing winner aborts the loser; a metadata-only winner permits retry") {
+    // writer A and writer B both fold parent g0; A lands g1 with its own
+    // fold output — B's snapshot, computed against g0, would silently
+    // drop that output, so B must ABORT, never land
+    val root = java.nio.file.Files.createTempDirectory("graft-conflict").toString
+    Layout.commitGeneration(root, 0,
+      Seq("base" -> "file:/t/a.parquet", "base" -> "file:/t/b.parquet"))
+    val read0 = Layout.readGeneration(root, 0).map(_._2).toSet
+    assert(Layout.commitNextGeneration(root,
+      Seq("base" -> "file:/t/foldA.parquet"), Some((0, read0))) === 1)
+    intercept[Layout.CommitConflictException] {
+      Layout.commitNextGeneration(root,
+        Seq("base" -> "file:/t/foldB.parquet"), Some((0, read0)))
+    }
+    // no lost-update manifest landed: the log holds exactly A's commit
+    assert(Layout.listGenerations(root) === Seq(0, 1))
+    assert(Layout.readGeneration(root, 1) === Seq("base" -> "file:/t/foldA.parquet"))
+    // a METADATA-ONLY winner (a RESTORE re-referencing files the loser
+    // already read) introduces no datum the loser's snapshot misses —
+    // the loser's retry proceeds
+    val root2 = java.nio.file.Files.createTempDirectory("graft-conflict2").toString
+    Layout.commitGeneration(root2, 0,
+      Seq("base" -> "file:/t/a.parquet", "base" -> "file:/t/b.parquet"))
+    val read02 = Layout.readGeneration(root2, 0).map(_._2).toSet
+    assert(Layout.commitNextGeneration(root2,
+      Seq("base" -> "file:/t/a.parquet"), Some((0, read02))) === 1)
+    assert(Layout.commitNextGeneration(root2,
+      Seq("base" -> "file:/t/foldB.parquet"), Some((0, read02))) === 2)
+  }
+
+  test("commit conflict race: two committers folding one parent — exactly one lands, one aborts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-conflictrace").toString
+    Layout.commitGeneration(root, 0, Seq("base" -> "file:/t/parent.parquet"))
+    val readState = Some((0, Layout.readGeneration(root, 0).map(_._2).toSet))
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+    val conflicts = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (1 to 2).map(i => new Thread(() => {
+      gate.countDown(); gate.await()
+      try landed.add(Layout.commitNextGeneration(root,
+        Seq("base" -> s"file:/t/fold$i.parquet"), readState))
+      catch {
+        case c: Layout.CommitConflictException => conflicts.add(c)
+        case t: Throwable => errs.add(t)
+      }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join(30000))
+    assert(errs.isEmpty, s"unexpected errors: ${errs.toArray.toSeq}")
+    assert(landed.size === 1, "exactly one fold must land")
+    assert(conflicts.size === 1, "exactly one fold must abort with a conflict")
+    // the log holds g0 + the single winner — never both folds
+    assert(Layout.listGenerations(root) === Seq(0, 1))
+    assert(Layout.readGeneration(root, 1).map(_._2).toSet.size === 1)
+  }
+
+  test("unified log: the arrival loop commits per batch and every boundary replays AS OF its generation") {
+    val metrics = Layout.lakeIngest(spark, sf).collect().sortBy(_.getAs[Long]("batch_id"))
+    val root = Layout.scratchDir("lake_ingest", sf)
+    // g0 = the seeded base, g1..g3 = one commit per arrival batch
+    assert(Layout.listGenerations(root) === Seq(0, 1, 2, 3))
+    val box = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val baseBox = ev.where(pmod(col("event_id"), lit(10)) =!= 0).where(box).count()
+    assert(Layout.readLakeAsOf(spark, root, 0).where(box).count() === baseBox,
+      "g0 must answer the clustered base alone")
+    // each batch boundary, re-answered from NOTHING but its manifest,
+    // retraces the loop's incremental rows_out_after trajectory
+    metrics.foreach { m =>
+      val g = m.getAs[Long]("batch_id").toInt + 1
+      assert(Layout.readLakeAsOf(spark, root, g).where(box).count() ===
+        m.getAs[Long]("rows_out_after"),
+        s"generation $g must replay batch ${g - 1}'s running answer")
+    }
+    // the lifecycle lineage commits its three states too
+    Layout.lakeE2e(spark, sf).collect()
+    assert(Layout.listGenerations(Layout.scratchDir("lake_e2e", sf)) === Seq(0, 1, 2))
+  }
+
+  test("lake delete via the log: AS-OF g1 is already erasure-complete, g2 physically erased") {
+    Layout.lakeDelete(spark, sf).collect()
+    val root = Layout.scratchDir("lake_delete", sf)
+    assert(Layout.listGenerations(root) === Seq(0, 1, 2))
+    assert(Layout.readGeneration(root, 1).map(_._1).toSet === Set("base", "cdelta"))
+    // the merge-on-read generation and the folded one answer the same
+    // table: tombstones apply at READ time from the manifest alone
+    val g1 = Layout.readLakeAsOf(spark, root, 1)
+    val g2 = Layout.readLakeAsOf(spark, root, 2)
+    assert(g1.count() === g2.count())
+    assert(g1.exceptAll(g2).count() === 0L && g2.exceptAll(g1).count() === 0L,
+      "AS-OF g1 (tombstoned merge-on-read) must equal the folded state")
+    // no tombstoned key answers from either generation
+    val tomb = graft.Tables.events(spark, sf)
+      .where(pmod(col("event_id"), lit(100)) === 3).select(col("event_id"))
+    assert(g1.join(tomb, Seq("event_id"), "left_semi").count() === 0L)
+    assert(g2.join(tomb, Seq("event_id"), "left_semi").count() === 0L)
+  }
+
+  test("cursor CDF: checkpointed consumption composes, and data-movement commits feed nothing") {
+    Layout.lakeIngest(spark, sf).collect()
+    val root = Layout.scratchDir("lake_ingest", sf)
+    val full = Layout.lakeChangesSince(spark, root, 0)
+    // the feed covers all three arrival transitions with real rows
+    assert(full.select(col("from_gen"), col("to_gen")).distinct().count() === 3L)
+    assert(full.agg(sum(col("n_rows"))).head().getLong(0) > 0L)
+    // composition: a consumer checkpointing at g2 reads, in total,
+    // exactly what a from-scratch consumer reads
+    val part1 = Layout.lakeChangesSince(spark, root, 0, until = Some(2))
+    val part2 = Layout.lakeChangesSince(spark, root, 2)
+    val glued = part1.unionByName(part2)
+    assert(full.count() === glued.count())
+    assert(full.exceptAll(glued).count() === 0L &&
+      glued.exceptAll(full).count() === 0L,
+      "feed(0,until=2) ++ feed(2) must equal feed(0)")
+    // fold/compaction transitions add no delta file — logically empty
+    // feed entries (the published CDF semantics for data movement)
+    Layout.lakeE2e(spark, sf).collect()
+    assert(Layout.lakeChangesSince(spark,
+      Layout.scratchDir("lake_e2e", sf), 0).count() === 0L)
+  }
+
+  test("retention policy: the age floor retains generations keep-last would expire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    (0 to 3).foreach(g =>
+      Layout.commitGeneration(root, g, Seq("base" -> s"file:/t/$g.parquet")))
+    val now = java.lang.System.currentTimeMillis()
+    // zero age floor degenerates to pure keep-last-N
+    assert(Layout.retainedGenerations(root, 2, 0L, now) === Seq(2, 3))
+    // an unbounded age floor retains the whole log
+    assert(Layout.retainedGenerations(root, 2, Long.MaxValue, now) === Seq(0, 1, 2, 3))
+    // age the two oldest manifests out of a 5s window; g2 stays fresh,
+    // so keep-last-1 + the window retains {2, 3}
+    (0 to 1).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/gens/g=$g"),
+        java.nio.file.attribute.FileTime.fromMillis(now - 10000L))
+    }
+    assert(Layout.retainedGenerations(root, 1, 5000L, now) === Seq(2, 3))
   }
 }

@@ -315,15 +315,20 @@ class EmptyInputsSpec extends SparkSpec {
     assert(le(2).getAs[Long]("files_total") === 0L)
     // vacuuming an empty lake: three generations still commit; the one
     // empty delta file is g0's only (dead) reference, the retained
-    // rewrites reference nothing, the answers are trivially invariant
-    val lv = graft.ext.Layout.lakeVacuum(spark, dir).head()
-    assert(lv.getAs[Long]("n_gens") === 3L)
-    assert(lv.getAs[Long]("n_retained") === 2L)
-    assert(lv.getAs[Long]("files_before") === 1L)
-    assert(lv.getAs[Long]("files_live") === 0L)
-    assert(lv.getAs[Long]("files_deleted") === 1L)
-    Seq("rows_deleted", "rows_out_before", "rows_out_prev_gen", "rows_out_after")
-      .foreach(c => assert(lv.getAs[Long](c) === 0L, s"lakeVacuum.$c"))
+    // rewrites reference nothing, the answers are trivially invariant —
+    // and the dry-run row (round 18) mirrors the executed one exactly
+    val lvRows = graft.ext.Layout.lakeVacuum(spark, dir).collect()
+      .sortBy(_.getAs[String]("mode"))
+    assert(lvRows.map(_.getAs[String]("mode")).toSeq === Seq("dry_run", "vacuum"))
+    lvRows.foreach { lv =>
+      assert(lv.getAs[Long]("n_gens") === 3L)
+      assert(lv.getAs[Long]("n_retained") === 2L)
+      assert(lv.getAs[Long]("files_before") === 1L)
+      assert(lv.getAs[Long]("files_live") === 0L)
+      assert(lv.getAs[Long]("files_deleted") === 1L)
+      Seq("rows_deleted", "rows_out_before", "rows_out_prev_gen", "rows_out_after")
+        .foreach(c => assert(lv.getAs[Long](c) === 0L, s"lakeVacuum.$c"))
+    }
   }
 
   test("round-17 additions on empty inputs") {
@@ -377,5 +382,21 @@ class EmptyInputsSpec extends SparkSpec {
         "erased_remaining")
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeDelete.$c"))
     }
+  }
+
+  test("round-18 additions on empty inputs") {
+    // AS-OF over the empty arrival log: the base generation plus one
+    // commit per (empty) arrival batch, every answer zero, files_live
+    // counting only the empty staged delta files
+    val asof = graft.ext.Layout.lakeIngestAsof(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(asof.length === 4)
+    asof.zipWithIndex.foreach { case (r, g) =>
+      assert(r.getAs[Long]("files_live") === g.toLong, s"asof g$g files")
+      assert(r.getAs[Long]("rows_out") === 0L, s"asof g$g rows")
+    }
+    // the cursor feed over the empty arrival log: three transitions,
+    // each carrying an (empty) arrival file — zero feed rows, no crash
+    assert(graft.ext.Layout.lakeChangesCursor(spark, dir).count() === 0L)
   }
 }
