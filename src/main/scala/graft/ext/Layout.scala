@@ -1284,19 +1284,23 @@ object Layout {
           .as("n_scored"),
         coalesce(sum(col("score")), lit(0.0)).cast("long").as("score_chk"))
     // STAGE 1 — evolved merge-on-read: prune base files from footers,
-    // always read the delta, answer through the union schema
-    val m = FooterManifest.build(spark, s"$root/tbl", zcols)
-    val mRows = m.collect()
-    val (deltaMRows, baseMRows) = mRows
-      .partition(_.getAs[String]("file").contains("zcell=-1"))
+    // always read the delta, answer through the union schema. File sets
+    // resolve FROM THE GENERATION LOG (round 18): g1 is the evolved
+    // merge-on-read commit, its kinds partition base from arrival
+    val g1 = readGeneration(root, 1)
+    val g1BaseFiles = g1.collect { case ("base", f) => f }
+    val g1DeltaFiles = g1.collect { case ("delta", f) => f }
+    val mBase = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
+    val baseMRows = mBase.collect()
     val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(baseMRows: _*), m.schema)
+      java.util.Arrays.asList(baseMRows: _*), mBase.schema)
     val keptBase = FooterManifest.filesToRead(localBase, numBox).collect()
     val keptBaseFiles = keptBase.map(_.getString(0)).toSeq
-    val rowsDelta = deltaMRows
+    val rowsDelta = FooterManifest
+      .buildFromFiles(spark, g1DeltaFiles, Seq("event_id")).collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
       .distinct.map(_._2).sum
-    val deltaDf = spark.read.schema(dataSchema).parquet(s"$root/tbl/zcell=-1")
+    val deltaDf = spark.read.schema(dataSchema).parquet(g1DeltaFiles: _*)
     val baseKept = if (keptBaseFiles.isEmpty) emptyEvolved
       else spark.read.schema(dataSchema).parquet(keptBaseFiles: _*)
     val merged1 = baseKept
@@ -1304,14 +1308,15 @@ object Layout {
       .unionByName(deltaDf)
     val s1 = spark.range(1).select(
       lit(1L).as("stage"), lit("merge_on_read").as("state"),
-      lit(baseMRows.map(_.getAs[String]("file")).distinct.length.toLong + 1)
-        .as("files_total"),
-      lit(keptBaseFiles.size.toLong + 1).as("files_read"),
+      lit(baseMRows.map(_.getAs[String]("file")).distinct.length.toLong
+        + g1DeltaFiles.size).as("files_total"),
+      lit(keptBaseFiles.size.toLong + g1DeltaFiles.size).as("files_read"),
       lit(keptBase.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
       .crossJoin(broadcast(outAgg(merged1, lakeBox)))
-    // STAGES 2 & 3 — the folded layout's footers, which now cover the
-    // evolved column next to the original z columns
-    val mf = FooterManifest.build(spark, s"$root/fold", zcols :+ "score")
+    // STAGES 2 & 3 — the folded generation's footers, which now cover
+    // the evolved column next to the original z columns
+    val mf = FooterManifest.buildFromFiles(spark,
+      readGeneration(root, 2).collect { case ("base", f) => f }, zcols :+ "score")
     val mfRows = mf.collect()
     val localFold = spark.createDataFrame(
       java.util.Arrays.asList(mfRows: _*), mf.schema)
@@ -1458,18 +1463,22 @@ object Layout {
         coalesce(sum(col("user_id")), lit(0L)).as("uid_chk"))
     // MIXED-WIDTH stages (1 and 3): prune base files from their footers
     // (INT32 stats), always read the delta, answer through the wide
-    // schema's promotion read
-    val m = FooterManifest.build(spark, s"$root/tbl", zcols)
-    val mRows = m.collect()
-    val (deltaMRows, baseMRows) = mRows
-      .partition(_.getAs[String]("file").contains("zcell=-1"))
+    // schema's promotion read. File sets resolve FROM THE GENERATION
+    // LOG (round 18): g1 is the mixed-width commit, its kinds partition
+    // the narrow era from the wide arrival
+    val g1 = readGeneration(root, 1)
+    val g1BaseFiles = g1.collect { case ("base", f) => f }
+    val g1DeltaFiles = g1.collect { case ("delta", f) => f }
+    val mBase = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
+    val baseMRows = mBase.collect()
     val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(baseMRows: _*), m.schema)
+      java.util.Arrays.asList(baseMRows: _*), mBase.schema)
     val baseFilesTotal = baseMRows.map(_.getAs[String]("file")).distinct.length.toLong
-    val rowsDelta = deltaMRows
+    val rowsDelta = FooterManifest
+      .buildFromFiles(spark, g1DeltaFiles, Seq("event_id")).collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
       .distinct.map(_._2).sum
-    val deltaDf = spark.read.schema(wideSchema).parquet(s"$root/tbl/zcell=-1")
+    val deltaDf = spark.read.schema(wideSchema).parquet(g1DeltaFiles: _*)
     def mixedStage(stage: Long, state: String,
         box: Map[String, (Double, Double)], filter: Column): DataFrame = {
       val kept = FooterManifest.filesToRead(localBase, box).collect()
@@ -1481,13 +1490,14 @@ object Layout {
         .unionByName(deltaDf)
       spark.range(1).select(
         lit(stage).as("stage"), lit(state).as("state"),
-        lit(baseFilesTotal + 1).as("files_total"),
-        lit(keptFiles.size.toLong + 1).as("files_read"),
+        lit(baseFilesTotal + g1DeltaFiles.size).as("files_total"),
+        lit(keptFiles.size.toLong + g1DeltaFiles.size).as("files_read"),
         lit(kept.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
         .crossJoin(broadcast(outAgg(merged, filter)))
     }
-    // STAGE 2 — the uniformly-wide folded layout's footers
-    val mf = FooterManifest.build(spark, s"$root/fold", zcols)
+    // STAGE 2 — the uniformly-wide folded generation's footers
+    val mf = FooterManifest.buildFromFiles(spark,
+      readGeneration(root, 2).collect { case ("base", f) => f }, zcols)
     val mfRows = mf.collect()
     val localFold = spark.createDataFrame(
       java.util.Arrays.asList(mfRows: _*), mf.schema)
@@ -1607,8 +1617,14 @@ object Layout {
     val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
     def emptyEv = spark.range(0).select(col("id").as("event_id"),
       col("id").as("user_id"), col("id").cast("double").as("value"))
+    // file sets resolve FROM THE GENERATION LOG (round 18): g1 carries
+    // the base refs + the CRUD arrival (kind cdelta), g2 the fold
+    val g1 = readGeneration(root, 1)
+    val g1BaseFiles = g1.collect { case ("base", f) => f }
+    val cdeltaFiles = g1.collect { case ("cdelta", f) => f }
+    val foldFiles = readGeneration(root, 2).collect { case ("base", f) => f }
     val deltaSchema = "event_id BIGINT, user_id BIGINT, value DOUBLE, op STRING"
-    val deltaDf = spark.read.schema(deltaSchema).parquet(s"$root/delta")
+    val deltaDf = spark.read.schema(deltaSchema).parquet(cdeltaFiles: _*)
     // the erasure accounting, from the persisted lineage, in ONE
     // DEFERRED aggregate (round 18, VERDICT r17 wrong #2 — was three
     // eager driver actions plus two rebuilt tombstone frames): the
@@ -1618,14 +1634,14 @@ object Layout {
     // (tombstoned keys surviving in the END state's files — must be
     // zero) is the compliance observable; distinct counts are sound
     // because an erasure request carries each key once.
+    def readRefs(files: Seq[String]): DataFrame =
+      if (files.isEmpty) emptyEv
+      else spark.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(files: _*)
     val tombKeys = deltaDf.where(col("op") === "D").select(col("event_id"))
-    val probes = spark.read
-      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
-      .parquet(s"$root/base")
+    val probes = readRefs(g1BaseFiles)
       .select(col("event_id"), lit("base").as("src"))
-      .unionByName(spark.read
-        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
-        .parquet(s"$root/fold")
+      .unionByName(readRefs(foldFiles)
         .select(col("event_id"), lit("fold").as("src")))
     val erasureAcc = tombKeys.join(probes, Seq("event_id"), "left_outer")
       .agg(count_distinct(col("event_id")).as("n_tombstones"),
@@ -1633,13 +1649,16 @@ object Layout {
         count_distinct(when(col("src") === "fold", col("event_id")))
           .as("erased_remaining"))
     // STAGE 1 — merge-on-read with tombstones over pruned base footers
-    val m = FooterManifest.build(spark, s"$root/base", zcols)
+    val m = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
     val mRows = m.collect()
     val localBase = spark.createDataFrame(
       java.util.Arrays.asList(mRows: _*), m.schema)
     val kept = FooterManifest.filesToRead(localBase, numBox).collect()
     val keptFiles = kept.map(_.getString(0)).toSeq
-    val rowsDelta = FooterManifest.rowCountFromFooters(spark, s"$root/delta")
+    val rowsDelta = FooterManifest
+      .buildFromFiles(spark, cdeltaFiles, Seq("event_id")).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
+      .distinct.map(_._2).sum
     val merged1 = (if (keptFiles.isEmpty) emptyEv
         else spark.read.parquet(keptFiles: _*))
       .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
@@ -1647,13 +1666,13 @@ object Layout {
     val boxCount1 = merged1.where(lakeBox).agg(count(lit(1)).as("rows_out"))
     val s1 = spark.range(1).select(
       lit(1L).as("stage"), lit("merge_on_read").as("state"),
-      lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong + 1)
-        .as("files_total"),
-      lit(keptFiles.size.toLong + 1).as("files_read"),
+      lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong
+        + cdeltaFiles.size).as("files_total"),
+      lit(keptFiles.size.toLong + cdeltaFiles.size).as("files_read"),
       lit(kept.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
       .crossJoin(broadcast(boxCount1))
-    // STAGE 2 — the folded (physically erased) layout's footers
-    val mf = FooterManifest.build(spark, s"$root/fold", zcols)
+    // STAGE 2 — the folded (physically erased) generation's footers
+    val mf = FooterManifest.buildFromFiles(spark, foldFiles, zcols)
     val mfRows = mf.collect()
     val localFold = spark.createDataFrame(
       java.util.Arrays.asList(mfRows: _*), mf.schema)
@@ -1975,6 +1994,7 @@ object Layout {
     * tests of the log primitives). */
   private def logConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 

@@ -987,6 +987,32 @@ class LayoutSpec extends SparkSpec {
       Layout.scratchDir("lake_e2e", sf), 0).count() === 0L)
   }
 
+  test("cursor CDF consumed LIVE: a checkpointing consumer drains each commit as the loop lands it") {
+    // the consumer half of the cursor feed under the arrival loop's own
+    // cadence: after every lakeIngestStep commit, read feed(checkpoint),
+    // advance the checkpoint to the tip — the union of the drained
+    // increments must equal the from-scratch feed, which is what makes
+    // "resume from my last checkpoint" a safe production loop
+    val root = java.nio.file.Files.createTempDirectory("graft-cdflive").toString
+    val ctx = Layout.prepareLakeIngest(spark, sf, root)
+    try {
+      var running = ctx.boxInit
+      var checkpoint = 0
+      val drained = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      Layout.lakeArrivalBatches(spark, sf).zipWithIndex.foreach { case (b, i) =>
+        running = Layout.lakeIngestStep(b, i.toLong, root, ctx, running)._7
+        val tip = Layout.listGenerations(root).last
+        drained ++= Layout.lakeChangesSince(spark, root, checkpoint, Some(tip)).collect()
+        checkpoint = tip
+      }
+      assert(checkpoint === 3)
+      val full = Layout.lakeChangesSince(spark, root, 0).collect()
+      assert(drained.sortBy(_.toString).toSeq === full.sortBy(_.toString).toSeq,
+        "incrementally drained feed must equal the from-scratch feed")
+      assert(full.nonEmpty)
+    } finally ctx.baseBoxKeys.unpersist()
+  }
+
   test("retention policy: the age floor retains generations keep-last would expire") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     (0 to 3).foreach(g =>
