@@ -69,8 +69,9 @@ object Bench {
     "x_lake_timetravel", "x_lake_widen", "x_lake_changes",
     "x_lake_cdc_apply", "x_lake_delete",
     // round 18: the unified-log observables — AS-OF replay of the
-    // arrival loop's boundaries and the cursor-based change feed
-    "x_lake_ingest_asof", "x_lake_changes_cursor")
+    // arrival loop's boundaries, the cursor-based change feed, and the
+    // conflict→rebase commit race
+    "x_lake_ingest_asof", "x_lake_changes_cursor", "x_lake_rebase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

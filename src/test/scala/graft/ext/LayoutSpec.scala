@@ -1013,6 +1013,95 @@ class LayoutSpec extends SparkSpec {
     } finally ctx.baseBoxKeys.unpersist()
   }
 
+  test("lake rebase: g2 carries BOTH writers' arrivals, g1 only A's, B aborted exactly once") {
+    val rows = Layout.lakeRebase(spark, sf).collect().sortBy(_.getAs[Long]("gen"))
+    assert(rows.map(r => (r.getAs[String]("writer"), r.getAs[Long]("conflicts"))).toSeq
+      === Seq(("seed", 0L), ("A", 0L), ("B", 1L)))
+    val root = Layout.scratchDir("lake_rebase", sf)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val ins = ev.where(pmod(col("event_id"), lit(10)) === 0)
+    val sliceA = ins.where(pmod(expr("event_id div 10"), lit(3)) === 0)
+    val sliceB = ins.where(pmod(expr("event_id div 10"), lit(3)) =!= 0)
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 1)
+        .withColumn("value", col("value") + lit(150.0)))
+    // the landed state is the newest-wins merge of BOTH arrivals —
+    // content-level, not just the box count
+    val both = sliceA.unionByName(sliceB)
+    val expected = base
+      .join(both.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(both)
+    val g2 = Layout.readLakeAsOf(spark, root, 2)
+    assert(g2.count() === expected.count())
+    assert(g2.exceptAll(expected).count() === 0L,
+      "the rebased commit must carry both writers' arrivals")
+    // AS OF g1, writer B's pure-insert keys do not exist yet
+    val g1 = Layout.readLakeAsOf(spark, root, 1)
+    val bInserts = ins.where(pmod(expr("event_id div 10"), lit(3)) =!= 0)
+    assert(g1.join(bInserts.select(col("event_id")), Seq("event_id"), "left_semi")
+      .count() === 0L, "g1 must predate writer B's arrival")
+  }
+
+  test("cursor CDF as a STREAM over the log: manifests replay one per micro-batch, increments compose") {
+    // the generation log IS a file stream: each committed manifest is an
+    // immutable new file, so Spark's file source delivers "a generation
+    // committed" as a micro-batch and the checkpointing consumer drains
+    // feed(cursor → arrived gen) per trigger — CDC consumption as a
+    // stream over the log, under the same deterministic-replay
+    // discipline as LakeIngestStream (explicit ascending mtimes)
+    val root = java.nio.file.Files.createTempDirectory("graft-cdfstream").toString
+    val ctx = Layout.prepareLakeIngest(spark, sf, root)
+    try {
+      var running = ctx.boxInit
+      Layout.lakeArrivalBatches(spark, sf).zipWithIndex.foreach { case (b, i) =>
+        running = Layout.lakeIngestStep(b, i.toLong, root, ctx, running)._7
+      }
+    } finally ctx.baseBoxKeys.unpersist()
+    val t0 = java.lang.System.currentTimeMillis()
+    Layout.listGenerations(root).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/gens/g=$g"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + g * 2000L))
+    }
+    val lock = new Object
+    val drained = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cursor = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfstream-ckpt").toString
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(s"$root/gens")
+      .select(input_file_name().as("f"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gensInBatch = b.select(col("f")).distinct().collect()
+          .map(_.getString(0).split("g=").last.toInt).sorted
+        lock.synchronized {
+          gensInBatch.foreach { g =>
+            seen += g
+            if (g > cursor) {
+              drained ++= Layout.lakeChangesSince(spark, root, cursor, Some(g)).collect()
+              cursor = g
+            }
+          }
+        }
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    lock.synchronized {
+      assert(seen.sorted.toSeq === Seq(0, 1, 2, 3),
+        s"each committed manifest must arrive as a micro-batch, got $seen")
+      assert(cursor === 3)
+      val full = Layout.lakeChangesSince(spark, root, 0).collect()
+      assert(drained.sortBy(_.toString).toSeq === full.sortBy(_.toString).toSeq,
+        "per-trigger increments must compose to the from-scratch feed")
+    }
+  }
+
   test("retention policy: the age floor retains generations keep-last would expire") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     (0 to 3).foreach(g =>

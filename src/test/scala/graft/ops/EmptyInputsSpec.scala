@@ -398,5 +398,13 @@ class EmptyInputsSpec extends SparkSpec {
     // the cursor feed over the empty arrival log: three transitions,
     // each carrying an (empty) arrival file — zero feed rows, no crash
     assert(graft.ext.Layout.lakeChangesCursor(spark, dir).count() === 0L)
+    // the rebase race over nothing: the conflict still fires (the file
+    // exists even with zero rows) and the protocol's commit/abort
+    // accounting is unchanged
+    val rb = graft.ext.Layout.lakeRebase(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(rb.map(r => (r.getAs[String]("writer"), r.getAs[Long]("conflicts"),
+      r.getAs[Long]("files_live"), r.getAs[Long]("rows_out"))).toSeq
+      === Seq(("seed", 0L, 0L, 0L), ("A", 0L, 1L, 0L), ("B", 1L, 2L, 0L)))
   }
 }
