@@ -71,7 +71,8 @@ object Bench {
     // round 18: the unified-log observables — AS-OF replay of the
     // arrival loop's boundaries, the cursor-based change feed, and the
     // conflict→rebase commit race
-    "x_lake_ingest_asof", "x_lake_changes_cursor", "x_lake_rebase")
+    "x_lake_ingest_asof", "x_lake_changes_cursor", "x_lake_rebase",
+    "x_lake_cdf_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2492,14 +2492,18 @@ object Layout {
     * `LayoutSpec` — is what makes the checkpoint sound.
     *
     * Per transition g−1 → g the ARRIVAL is read off the manifests alone
-    * (delta refs of g not in g−1); transitions that add no delta file
-    * (a fold, a compaction) are logically EMPTY feed entries — the
-    * published CDF semantics, where data-movement commits change no
-    * row. Classification runs against the transition's BASE epoch
-    * (insert vs update_postimage+update_preimage, the base value riding
-    * as the preimage); transitions sharing a base epoch share ONE probe
-    * join — over the arrival log that is a single delta-scale
-    * batch⋈base-keys join for the WHOLE feed, never one per commit.
+    * (delta/cdelta refs of g not in g−1); transitions that add no
+    * arrival file (a fold, a compaction) are logically EMPTY feed
+    * entries — the published CDF semantics, where data-movement commits
+    * change no row. Classification runs against the transition's BASE
+    * epoch: an upsert feeds `insert` or `update_postimage` +
+    * `update_preimage` (the base value riding as the preimage), and a
+    * CRUD arrival's op='D' tombstones feed `delete` rows carrying the
+    * erased base row's identity and value (a tombstone for a key the
+    * base never held is a no-op). Transitions sharing a base epoch
+    * share ONE probe join — over the arrival log that is a single
+    * delta-scale batch⋈base-keys join for the WHOLE feed, never one
+    * per commit.
     * Cross-arrival key disjointness is the lineage contract
     * ([[lakeIngestStep]]'s documented invariant), which is what lets
     * the base epoch alone classify every arrival row.
@@ -2517,38 +2521,55 @@ object Layout {
       col("id").as("val_chk"))
     val gens = listGenerations(root)
     val hi = until.getOrElse(gens.lastOption.getOrElse(cursor))
-    // (transition-to gen, its arrival files, its base epoch's files)
+    // (transition-to gen, plain-delta arrivals, CRUD arrivals, base epoch)
     val arrivals = gens.filter(g => g > cursor && g <= hi).flatMap { g =>
       val prev = readGeneration(root, g - 1)
-      val prevDelta = prev.collect { case ("delta", f) => f }.toSet
-      val arriving = readGeneration(root, g)
-        .collect { case ("delta", f) => f }.filterNot(prevDelta)
-      if (arriving.isEmpty) None
-      else Some((g, arriving, prev.collect { case ("base", f) => f }))
+      val prevRefs = prev.map(_._2).toSet
+      val cur = readGeneration(root, g)
+      val newDelta = cur.collect { case ("delta", f) => f }.filterNot(prevRefs)
+      val newCdelta = cur.collect { case ("cdelta", f) => f }.filterNot(prevRefs)
+      if (newDelta.isEmpty && newCdelta.isEmpty) None
+      else Some((g, newDelta, newCdelta, prev.collect { case ("base", f) => f }))
     }
     if (arrivals.isEmpty) return emptyFeed
     // one probe join per distinct base EPOCH, not per commit: tag each
-    // arrival batch with its transition and classify them together
-    val marked = arrivals.groupBy(_._3).toSeq.map { case (baseFiles, group) =>
-      val tagged = group.map { case (g, files, _) =>
-        spark.read.schema(std).parquet(files: _*)
+    // arrival batch with its transition and classify them together. A
+    // plain delta is an all-upsert arrival (op='U'); a CRUD arrival's
+    // own op column rides through, so tombstones feed `delete` rows
+    val marked = arrivals.groupBy(_._4).toSeq.map { case (baseFiles, group) =>
+      val tagged = group.map { case (g, deltaFiles, cdeltaFiles, _) =>
+        val plain = if (deltaFiles.isEmpty) None
+          else Some(spark.read.schema(std).parquet(deltaFiles: _*)
+            .withColumn("op", lit("U")))
+        val crud = if (cdeltaFiles.isEmpty) None
+          else Some(spark.read.schema(s"$std, op STRING").parquet(cdeltaFiles: _*))
+        (plain.toSeq ++ crud.toSeq).reduce(_ unionByName _)
           .select(lit(g - 1L).as("from_gen"), lit(g.toLong).as("to_gen"),
-            col("event_id"), col("user_id"), col("value"))
+            col("event_id"), col("user_id"), col("value"), col("op"))
       }.reduce(_ unionByName _)
       val baseKV = if (baseFiles.isEmpty)
         spark.range(0).select(col("id").as("event_id"),
-          col("id").cast("double").as("__bv"))
+          col("id").as("__bu"), col("id").cast("double").as("__bv"))
       else spark.read.schema(std).parquet(baseFiles: _*)
-        .select(col("event_id"), col("value").as("__bv"))
+        .select(col("event_id"), col("user_id").as("__bu"),
+          col("value").as("__bv"))
       tagged.join(baseKV, Seq("event_id"), "left_outer")
     }.reduce(_ unionByName _)
+      // a tombstone for a key the base never held is a no-op (the
+      // published DELETE semantics) — it contributes no feed row
+      .where(col("op") =!= "D" || col("__bv").isNotNull)
     val feed = marked.select(col("from_gen"), col("to_gen"),
-      col("event_id"), col("user_id"),
-      explode(when(col("__bv").isNull,
+      col("event_id"),
+      // a tombstone row carries no payload; its identity is the erased
+      // base row's
+      when(col("op") === "D", col("__bu")).otherwise(col("user_id")).as("user_id"),
+      explode(when(col("op") === "D",
+          array(struct(lit("delete").as("change_type"), col("__bv").as("v"))))
+        .otherwise(when(col("__bv").isNull,
           array(struct(lit("insert").as("change_type"), col("value").as("v"))))
         .otherwise(array(
           struct(lit("update_postimage").as("change_type"), col("value").as("v")),
-          struct(lit("update_preimage").as("change_type"), col("__bv").as("v"))))).as("c"))
+          struct(lit("update_preimage").as("change_type"), col("__bv").as("v")))))).as("c"))
     feed.groupBy(col("from_gen"), col("to_gen"),
         col("c.change_type").as("change_type"))
       .agg(count(lit(1)).as("n_rows"),
@@ -2567,6 +2588,20 @@ object Layout {
   def lakeChangesCursor(spark: SparkSession, dir: String): DataFrame = {
     lakeIngest(spark, dir) // idempotently materialize the lineage + log
     lakeChangesSince(spark, scratchDir("lake_ingest", dir), cursor = 0)
+  }
+
+  /** The cursor feed over the TOMBSTONE lineage's log — the CDF
+    * completion for CRUD arrivals: the g0→g1 transition's cdelta feeds
+    * all four change types at once (inserts, both update images, and
+    * `delete` rows carrying each erased base row's identity and value —
+    * what a downstream replica applies to erase the same keys), and the
+    * g1→g2 fold is a data-movement commit feeding NOTHING (the rows a
+    * fold rewrites did not change). The oracle recomputes every row
+    * from the fixture slices; the erased preimages are the mod-100≡3
+    * base rows themselves. */
+  def lakeCdfDelete(spark: SparkSession, dir: String): DataFrame = {
+    lakeDelete(spark, dir) // idempotently materialize the lineage + log
+    lakeChangesSince(spark, scratchDir("lake_delete", dir), cursor = 0)
   }
 
   /** OPTIMISTIC CONCURRENCY END TO END — CONFLICT, ABORT, REBASE, LAND
@@ -2854,6 +2889,7 @@ object Layout {
     "x_lake_changes" -> (lakeChanges _),
     "x_lake_changes_cursor" -> (lakeChangesCursor _),
     "x_lake_rebase" -> (lakeRebase _),
+    "x_lake_cdf_delete" -> (lakeCdfDelete _),
     "x_lake_cdc_apply" -> (cdcApply _),
     "x_lake_delete" -> (lakeDelete _),
     "x_dpp_read" -> (dppRead _),
@@ -3061,6 +3097,31 @@ object Layout {
         |  UNION ALL
         |  SELECT 2, 3, 'insert', event_id, user_id, value FROM ins
         |  WHERE (((event_id // 10) % 3) + 3) % 3 = 2)
+        |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
+        |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS key_chk,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_chk,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_chk
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the CRUD arrival's feed is a pure function of the fixture slices:
+    // inserts feed themselves, updates feed both images, tombstones
+    // feed the erased BASE rows (the mod-100≡3 rows are base rows by
+    // construction, so the preimage is the row itself); the fold
+    // transition feeds nothing
+    "x_lake_cdf_delete" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |ins AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0),
+        |upd AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 100 = 1),
+        |tomb AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 100 = 3),
+        |feed AS (
+        |  SELECT 0 AS from_gen, 1 AS to_gen, 'insert' AS change_type,
+        |         event_id, user_id, value FROM ins
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_postimage', event_id, user_id, value + 150.0 FROM upd
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_preimage', event_id, user_id, value FROM upd
+        |  UNION ALL
+        |  SELECT 0, 1, 'delete', event_id, user_id, value FROM tomb)
         |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
         |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS key_chk,

@@ -1102,6 +1102,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("CRUD cursor feed: delete rows equal the generic state diff's vanished keys; the fold feeds nothing") {
+    val feed = Layout.lakeCdfDelete(spark, sf).collect()
+    assert(feed.forall(r => r.getAs[Long]("from_gen") == 0L
+      && r.getAs[Long]("to_gen") == 1L))
+    assert(feed.map(_.getAs[String]("change_type")).sorted ===
+      Array("delete", "insert", "update_postimage", "update_preimage"))
+    // the delete rows must equal what a generic (state-scale) diff of
+    // the two log states finds vanished — identity AND values
+    val root = Layout.scratchDir("lake_delete", sf)
+    val g0 = Layout.readLakeAsOf(spark, root, 0)
+    val g1 = Layout.readLakeAsOf(spark, root, 1)
+    val vanished = g0.join(g1.select(col("event_id")), Seq("event_id"), "left_anti")
+      .agg(count(lit(1)), coalesce(sum(col("event_id")), lit(0L)),
+        coalesce(sum(col("user_id")), lit(0L)),
+        coalesce(sum(floor(col("value")).cast("long")), lit(0L))).head()
+    val del = feed.find(_.getAs[String]("change_type") == "delete").get
+    assert(del.getAs[Long]("n_rows") > 0L)
+    assert(del.getAs[Long]("n_rows") === vanished.getLong(0))
+    assert(del.getAs[Long]("key_chk") === vanished.getLong(1))
+    assert(del.getAs[Long]("uid_chk") === vanished.getLong(2))
+    assert(del.getAs[Long]("val_chk") === vanished.getLong(3))
+    // the fold (g1→g2) is a data-movement commit: logically empty feed
+    assert(Layout.lakeChangesSince(spark, root, 1).count() === 0L)
+  }
+
   test("retention policy: the age floor retains generations keep-last would expire") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     (0 to 3).foreach(g =>

@@ -398,6 +398,9 @@ class EmptyInputsSpec extends SparkSpec {
     // the cursor feed over the empty arrival log: three transitions,
     // each carrying an (empty) arrival file — zero feed rows, no crash
     assert(graft.ext.Layout.lakeChangesCursor(spark, dir).count() === 0L)
+    // the CRUD feed over an empty tombstone lineage: the cdelta arrival
+    // file exists but carries nothing — zero feed rows, no crash
+    assert(graft.ext.Layout.lakeCdfDelete(spark, dir).count() === 0L)
     // the rebase race over nothing: the conflict still fires (the file
     // exists even with zero rows) and the protocol's commit/abort
     // accounting is unchanged
