@@ -1248,7 +1248,7 @@ object Layout {
       // v2: the evolution's three states COMMIT to the generation log
       // (round 18 — an evolved arrival is a commit like any other; the
       // log's AS-OF read answers the core projection from any of them)
-      materializeIfChanged(root, layoutFingerprint("v2:evolve",
+      materializeIfChanged(root, layoutFingerprint("v3:evolve",
           plannedBase.unionByName(
             delta.withColumn("zcell", lit(-1L))
               .select(col("event_id"), col("user_id"), col("value"),
@@ -1257,20 +1257,26 @@ object Layout {
         val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(rootPath)) fs.delete(rootPath, true)
         // ONE evolving table dir: old-schema base cells + the evolved
-        // delta as the unfolded-arrivals partition
+        // delta as the unfolded-arrivals partition. Each commit also
+        // fixes the catalog's READ SCHEMA of its era (`schema` entry —
+        // the metadata-action analogue): AS OF g0 the table simply has
+        // no `score` column; the evolution itself is time-travelable
+        val preSchema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+        val evolvedSchema = s"$preSchema, score DOUBLE"
         PartitionedSink.writeZCelled(base, s"$root/tbl", zcols, 12, 6)
         val g0Refs = listParquetFiles(spark, s"$root/tbl").map("base" -> _)
-        require(commitNextGeneration(root, g0Refs,
+        require(commitNextGeneration(root, g0Refs :+ ("schema" -> preSchema),
           Some((-1, Set.empty[String]))) == 0)
         delta.coalesce(1).write.mode("overwrite").parquet(s"$root/tbl/zcell=-1")
         val g1Refs = g0Refs ++
           listParquetFiles(spark, s"$root/tbl/zcell=-1").map("delta" -> _)
-        require(commitNextGeneration(root, g1Refs,
-          Some((0, g0Refs.map(_._2).toSet))) == 1)
+        require(commitNextGeneration(root, g1Refs :+ ("schema" -> evolvedSchema),
+          Some((0, (g0Refs.map(_._2) :+ preSchema).toSet))) == 1)
         PartitionedSink.writeZCelled(folded, s"$root/fold", zcols, 12, 6)
         require(commitNextGeneration(root,
-          listParquetFiles(spark, s"$root/fold").map("base" -> _),
-          Some((1, g1Refs.map(_._2).toSet))) == 2)
+          listParquetFiles(spark, s"$root/fold").map("base" -> _)
+            :+ ("schema" -> evolvedSchema),
+          Some((1, (g1Refs.map(_._2) :+ evolvedSchema).toSet))) == 2)
       }
     } finally {
       // everything below reads persisted FILES only
@@ -1422,7 +1428,7 @@ object Layout {
       // (round 18; the AS-OF read IS the catalog's promotion read).
       val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
         .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
-      materializeIfChanged(root, layoutFingerprint("v2:widen:int32->int64",
+      materializeIfChanged(root, layoutFingerprint("v3:widen:int32->int64",
           plannedBase.unionByName(
             delta.withColumn("zcell", lit(-1L))
               .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
@@ -1436,16 +1442,20 @@ object Layout {
         PartitionedSink.writeZCelled(
           base.withColumn("user_id", col("user_id").cast("int")),
           s"$root/tbl", zcols, 12, 6)
+        // the narrow era's CATALOG schema rides the commit (`schema`
+        // entry): AS OF g0 the column IS an INT — the widening itself
+        // is time-travelable
+        val narrowSchema = "event_id BIGINT, user_id INT, value DOUBLE"
         val g0Refs = listParquetFiles(spark, s"$root/tbl").map("base" -> _)
-        require(commitNextGeneration(root, g0Refs,
+        require(commitNextGeneration(root, g0Refs :+ ("schema" -> narrowSchema),
           Some((-1, Set.empty[String]))) == 0)
         // the WIDE era: the arrival delta ships user_id as INT64, into
         // the same table dir as the unfolded-arrivals partition
         delta.coalesce(1).write.mode("overwrite").parquet(s"$root/tbl/zcell=-1")
         val g1Refs = g0Refs ++
           listParquetFiles(spark, s"$root/tbl/zcell=-1").map("delta" -> _)
-        require(commitNextGeneration(root, g1Refs,
-          Some((0, g0Refs.map(_._2).toSet))) == 1)
+        require(commitNextGeneration(root, g1Refs :+ ("schema" -> wideSchema),
+          Some((0, (g0Refs.map(_._2) :+ narrowSchema).toSet))) == 1)
         // FOLD THROUGH THE WIDE SCHEMA: consume the PERSISTED narrow
         // files via the promotion read — the upgrade moment — and land
         // uniformly-wide cells under re-quantized merged bounds
@@ -1458,8 +1468,9 @@ object Layout {
           .unionByName(deltaBack)
         PartitionedSink.writeZCelled(folded, s"$root/fold", zcols, 12, 6)
         require(commitNextGeneration(root,
-          listParquetFiles(spark, s"$root/fold").map("base" -> _),
-          Some((1, g1Refs.map(_._2).toSet))) == 2)
+          listParquetFiles(spark, s"$root/fold").map("base" -> _)
+            :+ ("schema" -> wideSchema),
+          Some((1, (g1Refs.map(_._2) :+ wideSchema).toSet))) == 2)
       }
     } finally {
       // everything below reads persisted FILES only
@@ -2162,30 +2173,42 @@ object Layout {
     * upgrade on the fly); a generation with no files of a kind reads as
     * the empty slice (a folded generation has no delta side at all).
     *
-    * Three reference kinds (round 18 — the log now carries every lake
-    * lineage, so the manifest vocabulary covers every arrival shape):
+    * Manifest entry kinds (round 18 — the log now carries every lake
+    * lineage, so the vocabulary covers every arrival shape plus the
+    * catalog metadata a commit fixes):
     *   - `base`  — clustered state files;
     *   - `delta` — plain upsert arrivals (every row re-enters);
     *   - `cdelta` — CRUD arrivals whose rows carry `op` ∈ U|D: ALL keys
     *     supersede their base versions, but only op='U' rows re-enter —
     *     op='D' rows are key-only tombstones, so a generation holding a
     *     cdelta reads with its erasures already applied (merge-on-read
-    *     deletes, [[lakeDelete]]'s read-time half). */
+    *     deletes, [[lakeDelete]]'s read-time half);
+    *   - `schema` — the catalog's READ SCHEMA as of this commit (a DDL
+    *     string, the published metadata-action analogue): schema
+    *     evolution becomes time-travelable — AS OF a pre-evolution
+    *     generation the added column does not exist and the widened
+    *     column has its era's narrow type; lineages that never evolve
+    *     omit the entry and read through the standard event schema. */
+  private[graft] def readLakeSchemaAsOf(root: String, gen: Int): Option[String] =
+    readGeneration(root, gen).collectFirst { case ("schema", s) => s }
+
   private[graft] def readLakeAsOf(spark: SparkSession, root: String, gen: Int): DataFrame = {
     val entries = readGeneration(root, gen)
     def files(kind: String) = entries.collect { case (`kind`, f) => f }
-    val std = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    val schema = entries.collectFirst { case ("schema", s) => s }
+      .getOrElse("event_id BIGINT, user_id BIGINT, value DOUBLE")
     def readOr(fls: Seq[String]): DataFrame =
-      if (fls.isEmpty) spark.range(0).select(col("id").as("event_id"),
-        col("id").as("user_id"), col("id").cast("double").as("value"))
-      else spark.read.schema(std).parquet(fls: _*)
+      if (fls.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+      else spark.read.schema(schema).parquet(fls: _*)
     val b = readOr(files("base"))
     val d = readOr(files("delta"))
     val cdFiles = files("cdelta")
     if (cdFiles.isEmpty)
       b.join(d.select(col("event_id")), Seq("event_id"), "left_anti").unionByName(d)
     else {
-      val cd = spark.read.schema(s"$std, op STRING").parquet(cdFiles: _*)
+      val cd = spark.read.schema(s"$schema, op STRING").parquet(cdFiles: _*)
       b.join(d.select(col("event_id"))
           .unionByName(cd.select(col("event_id"))), Seq("event_id"), "left_anti")
         .unionByName(d)

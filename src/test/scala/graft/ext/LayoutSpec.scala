@@ -1127,6 +1127,40 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.lakeChangesSince(spark, root, 1).count() === 0L)
   }
 
+  test("schema time travel: AS OF a pre-evolution generation the added column does not exist and the narrow era keeps its width") {
+    // the `schema` manifest entry is the metadata-action analogue —
+    // reading an old generation reproduces the CATALOG of its era, not
+    // just its rows
+    Layout.lakeEvolve(spark, sf).collect()
+    val er = Layout.scratchDir("lake_evolve", sf)
+    assert(Layout.readLakeSchemaAsOf(er, 0).exists(!_.contains("score")))
+    assert(Layout.readLakeSchemaAsOf(er, 1).exists(_.contains("score DOUBLE")))
+    val e0 = Layout.readLakeAsOf(spark, er, 0)
+    val e1 = Layout.readLakeAsOf(spark, er, 1)
+    assert(!e0.columns.contains("score"), "AS OF g0 the evolution has not happened")
+    assert(e1.columns.contains("score"))
+    // the evolved read carries real values for arrivals and NULLs for
+    // surviving base rows — the same coverage the lifecycle reports
+    val ev = graft.Tables.events(spark, sf)
+    val nDelta = ev.where(pmod(col("event_id"), lit(10)) === 0).count() +
+      ev.where(pmod(col("event_id"), lit(100)) === 1).count()
+    assert(e1.where(col("score").isNotNull).count() === nDelta)
+    Layout.lakeWiden(spark, sf).collect()
+    val wr = Layout.scratchDir("lake_widen", sf)
+    def uidType(gen: Int) = Layout.readLakeAsOf(spark, wr, gen)
+      .schema("user_id").dataType
+    assert(uidType(0) === org.apache.spark.sql.types.IntegerType,
+      "AS OF the narrow era the catalog type IS the narrow type")
+    assert(uidType(2) === org.apache.spark.sql.types.LongType)
+    // same values either side of the widening
+    val u0 = Layout.readLakeAsOf(spark, wr, 0)
+      .agg(coalesce(sum(col("user_id").cast("long")), lit(0L))).head().getLong(0)
+    val ev0 = graft.Tables.events(spark, sf)
+      .where(pmod(col("event_id"), lit(10)) =!= 0)
+      .agg(coalesce(sum(col("user_id")), lit(0L))).head().getLong(0)
+    assert(u0 === ev0, "the narrow read must carry the same ids bit-for-bit")
+  }
+
   test("retention policy: the age floor retains generations keep-last would expire") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     (0 to 3).foreach(g =>
