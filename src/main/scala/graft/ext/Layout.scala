@@ -972,7 +972,8 @@ object Layout {
     val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
     PartitionedSink.writeZCelled(base, s"$root/base", Seq("user_id", "value"), 12, 6)
     require(commitNextGeneration(root,
-      listParquetFiles(spark, s"$root/base").map("base" -> _),
+      listParquetFiles(spark, s"$root/base").map("base" -> _)
+        :+ ("op" -> "seed"),
       Some((-1, Set.empty[String]))) == 0,
       "ingest log must start at generation 0 on a wiped root")
     val baseCellRows = PartitionedSink
@@ -1025,8 +1026,12 @@ object Layout {
       (Long, Long, Long, Long, Long, Long, Long) = {
     b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
     val tipRefs = readGeneration(root, i.toInt)
+    // chain the tip's FILE references forward; per-commit metadata (the
+    // operation name the history surface reads) is this commit's own
     require(commitNextGeneration(root,
-      tipRefs ++ listParquetFiles(b.sparkSession, s"$root/delta/b=$i").map("delta" -> _),
+      tipRefs.filterNot(_._1 == "op") ++
+        listParquetFiles(b.sparkSession, s"$root/delta/b=$i").map("delta" -> _)
+        :+ ("op" -> "arrival"),
       Some((i.toInt, tipRefs.map(_._2).toSet))) == i.toInt + 1,
       s"arrival batch $i must commit as generation ${i + 1}")
     // ONE batch-scale aggregate settles arrival count, the within-batch
@@ -1086,10 +1091,11 @@ object Layout {
 
   /** Order-free content fingerprint of (base, arrivals, grid formulas)
     * — shared by both ingest engines so they cache/invalidate together.
-    * v3: the arrival loop now COMMITS a generation per batch (round 18)
-    * — same metric values, but the bump forces stale round-17 dirs
-    * (which carry no log) to re-materialize through the committing
-    * code path. */
+    * v4: the arrival loop now COMMITS a generation per batch (round
+    * 18), each commit carrying its operation name for the history
+    * surface — same metric values, but the bump forces stale dirs
+    * (which carry no log, or a log without the metadata) to
+    * re-materialize through the committing code path. */
   private[graft] def lakeIngestFingerprint(spark: SparkSession, dir: String): String = {
     import graft.sources.PartitionedSink
     val ev = Tables.events(spark, dir)
@@ -1101,7 +1107,7 @@ object Layout {
       .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
         .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
       .reduce(_ unionByName _)
-    layoutFingerprint("v3", plannedBase.unionByName(plannedArrivals))
+    layoutFingerprint("v4", plannedBase.unionByName(plannedArrivals))
   }
 
   def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
@@ -1159,8 +1165,10 @@ object Layout {
         .where(lakeBox).select(lit(g.toLong).as("gen")))
       .reduce(_ unionByName _)
       .groupBy(col("gen")).agg(count(lit(1)).as("rows_out"))
+    val fileKinds = Set("base", "delta", "cdelta")
     val manifests = gens
-      .map(g => (g.toLong, readGeneration(root, g).size.toLong))
+      .map(g => (g.toLong,
+        readGeneration(root, g).count(e => fileKinds(e._1)).toLong))
       .toDF("gen", "files_live")
     // left join: a generation whose box is empty still reports its row
     manifests.join(counts, Seq("gen"), "left_outer")
@@ -2243,10 +2251,12 @@ object Layout {
     * box count — pure functions of the events table, recomputed by
     * DuckDB from the table alone. Scale shape: the writes are the
     * fold/compaction's own one-time cost under the fingerprint guard;
-    * per invocation the report pays one distributed footer-manifest
-    * build + one merged box count PER GENERATION (generation count is a
-    * retention constant, never data-sized), and the driver holds only
-    * file-name lists — the same metadata any FileIndex materializes.
+    * per invocation the report pays ONE distributed footer-manifest
+    * build over the distinct referenced files and ONE tagged-replay
+    * hash-agg answering every generation's box (round 18 — was one
+    * manifest + one count job PER generation), and the driver holds
+    * only file-name lists — the same metadata any FileIndex
+    * materializes.
     * Retention (deleting generations a reader may no longer need) is
     * [[lakeVacuum]]'s half of the story; THIS lineage keeps its full
     * history on purpose. */
@@ -2302,21 +2312,33 @@ object Layout {
       folded.unpersist()
     }
     val states = Map(0 -> "pre_fold", 1 -> "folded", 2 -> "compacted")
-    listGenerations(root).map { g =>
-      val files = readGeneration(root, g).map(_._2)
-      // the generation's referenced row mass, from footers (distributed)
-      val rowsRef = if (files.isEmpty) 0L
-        else FooterManifest.buildFromFiles(spark, files, Seq("event_id"))
-          .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-      val rowsOut = readLakeAsOf(spark, root, g).where(lakeBox)
-        .agg(count(lit(1)).as("rows_out"))
-      spark.range(1).select(
-        lit(g.toLong).as("gen"),
-        lit(states.getOrElse(g, s"g$g")).as("state"),
-        lit(files.size.toLong).as("files_live"),
-        lit(rowsRef).as("rows_referenced"))
-        .crossJoin(broadcast(rowsOut))
-    }.reduce(_ unionByName _).orderBy("gen")
+    val gens = listGenerations(root)
+    val filesByGen = gens.map(g => g -> readGeneration(root, g).map(_._2)).toMap
+    // the referenced row masses, from footers: ONE distributed manifest
+    // over the DISTINCT files of every generation (generations share
+    // files — the fold's files appear under g1 and nowhere else, g0's
+    // under g0; a shared-file log would still pay each footer once),
+    // apportioned per generation driver-side at file-count scale
+    import spark.implicits._
+    val distinctFiles = filesByGen.values.flatten.toSeq.distinct
+    val rowsByFile = if (distinctFiles.isEmpty) Map.empty[String, Long]
+      else FooterManifest.buildFromFiles(spark, distinctFiles, Seq("event_id"))
+        .select(col("file"), col("n_rows")).distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every generation's box answer in ONE tagged-replay hash-agg job
+    val counts = gens.map(g => readLakeAsOf(spark, root, g)
+        .where(lakeBox).select(lit(g.toLong).as("gen")))
+      .reduce(_ unionByName _)
+      .groupBy(col("gen")).agg(count(lit(1)).as("rows_out"))
+    val manifests = gens.map { g =>
+      val files = filesByGen(g)
+      (g.toLong, states.getOrElse(g, s"g$g"), files.size.toLong,
+        files.map(rowsByFile.getOrElse(_, 0L)).sum)
+    }.toDF("gen", "state", "files_live", "rows_referenced")
+    manifests.join(counts, Seq("gen"), "left_outer")
+      .select(col("gen"), col("state"), col("files_live"),
+        col("rows_referenced"), coalesce(col("rows_out"), lit(0L)).as("rows_out"))
+      .orderBy("gen")
   }
 
   /** CHANGE DATA FEED over the generation log (round 17, beyond-plan —
@@ -2611,6 +2633,28 @@ object Layout {
   def lakeChangesCursor(spark: SparkSession, dir: String): DataFrame = {
     lakeIngest(spark, dir) // idempotently materialize the lineage + log
     lakeChangesSince(spark, scratchDir("lake_ingest", dir), cursor = 0)
+  }
+
+  /** DESCRIBE HISTORY over the arrival log (round 18 — the operational
+    * surface every published transaction log exposes): one row per
+    * committed generation with the operation that produced it (the
+    * `op` metadata entry each ingest commit carries) and its reference
+    * accounting by kind. Pure manifest metadata — no data file is
+    * opened; at any scale this is a retention-constant driver read,
+    * which is exactly what makes DESCRIBE HISTORY answerable on a
+    * 100 TB table in milliseconds. Oracle honesty: the base reference
+    * count is the cell-grid count (a pure function of the events
+    * table) and each arrival adds exactly one staged delta file, so
+    * DuckDB recomputes every row with no knowledge of the log. */
+  def lakeHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lakeIngest(spark, dir) // idempotently materialize the lineage + log
+    val root = scratchDir("lake_ingest", dir)
+    listGenerations(root).map { g =>
+      val e = readGeneration(root, g)
+      (g.toLong, e.collectFirst { case ("op", o) => o }.getOrElse(""),
+        e.count(_._1 == "base").toLong, e.count(_._1 == "delta").toLong)
+    }.toDF("gen", "op", "n_base_refs", "n_delta_refs").orderBy("gen")
   }
 
   /** The cursor feed over the TOMBSTONE lineage's log — the CDF
@@ -2913,6 +2957,7 @@ object Layout {
     "x_lake_changes_cursor" -> (lakeChangesCursor _),
     "x_lake_rebase" -> (lakeRebase _),
     "x_lake_cdf_delete" -> (lakeCdfDelete _),
+    "x_lake_history" -> (lakeHistory _),
     "x_lake_cdc_apply" -> (cdcApply _),
     "x_lake_delete" -> (lakeDelete _),
     "x_dpp_read" -> (dppRead _),
@@ -3075,6 +3120,20 @@ object Layout {
     // decides which files carry which state; DuckDB replays each
     // generation's newest-wins answer with no knowledge of the log
     "x_lake_ingest_asof" -> lakeIngestAsofOracleSql,
+    // history metadata: the base reference count is the cell-grid count
+    // and each arrival adds exactly one staged delta file; the op names
+    // are the literals the ingest protocol stamps
+    "x_lake_history" ->
+      s"""WITH $lakeIngestCommonCtes,
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bfiles),
+         |h AS (
+         |  SELECT CAST(0 AS BIGINT) AS gen, 'seed' AS op,
+         |         (SELECT n FROM nb) AS n_base_refs, CAST(0 AS BIGINT) AS n_delta_refs
+         |  UNION ALL SELECT 1, 'arrival', (SELECT n FROM nb), 1
+         |  UNION ALL SELECT 2, 'arrival', (SELECT n FROM nb), 2
+         |  UNION ALL SELECT 3, 'arrival', (SELECT n FROM nb), 3)
+         |SELECT gen, op, n_base_refs, CAST(n_delta_refs AS BIGINT) AS n_delta_refs
+         |FROM h ORDER BY gen""".stripMargin,
     // the feed is a pure function of the fixture slices: forward rows
     // carry the arriving values, the restore's inverse rows carry the
     // vanishing/reverted values; ⌊value⌋ sums are exact integers in

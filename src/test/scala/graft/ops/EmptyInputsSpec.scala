@@ -401,6 +401,14 @@ class EmptyInputsSpec extends SparkSpec {
     // the CRUD feed over an empty tombstone lineage: the cdelta arrival
     // file exists but carries nothing — zero feed rows, no crash
     assert(graft.ext.Layout.lakeCdfDelete(spark, dir).count() === 0L)
+    // history over the empty arrival log: the op stamps and per-kind
+    // reference accounting are structural, not data-dependent
+    val hist = graft.ext.Layout.lakeHistory(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(hist.map(r => (r.getAs[String]("op"), r.getAs[Long]("n_base_refs"),
+      r.getAs[Long]("n_delta_refs"))).toSeq
+      === Seq(("seed", 0L, 0L), ("arrival", 0L, 1L),
+        ("arrival", 0L, 2L), ("arrival", 0L, 3L)))
     // the rebase race over nothing: the conflict still fires (the file
     // exists even with zero rows) and the protocol's commit/abort
     // accounting is unchanged

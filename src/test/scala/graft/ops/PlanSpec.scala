@@ -259,12 +259,13 @@ class PlanSpec extends SparkSpec {
       "x_lake_ingest"     -> ((0, 0)), // metrics-table read-back: literal plan
       "x_lake_ingest_stream" -> ((0, 0)), // same read-back shape as the batch loop
       "x_lake_vacuum"     -> ((0, 0)), // one-row report read-back: literal plan
-      "x_lake_timetravel" -> ((3, 3)), // 3 generation rows × 1-row rows_out column
+      "x_lake_timetravel" -> ((0, 0)), // one fused tagged-replay hash-agg (round 18)
       "x_lake_changes"    -> ((0, 0)), // one delta⋈base-keys probe, planner's call
       "x_lake_ingest_asof" -> ((0, 0)), // one fused tagged-replay hash-agg, planner's call
       "x_lake_changes_cursor" -> ((0, 0)), // one arrivals⋈base-epoch probe, planner's call
       "x_lake_rebase" -> ((0, 0)), // one fused tagged-replay hash-agg, planner's call
       "x_lake_cdf_delete" -> ((0, 0)), // one cdelta⋈base-epoch probe, planner's call
+      "x_lake_history" -> ((0, 0)), // pure manifest metadata: a local frame, no scan
       "x_lake_cdc_apply"  -> ((0, 0)), // delta-scale fold ⋈ view, planner's call
       // 2 stage rows × 1-row rows_out column + the ONE fused 1-row
       // erasure-accounting column (round 18 — it replaced three eager
