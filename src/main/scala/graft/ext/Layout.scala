@@ -2536,19 +2536,23 @@ object Layout {
     * composition law feed(c, until=m) ++ feed(m) ≡ feed(c) — pinned by
     * `LayoutSpec` — is what makes the checkpoint sound.
     *
-    * Per transition g−1 → g the ARRIVAL is read off the manifests alone
-    * (delta/cdelta refs of g not in g−1); transitions that add no
-    * arrival file (a fold, a compaction) are logically EMPTY feed
-    * entries — the published CDF semantics, where data-movement commits
-    * change no row. Classification runs against the transition's BASE
-    * epoch: an upsert feeds `insert` or `update_postimage` +
-    * `update_preimage` (the base value riding as the preimage), and a
-    * CRUD arrival's op='D' tombstones feed `delete` rows carrying the
-    * erased base row's identity and value (a tombstone for a key the
-    * base never held is a no-op). Transitions sharing a base epoch
-    * share ONE probe join — over the arrival log that is a single
-    * delta-scale batch⋈base-keys join for the WHOLE feed, never one
-    * per commit.
+    * Per transition g−1 → g the changed arrivals are read off the
+    * manifests alone: ADDED delta/cdelta refs feed FORWARD changes
+    * classified against the previous base epoch — an upsert feeds
+    * `insert` or `update_postimage` + `update_preimage` (the base
+    * value riding as the preimage), a CRUD arrival's op='D' tombstones
+    * feed `delete` rows carrying the erased base row's identity and
+    * value (a tombstone for a key the epoch never held is a no-op) —
+    * and REMOVED refs (a RESTORE re-pointing at an older manifest)
+    * feed the INVERSE changes against the current epoch: vanishing
+    * inserts as `delete`, reverted updates as the preimage/postimage
+    * pair, retracted tombstones as resurrecting `insert`s. Transitions
+    * that move only base refs (a fold, a compaction) are logically
+    * EMPTY feed entries — the published CDF semantics, where
+    * data-movement commits change no row. Transitions sharing a probe
+    * epoch share ONE probe join — over the arrival log that is a
+    * single delta-scale batch⋈base-keys join for the WHOLE feed, never
+    * one per commit.
     * Cross-arrival key disjointness is the lineage contract
     * ([[lakeIngestStep]]'s documented invariant), which is what lets
     * the base epoch alone classify every arrival row.
@@ -2566,23 +2570,45 @@ object Layout {
       col("id").as("val_chk"))
     val gens = listGenerations(root)
     val hi = until.getOrElse(gens.lastOption.getOrElse(cursor))
-    // (transition-to gen, plain-delta arrivals, CRUD arrivals, base epoch)
-    val arrivals = gens.filter(g => g > cursor && g <= hi).flatMap { g =>
+    // one entry per transition DIRECTION: a commit that ADDS arrival
+    // refs feeds forward changes classified against the PREVIOUS base
+    // epoch; a commit that REMOVES arrival refs (a RESTORE re-pointing
+    // at an older manifest) feeds the INVERSE changes classified
+    // against the CURRENT epoch — "what does this key look like after
+    // the transition". Fold/compaction commits move only base refs and
+    // feed nothing.
+    val transitions = gens.filter(g => g > cursor && g <= hi).flatMap { g =>
       val prev = readGeneration(root, g - 1)
-      val prevRefs = prev.map(_._2).toSet
       val cur = readGeneration(root, g)
-      val newDelta = cur.collect { case ("delta", f) => f }.filterNot(prevRefs)
-      val newCdelta = cur.collect { case ("cdelta", f) => f }.filterNot(prevRefs)
-      if (newDelta.isEmpty && newCdelta.isEmpty) None
-      else Some((g, newDelta, newCdelta, prev.collect { case ("base", f) => f }))
+      val prevRefs = prev.map(_._2).toSet
+      val curRefs = cur.map(_._2).toSet
+      def kindFiles(e: Seq[(String, String)], k: String) =
+        e.collect { case (`k`, f) => f }
+      val addedD = kindFiles(cur, "delta").filterNot(prevRefs)
+      val addedC = kindFiles(cur, "cdelta").filterNot(prevRefs)
+      val removedD = kindFiles(prev, "delta").filterNot(curRefs)
+      val removedC = kindFiles(prev, "cdelta").filterNot(curRefs)
+      val fwd = if (addedD.isEmpty && addedC.isEmpty) None
+        else Some((g, addedD, addedC, false, kindFiles(prev, "base")))
+      // removed arrivals feed inverse changes ONLY when the base epoch
+      // is UNCHANGED — an arrival-only rollback (RESTORE as metadata
+      // commit). A commit that also rewrites the base absorbed those
+      // arrivals into new files (a fold/compaction): data movement,
+      // state preserved, logically empty feed — decidable from the
+      // manifests alone
+      val inv = if ((removedD.isEmpty && removedC.isEmpty) ||
+          kindFiles(cur, "base").toSet != kindFiles(prev, "base").toSet) None
+        else Some((g, removedD, removedC, true, kindFiles(cur, "base")))
+      fwd.toSeq ++ inv.toSeq
     }
-    if (arrivals.isEmpty) return emptyFeed
-    // one probe join per distinct base EPOCH, not per commit: tag each
-    // arrival batch with its transition and classify them together. A
-    // plain delta is an all-upsert arrival (op='U'); a CRUD arrival's
-    // own op column rides through, so tombstones feed `delete` rows
-    val marked = arrivals.groupBy(_._4).toSeq.map { case (baseFiles, group) =>
-      val tagged = group.map { case (g, deltaFiles, cdeltaFiles, _) =>
+    if (transitions.isEmpty) return emptyFeed
+    // one probe join per distinct probe EPOCH, not per commit: tag each
+    // arrival batch with its transition + direction and classify them
+    // together. A plain delta is an all-upsert arrival (op='U'); a CRUD
+    // arrival's own op column rides through, so tombstones feed
+    // `delete` rows
+    val marked = transitions.groupBy(_._5).toSeq.map { case (baseFiles, group) =>
+      val tagged = group.map { case (g, deltaFiles, cdeltaFiles, inv, _) =>
         val plain = if (deltaFiles.isEmpty) None
           else Some(spark.read.schema(std).parquet(deltaFiles: _*)
             .withColumn("op", lit("U")))
@@ -2590,6 +2616,7 @@ object Layout {
           else Some(spark.read.schema(s"$std, op STRING").parquet(cdeltaFiles: _*))
         (plain.toSeq ++ crud.toSeq).reduce(_ unionByName _)
           .select(lit(g - 1L).as("from_gen"), lit(g.toLong).as("to_gen"),
+            lit(inv).as("__inv"),
             col("event_id"), col("user_id"), col("value"), col("op"))
       }.reduce(_ unionByName _)
       val baseKV = if (baseFiles.isEmpty)
@@ -2600,21 +2627,39 @@ object Layout {
           col("value").as("__bv"))
       tagged.join(baseKV, Seq("event_id"), "left_outer")
     }.reduce(_ unionByName _)
-      // a tombstone for a key the base never held is a no-op (the
-      // published DELETE semantics) — it contributes no feed row
+      // a tombstone over a key its probe epoch never held contributes
+      // nothing in either direction (forward: deleting a key the base
+      // lacks is a no-op; inverse: retracting it resurrects nothing)
       .where(col("op") =!= "D" || col("__bv").isNotNull)
     val feed = marked.select(col("from_gen"), col("to_gen"),
       col("event_id"),
       // a tombstone row carries no payload; its identity is the erased
-      // base row's
+      // (or resurrected) base row's
       when(col("op") === "D", col("__bu")).otherwise(col("user_id")).as("user_id"),
       explode(when(col("op") === "D",
-          array(struct(lit("delete").as("change_type"), col("__bv").as("v"))))
+          // forward: the tombstone erases the base row; inverse: the
+          // retracted tombstone resurrects it
+          when(col("__inv"),
+            array(struct(lit("insert").as("change_type"), col("__bv").as("v"))))
+          .otherwise(
+            array(struct(lit("delete").as("change_type"), col("__bv").as("v")))))
         .otherwise(when(col("__bv").isNull,
-          array(struct(lit("insert").as("change_type"), col("value").as("v"))))
+          // an upsert of a key the probe epoch lacks: arrives forward,
+          // vanishes on the inverse
+          when(col("__inv"),
+            array(struct(lit("delete").as("change_type"), col("value").as("v"))))
+          .otherwise(
+            array(struct(lit("insert").as("change_type"), col("value").as("v")))))
+        .otherwise(when(col("__inv"),
+          // a reverted update: the removed arrival value is the
+          // preimage, the epoch's surviving value the postimage
+          array(
+            struct(lit("update_preimage").as("change_type"), col("value").as("v")),
+            struct(lit("update_postimage").as("change_type"), col("__bv").as("v"))))
         .otherwise(array(
           struct(lit("update_postimage").as("change_type"), col("value").as("v")),
-          struct(lit("update_preimage").as("change_type"), col("__bv").as("v")))))).as("c"))
+          struct(lit("update_preimage").as("change_type"), col("__bv").as("v")))))))
+        .as("c"))
     feed.groupBy(col("from_gen"), col("to_gen"),
         col("c.change_type").as("change_type"))
       .agg(count(lit(1)).as("n_rows"),
@@ -2634,6 +2679,18 @@ object Layout {
     lakeIngest(spark, dir) // idempotently materialize the lineage + log
     lakeChangesSince(spark, scratchDir("lake_ingest", dir), cursor = 0)
   }
+
+  /** The cursor feed over the RESTORE lineage's log ([[ensureChangesLog]]
+    * — g0 base, g1 arrival, g2 restore→g0): the g0→g1 transition feeds
+    * the forward changes and the g1→g2 RESTORE feeds the inverse ones,
+    * both read off nothing but the manifests' added/removed reference
+    * sets — a consumer that checkpointed before the rollback sees the
+    * rollback as ordinary changes (vanishing inserts as `delete`s,
+    * reverted updates as preimage/postimage pairs) instead of having to
+    * re-diff the table. The oracle recomputes all six rows from the
+    * fixture slices. */
+  def lakeCdfRestore(spark: SparkSession, dir: String): DataFrame =
+    lakeChangesSince(spark, ensureChangesLog(spark, dir), cursor = 0)
 
   /** DESCRIBE HISTORY over the arrival log (round 18 — the operational
     * surface every published transaction log exposes): one row per
@@ -2958,6 +3015,7 @@ object Layout {
     "x_lake_rebase" -> (lakeRebase _),
     "x_lake_cdf_delete" -> (lakeCdfDelete _),
     "x_lake_history" -> (lakeHistory _),
+    "x_lake_cdf_restore" -> (lakeCdfRestore _),
     "x_lake_cdc_apply" -> (cdcApply _),
     "x_lake_delete" -> (lakeDelete _),
     "x_dpp_read" -> (dppRead _),
@@ -3179,6 +3237,34 @@ object Layout {
         |  UNION ALL
         |  SELECT 2, 3, 'insert', event_id, user_id, value FROM ins
         |  WHERE (((event_id // 10) % 3) + 3) % 3 = 2)
+        |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
+        |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS key_chk,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_chk,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_chk
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // both directions are pure functions of the fixture slices: the
+    // forward transition feeds the arrivals (inserts + both update
+    // images), the restore feeds their inverses (vanishing inserts as
+    // deletes at their arrival values, reverted updates as the +150
+    // preimage next to the restored base postimage)
+    "x_lake_cdf_restore" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |ins AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 10 = 0),
+        |upd AS (SELECT event_id, user_id, value FROM ev WHERE event_id % 100 = 1),
+        |feed AS (
+        |  SELECT 0 AS from_gen, 1 AS to_gen, 'insert' AS change_type,
+        |         event_id, user_id, value FROM ins
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_postimage', event_id, user_id, value + 150.0 FROM upd
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_preimage', event_id, user_id, value FROM upd
+        |  UNION ALL
+        |  SELECT 1, 2, 'delete', event_id, user_id, value FROM ins
+        |  UNION ALL
+        |  SELECT 1, 2, 'update_preimage', event_id, user_id, value + 150.0 FROM upd
+        |  UNION ALL
+        |  SELECT 1, 2, 'update_postimage', event_id, user_id, value FROM upd)
         |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
         |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS key_chk,

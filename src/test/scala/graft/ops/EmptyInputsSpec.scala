@@ -401,6 +401,9 @@ class EmptyInputsSpec extends SparkSpec {
     // the CRUD feed over an empty tombstone lineage: the cdelta arrival
     // file exists but carries nothing — zero feed rows, no crash
     assert(graft.ext.Layout.lakeCdfDelete(spark, dir).count() === 0L)
+    // the restore feed over an empty lineage: the arrival and its
+    // retraction both carry the one empty file — zero feed rows
+    assert(graft.ext.Layout.lakeCdfRestore(spark, dir).count() === 0L)
     // history over the empty arrival log: the op stamps and per-kind
     // reference accounting are structural, not data-dependent
     val hist = graft.ext.Layout.lakeHistory(spark, dir).collect()

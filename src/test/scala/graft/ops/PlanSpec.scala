@@ -266,6 +266,7 @@ class PlanSpec extends SparkSpec {
       "x_lake_rebase" -> ((0, 0)), // one fused tagged-replay hash-agg, planner's call
       "x_lake_cdf_delete" -> ((0, 0)), // one cdelta⋈base-epoch probe, planner's call
       "x_lake_history" -> ((0, 0)), // pure manifest metadata: a local frame, no scan
+      "x_lake_cdf_restore" -> ((0, 0)), // two direction probes, planner's call
       "x_lake_cdc_apply"  -> ((0, 0)), // delta-scale fold ⋈ view, planner's call
       // 2 stage rows × 1-row rows_out column + the ONE fused 1-row
       // erasure-accounting column (round 18 — it replaced three eager
