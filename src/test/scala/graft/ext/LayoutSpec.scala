@@ -921,6 +921,108 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readGeneration(root, 1).map(_._2).toSet.size === 1)
   }
 
+  test("actions log: an 8-commit lineage reconstructs every state from checkpoint + action replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-actlog").toString
+    def f(i: Int) = s"file:/t/d$i.parquet"
+    // the expected snapshots, built exactly as the lineages build theirs:
+    // seed, five arrivals (append a delta, restamp op), a fold (replace
+    // everything), a restore (re-reference g3's files)
+    var snaps = Vector[Seq[(String, String)]](
+      Seq("base" -> "file:/t/base.parquet", "op" -> "seed"))
+    (1 to 5).foreach { i =>
+      snaps :+= (snaps.last.filterNot(_._1 == "op") ++
+        Seq("delta" -> f(i), "op" -> "arrival"))
+    }
+    snaps :+= Seq("base" -> "file:/t/fold.parquet", "op" -> "fold")
+    snaps :+= (snaps(3).filterNot(_._1 == "op") :+ ("op" -> "restore"))
+    snaps.zipWithIndex.foreach { case (e, i) =>
+      assert(Layout.commitNextGeneration(root, e) === i)
+    }
+    // COLD read: drop the JVM snapshot cache, so every state below must
+    // reconstruct from nothing but the on-disk log — what a fresh JVM
+    // (a different reader of the same table) would do
+    Layout.clearLogSnapshotCache()
+    snaps.zipWithIndex.foreach { case (e, i) =>
+      assert(Layout.readGeneration(root, i) === e,
+        s"generation $i must reconstruct to the exact committed snapshot")
+    }
+    // the representation really is an actions log: every non-g0 commit
+    // is @delta-form and O(changes) — an arrival manifest carries its
+    // op restamp + one delta add, never the whole file list
+    def raw(name: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/gens/$name")), "UTF-8")
+    (1 to 7).foreach { i =>
+      assert(raw(s"g=$i").split("\n").head === "@delta", s"g$i must be actions-form")
+    }
+    (1 to 5).foreach { i =>
+      assert(raw(s"g=$i").split("\n").length <= 4,
+        s"an arrival manifest must be O(changes), not O(files): g$i")
+    }
+    assert(!raw("g=0").startsWith("@delta"), "g0 (no parent) is snapshot-form")
+    // the checkpoint sidecar at the interval carries g4's full snapshot
+    val c = s"c=${Layout.LogCheckpointInterval}"
+    val ckpt = raw(c).split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+    }
+    assert(ckpt === snaps(Layout.LogCheckpointInterval),
+      s"$c must hold the full snapshot of its generation")
+    // adds read off a manifest at O(changes): arrival 3 added its delta
+    // file and its op stamp, nothing else
+    assert(Layout.readGenerationAdds(root, 3) ===
+      Seq("delta" -> f(3), "op" -> "arrival"))
+    assert(Layout.readGenerationActions(root, 6)._2.map(_._2).toSet
+      .contains(f(5)), "the fold's manifest records the removed arrivals")
+  }
+
+  test("commit validation: metadata-only intervening commits never conflict; data adds still do") {
+    val root = java.nio.file.Files.createTempDirectory("graft-metaconflict").toString
+    val baseRefs = Seq("base" -> "file:/t/b0.parquet")
+    Layout.commitGeneration(root, 0, baseRefs :+ ("schema" -> "event_id BIGINT"))
+    // the committer's read set holds FILES only — no schema text, no op
+    // stamps (ADVICE r18 #1: callers used to hand-stuff schema strings
+    // into read sets to survive exactly this scenario)
+    val readState = Some((0, baseRefs.map(_._2).toSet))
+    // an intervening commit that changes ONLY metadata (evolves the
+    // schema, stamps an op) adds no data file the committer missed —
+    // the committer's retry must proceed
+    Layout.commitNextGeneration(root,
+      baseRefs ++ Seq("schema" -> "event_id BIGINT, score DOUBLE", "op" -> "evolve"))
+    assert(Layout.commitNextGeneration(root,
+      baseRefs :+ ("delta" -> "file:/t/d0.parquet"), readState) === 2)
+    // but an intervening DATA add still conflicts — and the error names
+    // the missed file, never a metadata string
+    val read2 = Some((2, Layout.readGeneration(root, 2)
+      .collect { case (k, p) if Layout.LogFileKinds(k) => p }.toSet))
+    Layout.commitNextGeneration(root,
+      Layout.readGeneration(root, 2) :+ ("delta" -> "file:/t/d1.parquet"))
+    val e = intercept[Layout.CommitConflictException] {
+      Layout.commitNextGeneration(root,
+        baseRefs :+ ("delta" -> "file:/t/d2.parquet"), read2)
+    }
+    assert(e.getMessage.contains("d1.parquet"))
+  }
+
+  test("actions log: a wiped and re-committed root reads its new states, never stale cached ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-logwipe").toString
+    Layout.commitGeneration(root, 0, Seq("base" -> "file:/t/old.parquet"))
+    Layout.commitGeneration(root, 1,
+      Seq("base" -> "file:/t/old.parquet", "delta" -> "file:/t/old_d.parquet"))
+    assert(Layout.readGeneration(root, 1).map(_._2)
+      .contains("file:/t/old_d.parquet"))
+    // wipe + re-materialize — what every lineage's fingerprint miss does
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Layout.commitGeneration(root, 0, Seq("base" -> "file:/t/rewritten.parquet"))
+    Layout.commitGeneration(root, 1,
+      Seq("base" -> "file:/t/rewritten.parquet", "delta" -> "file:/t/rewritten_d.parquet"))
+    // the stat-validated cache must miss on the rewritten manifests
+    assert(Layout.readGeneration(root, 1) ===
+      Seq("base" -> "file:/t/rewritten.parquet", "delta" -> "file:/t/rewritten_d.parquet"))
+    assert(Layout.readGeneration(root, 0) ===
+      Seq("base" -> "file:/t/rewritten.parquet"))
+  }
+
   test("unified log: the arrival loop commits per batch and every boundary replays AS OF its generation") {
     val metrics = Layout.lakeIngest(spark, sf).collect().sortBy(_.getAs[Long]("batch_id"))
     val root = Layout.scratchDir("lake_ingest", sf)
