@@ -567,11 +567,15 @@ class LayoutSpec extends SparkSpec {
   test("lake changes: restore is metadata-only, the delta-scale feed equals the generic state diff") {
     val feed = Layout.lakeChanges(spark, sf).collect()
     val root = Layout.scratchDir("lake_changes", sf)
-    // RESTORE wrote no data: g2's manifest re-references g0's entries
-    // verbatim, and the data dir holds exactly the g0 ∪ g1 file set
-    assert(Layout.readGeneration(root, 2) === Layout.readGeneration(root, 0))
-    val referenced = (Layout.readGeneration(root, 0) ++ Layout.readGeneration(root, 1))
-      .map(_._2).toSet
+    // RESTORE wrote no data: g2's manifest re-references g0's FILE
+    // entries verbatim (its op stamp is its own — a restore is a new
+    // commit), and the data dir holds exactly the g0 ∪ g1 file set
+    def fileRefs(g: Int) =
+      Layout.readGeneration(root, g).filter(e => Layout.LogFileKinds(e._1))
+    assert(fileRefs(2) === fileRefs(0))
+    assert(Layout.readGeneration(root, 2)
+      .collectFirst { case ("op", o) => o } === Some("restore"))
+    val referenced = (fileRefs(0) ++ fileRefs(1)).map(_._2).toSet
     assert(Layout.listParquetFiles(spark, s"$root/data").toSet === referenced,
       "the restore commit must add zero data files")
     // reading AS OF the restored generation IS reading g0
@@ -737,8 +741,9 @@ class LayoutSpec extends SparkSpec {
     def onDisk(f: String): Boolean =
       new java.io.File(f.replaceFirst("^file:", "")).exists()
     val live = (Layout.readGeneration(root, 1) ++ Layout.readGeneration(root, 2))
-      .map(_._2).toSet
-    val g0Dead = Layout.readGeneration(root, 0).map(_._2).filterNot(live)
+      .collect { case (k, f) if Layout.LogFileKinds(k) => f }.toSet
+    val g0Dead = Layout.readGeneration(root, 0)
+      .collect { case (k, f) if Layout.LogFileKinds(k) => f }.filterNot(live)
     assert(g0Dead.nonEmpty)
     g0Dead.foreach(f => assert(!onDisk(f), s"expired g0 file must be deleted: $f"))
     assert(live.size.toLong === r.getAs[Long]("files_live"))
@@ -784,12 +789,19 @@ class LayoutSpec extends SparkSpec {
     val g1 = Layout.readLakeAsOf(spark, root, 1)
     assert(g1.exceptAll(g0).count() === 0L && g0.exceptAll(g1).count() === 0L,
       "the folded generation must answer exactly what the pre-fold one does")
-    // the log itself: three numbered generations; g0 carries both kinds
-    // (merge-on-read state), the rewrites are pure base generations
+    // the log itself: three numbered generations; g0 carries both file
+    // kinds (merge-on-read state), the rewrites are pure base
+    // generations, and every commit names its operation (round 19)
     assert(Layout.listGenerations(root) === Seq(0, 1, 2))
-    assert(Layout.readGeneration(root, 0).map(_._1).toSet === Set("base", "delta"))
-    assert(Layout.readGeneration(root, 1).map(_._1).toSet === Set("base"))
-    assert(Layout.readGeneration(root, 2).map(_._1).toSet === Set("base"))
+    def kinds(g: Int) = Layout.readGeneration(root, g)
+      .collect { case (k, _) if Layout.LogFileKinds(k) => k }.toSet
+    assert(kinds(0) === Set("base", "delta"))
+    assert(kinds(1) === Set("base"))
+    assert(kinds(2) === Set("base"))
+    def op(g: Int) = Layout.readGeneration(root, g)
+      .collectFirst { case ("op", o) => o }
+    assert(Seq(op(0), op(1), op(2)) ===
+      Seq(Some("seed"), Some("fold"), Some("compact")))
   }
 
   test("lake ingest: incremental rows_out_after ≡ full newest-wins recompute per batch") {
@@ -1051,7 +1063,9 @@ class LayoutSpec extends SparkSpec {
     Layout.lakeDelete(spark, sf).collect()
     val root = Layout.scratchDir("lake_delete", sf)
     assert(Layout.listGenerations(root) === Seq(0, 1, 2))
-    assert(Layout.readGeneration(root, 1).map(_._1).toSet === Set("base", "cdelta"))
+    assert(Layout.readGeneration(root, 1)
+      .collect { case (k, _) if Layout.LogFileKinds(k) => k }.toSet ===
+      Set("base", "cdelta"))
     // the merge-on-read generation and the folded one answer the same
     // table: tombstones apply at READ time from the manifest alone
     val g1 = Layout.readLakeAsOf(spark, root, 1)

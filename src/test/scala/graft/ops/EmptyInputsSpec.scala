@@ -404,14 +404,22 @@ class EmptyInputsSpec extends SparkSpec {
     // the restore feed over an empty lineage: the arrival and its
     // retraction both carry the one empty file — zero feed rows
     assert(graft.ext.Layout.lakeCdfRestore(spark, dir).count() === 0L)
-    // history over the empty arrival log: the op stamps and per-kind
-    // reference accounting are structural, not data-dependent
+    // history over the empty logs (both lineages, round 19): the op
+    // stamps and per-kind reference accounting are structural, not
+    // data-dependent — empty z-celled writes reference zero base files,
+    // staged arrival files exist even with zero rows
     val hist = graft.ext.Layout.lakeHistory(spark, dir).collect()
-      .sortBy(_.getAs[Long]("gen"))
-    assert(hist.map(r => (r.getAs[String]("op"), r.getAs[Long]("n_base_refs"),
-      r.getAs[Long]("n_delta_refs"))).toSeq
-      === Seq(("seed", 0L, 0L), ("arrival", 0L, 1L),
-        ("arrival", 0L, 2L), ("arrival", 0L, 3L)))
+      .sortBy(r => (r.getAs[String]("lineage"), r.getAs[Long]("gen")))
+    assert(hist.map(r => (r.getAs[String]("lineage"), r.getAs[String]("op"),
+      r.getAs[Long]("n_base_refs"), r.getAs[Long]("n_delta_refs"),
+      r.getAs[Long]("n_cdelta_refs"))).toSeq
+      === Seq(("lake_delete", "seed", 0L, 0L, 0L),
+        ("lake_delete", "delete", 0L, 0L, 1L),
+        ("lake_delete", "fold", 0L, 0L, 0L),
+        ("lake_ingest", "seed", 0L, 0L, 0L),
+        ("lake_ingest", "arrival", 0L, 1L, 0L),
+        ("lake_ingest", "arrival", 0L, 2L, 0L),
+        ("lake_ingest", "arrival", 0L, 3L, 0L)))
     // the rebase race over nothing: the conflict still fires (the file
     // exists even with zero rows) and the protocol's commit/abort
     // accounting is unchanged
