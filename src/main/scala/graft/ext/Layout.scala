@@ -1027,17 +1027,13 @@ object Layout {
       (Long, Long, Long, Long, Long, Long, Long) = {
     b.coalesce(1).write.mode("overwrite").parquet(s"$root/delta/b=$i")
     val tipRefs = readGeneration(root, i.toInt)
-    // chain the tip's FILE references forward; per-commit metadata (the
-    // operation name the history surface reads) is this commit's own
-    require(commitNextGeneration(root,
-      tipRefs.filterNot(_._1 == "op") ++
-        listParquetFiles(b.sparkSession, s"$root/delta/b=$i").map("delta" -> _)
-        :+ ("op" -> "arrival"),
-      Some((i.toInt, tipRefs.map(_._2).toSet))) == i.toInt + 1,
-      s"arrival batch $i must commit as generation ${i + 1}")
     // ONE batch-scale aggregate settles arrival count, the within-batch
     // key-uniqueness guard, box membership, and (streaming twin only)
     // provenance (was three jobs; the provenance check was a fourth).
+    // It runs BEFORE the commit (ADVICE r18 #2): a batch that violates
+    // the lineage contract must never become a committed,
+    // reader-visible generation — the staged file is just a staged
+    // file until the manifest lands.
     // input_file_name() must enter through a projection — Spark rejects
     // the non-deterministic call directly inside an aggregate argument
     val withSrc = if (expectedFileSuffix.isDefined)
@@ -1066,6 +1062,18 @@ object Layout {
       s"lakeIngestStep: batch $i carries duplicate event_ids — the " +
         "incremental rows_out_after correction assumes distinct batch keys")
     val nInBox = s.getLong(2)
+    // every invariant held — NOW the batch may commit: generation i+1
+    // chains the tip's FILE references forward plus this batch's staged
+    // file; per-commit metadata (the operation name the history surface
+    // reads) is this commit's own
+    require(commitNextGeneration(root,
+      tipRefs.filterNot(_._1 == "op") ++
+        listParquetFiles(b.sparkSession, s"$root/delta/b=$i").map("delta" -> _)
+        :+ ("op" -> "arrival"),
+      Some((i.toInt,
+        tipRefs.collect { case (k, f) if LogFileKinds(k) => f }.toSet)))
+      == i.toInt + 1,
+      s"arrival batch $i must commit as generation ${i + 1}")
     val cells = cellsUnderBounds(b, ctx.bounds).collect().map(_.getLong(0))
     val (hit, fresh) = cells.partition(ctx.baseCellRows.contains)
     val rowsRewritten = hit.map(ctx.baseCellRows).sum
@@ -1749,34 +1757,88 @@ object Layout {
       .orderBy("stage")
   }
 
-  /** How many newest generations [[lakeVacuum]] retains. 2 = the current
-    * state plus the one before it, the smallest window that makes the
-    * retention property OBSERVABLE (a reader of g−1 survives the vacuum;
-    * a reader of g−2 does not). Production knobs express this in
-    * generations or hours; [[retainedGenerations]] speaks both. */
-  private val VacuumRetainGenerations = 2
+  /** How many newest generations [[lakeVacuum]] retains BY COUNT.
+    * 1 = the current state alone — the previous generation survives the
+    * replay's vacuum only because a REGISTERED CONSUMER's checkpoint
+    * floors retention there (round 19), which makes both halves of the
+    * policy observable at once: a reader of g−1 survives via the floor,
+    * g−2 expires. Production knobs express this in generations or
+    * hours plus the consumer floor; [[retainedGenerations]] speaks all
+    * three. */
+  private val VacuumRetainGenerations = 1
 
-  /** The retention policy, in GENERATIONS-OR-AGE (round 18, VERDICT r17
-    * next #6 — the production knob the vacuum docstring names): a
-    * generation survives when it is among the newest `keepLast` OR its
-    * commit is younger than `minAgeMs` against `now` — the published
-    * vacuum contract ("never expire a state a reader could still be
-    * inside the retention period of"), with the commit instant read
-    * from the manifest file's modification time, the timestamp the
-    * filesystem already records at commit. `minAgeMs = 0` degenerates
-    * to pure keep-last-N (what the oracle-gated replay uses — wall
-    * clock never reaches the oracle); the age half is spec-pinned with
-    * controlled mtimes. */
+  /** REGISTER a CDC consumer's checkpoint in the log: the consumer has
+    * folded in everything up to and including generation `gen`, and its
+    * next [[lakeChangesSince]] read starts there — so generation `gen`
+    * itself (the probe epoch of its next transition) and everything
+    * after must outlive any vacuum (round 19, VERDICT r18 missing #3).
+    * Stored as a `cursors/<consumer>` sidecar, atomically overwritten
+    * on advance (the published "registered stream checkpoint"
+    * contract: retention ≥ oldest registered consumer). Unregistered
+    * consumers get no protection — that asymmetry is the point. */
+  private[graft] def registerCursor(root: String, consumer: String,
+      gen: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$root/cursors")
+    val fs = dir.getFileSystem(logConf())
+    fs.mkdirs(dir)
+    val dst = new Path(dir, consumer)
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        dstNio.getParent, s".$consumer-", ".tmp")
+      java.nio.file.Files.write(tmp, gen.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dstNio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new Path(dir, s".$consumer-${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, logConf())
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Every registered consumer's checkpoint generation. */
+  private[graft] def readCursors(root: String): Map[String, Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/cursors")
+    val fs = dir.getFileSystem(logConf())
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        st.getPath.getName -> body.trim.toInt
+      }.toMap
+  }
+
+  /** The retention policy, in GENERATIONS-OR-AGE with a CONSUMER FLOOR
+    * (rounds 18/19): a generation survives when it is among the newest
+    * `keepLast`, OR its commit is younger than `minAgeMs` against
+    * `now` (the commit instant read from the manifest file's
+    * modification time, the timestamp the filesystem already records
+    * at commit), OR it is at-or-after the OLDEST REGISTERED CONSUMER
+    * CHECKPOINT ([[registerCursor]]) — so feed(cursor) over a vacuumed
+    * transition is impossible BY CONSTRUCTION, not a runtime throw
+    * (round 19, VERDICT r18 missing #3: the cursor feed and the
+    * retention window previously did not know about each other).
+    * `minAgeMs = 0` degenerates to keep-last-N-plus-floor (what the
+    * oracle-gated replay uses — wall clock never reaches the oracle);
+    * the age and floor halves are spec-pinned. */
   private[graft] def retainedGenerations(root: String, keepLast: Int,
       minAgeMs: Long, now: Long): Seq[Int] = {
     val gens = listGenerations(root)
     val byCount = gens.takeRight(keepLast).toSet
-    if (minAgeMs <= 0L) gens.filter(byCount)
+    val floor = readCursors(root).values.minOption
+    def floored(g: Int) = floor.exists(g >= _)
+    if (minAgeMs <= 0L) gens.filter(g => byCount(g) || floored(g))
     else {
       val fs = new org.apache.hadoop.fs.Path(s"$root/gens")
         .getFileSystem(logConf())
       gens.filter { g =>
-        byCount(g) || now - fs.getFileStatus(
+        byCount(g) || floored(g) || now - fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$root/gens/g=$g"))
           .getModificationTime < minAgeMs
       }
@@ -1820,21 +1882,29 @@ object Layout {
     * re-answers AS OF g1 (the g−1 reader the window protects) and AS OF
     * g2 (the current state).
     *
-    * TWO rows (round 18 — the operational pair): mode `dry_run` is the
-    * REPORT-ONLY pass, the full plan (what would be deleted, how many
-    * rows) settled and answered with nothing removed — the
-    * about-to-expire generation still answers, every planned-dead file
-    * is asserted still on disk — and mode `vacuum` is the same plan
-    * EXECUTED; the numbers must agree column-for-column, which the
-    * oracle pins by emitting both rows from one computation. Columns:
-    * (mode, n_gens, n_retained, files_before, files_live,
-    * files_deleted, rows_deleted, rows_out_before, rows_out_prev_gen,
-    * rows_out_after) — the reclaimed mass next to TWO survival proofs:
+    * TWO rows (round 18 — the operational pair; INDEPENDENTLY DERIVED
+    * round 19, ADVICE r18 #3): mode `dry_run` is the REPORT-ONLY pass —
+    * its OWN policy evaluation, plan, and footer sum, settled and
+    * answered with nothing removed (the about-to-expire generation
+    * still answers, every planned-dead file is asserted still on disk)
+    * — and mode `vacuum` re-derives the plan from scratch, executes it,
+    * and reads its survivor/deleted accounting back from a POST-DELETE
+    * FILESYSTEM RE-LIST, never from the plan. The two rows agreeing
+    * column-for-column is therefore a real plan-vs-execution check (the
+    * previous shape emitted both rows from one computation, so the
+    * oracle's equality was true by construction). Columns: (mode,
+    * n_gens, n_retained, files_before, files_live, files_deleted,
+    * rows_deleted, rows_out_before, rows_out_prev_gen, rows_out_after,
+    * cursor_floor) — the reclaimed mass next to TWO survival proofs:
     * the current answer is unchanged, and the previous generation still
-    * answers identically from inside the window (all three counts equal,
-    * which the oracle pins by recomputing them as one newest-wins
-    * count). Retention itself is policy-driven ([[retainedGenerations]]
-    * — generations-or-age, the production knob).
+    * answers identically (all three counts equal, which the oracle pins
+    * by recomputing them as one newest-wins count). Retention is
+    * policy-driven ([[retainedGenerations]] — generations-or-age PLUS
+    * the registered-consumer floor, round 19): the replay keeps only
+    * the NEWEST generation by count, and g1 survives because the
+    * registered `replica` consumer's checkpoint floors retention there
+    * — `cursor_floor` reports it, and feed(1) over the vacuumed log
+    * stays answerable by construction.
     *
     * Why this runs its own lineage instead of extending [[lakeE2e]] or
     * [[lakeTimetravel]]: both of those re-answer every retained state on
@@ -1870,10 +1940,10 @@ object Layout {
     try {
       val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
         .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
-      // v4: op-stamped commits + consumer-aware retention floor +
+      // v5: op-stamped commits + consumer-aware retention floor +
       // independently derived dry-run (round 19) — a stale round-18
       // report dir must re-materialize through the new shape
-      materializeIfChanged(root, layoutFingerprint("v4:vacuum",
+      materializeIfChanged(root, layoutFingerprint("v5:vacuum",
           plannedBase.unionByName(
             delta.withColumn("zcell", lit(-1L))
               .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
@@ -1898,61 +1968,83 @@ object Layout {
           listParquetFiles(spark, s"$root/data/compact").map("base" -> _)
             :+ ("op" -> "compact"),
           Some((1, g1Refs.map(_._2).toSet))) == 2)
+        // a CDC consumer registers its checkpoint at g1 (round 19,
+        // VERDICT r18 missing #3): the retention window below keeps
+        // only the newest generation by count — g1 survives BECAUSE a
+        // registered consumer still needs it as its next probe epoch,
+        // so feed(1) over this log stays answerable by construction
+        registerCursor(root, "replica", 1)
+        val cursorFloor = readCursors(root).values.min.toLong
         // the about-to-expire generation must agree BEFORE it goes
         val rowsOutBefore = readLakeAsOf(spark, root, 0).where(lakeBox).count()
-        // RETENTION: deletable iff unreferenced by EVERY retained
-        // generation — keep-last-N here (minAgeMs=0 keeps the replay
-        // deterministic for the oracle; the age half of the knob is
-        // spec-pinned with controlled mtimes)
         val gens = listGenerations(root)
-        val retained = retainedGenerations(root, VacuumRetainGenerations,
-          0L, java.lang.System.currentTimeMillis())
-        val (all, liveSet, toDelete) = vacuumPlan(spark, root, retained)
         // dead row mass from footers — distributed, the driver only
         // ever holds the name list
-        val rowsDeleted =
+        def deadRowMass(toDelete: Seq[String]): Long =
           if (toDelete.isEmpty) 0L
           else FooterManifest.buildFromFiles(spark, toDelete, Seq("event_id"))
             .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-        // DRY RUN (round 18, VERDICT r17 next #6): the full report row,
-        // settled with NOTHING deleted — every planned-dead file must
-        // still be on disk, and the about-to-expire g0 must still
-        // answer (its answer doubles as rows_out_before: the dry run's
-        // read-only proof). In production this is the report an
-        // operator signs off on before the destructive pass.
-        require(toDelete.forall(f =>
+        // DRY RUN (round 18; independently derived round 19, ADVICE r18
+        // #3): the report an operator signs off on — its OWN policy
+        // evaluation, plan, and footer sum, settled with NOTHING
+        // deleted; every planned-dead file must still be on disk and
+        // the about-to-expire g0 must still answer. RETENTION:
+        // deletable iff unreferenced by every retained generation —
+        // keep-last-1 by count PLUS the registered consumer floor
+        // (minAgeMs=0 keeps the replay deterministic for the oracle;
+        // the age half of the knob is spec-pinned with controlled
+        // mtimes)
+        val retainedDry = retainedGenerations(root, VacuumRetainGenerations,
+          0L, java.lang.System.currentTimeMillis())
+        val (allDry, liveDry, toDeleteDry) = vacuumPlan(spark, root, retainedDry)
+        val rowsDeletedDry = deadRowMass(toDeleteDry)
+        require(toDeleteDry.forall(f =>
             fs.exists(new org.apache.hadoop.fs.Path(f))),
           "dry run must leave every planned-dead file on disk")
-        val dryPrev = readLakeAsOf(spark, root, retained.head)
+        val dryPrev = readLakeAsOf(spark, root, retainedDry.head)
           .where(lakeBox).count()
-        val dryAfter = readLakeAsOf(spark, root, retained.last)
+        val dryAfter = readLakeAsOf(spark, root, retainedDry.last)
           .where(lakeBox).count()
-        // EXECUTE the same plan
+        // EXECUTE — a SECOND, independent policy evaluation + plan +
+        // footer sum (never the dry run's values), so the report's
+        // dry_run == vacuum column equality is a real plan-vs-execution
+        // check instead of true by construction (ADVICE r18 #3)
+        val retained = retainedGenerations(root, VacuumRetainGenerations,
+          0L, java.lang.System.currentTimeMillis())
+        val (all, liveSet, toDelete) = vacuumPlan(spark, root, retained)
+        val rowsDeleted = deadRowMass(toDelete)
         toDelete.foreach(f =>
           fs.delete(new org.apache.hadoop.fs.Path(f), false))
-        // the safety property, asserted from the filesystem (not from
-        // the set algebra that is supposed to guarantee it): every file
-        // a retained generation references must still exist
-        require(liveSet.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+        // the executed row's survivors come from RE-LISTING the
+        // filesystem after the deletion — what is actually on disk,
+        // not what the plan said would be: the safety property (every
+        // retained-generation reference survived) and the accounting
+        // (deleted = before − after) are both read back from reality
+        val afterList = listParquetFiles(spark, s"$root/data").toSet
+        require(liveSet.subsetOf(afterList),
           "vacuum deleted a retained-generation file")
+        require(toDelete.forall(!afterList.contains(_)),
+          "vacuum left a planned-dead file on disk")
         // the answers must survive the deletion: the current state AND
         // the still-retained previous generation (the reader the
-        // retention window exists to protect)
+        // consumer floor exists to protect)
         val rowsOutAfter = readLakeAsOf(spark, root, retained.last)
           .where(lakeBox).count()
         val rowsOutPrev = readLakeAsOf(spark, root, retained.head)
           .where(lakeBox).count()
         import spark.implicits._
         Seq(
-          ("dry_run", gens.size.toLong, retained.size.toLong, all.size.toLong,
-            liveSet.size.toLong, toDelete.size.toLong, rowsDeleted,
-            rowsOutBefore, dryPrev, dryAfter),
+          ("dry_run", gens.size.toLong, retainedDry.size.toLong,
+            allDry.size.toLong, liveDry.size.toLong,
+            toDeleteDry.size.toLong, rowsDeletedDry,
+            rowsOutBefore, dryPrev, dryAfter, cursorFloor),
           ("vacuum", gens.size.toLong, retained.size.toLong, all.size.toLong,
-            liveSet.size.toLong, toDelete.size.toLong, rowsDeleted,
-            rowsOutBefore, rowsOutPrev, rowsOutAfter))
+            afterList.size.toLong, all.size.toLong - afterList.size.toLong,
+            rowsDeleted, rowsOutBefore, rowsOutPrev, rowsOutAfter,
+            cursorFloor))
           .toDF("mode", "n_gens", "n_retained", "files_before", "files_live",
             "files_deleted", "rows_deleted", "rows_out_before",
-            "rows_out_prev_gen", "rows_out_after")
+            "rows_out_prev_gen", "rows_out_after", "cursor_floor")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/report")
       }
     } finally {
@@ -1963,7 +2055,8 @@ object Layout {
     spark.read.schema("mode STRING, n_gens BIGINT, n_retained BIGINT, " +
         "files_before BIGINT, files_live BIGINT, files_deleted BIGINT, " +
         "rows_deleted BIGINT, rows_out_before BIGINT, " +
-        "rows_out_prev_gen BIGINT, rows_out_after BIGINT")
+        "rows_out_prev_gen BIGINT, rows_out_after BIGINT, " +
+        "cursor_floor BIGINT")
       .parquet(s"$root/report")
       .orderBy("mode")
   }
@@ -3905,7 +3998,8 @@ object Layout {
          |  n_base_rows + n_delta_rows AS rows_deleted,
          |  rows_out AS rows_out_before,
          |  rows_out AS rows_out_prev_gen,
-         |  rows_out AS rows_out_after
+         |  rows_out AS rows_out_after,
+         |  CAST(1 AS BIGINT) AS cursor_floor
          |FROM bn, mn, ng, cnts, ro)
          |SELECT m.mode, one.* FROM one,
          |  (SELECT 'dry_run' AS mode UNION ALL SELECT 'vacuum') m

@@ -1014,6 +1014,30 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("d1.parquet"))
   }
 
+  test("ingest step: a batch violating the lineage contract never becomes a committed generation") {
+    // ADVICE r18 #2: the invariant checks must run BEFORE the commit —
+    // a duplicate-key batch used to land as a readable generation first
+    // and only then fail, leaving AS-OF/CDF readers a state referencing
+    // an arrival that violated the contract
+    val root = java.nio.file.Files.createTempDirectory("graft-badbatch").toString
+    val ctx = Layout.prepareLakeIngest(spark, sf, root)
+    try {
+      assert(Layout.listGenerations(root) === Seq(0))
+      val dup = Seq((1000001L, 7L, 50.0), (1000001L, 7L, 60.0))
+        .toDF("event_id", "user_id", "value")
+      intercept[IllegalArgumentException] {
+        Layout.lakeIngestStep(dup, 0L, root, ctx, ctx.boxInit)
+      }
+      assert(Layout.listGenerations(root) === Seq(0),
+        "the rejected batch must not have committed a generation")
+      // the lineage is not poisoned: a valid batch still commits as g1
+      val ok = Seq((1000001L, 7L, 50.0), (1000002L, 8L, 60.0))
+        .toDF("event_id", "user_id", "value")
+      Layout.lakeIngestStep(ok, 0L, root, ctx, ctx.boxInit)
+      assert(Layout.listGenerations(root) === Seq(0, 1))
+    } finally ctx.baseBoxKeys.unpersist()
+  }
+
   test("actions log: a wiped and re-committed root reads its new states, never stale cached ones") {
     val root = java.nio.file.Files.createTempDirectory("graft-logwipe").toString
     Layout.commitGeneration(root, 0, Seq("base" -> "file:/t/old.parquet"))
@@ -1329,5 +1353,44 @@ class LayoutSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(now - 10000L))
     }
     assert(Layout.retainedGenerations(root, 1, 5000L, now) === Seq(2, 3))
+  }
+
+  test("consumer-aware retention: a lagging REGISTERED checkpoint floors expiry; an unregistered one does not") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cursorfloor").toString
+    (0 to 3).foreach(g =>
+      Layout.commitGeneration(root, g, Seq("base" -> s"file:/t/$g.parquet")))
+    val now = java.lang.System.currentTimeMillis()
+    // no registration: keep-last-1 expires everything but the tip —
+    // a consumer that never registered gets no protection
+    assert(Layout.retainedGenerations(root, 1, 0L, now) === Seq(3))
+    // a lagging registered consumer (checkpoint at g1) blocks expiry of
+    // its generation and everything after: its next feed(1) needs g1 as
+    // the probe epoch and g2..g3 as the transitions to read
+    Layout.registerCursor(root, "replica", 1)
+    assert(Layout.retainedGenerations(root, 1, 0L, now) === Seq(1, 2, 3))
+    // the floor is the OLDEST registered checkpoint across consumers
+    Layout.registerCursor(root, "audit", 0)
+    assert(Layout.retainedGenerations(root, 1, 0L, now) === Seq(0, 1, 2, 3))
+    // advancing a checkpoint releases its generations
+    Layout.registerCursor(root, "audit", 3)
+    assert(Layout.retainedGenerations(root, 1, 0L, now) === Seq(1, 2, 3))
+    assert(Layout.readCursors(root) === Map("replica" -> 1, "audit" -> 3))
+  }
+
+  test("consumer-aware retention: feed(registered cursor) answers over the vacuumed lineage by construction") {
+    // the vacuum replay registers `replica` at g1 and retains only
+    // {tip} by count — g1 survives via the floor, so the consumer's
+    // next incremental read (the g1→g2 transition: a fold, logically
+    // EMPTY) works over the post-vacuum log instead of throwing on
+    // deleted files
+    val rows = Layout.lakeVacuum(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("cursor_floor") === 1L))
+    val root = Layout.scratchDir("lake_vacuum", sf)
+    assert(Layout.readCursors(root) === Map("replica" -> 1))
+    val feed = Layout.lakeChangesSince(spark, root, cursor = 1)
+    assert(feed.count() === 0L,
+      "the fold transition after the checkpoint is a data-movement commit: empty feed")
+    // and the probe epoch the checkpoint pinned still answers in full
+    assert(Layout.readLakeAsOf(spark, root, 1).count() > 0L)
   }
 }
