@@ -72,7 +72,12 @@ object Bench {
     // arrival loop's boundaries, the cursor-based change feed, and the
     // conflict→rebase commit race
     "x_lake_ingest_asof", "x_lake_changes_cursor", "x_lake_rebase",
-    "x_lake_cdf_delete")
+    "x_lake_cdf_delete",
+    // round 19: the CDF consumed as a STREAM over the actions log —
+    // one committed manifest per trigger, checkpoint registered so
+    // retention is consumer-aware (steady state = feed read-back +
+    // the fingerprint scan the marker check pays)
+    "x_lake_cdf_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

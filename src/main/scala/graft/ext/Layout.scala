@@ -1100,11 +1100,10 @@ object Layout {
 
   /** Order-free content fingerprint of (base, arrivals, grid formulas)
     * — shared by both ingest engines so they cache/invalidate together.
-    * v4: the arrival loop now COMMITS a generation per batch (round
-    * 18), each commit carrying its operation name for the history
-    * surface — same metric values, but the bump forces stale dirs
-    * (which carry no log, or a log without the metadata) to
-    * re-materialize through the committing code path. */
+    * v5 (round 19): the batch loop's lineage ends in a FOLD committed
+    * through the log — same metric values, but the bump forces stale
+    * round-18 dirs (whose logs stop at the last arrival) to
+    * re-materialize through the folding code path. */
   private[graft] def lakeIngestFingerprint(spark: SparkSession, dir: String): String = {
     import graft.sources.PartitionedSink
     val ev = Tables.events(spark, dir)
@@ -1116,10 +1115,11 @@ object Layout {
       .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
         .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
       .reduce(_ unionByName _)
-    layoutFingerprint("v4", plannedBase.unionByName(plannedArrivals))
+    layoutFingerprint("v5", plannedBase.unionByName(plannedArrivals))
   }
 
   def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedSink
     val root = scratchDir("lake_ingest", dir)
     val bs = lakeArrivalBatches(spark, dir)
     materializeIfChanged(root, lakeIngestFingerprint(spark, dir)) {
@@ -1136,6 +1136,33 @@ object Layout {
         }
         writeLakeMetrics(spark, metrics, root)
       } finally ctx.baseBoxKeys.unpersist()
+      // round 19 (VERDICT r18 next #5): the CONTINUOUS lineage also
+      // folds through the log — newest-wins(base ∪ all arrivals)
+      // rewritten z-celled under its own bounds and committed as the
+      // next generation, a DATA-MOVEMENT commit on the same log the
+      // arrivals write. AS-OF answers are preserved across it
+      // ([[lakeIngestAsof]]'s trailing row) and the cursor feed reads
+      // it as logically EMPTY (decidable from the manifest's actions
+      // alone: base refs changed) — the lakeE2e half of the semantics,
+      // proven on the arrival loop's own log.
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+      val arrivals = bs.reduce(_ unionByName _)
+      val folded = base
+        .join(arrivals.select(col("event_id")), Seq("event_id"), "left_anti")
+        .unionByName(arrivals)
+      PartitionedSink.writeZCelled(folded, s"$root/fold",
+        Seq("user_id", "value"), 12, 6)
+      val tip = listGenerations(root).last
+      val tipRefs = readGeneration(root, tip)
+      require(commitNextGeneration(root,
+        listParquetFiles(spark, s"$root/fold").map("base" -> _)
+          :+ ("op" -> "fold"),
+        Some((tip,
+          tipRefs.collect { case (k, f) if LogFileKinds(k) => f }.toSet)))
+        == tip + 1,
+        "the fold must commit as the generation after the last arrival")
     }
     readLakeMetrics(spark, root)
   }
@@ -3594,11 +3621,37 @@ object Layout {
        |ORDER BY batch_id""".stripMargin
   }
 
+  /** The ingest fold's cell-grid CTEs: newest-wins(base ∪ all three
+    * arrival batches) re-quantized under its OWN bounds — the layout
+    * [[lakeIngest]]'s trailing fold commit writes. Shared by the AS-OF
+    * and history oracles (round 19). Yields `fm` (the folded corpus)
+    * and `fn` (its distinct-cell count). */
+  private def lakeIngestFoldCtes: String =
+    s"""fm AS (
+       |  SELECT * FROM d2
+       |  UNION ALL
+       |  SELECT b.* FROM base b ANTI JOIN d2 dd ON dd.event_id = b.event_id),
+       |fmb AS (
+       |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+       |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+       |  FROM fm),
+       |fmq AS (
+       |  SELECT
+       |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+       |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+       |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+       |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+       |  FROM fm, fmb),
+       |fn AS (SELECT CAST(count(DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18) AS BIGINT)
+       |       AS n FROM fmq)""".stripMargin
+
   /** Generated x_lake_ingest_asof oracle: one row per committed
     * generation over [[lakeIngestCommonCtes]] — g0 answers from the
-    * base alone, g(i+1) from newest-wins over base ∪ batches ≤ i; the
-    * manifest's file count is the base cell-grid count plus one delta
-    * file per arrival. */
+    * base alone, g(i+1) from newest-wins over base ∪ batches ≤ i, and
+    * the trailing FOLD generation (round 19) answers identically to
+    * the last arrival from its own rewritten cell grid; manifest file
+    * counts are the base cell-grid count plus one delta file per
+    * arrival, then the fold's grid count. */
   private def lakeIngestAsofOracleSql: String = {
     val perGen = (0 until 3).map { i =>
       s"""a${i + 1} AS (SELECT CAST(${i + 1} AS BIGINT) AS gen,
@@ -3610,14 +3663,20 @@ object Layout {
          |    WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0) AS rows_out)""".stripMargin
     }.mkString(",\n")
     s"""WITH $lakeIngestCommonCtes,
+       |$lakeIngestFoldCtes,
        |a0 AS (SELECT CAST(0 AS BIGINT) AS gen,
        |  (SELECT CAST(count(*) AS BIGINT) FROM bfiles) AS files_live,
        |  (SELECT CAST(count(*) AS BIGINT) FROM base
        |    WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0) AS rows_out),
-       |$perGen
+       |$perGen,
+       |a4 AS (SELECT CAST(4 AS BIGINT) AS gen,
+       |  (SELECT n FROM fn) AS files_live,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fm
+       |    WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0) AS rows_out)
        |SELECT gen, files_live, rows_out
        |FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1
-       |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3) u
+       |      UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+       |      UNION ALL SELECT * FROM a4) u
        |ORDER BY gen""".stripMargin
   }
 
@@ -3658,6 +3717,7 @@ object Layout {
          |  FROM dmerged, dmb),
          |dn AS (SELECT CAST(count(DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18) AS BIGINT)
          |       AS n FROM dmq),
+         |$lakeIngestFoldCtes,
          |h AS (
          |  SELECT 'lake_ingest' AS lineage, CAST(0 AS BIGINT) AS gen, 'seed' AS op,
          |         (SELECT n FROM nb) AS n_base_refs, CAST(0 AS BIGINT) AS n_delta_refs,
@@ -3665,6 +3725,7 @@ object Layout {
          |  UNION ALL SELECT 'lake_ingest', 1, 'arrival', (SELECT n FROM nb), 1, 0
          |  UNION ALL SELECT 'lake_ingest', 2, 'arrival', (SELECT n FROM nb), 2, 0
          |  UNION ALL SELECT 'lake_ingest', 3, 'arrival', (SELECT n FROM nb), 3, 0
+         |  UNION ALL SELECT 'lake_ingest', 4, 'fold', (SELECT n FROM fn), 0, 0
          |  UNION ALL SELECT 'lake_delete', 0, 'seed', (SELECT n FROM nb), 0, 0
          |  UNION ALL SELECT 'lake_delete', 1, 'delete', (SELECT n FROM nb), 0, 1
          |  UNION ALL SELECT 'lake_delete', 2, 'fold', (SELECT n FROM dn), 0, 0)

@@ -1062,8 +1062,9 @@ class LayoutSpec extends SparkSpec {
   test("unified log: the arrival loop commits per batch and every boundary replays AS OF its generation") {
     val metrics = Layout.lakeIngest(spark, sf).collect().sortBy(_.getAs[Long]("batch_id"))
     val root = Layout.scratchDir("lake_ingest", sf)
-    // g0 = the seeded base, g1..g3 = one commit per arrival batch
-    assert(Layout.listGenerations(root) === Seq(0, 1, 2, 3))
+    // g0 = the seeded base, g1..g3 = one commit per arrival batch,
+    // g4 = the fold committed on the same log (round 19)
+    assert(Layout.listGenerations(root) === Seq(0, 1, 2, 3, 4))
     val box = col("user_id").between(60, 90) && col("value").between(100.0, 200.0)
     val ev = graft.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -1078,6 +1079,24 @@ class LayoutSpec extends SparkSpec {
         m.getAs[Long]("rows_out_after"),
         s"generation $g must replay batch ${g - 1}'s running answer")
     }
+    // the fold is a DATA-MOVEMENT commit on the same log (round 19):
+    // the answer is preserved across it, the state is pure base files,
+    // and the cursor feed reads the transition as logically EMPTY —
+    // while a consumer checkpointed before it still drains the arrivals
+    val g4 = Layout.readLakeAsOf(spark, root, 4)
+    val g3 = Layout.readLakeAsOf(spark, root, 3)
+    assert(g4.where(box).count() === metrics.last.getAs[Long]("rows_out_after"))
+    assert(g4.exceptAll(g3).count() === 0L && g3.exceptAll(g4).count() === 0L,
+      "the fold must answer exactly what the last arrival state does")
+    assert(Layout.readGeneration(root, 4)
+      .collect { case (k, _) if Layout.LogFileKinds(k) => k }.toSet === Set("base"))
+    assert(Layout.readGeneration(root, 4)
+      .collectFirst { case ("op", o) => o } === Some("fold"))
+    assert(Layout.lakeChangesSince(spark, root, cursor = 3).count() === 0L,
+      "a data-movement commit feeds nothing")
+    val fromStart = Layout.lakeChangesSince(spark, root, cursor = 0)
+    assert(fromStart.agg(sum(col("n_rows"))).head().getLong(0) > 0L,
+      "a consumer checkpointed before the fold still drains every arrival")
     // the lifecycle lineage commits its three states too
     Layout.lakeE2e(spark, sf).collect()
     assert(Layout.listGenerations(Layout.scratchDir("lake_e2e", sf)) === Seq(0, 1, 2))
@@ -1184,62 +1203,26 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("cursor CDF as a STREAM over the log: manifests replay one per micro-batch, increments compose") {
-    // the generation log IS a file stream: each committed manifest is an
-    // immutable new file, so Spark's file source delivers "a generation
-    // committed" as a micro-batch and the checkpointing consumer drains
-    // feed(cursor → arrived gen) per trigger — CDC consumption as a
-    // stream over the log, under the same deterministic-replay
-    // discipline as LakeIngestStream (explicit ascending mtimes)
-    val root = java.nio.file.Files.createTempDirectory("graft-cdfstream").toString
-    val ctx = Layout.prepareLakeIngest(spark, sf, root)
-    try {
-      var running = ctx.boxInit
-      Layout.lakeArrivalBatches(spark, sf).zipWithIndex.foreach { case (b, i) =>
-        running = Layout.lakeIngestStep(b, i.toLong, root, ctx, running)._7
-      }
-    } finally ctx.baseBoxKeys.unpersist()
-    val t0 = java.lang.System.currentTimeMillis()
-    Layout.listGenerations(root).foreach { g =>
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(s"$root/gens/g=$g"),
-        java.nio.file.attribute.FileTime.fromMillis(t0 + g * 2000L))
-    }
-    val lock = new Object
-    val drained = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var cursor = 0
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdfstream-ckpt").toString
-    val q = spark.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(s"$root/gens")
-      .select(input_file_name().as("f"))
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val gensInBatch = b.select(col("f")).distinct().collect()
-          .map(_.getString(0).split("g=").last.toInt).sorted
-        lock.synchronized {
-          gensInBatch.foreach { g =>
-            seen += g
-            if (g > cursor) {
-              drained ++= Layout.lakeChangesSince(spark, root, cursor, Some(g)).collect()
-              cursor = g
-            }
-          }
-        }
-        ()
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
-    lock.synchronized {
-      assert(seen.sorted.toSeq === Seq(0, 1, 2, 3),
-        s"each committed manifest must arrive as a micro-batch, got $seen")
-      assert(cursor === 3)
-      val full = Layout.lakeChangesSince(spark, root, 0).collect()
-      assert(drained.sortBy(_.toString).toSeq === full.sortBy(_.toString).toSeq,
-        "per-trigger increments must compose to the from-scratch feed")
-    }
+    // the main-side operator (round 19 — the logic moved from this spec
+    // into streaming/LakeCdfStream): readStream over the gens/ dir, one
+    // committed manifest per trigger, feed(cursor → arrived gen) drained
+    // and the checkpoint REGISTERED per advance. The operator's own
+    // requires pin delivery (every manifest a micro-batch, checkpoint
+    // ends at the tip); this spec pins the composition law against the
+    // from-scratch batch feed, and that the registered cursor now
+    // floors retention over the streamed lineage.
+    val streamed = graft.streaming.LakeCdfStream.lakeCdfStream(spark, sf).collect()
+    val root = Layout.scratchDir("lake_cdf_stream", sf)
+    val full = Layout.lakeChangesSince(spark, root, 0).collect()
+    assert(streamed.sortBy(_.toString).toSeq === full.sortBy(_.toString).toSeq,
+      "per-trigger increments must compose to the from-scratch feed")
+    // the stream registered its checkpoint at the tip, and retention
+    // respects it: keep-last-1 by count cannot expire the tip's parent
+    // chain past the registered cursor
+    val tip = Layout.listGenerations(root).last
+    assert(Layout.readCursors(root) === Map("cdf_stream" -> tip))
+    assert(Layout.retainedGenerations(root, 1, 0L,
+      java.lang.System.currentTimeMillis()) === Seq(tip))
   }
 
   test("CRUD cursor feed: delete rows equal the generic state diff's vanished keys; the fold feeds nothing") {

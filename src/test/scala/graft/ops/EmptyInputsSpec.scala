@@ -386,13 +386,14 @@ class EmptyInputsSpec extends SparkSpec {
 
   test("round-18 additions on empty inputs") {
     // AS-OF over the empty arrival log: the base generation plus one
-    // commit per (empty) arrival batch, every answer zero, files_live
-    // counting only the empty staged delta files
+    // commit per (empty) arrival batch plus the fold (round 19 — an
+    // empty z-celled rewrite references zero files), every answer zero,
+    // files_live counting only the empty staged delta files
     val asof = graft.ext.Layout.lakeIngestAsof(spark, dir).collect()
       .sortBy(_.getAs[Long]("gen"))
-    assert(asof.length === 4)
+    assert(asof.length === 5)
+    assert(asof.map(_.getAs[Long]("files_live")).toSeq === Seq(0L, 1L, 2L, 3L, 0L))
     asof.zipWithIndex.foreach { case (r, g) =>
-      assert(r.getAs[Long]("files_live") === g.toLong, s"asof g$g files")
       assert(r.getAs[Long]("rows_out") === 0L, s"asof g$g rows")
     }
     // the cursor feed over the empty arrival log: three transitions,
@@ -419,7 +420,8 @@ class EmptyInputsSpec extends SparkSpec {
         ("lake_ingest", "seed", 0L, 0L, 0L),
         ("lake_ingest", "arrival", 0L, 1L, 0L),
         ("lake_ingest", "arrival", 0L, 2L, 0L),
-        ("lake_ingest", "arrival", 0L, 3L, 0L)))
+        ("lake_ingest", "arrival", 0L, 3L, 0L),
+        ("lake_ingest", "fold", 0L, 0L, 0L)))
     // the rebase race over nothing: the conflict still fires (the file
     // exists even with zero rows) and the protocol's commit/abort
     // accounting is unchanged
