@@ -3029,28 +3029,32 @@ object Layout {
     // against the CURRENT epoch — "what does this key look like after
     // the transition". Fold/compaction commits move only base refs and
     // feed nothing.
+    // each transition's changed references come straight off its
+    // ACTIONS manifest (round 19 — O(changes) per commit, no snapshot
+    // diff); full snapshots are touched only to name the probe epoch
+    // of transitions that actually FEED
     val transitions = gens.filter(g => g > cursor && g <= hi).flatMap { g =>
-      val prev = readGeneration(root, g - 1)
-      val cur = readGeneration(root, g)
-      val prevRefs = prev.map(_._2).toSet
-      val curRefs = cur.map(_._2).toSet
+      val (adds, removes) = readGenerationActions(root, g)
       def kindFiles(e: Seq[(String, String)], k: String) =
         e.collect { case (`k`, f) => f }
-      val addedD = kindFiles(cur, "delta").filterNot(prevRefs)
-      val addedC = kindFiles(cur, "cdelta").filterNot(prevRefs)
-      val removedD = kindFiles(prev, "delta").filterNot(curRefs)
-      val removedC = kindFiles(prev, "cdelta").filterNot(curRefs)
+      val addedD = kindFiles(adds, "delta")
+      val addedC = kindFiles(adds, "cdelta")
+      val removedD = kindFiles(removes, "delta")
+      val removedC = kindFiles(removes, "cdelta")
+      val baseMoved = kindFiles(adds, "base").nonEmpty ||
+        kindFiles(removes, "base").nonEmpty
+      def baseEpoch(gen: Int) =
+        readGeneration(root, gen).collect { case ("base", f) => f }
       val fwd = if (addedD.isEmpty && addedC.isEmpty) None
-        else Some((g, addedD, addedC, false, kindFiles(prev, "base")))
+        else Some((g, addedD, addedC, false, baseEpoch(g - 1)))
       // removed arrivals feed inverse changes ONLY when the base epoch
       // is UNCHANGED — an arrival-only rollback (RESTORE as metadata
-      // commit). A commit that also rewrites the base absorbed those
+      // commit). A commit that also moves base files absorbed those
       // arrivals into new files (a fold/compaction): data movement,
       // state preserved, logically empty feed — decidable from the
-      // manifests alone
-      val inv = if ((removedD.isEmpty && removedC.isEmpty) ||
-          kindFiles(cur, "base").toSet != kindFiles(prev, "base").toSet) None
-        else Some((g, removedD, removedC, true, kindFiles(cur, "base")))
+      // commit's actions alone
+      val inv = if ((removedD.isEmpty && removedC.isEmpty) || baseMoved) None
+        else Some((g, removedD, removedC, true, baseEpoch(g)))
       fwd.toSeq ++ inv.toSeq
     }
     if (transitions.isEmpty) return emptyFeed

@@ -328,6 +328,9 @@ class EmptyInputsSpec extends SparkSpec {
       assert(lv.getAs[Long]("files_deleted") === 1L)
       Seq("rows_deleted", "rows_out_before", "rows_out_prev_gen", "rows_out_after")
         .foreach(c => assert(lv.getAs[Long](c) === 0L, s"lakeVacuum.$c"))
+      // the registered consumer's floor is structural (round 19): the
+      // replica checkpoints at g1 whether or not any data exists
+      assert(lv.getAs[Long]("cursor_floor") === 1L)
     }
   }
 
@@ -405,6 +408,10 @@ class EmptyInputsSpec extends SparkSpec {
     // the restore feed over an empty lineage: the arrival and its
     // retraction both carry the one empty file — zero feed rows
     assert(graft.ext.Layout.lakeCdfRestore(spark, dir).count() === 0L)
+    // the STREAMED feed over an empty log (round 19): every manifest
+    // still arrives as a micro-batch (the operator's own requires),
+    // the registered cursor still advances, zero feed rows drain
+    assert(graft.streaming.LakeCdfStream.lakeCdfStream(spark, dir).count() === 0L)
     // history over the empty logs (both lineages, round 19): the op
     // stamps and per-kind reference accounting are structural, not
     // data-dependent — empty z-celled writes reference zero base files,
