@@ -1171,10 +1171,13 @@ object Layout {
     * #1's observable): the ingest loop now commits a generation per
     * arrival batch, so any batch boundary is re-answerable FROM THE LOG
     * ALONE — this query proves it. One row per generation: g0 is the
-    * clustered base, g(i+1) the state after arrival batch i;
-    * `files_live` is the manifest's reference count and `rows_out` the
-    * standard box answered by [[readLakeAsOf]]'s merge-on-read replay
-    * of nothing but that generation's file list. The trajectory must
+    * clustered base, g(i+1) the state after arrival batch i, and the
+    * trailing row the FOLD the loop commits on the same log (round 19
+    * — a data-movement generation whose answer must equal the last
+    * arrival's); `files_live` is the manifest's data-file reference
+    * count and `rows_out` the standard box answered by
+    * [[readLakeAsOf]]'s merge-on-read replay of nothing but that
+    * generation's file list. The trajectory must
     * retrace the ingest metrics' incremental `rows_out_after` values —
     * the same numbers, reached by the OPPOSITE route (log replay vs
     * running correction), which is exactly the cross-check a
@@ -2572,6 +2575,33 @@ object Layout {
       cachePut(root, gg, stat, state)
     }
     state
+  }
+
+  /** EXPIRE LOG ENTRIES strictly below `oldestRetained` (round 19,
+    * beyond plan — the published log-retention cleanup, Delta's
+    * `logRetentionDuration` reduced to its core): once the data vacuum
+    * has expired the generations below the retained window, their
+    * manifests are metadata garbage — but under an ACTIONS log the
+    * window's floor may still reconstruct THROUGH them, so cleanup must
+    * first ANCHOR the floor with its own full-snapshot checkpoint
+    * (idempotent, written before any deletion — a crash mid-cleanup
+    * re-anchors and re-deletes on retry), and only then delete every
+    * manifest and checkpoint below it. [[listGenerations]] and DESCRIBE
+    * HISTORY thereafter answer the retained window, exactly what a
+    * production log answers after cleanup; reads below the floor throw
+    * (an expired generation is not a readable state), and the
+    * stat-validated snapshot cache cannot serve one (the manifest stat
+    * fails first). */
+  private[graft] def expireLogEntries(root: String, oldestRetained: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val gensDir = new Path(s"$root/gens")
+    val fs = gensDir.getFileSystem(logConf())
+    writeCheckpoint(fs, gensDir, oldestRetained,
+      readGeneration(root, oldestRetained))
+    listGenerations(root).filter(_ < oldestRetained).foreach { g =>
+      fs.delete(new Path(gensDir, s"g=$g"), false)
+      fs.delete(new Path(gensDir, s"c=$g"), false)
+    }
   }
 
   /** The (kind, path) references generation `gen` ADDED relative to its

@@ -986,6 +986,36 @@ class LayoutSpec extends SparkSpec {
       .contains(f(5)), "the fold's manifest records the removed arrivals")
   }
 
+  test("log expiry: manifests below the retained window die, the floor re-anchors on its checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft-logexpire").toString
+    // a 10-commit arrival-shaped lineage: the expected snapshots, then
+    // committed through the public API (delta-form manifests g1..g9)
+    var snaps = Vector[Seq[(String, String)]](
+      Seq("base" -> "file:/t/base.parquet", "op" -> "seed"))
+    (1 to 9).foreach { i =>
+      snaps :+= (snaps.last.filterNot(_._1 == "op") ++
+        Seq("delta" -> s"file:/t/d$i.parquet", "op" -> "arrival"))
+    }
+    snaps.zipWithIndex.foreach { case (e, i) =>
+      assert(Layout.commitNextGeneration(root, e) === i)
+    }
+    Layout.expireLogEntries(root, 6)
+    assert(Layout.listGenerations(root) === Seq(6, 7, 8, 9),
+      "history answers the retained window after cleanup")
+    // cold reconstruction: the window's floor anchors on its own
+    // checkpoint — the deleted ancestor chain is never needed
+    Layout.clearLogSnapshotCache()
+    (6 to 9).foreach { g =>
+      assert(Layout.readGeneration(root, g) === snaps(g), s"generation $g")
+    }
+    // an expired generation is not a readable state
+    intercept[java.io.IOException] { Layout.readGeneration(root, 3) }
+    // idempotent: a crash-retry (or a second cleanup) is a no-op
+    Layout.expireLogEntries(root, 6)
+    assert(Layout.listGenerations(root) === Seq(6, 7, 8, 9))
+    assert(Layout.readGeneration(root, 9) === snaps(9))
+  }
+
   test("commit validation: metadata-only intervening commits never conflict; data adds still do") {
     val root = java.nio.file.Files.createTempDirectory("graft-metaconflict").toString
     val baseRefs = Seq("base" -> "file:/t/b0.parquet")
