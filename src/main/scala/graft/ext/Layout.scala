@@ -1100,9 +1100,10 @@ object Layout {
 
   /** Order-free content fingerprint of (base, arrivals, grid formulas)
     * — shared by both ingest engines so they cache/invalidate together.
-    * v5 (round 19): the batch loop's lineage ends in a FOLD committed
-    * through the log — same metric values, but the bump forces stale
-    * round-18 dirs (whose logs stop at the last arrival) to
+    * v6 (round 19): EVERY arrival-shaped lineage — the batch loop AND
+    * both streaming replays — ends in the SAME committed FOLD
+    * ([[commitIngestFold]]); same metric values, but the bump forces
+    * stale dirs (whose logs stop at the last arrival) to
     * re-materialize through the folding code path. */
   private[graft] def lakeIngestFingerprint(spark: SparkSession, dir: String): String = {
     import graft.sources.PartitionedSink
@@ -1115,11 +1116,10 @@ object Layout {
       .map { case (b, i) => b.withColumn("zcell", lit(-1L - i))
         .select(col("event_id"), col("user_id"), col("value"), col("zcell")) }
       .reduce(_ unionByName _)
-    layoutFingerprint("v5", plannedBase.unionByName(plannedArrivals))
+    layoutFingerprint("v6", plannedBase.unionByName(plannedArrivals))
   }
 
   def lakeIngest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.PartitionedSink
     val root = scratchDir("lake_ingest", dir)
     val bs = lakeArrivalBatches(spark, dir)
     materializeIfChanged(root, lakeIngestFingerprint(spark, dir)) {
@@ -1136,35 +1136,48 @@ object Layout {
         }
         writeLakeMetrics(spark, metrics, root)
       } finally ctx.baseBoxKeys.unpersist()
-      // round 19 (VERDICT r18 next #5): the CONTINUOUS lineage also
-      // folds through the log — newest-wins(base ∪ all arrivals)
-      // rewritten z-celled under its own bounds and committed as the
-      // next generation, a DATA-MOVEMENT commit on the same log the
-      // arrivals write. AS-OF answers are preserved across it
-      // ([[lakeIngestAsof]]'s trailing row) and the cursor feed reads
-      // it as logically EMPTY (decidable from the manifest's actions
-      // alone: base refs changed) — the lakeE2e half of the semantics,
-      // proven on the arrival loop's own log.
-      val ev = Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("value"))
-      val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
-      val arrivals = bs.reduce(_ unionByName _)
-      val folded = base
-        .join(arrivals.select(col("event_id")), Seq("event_id"), "left_anti")
-        .unionByName(arrivals)
-      PartitionedSink.writeZCelled(folded, s"$root/fold",
-        Seq("user_id", "value"), 12, 6)
-      val tip = listGenerations(root).last
-      val tipRefs = readGeneration(root, tip)
-      require(commitNextGeneration(root,
-        listParquetFiles(spark, s"$root/fold").map("base" -> _)
-          :+ ("op" -> "fold"),
-        Some((tip,
-          tipRefs.collect { case (k, f) if LogFileKinds(k) => f }.toSet)))
-        == tip + 1,
-        "the fold must commit as the generation after the last arrival")
+      commitIngestFold(spark, dir, root)
     }
     readLakeMetrics(spark, root)
+  }
+
+  /** Fold the arrival lineage THROUGH its log (round 19, VERDICT r18
+    * next #5): newest-wins(base ∪ all arrivals) rewritten z-celled
+    * under its own bounds and committed as the next generation — a
+    * DATA-MOVEMENT commit on the same log the arrivals write. AS-OF
+    * answers are preserved across it ([[lakeIngestAsof]]'s trailing
+    * row) and the cursor feed reads it as logically EMPTY (decidable
+    * from the manifest's actions alone: base refs changed) — the
+    * lakeE2e half of the semantics, proven on the arrival loop's own
+    * log. ONE definition shared by the batch loop and both streaming
+    * replays ([[graft.streaming.LakeIngestStream]],
+    * [[graft.streaming.LakeCdfStream]]), so every arrival-shaped
+    * lineage ends in the same committed fold — which also makes the
+    * fold's generation a [[LogCheckpointInterval]] multiple on the
+    * 3-batch fixtures: the `c=4` checkpoint sidecar lands in `gens/`,
+    * and the streamed CDF consumer's manifest glob is exercised
+    * against a non-manifest neighbor for real. */
+  private[graft] def commitIngestFold(spark: SparkSession, dir: String,
+      root: String): Unit = {
+    import graft.sources.PartitionedSink
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val arrivals = lakeArrivalBatches(spark, dir).reduce(_ unionByName _)
+    val folded = base
+      .join(arrivals.select(col("event_id")), Seq("event_id"), "left_anti")
+      .unionByName(arrivals)
+    PartitionedSink.writeZCelled(folded, s"$root/fold",
+      Seq("user_id", "value"), 12, 6)
+    val tip = listGenerations(root).last
+    val tipRefs = readGeneration(root, tip)
+    require(commitNextGeneration(root,
+      listParquetFiles(spark, s"$root/fold").map("base" -> _)
+        :+ ("op" -> "fold"),
+      Some((tip,
+        tipRefs.collect { case (k, f) if LogFileKinds(k) => f }.toSet)))
+      == tip + 1,
+      "the fold must commit as the generation after the last arrival")
   }
 
   /** AS-OF READS OVER THE ARRIVAL LOG (round 18, VERDICT r17 missing

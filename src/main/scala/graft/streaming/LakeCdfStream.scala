@@ -62,6 +62,13 @@ object LakeCdfStream {
           running = Layout.lakeIngestStep(b, i.toLong, root, ctx, running)._7
         }
       } finally ctx.baseBoxKeys.unpersist()
+      // ... and the fold, committed on the same log BEFORE the stream
+      // starts (round 19): the consumer must read the data-movement
+      // commit as an EMPTY increment, and — the fold being generation
+      // 4 — its `c=4` checkpoint sidecar now sits in gens/, so the
+      // manifest glob below is exercised against a real non-manifest
+      // neighbor, not vacuously
+      Layout.commitIngestFold(spark, dir, root)
       // deterministic replay order: explicit ascending commit mtimes
       val gens = Layout.listGenerations(root)
       val t0 = System.currentTimeMillis()

@@ -112,6 +112,10 @@ object LakeIngestStream {
           results.values.toSeq
         }
         Layout.writeLakeMetrics(spark, rows, root)
+        // the streamed lineage ends in the SAME committed fold as the
+        // batch loop (round 19 — one definition, so the two engines'
+        // logs stay generation-for-generation identical)
+        Layout.commitIngestFold(spark, dir, root)
       } finally ctx.baseBoxKeys.unpersist()
     }
     Layout.readLakeMetrics(spark, root)

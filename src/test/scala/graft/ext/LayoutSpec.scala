@@ -1246,6 +1246,15 @@ class LayoutSpec extends SparkSpec {
     val full = Layout.lakeChangesSince(spark, root, 0).collect()
     assert(streamed.sortBy(_.toString).toSeq === full.sortBy(_.toString).toSeq,
       "per-trigger increments must compose to the from-scratch feed")
+    // the lineage ends in the committed fold (generation 4), whose
+    // checkpoint sidecar sits NEXT TO the manifests — so the stream's
+    // g=* glob was exercised against a real non-manifest neighbor, and
+    // the fold itself arrived as a micro-batch that fed NOTHING
+    assert(Layout.listGenerations(root) === Seq(0, 1, 2, 3, 4))
+    assert(new java.io.File(s"$root/gens/c=${Layout.LogCheckpointInterval}").isFile,
+      "the fold commit must have dropped its checkpoint sidecar in gens/")
+    assert(!streamed.exists(_.getAs[Long]("to_gen") == 4L),
+      "the data-movement fold must stream as an empty increment")
     // the stream registered its checkpoint at the tip, and retention
     // respects it: keep-last-1 by count cannot expire the tip's parent
     // chain past the registered cursor

@@ -216,6 +216,19 @@ class StreamBatchParitySpec extends SparkSpec {
         .listFiles().count(_.getName.endsWith(".parquet"))
       assert(n === 1, s"micro-batch $i must land exactly one delta file")
     }
+    // the two engines write generation-for-generation IDENTICAL logs
+    // (round 19 — one committed-fold definition shared by both): same
+    // generations, same op stamps, same per-kind reference counts
+    val broot = graft.ext.Layout.scratchDir("lake_ingest", dir)
+    assert(graft.ext.Layout.listGenerations(root) ===
+      graft.ext.Layout.listGenerations(broot))
+    graft.ext.Layout.listGenerations(root).foreach { g =>
+      def shape(r: String) = graft.ext.Layout.readGeneration(r, g)
+        .groupBy(_._1).map { case (k, es) =>
+          k -> (if (k == "op") es.map(_._2).toSet.toSeq else Seq(es.size.toString))
+        }
+      assert(shape(root) === shape(broot), s"generation $g log-shape parity")
+    }
   }
 
   test("STORED classifier gate applies unchanged on a readStream (batch parity)") {
