@@ -986,6 +986,68 @@ class LayoutSpec extends SparkSpec {
       .contains(f(5)), "the fold's manifest records the removed arrivals")
   }
 
+  test("actions log property: random lineages reconstruct exactly through both manifest forms") {
+    // randomized commit sequences — drops, re-adds (restores), retained-
+    // entry REORDERS (the case the commit-time exactness check must
+    // route to the snapshot fallback), metadata churn, duplicate
+    // entries — must all read back exactly, cold, at every generation;
+    // and each commit's recorded actions must compose over its parent.
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def canonical(e: Seq[(String, String)]) = {
+      val (f, m) = e.partition(x => Layout.LogFileKinds(x._1)); f ++ m
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-logprop$seed").toString
+      val pool = (0 until 10).map(i => s"file:/t/f$i.parquet")
+      val kindsOf = Map(0 -> "base", 1 -> "delta", 2 -> "cdelta")
+      var files = Vector.empty[(String, String)]
+      var snaps = Vector.empty[Seq[(String, String)]]
+      val n = 8 + rnd.nextInt(5)
+      (0 until n).foreach { g =>
+        files = files.filter(_ => rnd.nextDouble() > 0.3)
+        files = files ++ (0 until 1 + rnd.nextInt(3)).map(_ =>
+          (kindsOf(rnd.nextInt(3)), pool(rnd.nextInt(pool.size))))
+        if (rnd.nextDouble() < 0.3) files = rnd.shuffle(files)
+        val metas = (if (rnd.nextBoolean())
+          Seq("schema" -> s"s${rnd.nextInt(3)}") else Nil) ++
+          Seq("op" -> s"op${rnd.nextInt(4)}")
+        // metadata interleaved anywhere — the log canonicalizes
+        val entries = rnd.shuffle(files ++ metas)
+        snaps :+= entries
+        assert(Layout.commitNextGeneration(root, entries) === g)
+      }
+      Layout.clearLogSnapshotCache()
+      (0 until n).foreach { g =>
+        assert(Layout.readGeneration(root, g) === canonical(snaps(g)),
+          s"seed=$seed g=$g cold reconstruction")
+      }
+      (1 until n).foreach { g =>
+        val (adds, removes) = Layout.readGenerationActions(root, g)
+        val parent = Layout.readGeneration(root, g - 1)
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Int]
+        removes.foreach(e => counts.update(e, counts.getOrElse(e, 0) + 1))
+        val applied = parent.filter { e =>
+          counts.get(e) match {
+            case Some(k) if k > 0 => counts.update(e, k - 1); false
+            case _ => true
+          }
+        } ++ adds
+        assert(applied.sorted === Layout.readGeneration(root, g).sorted,
+          s"seed=$seed g=$g: actions must compose over the parent")
+        assert(counts.values.forall(_ == 0),
+          s"seed=$seed g=$g: every recorded remove must hit a parent entry")
+        seen += new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/gens/g=$g")), "UTF-8")
+          .startsWith("@delta")
+      }
+    }
+    // the randomness really exercised BOTH representations
+    assert(seen.contains(true) && seen.contains(false),
+      "the generated lineages must produce actions-form AND fallback-snapshot manifests")
+  }
+
   test("log expiry: manifests below the retained window die, the floor re-anchors on its checkpoint") {
     val root = java.nio.file.Files.createTempDirectory("graft-logexpire").toString
     // a 10-commit arrival-shaped lineage: the expected snapshots, then
