@@ -77,7 +77,12 @@ object Bench {
     // one committed manifest per trigger, checkpoint registered so
     // retention is consumer-aware (steady state = feed read-back +
     // the fingerprint scan the marker check pays)
-    "x_lake_cdf_stream")
+    "x_lake_cdf_stream",
+    // round 20: keyed MERGE INTO — conditional clause semantics landing
+    // as one committed cdelta generation (steady state = the outcome-
+    // census probe + both AS-OF box answers under the fingerprint
+    // guard)
+    "x_lake_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,16 @@ object LakeCdfStream {
       gens.foreach { g =>
         fs.setTimes(new Path(s"$root/gens/g=$g"), t0 + g * 2000L, -1)
       }
+      // setTimes is a silent no-op on some Hadoop filesystems (object
+      // stores): read the mtimes back and fail LOUDLY if the
+      // "manifests replay in commit order" guarantee was lost, instead
+      // of degrading to directory-listing luck (ADVICE r19 #3)
+      val mtimes = gens.map(g =>
+        fs.getFileStatus(new Path(s"$root/gens/g=$g")).getModificationTime)
+      require(mtimes == mtimes.sorted && mtimes.distinct.size == mtimes.size,
+        s"filesystem did not honor setTimes — manifest mtimes are not " +
+          s"strictly ascending ($mtimes): deterministic commit-order " +
+          "replay is lost on this filesystem")
       // THE STREAM: one committed manifest per trigger; the consumer
       // drains the feed increment and registers its advanced checkpoint.
       // State is mutated only under the monitor — the body runs on the

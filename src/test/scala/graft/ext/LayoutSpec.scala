@@ -734,20 +734,25 @@ class LayoutSpec extends SparkSpec {
       ev.where(pmod(col("event_id"), lit(100)) === 1).count()
     assert(r.getAs[Long]("rows_deleted") === nBase + nDelta)
     // physically: g0 is PAST the window — its exclusive files are gone
-    // (the manifest itself survives: the log records history) — while
-    // every file a retained generation references exists, at exactly
-    // files_live
+    // AND (round 20) its manifest is expired by the log cleanup, so the
+    // log lists exactly the retained window and a read below the floor
+    // throws; every file a retained generation references exists, at
+    // exactly files_live, and NOTHING else is left under the data root
     val root = Layout.scratchDir("lake_vacuum", sf)
     def onDisk(f: String): Boolean =
       new java.io.File(f.replaceFirst("^file:", "")).exists()
     val live = (Layout.readGeneration(root, 1) ++ Layout.readGeneration(root, 2))
       .collect { case (k, f) if Layout.LogFileKinds(k) => f }.toSet
-    val g0Dead = Layout.readGeneration(root, 0)
-      .collect { case (k, f) if Layout.LogFileKinds(k) => f }.filterNot(live)
-    assert(g0Dead.nonEmpty)
-    g0Dead.foreach(f => assert(!onDisk(f), s"expired g0 file must be deleted: $f"))
+    assert(Layout.listGenerations(root) === Seq(1, 2),
+      "log cleanup must expire the manifests below the retained floor")
+    intercept[java.io.FileNotFoundException] { Layout.readGeneration(root, 0) }
+    assert(r.getAs[Long]("log_floor") === 1L)
+    assert(r.getAs[Long]("log_tip") === 2L)
+    assert(r.getAs[Long]("n_log_expired") === 1L)
     assert(live.size.toLong === r.getAs[Long]("files_live"))
     live.foreach(f => assert(onDisk(f), s"retained file must survive: $f"))
+    assert(Layout.listParquetFiles(spark, s"$root/data").toSet === live,
+      "after the vacuum the data root holds exactly the retained references")
     // g1 is INSIDE the window: after the vacuum it still answers the
     // full table, row-for-row equal to the current generation
     val g1 = Layout.readLakeAsOf(spark, root, 1)
@@ -1470,11 +1475,144 @@ class LayoutSpec extends SparkSpec {
     val rows = Layout.lakeVacuum(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("cursor_floor") === 1L))
     val root = Layout.scratchDir("lake_vacuum", sf)
-    assert(Layout.readCursors(root) === Map("replica" -> 1))
+    // round 20: the lineage also registers a DEAD consumer at g0 —
+    // overridden by the staleness bound (reported, not honored), so
+    // the effective floor stays the fresh replica's g1
+    assert(Layout.readCursors(root) ===
+      Map("replica" -> 1, "stale_replica" -> 0))
+    assert(rows.forall(_.getAs[Long]("n_stale_cursors") === 1L))
     val feed = Layout.lakeChangesSince(spark, root, cursor = 1)
     assert(feed.count() === 0L,
       "the fold transition after the checkpoint is a data-movement commit: empty feed")
     // and the probe epoch the checkpoint pinned still answers in full
     assert(Layout.readLakeAsOf(spark, root, 1).count() > 0L)
+  }
+
+  test("MERGE INTO: committed state is the recomputed clause semantics; per-column UPDATE keeps the target's untouched columns") {
+    val rows = Layout.lakeMerge(spark, sf).collect().sortBy(_.getAs[Long]("gen"))
+    assert(rows.map(_.getAs[String]("state")).toSeq === Seq("pre_merge", "merged"))
+    val root = Layout.scratchDir("lake_merge", sf)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    // the recomputed merged state: conditional updates take the SOURCE
+    // value but keep the TARGET user_id (= the original events row —
+    // the +10⁶ decoy must never land), conditional deletes vanish,
+    // matched-no-clause rows survive untouched, unmatched rows insert
+    val upd = ev.where(pmod(col("event_id"), lit(100)) === 7)
+      .withColumn("value", col("value") + 150.0)
+    val ins = ev.where(pmod(col("event_id"), lit(10)) === 0)
+    assert(ins.count() > 0L)
+    val touched = upd.select(col("event_id"))
+      .unionByName(ev.where(pmod(col("event_id"), lit(100)) === 13)
+        .select(col("event_id")))
+      .unionByName(ins.select(col("event_id")))
+    val expected = upd.unionByName(ins)
+      .unionByName(base.join(touched, Seq("event_id"), "left_anti"))
+    val got = Layout.readLakeAsOf(spark, root, 1)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0L
+      && expected.exceptAll(got).count() === 0L,
+      "the merged generation must equal the clause-semantics recompute")
+    // per-column pin, directly: the decoy user_id is nowhere
+    assert(got.where(col("user_id") >= 1000000L).count() === 0L)
+    // matched-no-clause target rows survive bit-identically
+    val noop = base.where(pmod(col("event_id"), lit(100)) === 21)
+    assert(noop.exceptAll(got).count() === 0L)
+    // conditional deletes: the keys are gone from the merged state
+    assert(got.join(ev.where(pmod(col("event_id"), lit(100)) === 13)
+      .select(col("event_id")), Seq("event_id"), "left_semi").count() === 0L)
+    // AS OF the parent still answers the PRE-merge state (time travel
+    // across the merge commit)
+    val g0 = Layout.readLakeAsOf(spark, root, 0)
+    assert(g0.count() === base.count())
+    assert(g0.exceptAll(base).count() === 0L)
+    // DESCRIBE HISTORY names the operation
+    val hist = Layout.lakeHistory(spark, sf)
+      .where(col("lineage") === "lake_merge").collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(hist.map(_.getAs[String]("op")).toSeq === Seq("seed", "merge"))
+  }
+
+  test("MERGE INTO: clauses evaluate in declaration order — the first matching clause wins") {
+    def seeded(tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+      Seq((1L, 10L, 1.0), (2L, 20L, 5.0)).toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+      val refs = Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+      assert(Layout.commitNextGeneration(root, refs :+ ("op" -> "seed"),
+        Some((-1, Set.empty[String]))) === 0)
+      root
+    }
+    // the source row matches the target AND satisfies BOTH matched
+    // clauses' conditions — only declaration order can decide it
+    val src = Seq((1L, 99L, 2.0)).toDF("event_id", "user_id", "value")
+    val update = Layout.WhenMatchedUpdate(col("value") > 0.0,
+      Map("value" -> col("value")))
+    val delete = Layout.WhenMatchedDelete(col("value") > 0.0)
+    val insert = Layout.WhenNotMatchedInsert(lit(true))
+    // update declared first: the row updates (target user_id kept)
+    val r1 = seeded("mergeord1")
+    Layout.lakeMergeInto(spark, r1, src, "event_id",
+      Seq(update, delete, insert), s"$r1/stage")
+    val s1 = Layout.readLakeAsOf(spark, r1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(s1 === Array((1L, 10L, 2.0), (2L, 20L, 5.0)),
+      "first-declared UPDATE must win over the also-matching DELETE")
+    // delete declared first: the same row is deleted instead
+    val r2 = seeded("mergeord2")
+    Layout.lakeMergeInto(spark, r2, src, "event_id",
+      Seq(delete, update, insert), s"$r2/stage")
+    val s2 = Layout.readLakeAsOf(spark, r2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(s2 === Array((2L, 20L, 5.0)),
+      "first-declared DELETE must win over the also-matching UPDATE")
+  }
+
+  test("TIMESTAMP AS OF: boundary resolution over controlled commit instants") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsasof").toString
+    (0 to 2).foreach(g =>
+      Layout.commitGeneration(root, g, Seq("base" -> s"file:/t/$g.parquet")))
+    val t0 = 1000000L
+    (0 to 2).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/gens/g=$g"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + g * 1000L))
+    }
+    // exactly at a commit instant resolves to THAT generation
+    assert(Layout.resolveTimestampAsOf(root, t0) === 0)
+    assert(Layout.resolveTimestampAsOf(root, t0 + 1000L) === 1)
+    assert(Layout.resolveTimestampAsOf(root, t0 + 2000L) === 2)
+    // between two commits resolves to the EARLIER one
+    assert(Layout.resolveTimestampAsOf(root, t0 + 500L) === 0)
+    assert(Layout.resolveTimestampAsOf(root, t0 + 1999L) === 1)
+    // past the tip resolves to the tip
+    assert(Layout.resolveTimestampAsOf(root, t0 + 999999L) === 2)
+    // before the first commit there is no state to answer from
+    intercept[IllegalArgumentException] {
+      Layout.resolveTimestampAsOf(root, t0 - 1L)
+    }
+  }
+
+  test("consumer staleness bound: a dead checkpoint is overridden and reported, a fresh one floors, unregister releases") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    (0 to 3).foreach(g =>
+      Layout.commitGeneration(root, g, Seq("base" -> s"file:/t/$g.parquet")))
+    val now = java.lang.System.currentTimeMillis()
+    Layout.registerCursor(root, "fresh", 2)
+    Layout.registerCursor(root, "dead", 0)
+    // unbounded floor (the pre-round-20 behavior): the dead consumer
+    // pins the whole log
+    assert(Layout.retainedGenerations(root, 1, 0L, now) === Seq(0, 1, 2, 3))
+    // staleness bound 2 against tip 3: dead (lag 3) is overridden,
+    // fresh (lag 1) floors at its checkpoint
+    assert(Layout.retainedGenerations(root, 1, 0L, now, Some(2)) === Seq(2, 3))
+    // explicit unregistration releases the floor entirely
+    Layout.unregisterCursor(root, "fresh")
+    Layout.unregisterCursor(root, "dead")
+    assert(Layout.retainedGenerations(root, 1, 0L, now, Some(2)) === Seq(3))
+    assert(Layout.readCursors(root) === Map.empty[String, Int])
+    // unregistering an unknown consumer is an idempotent no-op
+    Layout.unregisterCursor(root, "fresh")
   }
 }

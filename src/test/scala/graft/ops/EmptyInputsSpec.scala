@@ -428,7 +428,28 @@ class EmptyInputsSpec extends SparkSpec {
         ("lake_ingest", "arrival", 0L, 1L, 0L),
         ("lake_ingest", "arrival", 0L, 2L, 0L),
         ("lake_ingest", "arrival", 0L, 3L, 0L),
-        ("lake_ingest", "fold", 0L, 0L, 0L)))
+        ("lake_ingest", "fold", 0L, 0L, 0L),
+        // round 20: the MERGE lineage commits structurally too — an
+        // empty source batch still stages one (empty) cdelta file
+        ("lake_merge", "seed", 0L, 0L, 0L),
+        ("lake_merge", "merge", 0L, 0L, 1L)))
+    // merging nothing into nothing: both generations answer zero rows
+    // and the outcome census is all-zero, no crash
+    val lm = graft.ext.Layout.lakeMerge(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(lm.map(_.getAs[String]("state")).toSeq === Seq("pre_merge", "merged"))
+    lm.foreach { r =>
+      Seq("n_source", "n_inserted", "n_updated", "n_deleted",
+        "n_matched_noop", "rows_out")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeMerge.$c"))
+    }
+    assert(graft.ext.Layout.lakeCdfMerge(spark, dir).count() === 0L)
+    // TIMESTAMP AS OF over the empty timetravel lineage: the
+    // deterministic commit grid is structural — every probe resolves
+    // and answers zero
+    val ts = graft.ext.Layout.lakeTimestampAsof(spark, dir).collect()
+    assert(ts.length === 5)
+    assert(ts.map(_.getAs[Long]("rows_out")).forall(_ === 0L))
     // the rebase race over nothing: the conflict still fires (the file
     // exists even with zero rows) and the protocol's commit/abort
     // accounting is unchanged

@@ -265,6 +265,12 @@ class PlanSpec extends SparkSpec {
       "x_lake_changes_cursor" -> ((0, 0)), // one arrivals⋈base-epoch probe, planner's call
       "x_lake_rebase" -> ((0, 0)), // one fused tagged-replay hash-agg, planner's call
       "x_lake_cdf_delete" -> ((0, 0)), // one cdelta⋈base-epoch probe, planner's call
+      // merge report: the ONE fused outcome-census column is a 1-row
+      // broadcast report constant; the classification probe and the
+      // tagged-replay counts stay planner-chosen
+      "x_lake_merge"      -> ((1, 1)),
+      "x_lake_cdf_merge"  -> ((0, 0)), // one cdelta⋈base-epoch probe, planner's call
+      "x_lake_timestamp_asof" -> ((0, 0)), // one fused tagged-replay hash-agg
       "x_lake_history" -> ((0, 0)), // pure manifest metadata: a local frame, no scan
       "x_lake_cdf_restore" -> ((0, 0)), // two direction probes, planner's call
       "x_lake_cdc_apply"  -> ((0, 0)), // delta-scale fold ⋈ view, planner's call
