@@ -1569,6 +1569,115 @@ class LayoutSpec extends SparkSpec {
       "first-declared DELETE must win over the also-matching UPDATE")
   }
 
+  test("MERGE INTO randomized property: arbitrary clause lists against a plain-Scala reference merge") {
+    // the fixture lineage pins ONE clause set; this property pins the
+    // OPERATOR: random targets, random (key-distinct) sources, and
+    // random clause lists drawn from a condition/action pool, each
+    // case's committed state compared row-for-row against a driver-
+    // side reference evaluation of the published semantics (first
+    // matching clause in declaration order wins; matched-no-clause
+    // rows untouched; unmatched-no-insert rows dropped; per-column SET
+    // keeps unset target columns)
+    val condPool: Seq[(String, org.apache.spark.sql.Column,
+        (Double, Option[Double]) => Boolean)] = Seq(
+      ("sv_gt_tv", col("value") > Layout.mergeTarget("value"),
+        (s, t) => t.exists(s > _)),
+      ("sv_lt_tv", col("value") < Layout.mergeTarget("value"),
+        (s, t) => t.exists(s < _)),
+      ("sv_gt_5", col("value") > 5.0, (s, _) => s > 5.0),
+      ("always", lit(true), (_, _) => true))
+    // action pool: (spark clause builder, reference outcome)
+    // reference outcome: given (srcU, srcV, tgt(u,v)) → Some(new row)
+    // to keep/replace, None to delete
+    sealed trait RefAct
+    case object UpdSrcV extends RefAct      // SET value = s.value
+    case object UpdTvPlus extends RefAct    // SET value = t.value + 100
+    case object Del extends RefAct
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val tgtRows = (1 to (8 + rnd.nextInt(8))).map(_ =>
+        (rnd.nextInt(20).toLong + 1L, rnd.nextInt(100).toLong,
+          rnd.nextInt(10).toDouble)).distinctBy(_._1)
+      val srcRows = (1 to (8 + rnd.nextInt(8))).map(_ =>
+        (rnd.nextInt(25).toLong + 1L, rnd.nextInt(100).toLong + 500L,
+          rnd.nextInt(10).toDouble)).distinctBy(_._1)
+      // 1-3 matched clauses with random conditions/actions, then with
+      // probability 2/3 an insert clause, in random positions
+      val nMatched = 1 + rnd.nextInt(3)
+      val matchedClauses: Seq[(Layout.MergeClause,
+          (Double, Option[Double]) => Boolean, Option[RefAct])] =
+        (1 to nMatched).map { _ =>
+          val (_, sqlCond, refCond) = condPool(rnd.nextInt(condPool.size))
+          rnd.nextInt(3) match {
+            case 0 => (Layout.WhenMatchedUpdate(sqlCond,
+              Map("value" -> col("value"))), refCond, Some(UpdSrcV): Option[RefAct])
+            case 1 => (Layout.WhenMatchedUpdate(sqlCond,
+              Map("value" -> (Layout.mergeTarget("value") + 100.0))),
+              refCond, Some(UpdTvPlus): Option[RefAct])
+            case _ => (Layout.WhenMatchedDelete(sqlCond), refCond,
+              Some(Del): Option[RefAct])
+          }
+        }
+      val withInsert = rnd.nextInt(3) != 0
+      val insertPos = rnd.nextInt(matchedClauses.size + 1)
+      val all: Seq[(Layout.MergeClause,
+          (Double, Option[Double]) => Boolean, Option[RefAct])] =
+        if (!withInsert) matchedClauses
+        else matchedClauses.take(insertPos) ++
+          Seq((Layout.WhenNotMatchedInsert(lit(true)),
+            (_: Double, _: Option[Double]) => true, None)) ++
+          matchedClauses.drop(insertPos)
+      // commit the target, run the merge
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-mergeprop$seed").toString
+      tgtRows.toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+      assert(Layout.commitNextGeneration(root,
+        Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+          :+ ("op" -> "seed"),
+        Some((-1, Set.empty[String]))) === 0)
+      Layout.lakeMergeInto(spark, root,
+        srcRows.toDF("event_id", "user_id", "value"), "event_id",
+        all.map(_._1), s"$root/stage")
+      // reference evaluation
+      val tgtMap = tgtRows.map(r => r._1 -> r).toMap
+      val srcKeys = srcRows.map(_._1).toSet
+      val outOfSource = tgtRows.filterNot(r => srcKeys.contains(r._1))
+      val merged = scala.collection.mutable.ArrayBuffer(outOfSource: _*)
+      srcRows.foreach { case (k, su, sv) =>
+        val tgt = tgtMap.get(k)
+        val fired = all.find { case (cl, refCond, _) =>
+          cl match {
+            case _: Layout.WhenNotMatchedInsert => tgt.isEmpty
+            case _ => tgt.isDefined && refCond(sv, tgt.map(_._3))
+          }
+        }
+        fired match {
+          case Some((_: Layout.WhenNotMatchedInsert, _, _)) =>
+            merged += ((k, su, sv))
+          case Some((_, _, Some(UpdSrcV))) =>
+            merged += ((k, tgt.get._2, sv))
+          case Some((_, _, Some(UpdTvPlus))) =>
+            merged += ((k, tgt.get._2, tgt.get._3 + 100.0))
+          case Some((_, _, Some(Del))) => () // erased
+          case _ =>
+            // matched, no clause fired: the target row survives
+            tgt.foreach(merged += _)
+          }
+      }
+      val got = Layout.readLakeAsOf(spark, root, 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(got.toSeq === merged.toSeq.sorted,
+        s"seed $seed: merged state diverged from the reference " +
+          s"(clauses: ${all.map(_._1.getClass.getSimpleName)})")
+      // and the commit is a first-class log citizen: op-stamped, one
+      // staged cdelta arrival
+      val g1 = Layout.readGeneration(root, 1)
+      assert(g1.collectFirst { case ("op", o) => o }.contains("merge"))
+      assert(g1.count(_._1 == "cdelta") === 1)
+    }
+  }
+
   test("TIMESTAMP AS OF: boundary resolution over controlled commit instants") {
     val root = java.nio.file.Files.createTempDirectory("graft-tsasof").toString
     (0 to 2).foreach(g =>
