@@ -2873,7 +2873,15 @@ object Layout {
     * published tie-break: clauses are evaluated in DECLARATION ORDER
     * and the first one whose guard holds wins; a matched source row
     * matching no clause leaves its target row untouched, an unmatched
-    * row matching no insert clause is dropped.
+    * row matching no insert clause is dropped. The published FULL-SYNC
+    * extension is supported too: WHEN NOT MATCHED BY SOURCE [AND cond]
+    * THEN UPDATE SET / DELETE applies to TARGET rows no source row
+    * matched — its own clause group over its own (disjoint) row
+    * population, resolved off one target⋈source-keys anti-join (the
+    * inherently target-scanning half of a sync; only the affected rows
+    * stage). `x_lake_merge_sync` oracle-gates the canonical use: source
+    * = desired state, matched rows converge, absent rows insert,
+    * stale target rows conditionally delete.
     *
     * The MERGE lands as ONE committed generation whose manifest is the
     * parent's data references plus one staged `cdelta` arrival — the
@@ -2912,6 +2920,15 @@ object Layout {
   final case class WhenMatchedDelete(condition: Column) extends MergeClause
   /** WHEN NOT MATCHED AND `condition` THEN INSERT (the source row). */
   final case class WhenNotMatchedInsert(condition: Column) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE AND `condition` THEN UPDATE SET `set`
+    * — the published full-sync extension: applies to TARGET rows with
+    * no source match; conditions and SET values reference target
+    * columns via [[mergeTarget]] (there is no source side). */
+  final case class WhenNotMatchedBySourceUpdate(condition: Column,
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE AND `condition` THEN DELETE. */
+  final case class WhenNotMatchedBySourceDelete(
+      condition: Column) extends MergeClause
 
   /** The target side of a merge clause expression: target columns are
     * exposed to conditions and SET values under a `__t_` prefix by the
@@ -2938,39 +2955,74 @@ object Layout {
     val probe = tgt.select(col(key) +: (payload.map(c => col(c).as(s"__t_$c"))
       :+ lit(true).as("__matched")): _*)
     val marked = source.join(probe, Seq(key), "left_outer")
-    // first clause whose guard holds wins (declaration order); −1 ⇒
-    // untouched (matched, no clause) or dropped (unmatched, no insert)
-    val guards = clauses.map {
+    val schema = tgt.schema
+    // the clause groups evaluate over disjoint row populations — the
+    // SOURCE side (matched / not-matched source rows, off the probe)
+    // and the BY-SOURCE side (target rows no source row matched, off
+    // one target⋈source-keys anti-join — the inherently target-
+    // scanning half of the published full-sync form; the anti-join is
+    // planner-chosen and only |affected| rows stage). Within each
+    // group the first clause whose guard holds wins (declaration
+    // order); −1 ⇒ untouched (matched / by-source, no clause) or
+    // dropped (unmatched source row, no insert clause).
+    val (srcSide, bySource) = clauses.partition {
+      case _: WhenNotMatchedBySourceUpdate |
+           _: WhenNotMatchedBySourceDelete => false
+      case _ => true
+    }
+    def firstMatch(guards: Seq[Column]): Column =
+      guards.zipWithIndex.foldRight(lit(-1)) {
+        case ((g, i), acc) => when(coalesce(g, lit(false)), lit(i)).otherwise(acc)
+      }
+    val idx = firstMatch(srcSide.map {
       case cl: WhenMatchedUpdate => col("__matched") && cl.condition
       case cl: WhenMatchedDelete => col("__matched") && cl.condition
       case cl: WhenNotMatchedInsert => col("__matched").isNull && cl.condition
-    }
-    val idx = guards.zipWithIndex.foldRight(lit(-1)) {
-      case ((g, i), acc) => when(coalesce(g, lit(false)), lit(i)).otherwise(acc)
-    }
-    val schema = tgt.schema
+      case cl => sys.error(s"unreachable clause in source group: $cl")
+    })
     def outcomeValue(c: String): Column = {
       val dt = schema(c).dataType
-      clauses.zipWithIndex.foldRight(lit(null).cast(dt)) {
+      srcSide.zipWithIndex.foldRight(lit(null).cast(dt)) {
         case ((cl, i), acc) => cl match {
           case u: WhenMatchedUpdate => when(col("__i") === i,
             u.set.getOrElse(c, col(s"__t_$c")).cast(dt)).otherwise(acc)
           case _: WhenMatchedDelete => when(col("__i") === i,
             lit(null).cast(dt)).otherwise(acc)
-          case _: WhenNotMatchedInsert => when(col("__i") === i,
-            col(c).cast(dt)).otherwise(acc)
+          case _ => when(col("__i") === i, col(c).cast(dt)).otherwise(acc)
         }
       }
     }
-    val opCol = clauses.zipWithIndex.foldRight(lit("U")) {
-      case ((cl, i), acc) => cl match {
-        case _: WhenMatchedDelete => when(col("__i") === i, lit("D")).otherwise(acc)
-        case _ => acc
+    def deleteOp(group: Seq[MergeClause]): Column =
+      group.zipWithIndex.foldRight(lit("U")) {
+        case ((cl, i), acc) => cl match {
+          case _: WhenMatchedDelete | _: WhenNotMatchedBySourceDelete =>
+            when(col("__i") === i, lit("D")).otherwise(acc)
+          case _ => acc
+        }
       }
-    }
-    val cdelta = marked.withColumn("__i", idx).where(col("__i") >= 0)
+    val cdeltaSrc = marked.withColumn("__i", idx).where(col("__i") >= 0)
       .select(col(key) +: (payload.map(c => outcomeValue(c).as(c))
-        :+ opCol.as("op")): _*)
+        :+ deleteOp(srcSide).as("op")): _*)
+    val cdelta = if (bySource.isEmpty) cdeltaSrc else {
+      val unmatchedTgt = tgt
+        .join(source.select(col(key)), Seq(key), "left_anti")
+        .select(col(key) +: payload.map(c => col(c).as(s"__t_$c")): _*)
+      val idxB = firstMatch(bySource.map(_.condition))
+      def outcomeValueB(c: String): Column = {
+        val dt = schema(c).dataType
+        bySource.zipWithIndex.foldRight(lit(null).cast(dt)) {
+          case ((cl, i), acc) => cl match {
+            case u: WhenNotMatchedBySourceUpdate => when(col("__i") === i,
+              u.set.getOrElse(c, col(s"__t_$c")).cast(dt)).otherwise(acc)
+            case _ => when(col("__i") === i, lit(null).cast(dt)).otherwise(acc)
+          }
+        }
+      }
+      cdeltaSrc.unionByName(unmatchedTgt
+        .withColumn("__i", idxB).where(col("__i") >= 0)
+        .select(col(key) +: (payload.map(c => outcomeValueB(c).as(c))
+          :+ deleteOp(bySource).as("op")): _*))
+    }
     cdelta.coalesce(1).write.mode("overwrite").parquet(stageDir)
     val newRefs = tipRefs ++ listParquetFiles(spark, stageDir).map("cdelta" -> _)
     commitNextGeneration(root, newRefs :+ ("op" -> "merge"),
@@ -3104,6 +3156,116 @@ object Layout {
     * merge-specific reader code. */
   def lakeCdfMerge(spark: SparkSession, dir: String): DataFrame =
     lakeChangesSince(spark, ensureMergeLog(spark, dir), cursor = 0)
+
+  /** Idempotently materialize the FULL-SYNC merge lineage (g0 seed, g1
+    * the sync) and return its root. The canonical WHEN NOT MATCHED BY
+    * SOURCE use case: the source IS the desired state — matched rows
+    * converge to it (update only when the value actually differs),
+    * absent rows insert, and target rows the source no longer carries
+    * conditionally DELETE (here: only the stale rows with value < 50 —
+    * a retention carve-out proving the BY-SOURCE condition is real,
+    * not delete-all). */
+  private def ensureMergeSyncLog(spark: SparkSession, dir: String): String = {
+    import graft.sources.PartitionedSink
+    val root = scratchDir("lake_merge_sync", dir)
+    val zcols = Seq("user_id", "value")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0).persist()
+    // the desired state: every mod-3 key at value+150 — matched keys
+    // must converge, mod-30 keys (∉ target) must insert, and every
+    // other target row is NOT MATCHED BY SOURCE
+    val src = ev.where(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 150.0).persist()
+    try {
+      val plannedBase = PartitionedSink.withZCell(base, zcols, 12, 6)
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell"))
+      materializeIfChanged(root, layoutFingerprint("v1:mergesync",
+          plannedBase.unionByName(
+            src.withColumn("zcell", lit(-1L))
+              .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rootPath)) fs.delete(rootPath, true)
+        PartitionedSink.writeZCelled(base, s"$root/base", zcols, 12, 6)
+        require(commitNextGeneration(root,
+          listParquetFiles(spark, s"$root/base").map("base" -> _)
+            :+ ("op" -> "seed"),
+          Some((-1, Set.empty[String]))) == 0)
+        src.coalesce(1).write.mode("overwrite").parquet(s"$root/source")
+        val staged = spark.read
+          .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+          .parquet(s"$root/source")
+        require(lakeMergeInto(spark, root, staged, "event_id", Seq(
+          WhenMatchedUpdate(col("value") =!= mergeTarget("value"),
+            Map("value" -> col("value"))),
+          WhenNotMatchedInsert(lit(true)),
+          WhenNotMatchedBySourceDelete(mergeTarget("value") < 50.0)),
+          s"$root/cdelta") == 1)
+      }
+    } finally {
+      base.unpersist()
+      src.unpersist()
+    }
+    root
+  }
+
+  /** The FULL-SYNC merge report: same shape as [[lakeMerge]] with the
+    * BY-SOURCE outcome columns — n_deleted_by_source (stale target
+    * rows the condition erased) and n_kept_unmatched (stale rows the
+    * condition retained) — each census ONE delta-scale (source side)
+    * or anti-join-scale (target side) aggregate riding both rows as a
+    * broadcast report constant. Oracle honesty: every column is a pure
+    * function of the events table (the sync's merged state is `desired
+    * ∪ retained-stale`, recomputed by DuckDB blind to the log). */
+  def lakeMergeSync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureMergeSyncLog(spark, dir)
+    val std = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    val source = spark.read.schema(std).parquet(s"$root/source")
+    val baseDf = spark.read.schema(std)
+      .parquet(readGeneration(root, 0).collect { case ("base", f) => f }: _*)
+    val srcAcc = source
+      .join(baseDf.select(col("event_id"), col("value").as("__tv")),
+        Seq("event_id"), "left_outer")
+      .agg(count(lit(1)).as("n_source"),
+        coalesce(sum(when(col("__tv").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_inserted"),
+        coalesce(sum(when(col("__tv").isNotNull
+          && col("value") =!= col("__tv"), 1L).otherwise(0L)), lit(0L))
+          .as("n_updated"))
+    val tgtAcc = baseDf
+      .join(source.select(col("event_id")), Seq("event_id"), "left_anti")
+      .agg(coalesce(sum(when(col("value") < 50.0, 1L).otherwise(0L)), lit(0L))
+          .as("n_deleted_by_source"),
+        coalesce(sum(when(!(col("value") < 50.0), 1L).otherwise(0L)), lit(0L))
+          .as("n_kept_unmatched"))
+    val gens = listGenerations(root)
+    val counts = gens.map(g => readLakeAsOf(spark, root, g)
+        .where(lakeBox).select(lit(g.toLong).as("gen")))
+      .reduce(_ unionByName _)
+      .groupBy(col("gen")).agg(count(lit(1)).as("rows_out"))
+    val states = Map(0 -> "pre_sync", 1 -> "synced")
+    val manifests = gens.map { g =>
+      (g.toLong, states.getOrElse(g, s"g$g"),
+        readGeneration(root, g).count(e => LogFileKinds(e._1)).toLong)
+    }.toDF("gen", "state", "files_live")
+    manifests.join(counts, Seq("gen"), "left_outer")
+      .crossJoin(broadcast(srcAcc))
+      .crossJoin(broadcast(tgtAcc))
+      .select(col("gen"), col("state"), col("files_live"), col("n_source"),
+        col("n_inserted"), col("n_updated"), col("n_deleted_by_source"),
+        col("n_kept_unmatched"),
+        coalesce(col("rows_out"), lit(0L)).as("rows_out"))
+      .orderBy("gen")
+  }
+
+  /** The cursor feed over the FULL-SYNC lineage — the BY-SOURCE
+    * deletes arrive downstream as ordinary `delete` rows carrying the
+    * erased target rows, next to the convergence updates and inserts;
+    * again zero merge-specific reader code. */
+  def lakeCdfMergeSync(spark: SparkSession, dir: String): DataFrame =
+    lakeChangesSince(spark, ensureMergeSyncLog(spark, dir), cursor = 0)
 
   /** SNAPSHOT GENERATIONS + TIME TRAVEL (round 17, VERDICT r16 next #1
     * — the engine's one remaining structural gap): the lake lineage's
@@ -4029,6 +4191,8 @@ object Layout {
     "x_lake_rebase" -> (lakeRebase _),
     "x_lake_merge" -> (lakeMerge _),
     "x_lake_cdf_merge" -> (lakeCdfMerge _),
+    "x_lake_merge_sync" -> (lakeMergeSync _),
+    "x_lake_cdf_merge_sync" -> (lakeCdfMergeSync _),
     "x_lake_cdf_delete" -> (lakeCdfDelete _),
     "x_lake_history" -> (lakeHistory _),
     "x_lake_cdf_restore" -> (lakeCdfRestore _),
@@ -4481,6 +4645,80 @@ object Layout {
          |  n_source, n_inserted, n_updated, n_deleted, n_matched_noop, rows_out
          |FROM bn, acc, r1
          |ORDER BY gen""".stripMargin,
+    // the FULL-SYNC merge: merged state = the desired source state ∪
+    // the stale target rows the BY-SOURCE condition retained — every
+    // column a pure function of the events table (outcome counts are
+    // slice counts; matched rows all differ by +150, so every one
+    // updates)
+    "x_lake_merge_sync" ->
+      s"""WITH ev AS (SELECT event_id, user_id, value FROM events),
+         |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+         |bb AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo_u, max(CAST(user_id AS DOUBLE)) AS hi_u,
+         |         min(CAST(value AS DOUBLE)) AS lo_v, max(CAST(value AS DOUBLE)) AS hi_v
+         |  FROM base),
+         |bq AS (
+         |  SELECT
+         |    CAST(round((CASE WHEN user_id IS NULL OR hi_u - lo_u = 0 THEN 0.0
+         |      ELSE (CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) END) * 4095) AS BIGINT) AS qu,
+         |    CAST(round((CASE WHEN value IS NULL OR hi_v - lo_v = 0 THEN 0.0
+         |      ELSE (CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) END) * 4095) AS BIGINT) AS qv
+         |  FROM base, bb),
+         |bn AS (SELECT CAST(count(DISTINCT (${mortonSql("qu", "qv", 12)}) >> 18) AS BIGINT)
+         |       AS n FROM bq),
+         |src AS (SELECT event_id, user_id, value + 150.0 AS value FROM ev
+         |        WHERE event_id % 3 = 0),
+         |stale AS (SELECT * FROM base WHERE event_id % 3 <> 0),
+         |merged AS (
+         |  SELECT * FROM src
+         |  UNION ALL SELECT * FROM stale WHERE value >= 50.0),
+         |acc AS (SELECT
+         |  CAST((SELECT count(*) FROM src) AS BIGINT) AS n_source,
+         |  CAST((SELECT count(*) FROM src WHERE event_id % 10 = 0) AS BIGINT) AS n_inserted,
+         |  CAST((SELECT count(*) FROM src WHERE event_id % 10 <> 0) AS BIGINT) AS n_updated,
+         |  CAST((SELECT count(*) FROM stale WHERE value < 50.0) AS BIGINT) AS n_deleted_by_source,
+         |  CAST((SELECT count(*) FROM stale WHERE value >= 50.0) AS BIGINT) AS n_kept_unmatched),
+         |r0 AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM base
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0),
+         |r1 AS (SELECT CAST(count(*) AS BIGINT) AS rows_out FROM merged
+         |       WHERE user_id BETWEEN 60 AND 90 AND value BETWEEN 100.0 AND 200.0)
+         |SELECT CAST(0 AS BIGINT) AS gen, 'pre_sync' AS state, n AS files_live,
+         |  n_source, n_inserted, n_updated, n_deleted_by_source,
+         |  n_kept_unmatched, rows_out
+         |FROM bn, acc, r0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), 'synced', n + 1,
+         |  n_source, n_inserted, n_updated, n_deleted_by_source,
+         |  n_kept_unmatched, rows_out
+         |FROM bn, acc, r1
+         |ORDER BY gen""".stripMargin,
+    // the sync's feed: convergence updates feed both images, absent
+    // rows feed inserts, and the BY-SOURCE deletes feed the erased
+    // stale target rows — all pure functions of the fixture slices
+    "x_lake_cdf_merge_sync" ->
+      """WITH ev AS (SELECT event_id, user_id, value FROM events),
+        |base AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+        |ins AS (SELECT event_id, user_id, value FROM ev
+        |        WHERE event_id % 3 = 0 AND event_id % 10 = 0),
+        |upd AS (SELECT event_id, user_id, value FROM ev
+        |        WHERE event_id % 3 = 0 AND event_id % 10 <> 0),
+        |del AS (SELECT event_id, user_id, value FROM base
+        |        WHERE event_id % 3 <> 0 AND value < 50.0),
+        |feed AS (
+        |  SELECT 0 AS from_gen, 1 AS to_gen, 'insert' AS change_type,
+        |         event_id, user_id, value + 150.0 AS v FROM ins
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_postimage', event_id, user_id, value + 150.0 FROM upd
+        |  UNION ALL
+        |  SELECT 0, 1, 'update_preimage', event_id, user_id, value FROM upd
+        |  UNION ALL
+        |  SELECT 0, 1, 'delete', event_id, user_id, value FROM del)
+        |SELECT CAST(from_gen AS BIGINT) AS from_gen, CAST(to_gen AS BIGINT) AS to_gen,
+        |  change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS key_chk,
+        |  CAST(sum(user_id) AS BIGINT) AS uid_chk,
+        |  CAST(sum(CAST(floor(v) AS BIGINT)) AS BIGINT) AS val_chk
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the merge's feed is a pure function of the fixture slices:
     // clause-inserts feed themselves, conditional updates feed both
     // images with the ORIGINAL user_id (the decoy staying out of

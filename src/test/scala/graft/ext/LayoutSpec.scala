@@ -1569,6 +1569,71 @@ class LayoutSpec extends SparkSpec {
       "first-declared DELETE must win over the also-matching UPDATE")
   }
 
+  test("MERGE INTO full sync: WHEN NOT MATCHED BY SOURCE converges the table to desired ∪ retained-stale") {
+    val rows = Layout.lakeMergeSync(spark, sf).collect().sortBy(_.getAs[Long]("gen"))
+    assert(rows.map(_.getAs[String]("state")).toSeq === Seq("pre_sync", "synced"))
+    val root = Layout.scratchDir("lake_merge_sync", sf)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+    val desired = ev.where(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 150.0)
+    val stale = base.where(pmod(col("event_id"), lit(3)) =!= 0)
+    val expected = desired.unionByName(stale.where(col("value") >= 50.0))
+    val got = Layout.readLakeAsOf(spark, root, 1)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0L
+      && expected.exceptAll(got).count() === 0L,
+      "the synced generation must equal desired ∪ retained-stale")
+    // the BY-SOURCE condition is real: stale rows ≥ 50 survive, < 50
+    // are gone (when the fixture has either kind)
+    val staleKept = stale.where(col("value") >= 50.0)
+    assert(staleKept.exceptAll(got).count() === 0L)
+    assert(got.join(stale.where(col("value") < 50.0).select(col("event_id")),
+      Seq("event_id"), "left_semi").count() === 0L)
+  }
+
+  test("MERGE INTO by-source clause group: declaration order within the group, update variant keeps unset columns") {
+    def seeded(tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+      // targets: key 1 matched by source; keys 2,3 NOT matched
+      Seq((1L, 10L, 1.0), (2L, 20L, 5.0), (3L, 30L, 9.0))
+        .toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+      assert(Layout.commitNextGeneration(root,
+        Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+          :+ ("op" -> "seed"),
+        Some((-1, Set.empty[String]))) === 0)
+      root
+    }
+    val src = Seq((1L, 99L, 2.0)).toDF("event_id", "user_id", "value")
+    // key 2 (value 5.0) satisfies BOTH by-source clauses; key 3
+    // (value 9.0) satisfies only the update — order decides key 2
+    val bsUpdate = Layout.WhenNotMatchedBySourceUpdate(
+      Layout.mergeTarget("value") > 0.0,
+      Map("value" -> (Layout.mergeTarget("value") + 100.0)))
+    val bsDelete = Layout.WhenNotMatchedBySourceDelete(
+      Layout.mergeTarget("value") < 8.0)
+    val upd = Layout.WhenMatchedUpdate(lit(true), Map("value" -> col("value")))
+    // update declared first: key 2 updates (user_id KEPT — the
+    // by-source SET touches only value), key 3 updates too
+    val r1 = seeded("bsord1")
+    Layout.lakeMergeInto(spark, r1, src, "event_id",
+      Seq(upd, bsUpdate, bsDelete), s"$r1/stage")
+    val s1 = Layout.readLakeAsOf(spark, r1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(s1 === Array((1L, 10L, 2.0), (2L, 20L, 105.0), (3L, 30L, 109.0)),
+      "first-declared BY-SOURCE UPDATE must win and keep unset columns")
+    // delete declared first: key 2 (value < 8) deletes, key 3 updates
+    val r2 = seeded("bsord2")
+    Layout.lakeMergeInto(spark, r2, src, "event_id",
+      Seq(upd, bsDelete, bsUpdate), s"$r2/stage")
+    val s2 = Layout.readLakeAsOf(spark, r2, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(s2 === Array((1L, 10L, 2.0), (3L, 30L, 109.0)),
+      "first-declared BY-SOURCE DELETE must win on the doubly-matching row")
+  }
+
   test("MERGE INTO randomized property: arbitrary clause lists against a plain-Scala reference merge") {
     // the fixture lineage pins ONE clause set; this property pins the
     // OPERATOR: random targets, random (key-distinct) sources, and
@@ -1593,6 +1658,11 @@ class LayoutSpec extends SparkSpec {
     case object UpdSrcV extends RefAct      // SET value = s.value
     case object UpdTvPlus extends RefAct    // SET value = t.value + 100
     case object Del extends RefAct
+    // by-source pool: conditions see only the target value
+    val bsCondPool: Seq[(org.apache.spark.sql.Column, Double => Boolean)] = Seq(
+      (Layout.mergeTarget("value") > 5.0, _ > 5.0),
+      (Layout.mergeTarget("value") < 3.0, _ < 3.0),
+      (lit(true), _ => true))
     (1 to 6).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919)
       val tgtRows = (1 to (8 + rnd.nextInt(8))).map(_ =>
@@ -1627,6 +1697,21 @@ class LayoutSpec extends SparkSpec {
           Seq((Layout.WhenNotMatchedInsert(lit(true)),
             (_: Double, _: Option[Double]) => true, None)) ++
           matchedClauses.drop(insertPos)
+      // with probability 1/2 a BY-SOURCE group too: 1-2 clauses over
+      // the unmatched-target population (its own declaration order)
+      val bySource: Seq[(Layout.MergeClause, Double => Boolean,
+          Option[RefAct])] =
+        if (rnd.nextInt(2) == 0) Seq.empty
+        else (1 to (1 + rnd.nextInt(2))).map { _ =>
+          val (sqlCond, refCond) = bsCondPool(rnd.nextInt(bsCondPool.size))
+          if (rnd.nextInt(2) == 0)
+            (Layout.WhenNotMatchedBySourceUpdate(sqlCond,
+              Map("value" -> (Layout.mergeTarget("value") + 100.0))),
+              refCond, Some(UpdTvPlus): Option[RefAct])
+          else
+            (Layout.WhenNotMatchedBySourceDelete(sqlCond), refCond,
+              Some(Del): Option[RefAct])
+        }
       // commit the target, run the merge
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-mergeprop$seed").toString
@@ -1638,12 +1723,21 @@ class LayoutSpec extends SparkSpec {
         Some((-1, Set.empty[String]))) === 0)
       Layout.lakeMergeInto(spark, root,
         srcRows.toDF("event_id", "user_id", "value"), "event_id",
-        all.map(_._1), s"$root/stage")
+        all.map(_._1) ++ bySource.map(_._1), s"$root/stage")
       // reference evaluation
       val tgtMap = tgtRows.map(r => r._1 -> r).toMap
       val srcKeys = srcRows.map(_._1).toSet
       val outOfSource = tgtRows.filterNot(r => srcKeys.contains(r._1))
-      val merged = scala.collection.mutable.ArrayBuffer(outOfSource: _*)
+      val merged = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double)]
+      // by-source side: unmatched target rows through their own group
+      outOfSource.foreach { case row @ (_, u, v) =>
+        bySource.find { case (_, refCond, _) => refCond(v) } match {
+          case Some((_, _, Some(UpdTvPlus))) => merged += ((row._1, u, v + 100.0))
+          case Some((_, _, Some(Del))) => () // erased
+          case _ => merged += row // no clause fired (or no group)
+        }
+      }
       srcRows.foreach { case (k, su, sv) =>
         val tgt = tgtMap.get(k)
         val fired = all.find { case (cl, refCond, _) =>

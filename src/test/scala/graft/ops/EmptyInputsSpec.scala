@@ -444,6 +444,16 @@ class EmptyInputsSpec extends SparkSpec {
         .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeMerge.$c"))
     }
     assert(graft.ext.Layout.lakeCdfMerge(spark, dir).count() === 0L)
+    // the full-sync variant: empty desired state over an empty target
+    val ls = graft.ext.Layout.lakeMergeSync(spark, dir).collect()
+      .sortBy(_.getAs[Long]("gen"))
+    assert(ls.map(_.getAs[String]("state")).toSeq === Seq("pre_sync", "synced"))
+    ls.foreach { r =>
+      Seq("n_source", "n_inserted", "n_updated", "n_deleted_by_source",
+        "n_kept_unmatched", "rows_out")
+        .foreach(c => assert(r.getAs[Long](c) === 0L, s"lakeMergeSync.$c"))
+    }
+    assert(graft.ext.Layout.lakeCdfMergeSync(spark, dir).count() === 0L)
     // TIMESTAMP AS OF over the empty timetravel lineage: the
     // deterministic commit grid is structural — every probe resolves
     // and answers zero

@@ -270,6 +270,10 @@ class PlanSpec extends SparkSpec {
       // tagged-replay counts stay planner-chosen
       "x_lake_merge"      -> ((1, 1)),
       "x_lake_cdf_merge"  -> ((0, 0)), // one cdelta⋈base-epoch probe, planner's call
+      // sync report: TWO 1-row broadcast report constants (source-side
+      // and by-source-side outcome censuses)
+      "x_lake_merge_sync" -> ((2, 2)),
+      "x_lake_cdf_merge_sync" -> ((0, 0)),
       "x_lake_timestamp_asof" -> ((0, 0)), // one fused tagged-replay hash-agg
       "x_lake_history" -> ((0, 0)), // pure manifest metadata: a local frame, no scan
       "x_lake_cdf_restore" -> ((0, 0)), // two direction probes, planner's call
