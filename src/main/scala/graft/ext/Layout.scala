@@ -2828,10 +2828,14 @@ object Layout {
     *   - `base`  — clustered state files;
     *   - `delta` — plain upsert arrivals (every row re-enters);
     *   - `cdelta` — CRUD arrivals whose rows carry `op` ∈ U|D: ALL keys
-    *     supersede their base versions, but only op='U' rows re-enter —
-    *     op='D' rows are key-only tombstones, so a generation holding a
-    *     cdelta reads with its erasures already applied (merge-on-read
-    *     deletes, [[lakeDelete]]'s read-time half);
+    *     supersede their base AND delta versions (precedence base <
+    *     delta < cdelta, round 20 — a cdelta is by construction the
+    *     newest write of its keys, which is what lets a MERGE commit
+    *     over a tip that still carries a plain arrival), but only
+    *     op='U' rows re-enter — op='D' rows are key-only tombstones,
+    *     so a generation holding a cdelta reads with its erasures
+    *     already applied (merge-on-read deletes, [[lakeDelete]]'s
+    *     read-time half);
     *   - `schema` — the catalog's READ SCHEMA as of this commit (a DDL
     *     string, the published metadata-action analogue): schema
     *     evolution becomes time-travelable — AS OF a pre-evolution
@@ -2858,9 +2862,15 @@ object Layout {
       b.join(d.select(col("event_id")), Seq("event_id"), "left_anti").unionByName(d)
     else {
       val cd = spark.read.schema(s"$schema, op STRING").parquet(cdFiles: _*)
+      // precedence base < delta < cdelta (round 20): a CRUD arrival's
+      // keys supersede BOTH earlier kinds — without the delta-side
+      // anti-join, a MERGE committed over a tip that still carries a
+      // plain delta arrival would double-enter any key both reference
+      // (the cdelta is by construction the newest write of its keys)
       b.join(d.select(col("event_id"))
           .unionByName(cd.select(col("event_id"))), Seq("event_id"), "left_anti")
-        .unionByName(d)
+        .unionByName(d.join(cd.select(col("event_id")),
+          Seq("event_id"), "left_anti"))
         .unionByName(cd.where(col("op") === "U").drop("op"))
     }
   }
@@ -2941,11 +2951,20 @@ object Layout {
     * validated optimistic append (op=merge). Returns the committed
     * generation. Source must carry the target's columns (key +
     * payload); extra source columns may be referenced by clauses but do
-    * not land. */
+    * not land.
+    *
+    * `asOf` pins the generation the merge CLASSIFIES AGAINST and
+    * declares as its read state (default: the live tip). A merge built
+    * against a superseded generation is exactly the optimistic-
+    * concurrency loser: if the interleaving winner added data files
+    * outside the declared read set, the validated append throws
+    * [[CommitConflictException]] instead of silently dropping the
+    * winner's rows — the caller re-merges against the new tip (the
+    * published abort→rebase contract, spec-pinned for merges too). */
   private[graft] def lakeMergeInto(spark: SparkSession, root: String,
       source: DataFrame, key: String, clauses: Seq[MergeClause],
-      stageDir: String): Int = {
-    val tip = listGenerations(root).last
+      stageDir: String, asOf: Option[Int] = None): Int = {
+    val tip = asOf.getOrElse(listGenerations(root).last)
     val tipRefs = readGeneration(root, tip).filter(e => LogFileKinds(e._1))
     val tgt = readLakeAsOf(spark, root, tip)
     val payload = tgt.columns.toSeq.filterNot(_ == key)

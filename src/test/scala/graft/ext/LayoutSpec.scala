@@ -1634,6 +1634,46 @@ class LayoutSpec extends SparkSpec {
       "first-declared BY-SOURCE DELETE must win on the doubly-matching row")
   }
 
+  test("MERGE INTO under optimistic concurrency: a stale merge aborts, the re-merge supersedes the winner's arrival") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mergerace").toString
+    Seq((1L, 10L, 1.0), (2L, 20L, 5.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+    val g0Refs = Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+    assert(Layout.commitNextGeneration(root, g0Refs :+ ("op" -> "seed"),
+      Some((-1, Set.empty[String]))) === 0)
+    // an interleaving writer lands an arrival the merge never read
+    Seq((5L, 50L, 7.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/arr")
+    assert(Layout.commitNextGeneration(root,
+      g0Refs ++ Layout.listParquetFiles(spark, s"$root/arr").map("delta" -> _)
+        :+ ("op" -> "arrival"),
+      Some((0, g0Refs.map(_._2).toSet))) === 1)
+    val src = Seq((1L, 99L, 2.0), (5L, 99L, 9.0))
+      .toDF("event_id", "user_id", "value")
+    val clauses = Seq(
+      Layout.WhenMatchedUpdate(col("value") > Layout.mergeTarget("value"),
+        Map("value" -> col("value"))),
+      Layout.WhenNotMatchedInsert(lit(true)))
+    // the merge built against the SUPERSEDED g0 must abort — landing
+    // its snapshot would silently drop the winner's arrival file
+    intercept[Layout.CommitConflictException] {
+      Layout.lakeMergeInto(spark, root, src, "event_id", clauses,
+        s"$root/stage", asOf = Some(0))
+    }
+    assert(Layout.listGenerations(root) === Seq(0, 1),
+      "an aborted merge must leave the log untouched")
+    // the re-merge classifies against the live tip and lands: key 1
+    // updates off the base, key 5 updates off the WINNER'S arrival —
+    // the committed cdelta supersedes the delta ref it rode in on
+    // (precedence base < delta < cdelta), so the row lands exactly once
+    assert(Layout.lakeMergeInto(spark, root, src, "event_id", clauses,
+      s"$root/stage") === 2)
+    val got = Layout.readLakeAsOf(spark, root, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got === Array((1L, 10L, 2.0), (2L, 20L, 5.0), (5L, 50L, 9.0)),
+      "re-merged state must carry the winner's key once, at the merged value")
+  }
+
   test("MERGE INTO randomized property: arbitrary clause lists against a plain-Scala reference merge") {
     // the fixture lineage pins ONE clause set; this property pins the
     // OPERATOR: random targets, random (key-distinct) sources, and
