@@ -2915,11 +2915,13 @@ object Layout {
     * write is |outcome| rows, and the commit is an O(changes) actions
     * manifest. Nothing rescans the table: matched-untouched target
     * rows are never read past the probe, exactly the asymmetry MERGE
-    * exists for at 100 TB. Constraint (documented, spec-pinned by the
-    * lineage): the parent generation must not already carry a cdelta
-    * touching the same keys — stack merges by committing each one (the
-    * arrival-loop discipline every lineage here follows), folding when
-    * cdelta depth grows. */
+    * exists for at 100 TB. Stacking contract (ENFORCED, round 20):
+    * merges whose outcome keys are disjoint from the tip's existing
+    * cdelta refs stack freely — the arrival-loop discipline every
+    * lineage here follows — while a re-merge of a key an unfolded
+    * cdelta already carries FAILS LOUDLY at commit time (it would
+    * double-enter at read time): fold the lake, then merge; both
+    * polarities spec-pinned. */
   sealed trait MergeClause { def condition: Column }
   /** WHEN MATCHED AND `condition` THEN UPDATE SET `set` — per-column:
     * target columns absent from `set` keep the TARGET row's values
@@ -3043,6 +3045,24 @@ object Layout {
           :+ deleteOp(bySource).as("op")): _*))
     }
     cdelta.coalesce(1).write.mode("overwrite").parquet(stageDir)
+    // stacking discipline, ENFORCED (round 20): merges whose outcome
+    // keys are disjoint from the tip's existing cdelta refs stack
+    // freely (the arrival-loop contract — precedence handles base and
+    // delta supersedes); a re-merge of a key an UNFOLDED cdelta
+    // already carries would double-enter it at read time, so it fails
+    // loudly here — fold first, then merge. The guard reads only the
+    // tip's cdelta keys (delta-scale) and only when such refs exist.
+    val tipCdFiles = tipRefs.collect { case ("cdelta", f) => f }
+    if (tipCdFiles.nonEmpty) {
+      val staged = spark.read.parquet(
+        listParquetFiles(spark, stageDir): _*).select(col(key))
+      val clashes = spark.read.parquet(tipCdFiles: _*).select(col(key))
+        .join(staged, Seq(key), "left_semi").limit(1).count()
+      require(clashes == 0L,
+        s"MERGE INTO $root: an outcome key is already carried by the " +
+          "tip's unfolded cdelta arrival — re-merging it would " +
+          "double-enter the key at read time; fold the lake, then merge")
+    }
     val newRefs = tipRefs ++ listParquetFiles(spark, stageDir).map("cdelta" -> _)
     commitNextGeneration(root, newRefs :+ ("op" -> "merge"),
       Some((tip, tipRefs.map(_._2).toSet)))

@@ -1674,6 +1674,44 @@ class LayoutSpec extends SparkSpec {
       "re-merged state must carry the winner's key once, at the merged value")
   }
 
+  test("MERGE INTO stacking: key-disjoint merges stack freely; a same-key re-merge over an unfolded cdelta fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mergestack").toString
+    Seq((1L, 10L, 1.0), (2L, 20L, 5.0), (3L, 30L, 9.0))
+      .toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+    assert(Layout.commitNextGeneration(root,
+      Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+        :+ ("op" -> "seed"),
+      Some((-1, Set.empty[String]))) === 0)
+    val clauses = Seq(
+      Layout.WhenMatchedUpdate(col("value") > Layout.mergeTarget("value"),
+        Map("value" -> col("value"))),
+      Layout.WhenNotMatchedInsert(lit(true)))
+    // merge 1 updates key 1, inserts key 7
+    assert(Layout.lakeMergeInto(spark, root,
+      Seq((1L, 99L, 2.0), (7L, 70L, 4.0)).toDF("event_id", "user_id", "value"),
+      "event_id", clauses, s"$root/s1") === 1)
+    // merge 2 touches DISJOINT keys (update key 2, insert key 8): stacks
+    assert(Layout.lakeMergeInto(spark, root,
+      Seq((2L, 99L, 6.0), (8L, 80L, 3.0)).toDF("event_id", "user_id", "value"),
+      "event_id", clauses, s"$root/s2") === 2)
+    val got = Layout.readLakeAsOf(spark, root, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got === Array((1L, 10L, 2.0), (2L, 20L, 6.0), (3L, 30L, 9.0),
+      (7L, 70L, 4.0), (8L, 80L, 3.0)),
+      "two key-disjoint stacked merges must both answer, each exactly once")
+    // merge 3 re-touches key 1 — carried by merge 1's UNFOLDED cdelta:
+    // must abort loudly instead of double-entering the key at read time
+    val ex = intercept[IllegalArgumentException] {
+      Layout.lakeMergeInto(spark, root,
+        Seq((1L, 99L, 8.0)).toDF("event_id", "user_id", "value"),
+        "event_id", clauses, s"$root/s3")
+    }
+    assert(ex.getMessage.contains("fold the lake, then merge"))
+    assert(Layout.listGenerations(root) === Seq(0, 1, 2),
+      "the refused merge must leave the log untouched")
+  }
+
   test("MERGE INTO randomized property: arbitrary clause lists against a plain-Scala reference merge") {
     // the fixture lineage pins ONE clause set; this property pins the
     // OPERATOR: random targets, random (key-distinct) sources, and
