@@ -1875,6 +1875,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF composed with log expiry: expired history is not timestamp-addressable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tsexpire").toString
+    (0 to 3).foreach(g =>
+      Layout.commitGeneration(root, g, Seq("base" -> s"file:/t/$g.parquet")))
+    val t0 = 2000000L
+    (0 to 3).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/gens/g=$g"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + g * 1000L))
+    }
+    assert(Layout.resolveTimestampAsOf(root, t0 + 500L) === 0)
+    // expire below g2: the log window is now [2, 3] — an instant that
+    // used to resolve to g0/g1 has NO live state and must throw, the
+    // same contract as generation-addressed reads below the floor
+    Layout.expireLogEntries(root, 2)
+    // (expiry wrote the c=2 anchor; normalize its listing away — only
+    // g= manifests carry commit instants)
+    assert(Layout.listGenerations(root) === Seq(2, 3))
+    intercept[IllegalArgumentException] {
+      Layout.resolveTimestampAsOf(root, t0 + 1500L) // was g1's window
+    }
+    // instants at-or-after the retained floor still resolve
+    assert(Layout.resolveTimestampAsOf(root, t0 + 2000L) === 2)
+    assert(Layout.resolveTimestampAsOf(root, t0 + 999999L) === 3)
+  }
+
   test("consumer staleness bound: a dead checkpoint is overridden and reported, a fresh one floors, unregister releases") {
     val root = java.nio.file.Files.createTempDirectory("graft-stale").toString
     (0 to 3).foreach(g =>
