@@ -203,6 +203,44 @@ object Layout {
       } finally ch.close()
     }
 
+  /** Bounded pool for overlapping INDEPENDENT per-stage report chains
+    * (optimization guide §2.6: Spark's scheduler happily runs several
+    * jobs at once inside one application — the lake reports' stage
+    * chains were sequential only because the driver called them
+    * sequentially, leaving most of local[N] idle during each small
+    * manifest/probe job). 3 threads: enough to fill the tail of one
+    * chain with the next chain's jobs, not enough to fight over
+    * executors — and callers pass FLAT task lists only (a task must
+    * never submit nested [[inParallel]] work, which could exhaust the
+    * fixed pool and deadlock). Daemon threads so a crashed run exits. */
+  private lazy val reportPool = java.util.concurrent.Executors.newFixedThreadPool(
+    3,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-report")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Submit one independent eager report task to [[reportPool]];
+    * [[awaitAll]]/`await` join it. Unwraps ExecutionException so caller
+    * stack traces carry the task's own failure. */
+  private[graft] final class ReportTask[A](f: java.util.concurrent.Future[A]) {
+    def await: A =
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+  }
+  private[graft] def async[A](task: () => A): ReportTask[A] =
+    new ReportTask(reportPool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = task()
+    }))
+
+  /** Run independent eager report tasks concurrently and return their
+    * results in DECLARATION order (determinism: the tasks' own outputs
+    * are pure; only wall-clock interleaving changes). A task failure
+    * rethrows to the caller. */
+  private[graft] def inParallel[A](tasks: Seq[() => A]): Seq[A] =
+    tasks.map(async(_)).map(_.await)
+
   private def withFiles(spark: SparkSession, dir: String): DataFrame =
     bucketed(spark, dir)
       .withColumn("zv", morton5(col("db"), col("ub")))
@@ -309,12 +347,15 @@ object Layout {
       emptyFallback: => DataFrame, boxFilter: Column): DataFrame = {
     import graft.sources.FooterManifest
     val m = FooterManifest.build(spark, layoutDir, cols)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
-    val kept = FooterManifest.filesToRead(local, numBox, strBox).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
-    val rowsScanned = kept.map(_.getLong(1)).sum
+    // collect ONCE, then decide pruning and count files driver-side:
+    // the manifest is file-count metadata already on the driver, so the
+    // old filesToRead round-trip + distinct().count() were two Spark
+    // jobs of pure scheduling overhead per report (guide §5)
+    val mRows = m.collect()
+    val kept = FooterManifest.filesToReadLocal(mRows, numBox, strBox)
+    val keptFiles = kept.map(_._1)
+    val filesTotal = mRows.map(_.getString(0)).distinct.length.toLong
+    val rowsScanned = kept.map(_._2).sum
     val rowsOut = (if (keptFiles.isEmpty) emptyFallback
       else spark.read.parquet(keptFiles: _*))
       .where(boxFilter)
@@ -419,18 +460,19 @@ object Layout {
     import graft.sources.FooterManifest
     val out = ensureStrLayoutMaterialized(spark, dir)
     val m = FooterManifest.build(spark, out, Seq("source", "n_chars"))
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
+    // one collect; all three candidate sets and the file total decided
+    // driver-side (was four Spark jobs over local metadata — guide §5)
+    val mRows = m.collect()
     val numBox = Map("n_chars" -> ((150.0, 400.0)))
     val strBox = Map("source" -> (("src12", "src17")))
     def keptUnder(box: Map[String, (Double, Double)],
         sbox: Map[String, (String, String)]) =
-      FooterManifest.filesToRead(local, box, sbox).collect()
+      FooterManifest.filesToReadLocal(mRows, box, sbox)
     val keptNum = keptUnder(numBox, Map.empty)
     val keptStr = keptUnder(Map.empty, strBox)
     val keptBoth = keptUnder(numBox, strBox)
-    val keptFiles = keptBoth.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
+    val keptFiles = keptBoth.map(_._1)
+    val filesTotal = mRows.map(_.getString(0)).distinct.length.toLong
     val keptDf = if (keptFiles.isEmpty)
         spark.range(0).select(col("id").cast("string").as("source"),
           col("id").as("n_chars"))
@@ -444,7 +486,7 @@ object Layout {
         lit(keptNum.length.toLong).as("files_read_num"),
         lit(keptStr.length.toLong).as("files_read_str"),
         lit(keptBoth.length.toLong).as("files_read_both"),
-        lit(keptBoth.map(_.getLong(1)).sum).as("rows_scanned"))
+        lit(keptBoth.map(_._2).sum).as("rows_scanned"))
       .crossJoin(broadcast(rowsOut))
   }
 
@@ -577,13 +619,13 @@ object Layout {
       delta.coalesce(1).write.mode("overwrite").parquet(outDelta)
     }
     val m = FooterManifest.build(spark, outBase, Seq("user_id", "value"))
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(m.collect(): _*), m.schema)
-    val kept = FooterManifest.filesToRead(local,
-      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val filesTotal = local.select(col("file")).distinct().count()
-    val rowsScannedBase = kept.map(_.getLong(1)).sum
+    // collect once; pruning + file total driver-side (guide §5)
+    val mRows = m.collect()
+    val kept = FooterManifest.filesToReadLocal(mRows,
+      Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0))))
+    val keptFiles = kept.map(_._1)
+    val filesTotal = mRows.map(_.getString(0)).distinct.length.toLong
+    val rowsScannedBase = kept.map(_._2).sum
     val rowsDelta = FooterManifest.rowCountFromFooters(spark, outDelta)
     val deltaDf = spark.read.parquet(outDelta)
     val baseKept = if (keptFiles.isEmpty)
@@ -784,13 +826,30 @@ object Layout {
     // frames release even when any of it throws (round-15 review; the
     // happy path alone left three frames pinned on failure)
     val amp = try {
+    // ONE corpus pass serves BOTH the fingerprint and the DECIDE cell
+    // histogram (round 21, guide §1.2 — fewer passes before anything
+    // else): the fingerprint frame grouped by zcell keeps per-cell row
+    // counts and per-cell row-hash sums; the global fingerprint
+    // (count, hash-sum) is their driver-side fold — count and sum are
+    // associative, so the string is BIT-IDENTICAL to layoutFingerprint's
+    // global agg (no re-materialization on upgrade) — the zcell=−1
+    // group IS the delta count, and the zcell≥0 groups ARE the base
+    // cell rows the DECIDE join previously re-aggregated in a second
+    // corpus-scale job. Group count is bounded by 2^cellBits + 1.
+    val fpFrame = plannedBase.unionByName(
+      delta.withColumn("zcell", lit(-1L))
+        .select(col("event_id"), col("user_id"), col("value"), col("zcell")))
+    val fpCols = fpFrame.columns.map(col).toSeq
+    val cellHist = fpFrame.groupBy(col("zcell"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(hash(fpCols: _*).cast("long")), lit(0L)).as("__h"))
+      .collect()
+    val fingerprint = s"v3:q4:${cellHist.map(_.getLong(1)).sum}:" +
+      s"${cellHist.map(_.getLong(2)).sum}"
     // v3: every commit carries its operation name (round 19, VERDICT
     // r18 missing #2 — DESCRIBE HISTORY answers over any lineage); the
     // bump forces stale un-stamped logs through the stamping path
-    materializeIfChanged(root, layoutFingerprint("v3:q4",
-        plannedBase.unionByName(
-          delta.withColumn("zcell", lit(-1L))
-            .select(col("event_id"), col("user_id"), col("value"), col("zcell"))))) {
+    materializeIfChanged(root, fingerprint) {
       // wipe so the log restarts at generation 0 with the data
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -811,14 +870,20 @@ object Layout {
           :+ ("op" -> "compact"),
         Some((1, g1Refs.map(_._2).toSet))) == 2)
     }
-    // DECIDE: delta cells under the base's grid (base bounds, clamped) ⋈
-    // base cell rows = the rewrite cost an eager re-cluster would pay now
+    // DECIDE: delta cells under the base's grid (base bounds, clamped) ∩
+    // base cell rows = the rewrite cost an eager re-cluster would pay
+    // now. The base-cell histogram and the delta count both came out of
+    // the fingerprint pass above; only the delta's DISTINCT grid cells
+    // (≤ 2^cellBits rows) still need their own delta-scale job, and the
+    // intersection sum folds driver-side at cell scale.
     val bounds = baseBoundsOf(base)
-    val deltaCells = cellsUnderBounds(delta, bounds)
-    val nDelta = delta.count()
-    val rowsRewritten = plannedBase.groupBy(col("zcell")).agg(count(lit(1)).as("n"))
-      .join(deltaCells, Seq("zcell"))
-      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val deltaCellSet = cellsUnderBounds(delta, bounds)
+      .collect().map(_.getLong(0)).toSet
+    val nDelta = cellHist.collectFirst {
+      case r if r.getLong(0) == -1L => r.getLong(1) }.getOrElse(0L)
+    val rowsRewritten = cellHist
+      .filter(r => r.getLong(0) >= 0L && deltaCellSet(r.getLong(0)))
+      .map(_.getLong(1)).sum
     if (nDelta == 0) 0L else rowsRewritten * 1000 / nDelta
     } finally {
       // everything below reads persisted FILES only
@@ -831,44 +896,44 @@ object Layout {
     // files carry which state — the log is load-bearing, not bolted on.
     // STAGE 1 — merge-on-read: g0's base refs pruned + its delta refs
     // scanned fully
-    val g0 = readGeneration(root, 0)
-    val g0BaseFiles = g0.collect { case ("base", f) => f }
-    val g0DeltaFiles = g0.collect { case ("delta", f) => f }
-    val mBase = FooterManifest.buildFromFiles(spark, g0BaseFiles, zcols)
-    val baseRows = mBase.collect()
-    val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(baseRows: _*), mBase.schema)
-    val keptBase = FooterManifest.filesToRead(localBase, numBox).collect()
-    val keptBaseFiles = keptBase.map(_.getString(0)).toSeq
-    val rowsDelta = FooterManifest
-      .buildFromFiles(spark, g0DeltaFiles, Seq("event_id"))
-      .select(col("file"), col("n_rows")).distinct()
-      .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-    val deltaDf = spark.read
-      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
-      .parquet(g0DeltaFiles: _*)
-    val rowsOut1 = (if (keptBaseFiles.isEmpty) emptyEv
-        else spark.read.parquet(keptBaseFiles: _*))
-      .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
-      .unionByName(deltaDf)
-      .where(boxFilter).agg(count(lit(1)).as("rows_out"))
-    val s1 = spark.range(1).select(
-      lit(1L).as("stage"), lit("merge_on_read").as("state"),
-      lit(baseRows.map(_.getAs[String]("file")).distinct.length.toLong
-        + g0DeltaFiles.size).as("files_total"),
-      lit(keptBaseFiles.size.toLong + g0DeltaFiles.size).as("files_read"),
-      lit(keptBase.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
-      .crossJoin(broadcast(rowsOut1))
+    def stage1(): DataFrame = {
+      val g0 = readGeneration(root, 0)
+      val g0BaseFiles = g0.collect { case ("base", f) => f }
+      val g0DeltaFiles = g0.collect { case ("delta", f) => f }
+      val mBase = FooterManifest.buildFromFiles(spark, g0BaseFiles, zcols)
+      val baseRows = mBase.collect()
+      // pruning + file totals decided driver-side over the collected
+      // manifest (round 21 — was a createDataFrame + filesToRead job
+      // plus a distinct-sum job over local metadata; guide §5)
+      val keptBase = FooterManifest.filesToReadLocal(baseRows, numBox)
+      val keptBaseFiles = keptBase.map(_._1)
+      val rowsDelta = FooterManifest
+        .buildFromFiles(spark, g0DeltaFiles, Seq("event_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).distinct.map(_._2).sum
+      val deltaDf = spark.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(g0DeltaFiles: _*)
+      val rowsOut1 = (if (keptBaseFiles.isEmpty) emptyEv
+          else spark.read.parquet(keptBaseFiles: _*))
+        .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
+        .unionByName(deltaDf)
+        .where(boxFilter).agg(count(lit(1)).as("rows_out"))
+      spark.range(1).select(
+        lit(1L).as("stage"), lit("merge_on_read").as("state"),
+        lit(baseRows.map(_.getAs[String]("file")).distinct.length.toLong
+          + g0DeltaFiles.size).as("files_total"),
+        lit(keptBaseFiles.size.toLong + g0DeltaFiles.size).as("files_read"),
+        lit(keptBase.map(_._2).sum + rowsDelta).as("rows_scanned"))
+        .crossJoin(broadcast(rowsOut1))
+    }
     // STAGES 2 & 3 — the standard pruned-read report over each committed
     // generation's file references
     def prunedStage(stage: Long, state: String, gen: Int): DataFrame = {
       val files = readGeneration(root, gen).collect { case ("base", f) => f }
       val m = FooterManifest.buildFromFiles(spark, files, zcols)
       val mRows = m.collect()
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(mRows: _*), m.schema)
-      val kept = FooterManifest.filesToRead(local, numBox).collect()
-      val keptFiles = kept.map(_.getString(0)).toSeq
+      val kept = FooterManifest.filesToReadLocal(mRows, numBox)
+      val keptFiles = kept.map(_._1)
       val rowsOut = (if (keptFiles.isEmpty) emptyEv
           else spark.read.parquet(keptFiles: _*))
         .where(boxFilter).agg(count(lit(1)).as("rows_out"))
@@ -876,11 +941,18 @@ object Layout {
         lit(stage).as("stage"), lit(state).as("state"),
         lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong).as("files_total"),
         lit(keptFiles.size.toLong).as("files_read"),
-        lit(kept.map(_.getLong(1)).sum).as("rows_scanned"))
+        lit(kept.map(_._2).sum).as("rows_scanned"))
         .crossJoin(broadcast(rowsOut))
     }
-    s1.unionByName(prunedStage(2L, "folded", 1))
-      .unionByName(prunedStage(3L, "compacted", 2))
+    // the three stage chains are independent given the committed log —
+    // overlap their eager manifest jobs (guide §2.6); declaration order
+    // keeps the output deterministic
+    val Seq(s1, s2, s3) = inParallel(Seq(
+      () => stage1(),
+      () => prunedStage(2L, "folded", 1),
+      () => prunedStage(3L, "compacted", 2)))
+    s1.unionByName(s2)
+      .unionByName(s3)
       .withColumn("amp_x1000", lit(amp))
       .orderBy("stage")
   }
@@ -1351,11 +1423,6 @@ object Layout {
       delta.unpersist()
       folded.unpersist()
     }
-    // the evolved READ schema, inferred by mergeSchema across the mixed
-    // old/new files — what a catalog would record after the evolution
-    val dataSchema = StructType(
-      spark.read.option("mergeSchema", "true").parquet(s"$root/tbl")
-        .schema.filterNot(_.name == "zcell"))
     val numBox = Map("user_id" -> ((60.0, 90.0)), "value" -> ((100.0, 200.0)))
     val scoreBox = Map("score" -> ((1100.0, 1200.0)))
     def emptyEvolved = spark.range(0).select(col("id").as("event_id"),
@@ -1368,23 +1435,40 @@ object Layout {
         coalesce(sum(when(col("score").isNotNull, 1L).otherwise(0L)), lit(0L))
           .as("n_scored"),
         coalesce(sum(col("score")), lit(0.0)).cast("long").as("score_chk"))
+    // the three independent eager chains — schema inference, the g1
+    // manifests, the fold manifest — overlap (guide §2.6); pruning and
+    // file totals fold driver-side over the collected manifests
+    // (round 21, guide §5)
+    // the evolved READ schema, inferred by mergeSchema across the
+    // mixed old/new files — what a catalog would record
+    val schemaTask = async(() => StructType(
+      spark.read.option("mergeSchema", "true").parquet(s"$root/tbl")
+        .schema.filterNot(_.name == "zcell")))
+    // STAGE 1 inputs — g1 is the evolved merge-on-read commit, its
+    // kinds partition base from arrival (round 18)
+    val stage1Task = async(() => {
+      val g1 = readGeneration(root, 1)
+      val g1BaseFiles = g1.collect { case ("base", f) => f }
+      val g1Delta = g1.collect { case ("delta", f) => f }
+      val baseRows = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols).collect()
+      val rd = FooterManifest
+        .buildFromFiles(spark, g1Delta, Seq("event_id")).collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
+        .distinct.map(_._2).sum
+      (baseRows, rd, g1Delta)
+    })
+    // STAGES 2 & 3 input — the folded generation's footers, which now
+    // cover the evolved column next to the original z columns
+    val foldTask = async(() => FooterManifest.buildFromFiles(spark,
+      readGeneration(root, 2).collect { case ("base", f) => f },
+      zcols :+ "score").collect())
+    val dataSchema = schemaTask.await
+    val (baseMRows, rowsDelta, g1DeltaFiles) = stage1Task.await
+    val mfRows = foldTask.await
     // STAGE 1 — evolved merge-on-read: prune base files from footers,
-    // always read the delta, answer through the union schema. File sets
-    // resolve FROM THE GENERATION LOG (round 18): g1 is the evolved
-    // merge-on-read commit, its kinds partition base from arrival
-    val g1 = readGeneration(root, 1)
-    val g1BaseFiles = g1.collect { case ("base", f) => f }
-    val g1DeltaFiles = g1.collect { case ("delta", f) => f }
-    val mBase = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
-    val baseMRows = mBase.collect()
-    val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(baseMRows: _*), mBase.schema)
-    val keptBase = FooterManifest.filesToRead(localBase, numBox).collect()
-    val keptBaseFiles = keptBase.map(_.getString(0)).toSeq
-    val rowsDelta = FooterManifest
-      .buildFromFiles(spark, g1DeltaFiles, Seq("event_id")).collect()
-      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
-      .distinct.map(_._2).sum
+    // always read the delta, answer through the union schema
+    val keptBase = FooterManifest.filesToReadLocal(baseMRows.toSeq, numBox)
+    val keptBaseFiles = keptBase.map(_._1)
     val deltaDf = spark.read.schema(dataSchema).parquet(g1DeltaFiles: _*)
     val baseKept = if (keptBaseFiles.isEmpty) emptyEvolved
       else spark.read.schema(dataSchema).parquet(keptBaseFiles: _*)
@@ -1396,27 +1480,20 @@ object Layout {
       lit(baseMRows.map(_.getAs[String]("file")).distinct.length.toLong
         + g1DeltaFiles.size).as("files_total"),
       lit(keptBaseFiles.size.toLong + g1DeltaFiles.size).as("files_read"),
-      lit(keptBase.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
+      lit(keptBase.map(_._2).sum + rowsDelta).as("rows_scanned"))
       .crossJoin(broadcast(outAgg(merged1, lakeBox)))
-    // STAGES 2 & 3 — the folded generation's footers, which now cover
-    // the evolved column next to the original z columns
-    val mf = FooterManifest.buildFromFiles(spark,
-      readGeneration(root, 2).collect { case ("base", f) => f }, zcols :+ "score")
-    val mfRows = mf.collect()
-    val localFold = spark.createDataFrame(
-      java.util.Arrays.asList(mfRows: _*), mf.schema)
     val foldFilesTotal = mfRows.map(_.getAs[String]("file")).distinct.length.toLong
     def foldStage(stage: Long, state: String,
         box: Map[String, (Double, Double)], filter: Column): DataFrame = {
-      val kept = FooterManifest.filesToRead(localFold, box).collect()
-      val keptFiles = kept.map(_.getString(0)).toSeq
+      val kept = FooterManifest.filesToReadLocal(mfRows.toSeq, box)
+      val keptFiles = kept.map(_._1)
       val answered = if (keptFiles.isEmpty) emptyEvolved
         else spark.read.schema(dataSchema).parquet(keptFiles: _*)
       spark.range(1).select(
         lit(stage).as("stage"), lit(state).as("state"),
         lit(foldFilesTotal).as("files_total"),
         lit(keptFiles.size.toLong).as("files_read"),
-        lit(kept.map(_.getLong(1)).sum).as("rows_scanned"))
+        lit(kept.map(_._2).sum).as("rows_scanned"))
         .crossJoin(broadcast(outAgg(answered, filter)))
     }
     s1.unionByName(foldStage(2L, "folded", numBox, lakeBox))
@@ -1559,23 +1636,30 @@ object Layout {
     // schema's promotion read. File sets resolve FROM THE GENERATION
     // LOG (round 18): g1 is the mixed-width commit, its kinds partition
     // the narrow era from the wide arrival
-    val g1 = readGeneration(root, 1)
-    val g1BaseFiles = g1.collect { case ("base", f) => f }
-    val g1DeltaFiles = g1.collect { case ("delta", f) => f }
-    val mBase = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
-    val baseMRows = mBase.collect()
-    val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(baseMRows: _*), mBase.schema)
+    // the two independent eager chains — the g1 (mixed-width) manifests
+    // and the folded generation's manifest — overlap (guide §2.6);
+    // pruning and file totals fold driver-side (round 21, guide §5)
+    val mixedTask = async(() => {
+      val g1 = readGeneration(root, 1)
+      val g1BaseFiles = g1.collect { case ("base", f) => f }
+      val g1Delta = g1.collect { case ("delta", f) => f }
+      val baseRows = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols).collect()
+      val rd = FooterManifest
+        .buildFromFiles(spark, g1Delta, Seq("event_id")).collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
+        .distinct.map(_._2).sum
+      (baseRows, rd, g1Delta)
+    })
+    val foldTask = async(() => FooterManifest.buildFromFiles(spark,
+      readGeneration(root, 2).collect { case ("base", f) => f }, zcols).collect())
+    val (baseMRows, rowsDelta, g1DeltaFiles) = mixedTask.await
+    val mfRows = foldTask.await
     val baseFilesTotal = baseMRows.map(_.getAs[String]("file")).distinct.length.toLong
-    val rowsDelta = FooterManifest
-      .buildFromFiles(spark, g1DeltaFiles, Seq("event_id")).collect()
-      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
-      .distinct.map(_._2).sum
     val deltaDf = spark.read.schema(wideSchema).parquet(g1DeltaFiles: _*)
     def mixedStage(stage: Long, state: String,
         box: Map[String, (Double, Double)], filter: Column): DataFrame = {
-      val kept = FooterManifest.filesToRead(localBase, box).collect()
-      val keptFiles = kept.map(_.getString(0)).toSeq
+      val kept = FooterManifest.filesToReadLocal(baseMRows.toSeq, box)
+      val keptFiles = kept.map(_._1)
       val baseKept = if (keptFiles.isEmpty) emptyWide
         else spark.read.schema(wideSchema).parquet(keptFiles: _*)
       val merged = baseKept
@@ -1585,24 +1669,19 @@ object Layout {
         lit(stage).as("stage"), lit(state).as("state"),
         lit(baseFilesTotal + g1DeltaFiles.size).as("files_total"),
         lit(keptFiles.size.toLong + g1DeltaFiles.size).as("files_read"),
-        lit(kept.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
+        lit(kept.map(_._2).sum + rowsDelta).as("rows_scanned"))
         .crossJoin(broadcast(outAgg(merged, filter)))
     }
     // STAGE 2 — the uniformly-wide folded generation's footers
-    val mf = FooterManifest.buildFromFiles(spark,
-      readGeneration(root, 2).collect { case ("base", f) => f }, zcols)
-    val mfRows = mf.collect()
-    val localFold = spark.createDataFrame(
-      java.util.Arrays.asList(mfRows: _*), mf.schema)
-    val keptF = FooterManifest.filesToRead(localFold, numBox).collect()
-    val keptFFiles = keptF.map(_.getString(0)).toSeq
+    val keptF = FooterManifest.filesToReadLocal(mfRows.toSeq, numBox)
+    val keptFFiles = keptF.map(_._1)
     val answeredF = if (keptFFiles.isEmpty) emptyWide
       else spark.read.schema(wideSchema).parquet(keptFFiles: _*)
     val s2 = spark.range(1).select(
       lit(2L).as("stage"), lit("folded_wide").as("state"),
       lit(mfRows.map(_.getAs[String]("file")).distinct.length.toLong).as("files_total"),
       lit(keptFFiles.size.toLong).as("files_read"),
-      lit(keptF.map(_.getLong(1)).sum).as("rows_scanned"))
+      lit(keptF.map(_._2).sum).as("rows_scanned"))
       .crossJoin(broadcast(outAgg(answeredF, lakeBox)))
     mixedStage(1L, "merge_on_read", numBox, lakeBox)
       .unionByName(s2)
@@ -1756,17 +1835,24 @@ object Layout {
         count_distinct(when(col("src") === "base", col("event_id"))).as("n_erased"),
         count_distinct(when(col("src") === "fold", col("event_id")))
           .as("erased_remaining"))
+    // the two independent eager chains — g1's manifests and the folded
+    // generation's manifest — overlap (guide §2.6); pruning and file
+    // totals fold driver-side (round 21, guide §5)
+    val s1Task = async(() => {
+      val mRows = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols).collect()
+      val rd = FooterManifest
+        .buildFromFiles(spark, cdeltaFiles, Seq("event_id")).collect()
+        .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
+        .distinct.map(_._2).sum
+      (mRows, rd)
+    })
+    val s2Task = async(() =>
+      FooterManifest.buildFromFiles(spark, foldFiles, zcols).collect())
+    val (mRows, rowsDelta) = s1Task.await
+    val mfRows = s2Task.await
     // STAGE 1 — merge-on-read with tombstones over pruned base footers
-    val m = FooterManifest.buildFromFiles(spark, g1BaseFiles, zcols)
-    val mRows = m.collect()
-    val localBase = spark.createDataFrame(
-      java.util.Arrays.asList(mRows: _*), m.schema)
-    val kept = FooterManifest.filesToRead(localBase, numBox).collect()
-    val keptFiles = kept.map(_.getString(0)).toSeq
-    val rowsDelta = FooterManifest
-      .buildFromFiles(spark, cdeltaFiles, Seq("event_id")).collect()
-      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows")))
-      .distinct.map(_._2).sum
+    val kept = FooterManifest.filesToReadLocal(mRows.toSeq, numBox)
+    val keptFiles = kept.map(_._1)
     val merged1 = (if (keptFiles.isEmpty) emptyEv
         else spark.read.parquet(keptFiles: _*))
       .join(deltaDf.select(col("event_id")), Seq("event_id"), "left_anti")
@@ -1777,15 +1863,11 @@ object Layout {
       lit(mRows.map(_.getAs[String]("file")).distinct.length.toLong
         + cdeltaFiles.size).as("files_total"),
       lit(keptFiles.size.toLong + cdeltaFiles.size).as("files_read"),
-      lit(kept.map(_.getLong(1)).sum + rowsDelta).as("rows_scanned"))
+      lit(kept.map(_._2).sum + rowsDelta).as("rows_scanned"))
       .crossJoin(broadcast(boxCount1))
     // STAGE 2 — the folded (physically erased) generation's footers
-    val mf = FooterManifest.buildFromFiles(spark, foldFiles, zcols)
-    val mfRows = mf.collect()
-    val localFold = spark.createDataFrame(
-      java.util.Arrays.asList(mfRows: _*), mf.schema)
-    val keptF = FooterManifest.filesToRead(localFold, numBox).collect()
-    val keptFFiles = keptF.map(_.getString(0)).toSeq
+    val keptF = FooterManifest.filesToReadLocal(mfRows.toSeq, numBox)
+    val keptFFiles = keptF.map(_._1)
     val boxCount2 = (if (keptFFiles.isEmpty) emptyEv
         else spark.read.parquet(keptFFiles: _*))
       .where(lakeBox).agg(count(lit(1)).as("rows_out"))
@@ -1793,7 +1875,7 @@ object Layout {
       lit(2L).as("stage"), lit("folded_erased").as("state"),
       lit(mfRows.map(_.getAs[String]("file")).distinct.length.toLong).as("files_total"),
       lit(keptFFiles.size.toLong).as("files_read"),
-      lit(keptF.map(_.getLong(1)).sum).as("rows_scanned"))
+      lit(keptF.map(_._2).sum).as("rows_scanned"))
       .crossJoin(broadcast(boxCount2))
     s1.unionByName(s2)
       .crossJoin(broadcast(erasureAcc))

@@ -96,7 +96,15 @@ object FooterManifest {
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, files.size / filesPerTask + 1))
     val colList = columns // stable serializable copy for the closure
-    spark.createDataset(files).repartition(parts)
+    // sc.parallelize splits the driver-held file list directly into
+    // `parts` tasks — the previous createDataset(...).repartition(parts)
+    // paid a round-robin Exchange (an extra stage + shuffle round trip)
+    // per manifest build just to distribute a list the driver already
+    // holds (optimization guide §2.4: remove shuffles outright). Every
+    // lake report builds 1-4 manifests per invocation, so the saved
+    // stage is per-query hot-path time; at 10⁵-file scale the shuffle
+    // moved only file NAMES, so dropping it changes no memory story.
+    val rdd = spark.sparkContext.parallelize(files, parts)
       .mapPartitions { it =>
         // executor-local Configuration: footers resolve the filesystem
         // from the path URI; default conf suffices for hdfs:///file:/ —
@@ -156,7 +164,8 @@ object FooterManifest {
             }
           } finally reader.close()
         }
-      }.toDF()
+      }
+    spark.createDataFrame(rdd)
   }
 
   /** Total row count of the parquet file(s) under `path`, from footer
@@ -189,6 +198,48 @@ object FooterManifest {
     * [lo, hi] inclusive under unsigned-byte (UTF-8) order — the order
     * the stats were folded under, so the same Column comparison decides
     * both kinds. */
+  /** Driver-local twin of [[filesToRead]] over COLLECTED manifest rows
+    * (schema: file, n_rows, column, min_v, max_v, min_s, max_s) —
+    * identical pruning rule, evaluated in plain Scala. Every lake
+    * report already holds the manifest on the driver (file-count
+    * scale, bounded by cells × columns); round-tripping those ~100
+    * rows through createDataFrame + a groupBy job cost one full Spark
+    * job per pruning decision, pure scheduling overhead (optimization
+    * guide §5: the driver should do no DATA work — this is metadata).
+    * Returns (file, n_rows) of the kept files in first-seen manifest
+    * order. `FooterManifestSpec` pins set-equality with the DataFrame
+    * path on randomized manifests, so the two rules cannot drift. */
+  def filesToReadLocal(rows: Seq[org.apache.spark.sql.Row],
+      box: Map[String, (Double, Double)],
+      strBox: Map[String, (String, String)] = Map.empty): Seq[(String, Long)] = {
+    // (first-seen n_rows, pruned-by-any-column) per file — the exact
+    // max(prunable)/first(n_rows) fold of the DataFrame form
+    val byFile = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Boolean)]
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val n = r.getLong(1)
+      val c = r.getString(2)
+      val prunedHere =
+        (box.get(c) match {
+          case Some((lo, hi)) if !r.isNullAt(3) =>
+            r.getDouble(4) < lo || r.getDouble(3) > hi
+          case _ => false
+        }) ||
+        (strBox.get(c) match {
+          case Some((lo, hi)) if !r.isNullAt(5) =>
+            utf8Lt(r.getString(6), lo) || utf8Lt(hi, r.getString(5))
+          case _ => false
+        })
+      byFile.get(f) match {
+        case Some((n0, p0)) => byFile(f) = (n0, p0 || prunedHere)
+        case None => byFile(f) = (n, prunedHere)
+      }
+    }
+    byFile.iterator.collect {
+      case (f, (n, pruned)) if !pruned && n > 0 => (f, n)
+    }.toSeq
+  }
+
   def filesToRead(manifest: DataFrame, box: Map[String, (Double, Double)],
       strBox: Map[String, (String, String)] = Map.empty): DataFrame = {
     // per (file, column): does this column rule the file OUT?

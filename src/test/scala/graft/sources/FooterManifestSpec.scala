@@ -89,6 +89,41 @@ class FooterManifestSpec extends SparkSpec {
     assert(kept2.count() === 0)
   }
 
+  test("filesToReadLocal ≡ filesToRead on randomized manifests (the round-21 driver-local path)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("n_rows", LongType, nullable = false),
+      StructField("column", StringType),
+      StructField("min_v", DoubleType), StructField("max_v", DoubleType),
+      StructField("min_s", StringType), StructField("max_s", StringType)))
+    val rnd = new scala.util.Random(42)
+    val strPool = Seq("alpha", "beta", "src12", "src17", "Ωmega", "日本語", "zulu")
+    (1 to 20).foreach { trial =>
+      // random manifest: files × (numeric k, string s) with occasional
+      // NULL stats (the conservative path) and zero-row files
+      val rows: Seq[Row] = (0 until (1 + rnd.nextInt(12))).flatMap { i =>
+        val f = s"f$i"
+        val n = if (rnd.nextInt(8) == 0) 0L else 1L + rnd.nextInt(100)
+        val (lo, hi) = { val a = rnd.nextInt(50) - 25; val b = a + rnd.nextInt(30); (a.toDouble, b.toDouble) }
+        val numRow = if (rnd.nextInt(6) == 0) Row(f, n, "k", null, null, null, null)
+          else Row(f, n, "k", lo, hi, null, null)
+        val ss = Seq.fill(2)(strPool(rnd.nextInt(strPool.length))).sorted
+        val strRow = if (rnd.nextInt(6) == 0) Row(f, n, "s", null, null, null, null)
+          else Row(f, n, "s", null, null, ss.head, ss.last)
+        Seq(numRow, strRow)
+      }
+      val box = if (rnd.nextBoolean()) Map("k" -> ((-10.0, 10.0))) else Map.empty[String, (Double, Double)]
+      val sbox = if (rnd.nextBoolean()) Map("s" -> (("b", "src16"))) else Map.empty[String, (String, String)]
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val viaSpark = FooterManifest.filesToRead(df, box, sbox).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaLocal = FooterManifest.filesToReadLocal(rows, box, sbox).toSet
+      assert(viaLocal === viaSpark, s"trial $trial: local pruning diverged (box=$box, sbox=$sbox)")
+    }
+  }
+
   test("empty directory yields an empty manifest with the right schema") {
     val m = FooterManifest.build(spark, s"$tmp/absent", Seq("x"))
     assert(m.columns.toSeq ===
