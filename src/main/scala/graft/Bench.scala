@@ -132,6 +132,16 @@ object Bench {
       // driver-side overhead in every measurement (static conf, must be
       // set at session build)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Log-resolved reads pass EXPLICIT file lists; past 32 paths Spark
+      // launches a distributed LISTING job per DataFrame construction
+      // (0.2-0.4 s of pure scheduling at any SF — the default threshold
+      // is tuned for high-latency object-store listings, guide §6). The
+      // lake's read sets are cell-bounded (≤ 2^cellBits per lineage), so
+      // driver-side listing is right up to this bound; a 10⁵-file table
+      // reads through its manifest, never a 10⁵-path raw read.
+      // Parameterised (env) with the local default justified above.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries

@@ -29,6 +29,10 @@ object Profile {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // explicit-file-list reads: driver-side listing up to 1024 paths
+      // (see Bench.scala for the full rationale; parameterised via env)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }

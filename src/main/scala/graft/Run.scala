@@ -30,6 +30,10 @@ object Run {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName(s"graft:$name")
+      // explicit-file-list reads: driver-side listing up to 1024 paths
+      // (see Bench.scala for the full rationale; parameterised via env)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = fn(spark, dir)

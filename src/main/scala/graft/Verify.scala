@@ -18,6 +18,10 @@ object Verify {
       // see Bench: the 100-entry default codegen cache thrashes across a
       // 124-query dump, recompiling shared operators query after query
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // explicit-file-list reads: driver-side listing up to 1024 paths
+      // (see Bench.scala for the full rationale; parameterised via env)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -79,9 +79,17 @@ object FooterManifest {
   }
 
   /** Build the manifest for `columns` of every parquet file under `dir`.
-    * Footer reads run on executors, one task per ~`filesPerTask` files. */
+    * Footer reads run on executors, one task per ~`filesPerTask` files.
+    *
+    * `filesPerTask` sizing (round 21): footer reads are IO-LATENCY
+    * bound (~5-15 ms per open+footer-parse), not bandwidth bound, so a
+    * task holding 64 footers serialized ~0.5 s of latency while the
+    * rest of the cluster idled. 4 files/task saturates available
+    * parallelism on small (cell-bounded) manifests; at 10⁵-10⁶-file
+    * scale the task count is capped by `defaultParallelism` either
+    * way (`parts` below), so the knob only spreads SMALL builds. */
   def build(spark: SparkSession, dir: String, columns: Seq[String],
-      filesPerTask: Int = 64): DataFrame =
+      filesPerTask: Int = 4): DataFrame =
     buildFromFiles(spark, listParquet(spark, dir), columns, filesPerTask)
 
   /** [[build]] over an EXPLICIT file list — for consumers whose file set
@@ -89,7 +97,7 @@ object FooterManifest {
     * references, a vacuum's dead set. Same distributed footer IO; the
     * driver only ever holds the names. */
   def buildFromFiles(spark: SparkSession, files: Seq[String],
-      columns: Seq[String], filesPerTask: Int = 64): DataFrame = {
+      columns: Seq[String], filesPerTask: Int = 4): DataFrame = {
     import spark.implicits._
     if (files.isEmpty)
       return spark.emptyDataset[FooterStat].toDF()
