@@ -1712,6 +1712,76 @@ class LayoutSpec extends SparkSpec {
       "the refused merge must leave the log untouched")
   }
 
+  test("MERGE probe key-range pruning: a narrow-key merge reads strictly fewer base files and commits the identical state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mergeprune").toString
+    // base laid out in key ranges — four files with disjoint event_id
+    // bands, the layout a key-clustered table holds at scale
+    val tgtRows = (1L to 40L).map(k => (k, k * 10L, k.toDouble))
+    tgtRows.toDF("event_id", "user_id", "value")
+      .repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(s"$root/base")
+    val baseFiles = Layout.listParquetFiles(spark, s"$root/base")
+    assert(baseFiles.size === 4)
+    assert(Layout.commitNextGeneration(root,
+      baseFiles.map("base" -> _) :+ ("op" -> "seed"),
+      Some((-1, Set.empty[String]))) === 0)
+    // the pruning decision itself: a narrow key range keeps only the
+    // files whose footer range intersects it — strictly fewer than the
+    // table holds (VERDICT r20 missing #2's done-bar)
+    val keptNarrow = Layout.pruneFilesForKeyRange(spark, baseFiles,
+      "event_id", 12.0, 13.0)
+    assert(keptNarrow.size < baseFiles.size && keptNarrow.nonEmpty,
+      s"narrow-key range must skip files (${keptNarrow.size}/${baseFiles.size})")
+    // conservative contract: a column with no stats keeps every file
+    assert(Layout.pruneFilesForKeyRange(spark, baseFiles,
+      "no_such_column", 12.0, 13.0).size === baseFiles.size)
+    // the pruned merge commits the IDENTICAL state the published
+    // semantics demand: update key 12, insert key 99 — every other
+    // target row (including those in pruned files) survives untouched
+    val clauses = Seq(
+      Layout.WhenMatchedUpdate(col("value") > Layout.mergeTarget("value"),
+        Map("value" -> col("value"))),
+      Layout.WhenNotMatchedInsert(lit(true)))
+    assert(Layout.lakeMergeInto(spark, root,
+      Seq((12L, 999L, 100.0), (99L, 990L, 9.0))
+        .toDF("event_id", "user_id", "value"),
+      "event_id", clauses, s"$root/s1") === 1)
+    val got = Layout.readLakeAsOf(spark, root, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val expected = (tgtRows.map {
+      case (12L, u, _) => (12L, u, 100.0) // per-column SET keeps target uid
+      case r => r
+    } :+ ((99L, 990L, 9.0))).sorted
+    assert(got === expected.toArray,
+      "pruned-probe merge must commit exactly the published merged state")
+  }
+
+  test("MERGE INTO rejects duplicate source keys with the published multiple-source-rows-matched error") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mergedup").toString
+    Seq((1L, 10L, 1.0), (2L, 20L, 5.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/base")
+    assert(Layout.commitNextGeneration(root,
+      Layout.listParquetFiles(spark, s"$root/base").map("base" -> _)
+        :+ ("op" -> "seed"),
+      Some((-1, Set.empty[String]))) === 0)
+    // two source rows hit key 1 and BOTH stage an outcome (an update
+    // and a delete) — the ambiguity published MERGE semantics reject
+    val ex = intercept[IllegalArgumentException] {
+      Layout.lakeMergeInto(spark, root,
+        Seq((1L, 99L, 2.0), (1L, 98L, -200.0))
+          .toDF("event_id", "user_id", "value"),
+        "event_id", Seq(
+          Layout.WhenMatchedUpdate(col("value") > Layout.mergeTarget("value"),
+            Map("value" -> col("value"))),
+          Layout.WhenMatchedDelete(
+            col("value") < Layout.mergeTarget("value") - 100.0)),
+        s"$root/s1")
+    }
+    assert(ex.getMessage.contains("multiple source rows matched"))
+    assert(Layout.listGenerations(root) === Seq(0),
+      "the refused merge must leave the log untouched")
+  }
+
   test("MERGE INTO randomized property: arbitrary clause lists against a plain-Scala reference merge") {
     // the fixture lineage pins ONE clause set; this property pins the
     // OPERATOR: random targets, random (key-distinct) sources, and
