@@ -787,12 +787,21 @@ object Dedup {
     * cross-engine. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.StableStats.ratio
-    val truth = jaccardPrefixJoinOf(Tables.documents(spark, dir))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // the truth side (exact prefix-join Jaccard) and the candidate side
+    // (minhash/LSH pipeline) are INDEPENDENT pipelines that meet only
+    // at the final join — overlap their materializations on a second
+    // driver thread (guide §2.6; was: the cands cut ran, THEN the final
+    // job paid the whole truth pipeline serially). Both sides land as
+    // lineage cuts, so the final job is a join of two materialized
+    // frames.
+    val truthTask = Layout.async(() =>
+      cutShared(jaccardPrefixJoinOf(Tables.documents(spark, dir))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))))
     // eager lineage cut, not persist: the candidate set feeds the
     // cost-side count AND the truth join — uncut, the LSH pipeline
     // would run twice (release discipline, see [[containment]])
     val cands = cutShared(lshCandidates(spark, dir).withColumn("hit", lit(1L)))
+    val truth = truthTask.await
     val nCands = cands.agg(count(lit(1)).as("n_cands"))
     truth.join(cands, Seq("doc_a", "doc_b"), "left")
       .withColumn("decile", least(floor(col("jaccard") * 10), lit(9)).cast("long"))

@@ -495,10 +495,18 @@ object Layout {
     * curve cells per file for both, so the comparison is purely about
     * curve LOCALITY, not file count). Same all-hash-agg scale shape. */
   def hilbertPrune(spark: SparkSession, dir: String): DataFrame = {
+    // EAGER lineage cut, not a lazy persist (round 21): the report's
+    // three 1-row aggregates execute as concurrent (broadcast) subquery
+    // jobs, and with a lazy persist each raced the not-yet-populated
+    // cache and recomputed the bucketing + both curve expressions —
+    // hilbert5 is the suite's largest codegen expression, so the race
+    // tripled the query's real work. localCheckpoint materializes once
+    // and leaves no session-scoped cache entry behind (the round-13
+    // release discipline).
     val b = bucketed(spark, dir)
       .withColumn("zf", shiftright(morton5(col("db"), col("ub")), 2))
       .withColumn("hf", shiftright(hilbert5(col("db"), col("ub")), 2))
-      .persist()
+      .localCheckpoint(true)
     def candidateRows(fileCol: String, outName: String): DataFrame = b
       .groupBy(col(fileCol))
       .agg(count(lit(1)).as("n_rows"),
@@ -4084,9 +4092,15 @@ object Layout {
     * row with no knowledge of the log. */
   def lakeHistory(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the three lineage prologs are independent (separate scratch
+    // roots) and each pays its own fingerprint pass — overlap the two
+    // ensure* legs with the ingest replay (guide §2.6; leaf tasks, no
+    // nested pool use)
+    val deleteTask = async(() => ensureDeleteLog(spark, dir))
+    val mergeTask = async(() => ensureMergeLog(spark, dir))
     lakeIngest(spark, dir) // idempotently materialize the lineages
-    val deleteRoot = ensureDeleteLog(spark, dir)
-    val mergeRoot = ensureMergeLog(spark, dir)
+    val deleteRoot = deleteTask.await
+    val mergeRoot = mergeTask.await
     (historyRows(scratchDir("lake_ingest", dir), "lake_ingest") ++
       historyRows(deleteRoot, "lake_delete") ++
       historyRows(mergeRoot, "lake_merge"))
