@@ -221,7 +221,18 @@ object Curation {
     // and the final orderBy restores the identical total order.
     val naiveC = census(naive, "doc_hash")
     val naiveTask = Layout.async(() => naiveC.collect())
-    val clustered = clusterSplitsOf(spark, dir, pairs).select(col("doc_id"), col("split"))
+    // The cluster_hash census joins pairs against the LABEL frame
+    // directly (round 22, guide §2.3): the label loop emits a row for
+    // EVERY doc that appears in some pair — exactly the docs the pair
+    // joins can reach — so the corpus-wide documents⋈labels assignment
+    // [[clusterSplitsOf]] builds (needed by the x_cluster_split QUERY,
+    // whose output covers all docs) is pure overhead on this census
+    // path. split = splitName(splitBucket(cluster)) is the identical
+    // policy: for paired docs clusterSplitsOf's anchor is
+    // coalesce(cluster, doc_id) = cluster, never the fallback.
+    val labels = dupClusterLabels(pairs).labelsUnsorted
+    val clustered = labels
+      .select(col("doc_id"), splitName(splitBucket(col("cluster"))).as("split"))
     val clusteredRows = census(clustered, "cluster_hash").collect()
     val rows = naiveTask.await ++ clusteredRows
     pairs.unpersist()
@@ -284,7 +295,16 @@ object Curation {
         "h" -> Dedup.nfcContentHash,
         "lang" -> col("lang"))))
     }(scala.concurrent.ExecutionContext.global)
-    val splits = clusterSplits(spark, dir).select(col("doc_id"), col("split"))
+    // The split tier joins the LABEL frame directly and applies the
+    // split policy inline (round 22, guide §2.3): the corpus-wide
+    // documents⋈labels assignment [[clusterSplits]] builds exists for
+    // the x_cluster_split query's all-docs output — here only the KEPT
+    // tier's split matters, so the left join runs against the
+    // pair-scale label frame and the anchor fallback
+    // (coalesce(cluster, doc_id)) computes in the same projection. One
+    // corpus-scale scan+join less in the final census job; the split
+    // value per doc is the identical policy expression.
+    val labels = dupClusterLabels(Dedup.lshCandidates(spark, dir)).labelsUnsorted
     val scanned = scala.concurrent.Await
       .result(scannedF, scala.concurrent.duration.Duration.Inf)
     // lang rides the kept tier directly off the fused frame — one join
@@ -299,7 +319,9 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     kept
       .join(canon, "doc_id")
-      .join(splits, "doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("split",
+        splitName(splitBucket(coalesce(col("cluster"), col("doc_id")))))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
       .orderBy("split", "lang")
@@ -1220,8 +1242,12 @@ object Curation {
 
   private[ext] def triangleNodes(pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
-    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("dv"))
+    // degree per vertex = one explode over the cached edge list (round
+    // 22): the old union-of-two-projections scanned the cache twice to
+    // say "each endpoint counts once" — explode(array(a, b)) emits the
+    // same multiset of endpoints in a single scan
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dv"))
     val withDeg = und
       .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))

@@ -313,6 +313,12 @@ object Dedup {
     // what it never saw, short of clearCache()); checkpoint blocks live
     // outside the cache manager and the context cleaner reclaims them
     // once the pair frame is dropped.
+    // Re-A/B'd round 22: DROPPING the cut in favor of runtime exchange
+    // reuse regressed every composite consumer (containment 1.0→1.6 s,
+    // triangle 1.3→1.6 s, lshRecall 1.8→2.1 s at sf0.1) — the broadcast
+    // build side of the bucket self-join is a different distribution
+    // than the shuffle side, so reuse cannot collapse it and the
+    // signature chain re-ran per branch. The cut stays.
     lshCandidatesOfSigs(cutShared(minhashSignaturesOf(docs)), maxBucket)
 
   /** [[lshCandidatesOf]] when the caller already holds (and has cached)
